@@ -1,0 +1,37 @@
+"""scribedb_spark — a PySpark-native analytics engine with the data-diff
+capabilities of Decathlon/scribedb, rebuilt Spark-first.
+
+The reference (read-only at /root/reference) compares two RDBMS result
+sets by installing chained-MD5 aggregates server-side and walking the
+ordered result in LIMIT/OFFSET chunks (reference main.py:216-247,
+scribedb/base.py:156-159). This engine expresses the same semantics as
+one declarative Spark plan: canonical row formatting -> fingerprints ->
+chunk compare -> anti-join diff, plus a broad operator surface
+(joins/aggs/windows/setops) and LLM-data-pipeline extensions
+(dedup, similarity search, text analysis, streaming).
+
+Public API:
+    from scribedb_spark import get_spark, compare, CompareSpec
+"""
+
+from scribedb_spark.session import get_spark
+from scribedb_spark.compare import CompareResult, CompareSpec, compare
+from scribedb_spark.canonical import (
+    canonical_row,
+    fp_row_md5,
+    fp_unordered,
+    fp_chain,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "compare",
+    "CompareSpec",
+    "CompareResult",
+    "canonical_row",
+    "fp_row_md5",
+    "fp_unordered",
+    "fp_chain",
+]

@@ -1,0 +1,111 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference reads exactly two source kinds — PostgreSQL and Oracle
+via SQLAlchemy query-defined views (reference scribedb/postgres.py:45-63,
+scribedb/oracle.py:103-137). Spark-first, a "source" is anything
+``spark.read`` supports; this module provides the engine's named
+loaders plus JDBC parity helpers (S1/S2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """S7: parquet scan of one driver table. Plain ``spark.read.parquet``
+    so Catalyst gets predicate pushdown / column pruning / partition
+    pruning for free (SURVEY.md §4).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark only reads
+    as a raw long (nanosAsLong, see session.py); convert to a proper
+    timestamp here (floor to microseconds — identical to DuckDB's read
+    of the same file)."""
+    df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: table(spark, n, sf_dir) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """S3 equivalent: name every dataset as a temp view so both the
+    DataFrame API and ``spark.sql`` address the same tables (the
+    reference materializes server-side views for the same purpose,
+    reference scribedb/postgres.py:79-89)."""
+    for n, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_jdbc_query(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    *,
+    driver: str | None = None,
+    user: str | None = None,
+    password_env: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S1/S2: query-defined JDBC source.
+
+    Mirrors the reference's config surface — connection URL + SQL query
+    + password taken from an env var named in the config (reference
+    scribedb/base.py:35-39, scribedb/postgres.py:45-63) — but adds the
+    thing the reference cannot do: *partitioned* parallel reads
+    (``partitionColumn``/bounds), so a 1000-executor cluster doesn't
+    funnel the whole table through one connection. Filters and column
+    pruning still push down to the database (Spark JDBC DSv2).
+    """
+    r = spark.read.format("jdbc").option("url", url).option("query", query)
+    if driver:
+        r = r.option("driver", driver)
+    if user:
+        r = r.option("user", user)
+    if password_env:
+        r = r.option("password", os.environ.get(password_env, ""))
+    if partition_column:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return r.load()
+
+
+def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S6: result sink — the reference prints rich-console lines
+    (reference main.py:229-247); the engine writes a structured
+    report dataset."""
+    df.write.mode("overwrite").format(fmt).save(path)

@@ -1,0 +1,126 @@
+"""Unit tests for canonical formatting + fingerprints (SURVEY.md §2.9,
+FIXTURES.md F3)."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scribedb_spark.canonical import (
+    canonical_row,
+    fp_chain,
+    fp_row_md5,
+    fp_unordered,
+    global_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def f3(spark):
+    """FIXTURES.md F3 type-canonicalization table."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("dec", T.DecimalType(12, 2)),
+            T.StructField("s", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    base = datetime.datetime(2022, 1, 1, 0, 0, 0)
+    cyc = ["plain", "has space", "has,comma", 'has"quote', "", None]
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=i),
+            Decimal(i) * Decimal("1.10"),
+            cyc[i % 6],
+            i % 2 == 0,
+        )
+        for i in range(1, 101)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_canonical_row_formats(f3):
+    got = f3.filter(F.col("id") <= 6).select(
+        "id", canonical_row(f3).alias("c")
+    ).orderBy("id").collect()
+    texts = {r["id"]: r["c"] for r in got}
+    assert texts[1] == "(1,2022-01-01 00:01:00,1.10,has space,false)"
+    assert texts[2] == "(2,2022-01-01 00:02:00,2.20,has\\,comma,true)"
+    # NULL marker distinct from empty string
+    assert texts[5] == "(5,2022-01-01 00:05:00,5.50,\\N,false)"
+    assert texts[4] == "(4,2022-01-01 00:04:00,4.40,,true)"
+
+
+def test_null_vs_empty_no_collision(spark):
+    df1 = spark.createDataFrame([("",)], "s string")
+    df2 = spark.createDataFrame([(None,)], "s string")
+    h1 = fp_row_md5(df1).collect()[0]["row_md5"]
+    h2 = fp_row_md5(df2).collect()[0]["row_md5"]
+    assert h1 != h2
+
+
+def test_separator_no_collision(spark):
+    df1 = spark.createDataFrame([("a,b", "c")], "x string, y string")
+    df2 = spark.createDataFrame([("a", "b,c")], "x string, y string")
+    assert (
+        fp_row_md5(df1).collect()[0]["row_md5"]
+        != fp_row_md5(df2).collect()[0]["row_md5"]
+    )
+
+
+def test_fp_unordered_invariant_under_repartition(f3):
+    a = fp_unordered(f3).collect()[0]
+    b = fp_unordered(f3.repartition(13)).collect()[0]
+    assert a["fp"] == b["fp"] and a["n_rows"] == b["n_rows"] == 100
+
+
+def test_fp_unordered_detects_one_row_change(f3):
+    mutated = f3.withColumn(
+        "s", F.when(F.col("id") == 50, F.lit("MUTATED")).otherwise(F.col("s"))
+    )
+    assert fp_unordered(f3).collect()[0]["fp"] != fp_unordered(mutated).collect()[0]["fp"]
+
+
+def test_global_row_number(f3):
+    got = global_row_number(f3, ["id"]).select("id", "rn").collect()
+    assert all(r["id"] == r["rn"] for r in got)
+    assert sorted(r["rn"] for r in got) == list(range(1, 101))
+
+
+def test_fp_chain_deterministic_and_order_sensitive(f3):
+    chunks = fp_chain(f3, ["id"], bucket_rows=30).orderBy("chunk_id").collect()
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2, 3]
+    assert [r["n_rows"] for r in chunks] == [30, 30, 30, 10]
+    # invariant under physical layout
+    chunks2 = fp_chain(f3.repartition(7), ["id"], bucket_rows=30).orderBy("chunk_id").collect()
+    assert [r["fp"] for r in chunks] == [r["fp"] for r in chunks2]
+    # matches the reference recurrence computed in pure Python
+    import hashlib
+
+    rows = (
+        f3.select(canonical_row(f3).alias("t"), "id").orderBy("id").collect()
+    )
+    state = ""
+    for r in rows[:30]:
+        state = hashlib.md5((state + r["t"]).encode()).hexdigest().upper()
+    assert chunks[0]["fp"] == state
+
+
+def test_fp_chain_merkle_two_level(f3):
+    flat = fp_chain(f3, ["id"], bucket_rows=30)
+    merkle = fp_chain(f3, ["id"], bucket_rows=30, subchunk_rows=7)
+    # same chunking, deterministic (not equal hashes — different fold
+    # shape — but stable row counts and reproducible values)
+    m1 = {r["chunk_id"]: r["fp"] for r in merkle.collect()}
+    m2 = {r["chunk_id"]: r["fp"] for r in fp_chain(f3.repartition(5), ["id"], 30, subchunk_rows=7).collect()}
+    assert m1 == m2
+    assert {r["chunk_id"]: r["n_rows"] for r in flat.collect()} == {
+        r["chunk_id"]: r["n_rows"] for r in merkle.collect()
+    }

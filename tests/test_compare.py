@@ -1,0 +1,153 @@
+"""Compare-core tests — the reference's observable scenarios
+(FIXTURES.md F1 scenarios 1-6, reference tests/test_scribedb.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scribedb_spark.compare import (
+    CompareSpec,
+    SchemaMismatch,
+    chunk_fingerprints,
+    compare,
+    keyed_diff,
+    symmetric_diff,
+)
+
+CONST_C = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+@pytest.fixture(scope="module")
+def t_test(spark):
+    """FIXTURES.md F1: a=1..5000, b=a+10, c=const 52 chars
+    (reference tests/test_scribedb.py:29-41)."""
+    return (
+        spark.range(1, 5001)
+        .select(
+            F.col("id").cast("int").alias("a"),
+            (F.col("id") + 10).cast("int").alias("b"),
+            F.lit(CONST_C).alias("c"),
+        )
+    )
+
+
+def test_identical(t_test):
+    res = compare(t_test, t_test)
+    assert res.equal and res.diff_count == 0
+    assert res.src_rows == res.tgt_rows == 5000
+    res.raise_on_diff()  # must not raise
+
+
+def test_one_row_mutated(t_test):
+    """example.md:261-269 scenario: update c where a=50."""
+    mutated = t_test.withColumn(
+        "c",
+        F.when(F.col("a") == 50, F.lit(CONST_C[:41])).otherwise(F.col("c")),
+    )
+    res = compare(t_test, mutated)
+    assert not res.equal
+    assert res.diff_count == 2  # the row, from each side
+    rows = {(r["side"], r["a"]) for r in res.diff.collect()}
+    assert rows == {("src", 50), ("tgt", 50)}
+    with pytest.raises(ValueError):
+        res.raise_on_diff()
+
+
+def test_missing_row(t_test):
+    shrunk = t_test.filter(F.col("a") != 123)
+    res = compare(t_test, shrunk)
+    assert not res.equal and res.diff_count == 1
+    r = res.diff.collect()[0]
+    assert (r["side"], r["a"]) == ("src", 123)
+
+
+def test_arity_mismatch(t_test):
+    with pytest.raises(SchemaMismatch):
+        compare(t_test, t_test.select("a"))
+
+
+def test_empty_both_sides(t_test):
+    empty = t_test.limit(0)
+    res = compare(empty, empty)
+    assert res.equal and res.src_rows == 0
+
+
+def test_duplicate_rows_bag_vs_set(t_test):
+    """FIXTURES.md F1 scenario 6: the reference's set() semantics miss
+    a duplicated row (reference main.py:126-129); bag semantics catch it."""
+    dup = t_test.unionAll(t_test.filter(F.col("a") == 7))
+    res = compare(t_test, dup)
+    assert not res.equal and res.diff_count == 1
+    res_set = compare(t_test, dup, CompareSpec(distinct=True))
+    assert res_set.equal  # reference-compat mode reproduces the flaw
+
+
+def test_max_delta_tolerance(t_test):
+    mutated = t_test.withColumn(
+        "b", F.when(F.col("a") == 9, F.lit(0)).otherwise(F.col("b"))
+    )
+    assert not compare(t_test, mutated).equal
+    assert compare(t_test, mutated, CompareSpec(max_delta=2)).equal
+
+
+def test_keyed_diff_classification(t_test):
+    tgt = (
+        t_test.filter(F.col("a") != 100)  # removed
+        .withColumn(
+            "b", F.when(F.col("a") == 200, F.lit(-1)).otherwise(F.col("b"))
+        )  # changed
+        .unionAll(
+            t_test.sparkSession.createDataFrame(
+                [(99999, 1, "x")], "a int, b int, c string"
+            )
+        )  # added
+    )
+    kd = keyed_diff(t_test, tgt, ["a"]).collect()
+    got = {(r["a"], r["change"]) for r in kd}
+    assert got == {(100, "removed"), (200, "changed"), (99999, "added")}
+
+
+def test_chunk_fingerprints_localize_diff(t_test):
+    mutated = t_test.withColumn(
+        "b", F.when(F.col("a") == 4321, F.lit(0)).otherwise(F.col("b"))
+    )
+    spec = CompareSpec(sort_keys=["a"], bucket_rows=1000)
+    cs = chunk_fingerprints(t_test, mutated, spec).collect()
+    status = {r["chunk_id"]: r["status"] for r in cs}
+    assert status == {0: "OK", 1: "OK", 2: "OK", 3: "OK", 4: "NOK"}
+    # chained mode agrees on localization
+    spec2 = CompareSpec(sort_keys=["a"], bucket_rows=1000, hash_mode="chained")
+    cs2 = chunk_fingerprints(t_test, mutated, spec2).collect()
+    assert {r["chunk_id"]: r["status"] for r in cs2} == status
+
+
+def test_symmetric_diff_column_name_independence(t_test):
+    """Reference compares positionally; names may differ
+    (reference main.py:157-168 checks arity only)."""
+    renamed = t_test.toDF("x", "y", "z")
+    assert symmetric_diff(t_test, renamed).count() == 0
+
+
+def test_compare_on_driver_data(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    res = compare(orders, mutated, CompareSpec(keys=["o_orderkey"]))
+    assert not res.equal
+    assert res.keyed_diff is not None
+    kd = res.keyed_diff.collect()
+    assert len(kd) == 1 and kd[0]["change"] == "changed" and kd[0]["o_orderkey"] == 7
+
+
+def test_keyed_diff_rejects_non_unique_key(spark, sf_dir):
+    """Driver lineitem has duplicate (l_orderkey, l_linenumber) pairs —
+    a full-outer join on it would cross-pair duplicates, so keyed_diff
+    must refuse (found via runtime verification)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError, match="not unique"):
+        keyed_diff(li, li, ["l_orderkey", "l_linenumber"])
