@@ -1,0 +1,83 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the flagship aggregation, a join-heavy query, the
+compare core (the reference's own capability — this is the number to
+put against BASELINE.md's ~4-8k rows/s chunked-MD5 throughput), the
+commutative fingerprint, and the LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: keys benched (subset of the registry: the flagship + one per
+#: operator family + every north-star extension that matters at scale)
+BENCH_KEYS = [
+    "q1_pricing_summary",
+    "join_inner",
+    "join_broadcast",
+    "window_frame_sum",
+    "fp_unordered",
+    "compare_verdict",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "join_similarity",
+    "text_stats",
+    "vec_cosine_topk",
+    "stream_tumbling_agg",
+]
+
+
+def main() -> None:
+    from scribedb_spark.session import get_spark
+    from scribedb_spark import queries as Q
+
+    Q.load_extensions()
+    spark = get_spark(app_name="scribedb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the queries, not session startup
+    from scribedb_spark.sources import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        fn = Q.REGISTRY[key].fn
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side collect of
+        # payload data
+        fn(spark, SF_DIR).count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""CLI (reference scribedb/command_line.py surface, made functional).
+
+    python -m scribedb_spark.cli -f compare.yaml [--mode hash|full]
+                                 [--search-diff] [-l LOGLEVEL]
+
+The reference parsed ``--search_diff`` and never used it (reference
+scribedb/command_line.py:7-48, SURVEY.md §2.11); here it controls
+whether differing rows are materialized (full) or only the verdict +
+chunk report (hash). Exit code 1 on difference, mirroring the
+reference's raised ValueError (reference main.py:263-267).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="scribedb-spark")
+    p.add_argument("-f", "--file", required=True, help="YAML compare spec")
+    p.add_argument(
+        "--mode",
+        choices=["hash", "full"],
+        default="full",
+        help="hash: verdict+chunk report only; full: also materialize diff rows",
+    )
+    p.add_argument(
+        "-s",
+        "--search-diff",
+        action="store_true",
+        help="print differing rows (the reference parsed this flag but ignored it)",
+    )
+    p.add_argument("-l", "--loglevel", default="WARN")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from scribedb_spark.config import load_config, run_compare_config
+    from scribedb_spark.session import get_spark
+
+    cfg = load_config(args.file)
+    spark = get_spark(app_name="scribedb-compare")
+    spark.sparkContext.setLogLevel(args.loglevel)
+
+    res = run_compare_config(spark, cfg)
+    print(
+        f"rows: src={res.src_rows} tgt={res.tgt_rows} "
+        f"diff={res.diff_count} equal={res.equal}"
+    )
+    if not res.equal and (args.search_diff or args.mode == "full"):
+        for r in res.diff.collect():
+            side = r["side"]
+            vals = [f"{k}={r[k]}" for k in res.diff.columns if k != "side"]
+            print(f"{side}: " + ", ".join(vals))
+    if res.equal:
+        print("Datasets are identicals")  # the reference's wording
+        return 0
+    print("Datasets are different.")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""YAML compare-spec parsing (reference UX parity, SURVEY.md §2.1 S5
+and M3).
+
+The reference's YAML shape (reference example.md:162-192,
+scribedb/configuration.py:19-37, pydantic models main.py:104,140-153):
+
+    compare:
+      source: {db: {type: postgres, host: ..., qry: ...}, name: src}
+      target: {db: {type: oracle,  ...}, name: tgt}
+      max_delta: 0
+
+The engine keeps the same outer shape but a Spark-native source union:
+``type: parquet`` (path) / ``type: sql`` (query over registered views)
+/ ``type: jdbc`` (url/query/password env var — the reference's S1/S2).
+Unlike the reference — whose pydantic ``__init__`` opens live DB
+connections (construction-is-execution, SURVEY.md §3 entry 2) — parsing
+here is pure; ``build_dataframe`` is a separate step.
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Optional, Union
+
+import yaml
+from pydantic import BaseModel, Field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetSource(BaseModel):
+    type: Literal["parquet"]
+    path: str
+    columns: Optional[list[str]] = None
+
+
+class SqlSource(BaseModel):
+    type: Literal["sql"]
+    qry: str
+
+
+class JdbcSource(BaseModel):
+    """Reference S1/S2 shape: connection fields + query + password env
+    var name (reference scribedb/base.py:35-39)."""
+
+    type: Literal["jdbc"]
+    url: str
+    qry: str
+    driver: Optional[str] = None
+    user: Optional[str] = None
+    password_env: Optional[str] = None
+
+
+Source = Union[ParquetSource, SqlSource, JdbcSource]
+
+
+class Side(BaseModel):
+    db: Source = Field(discriminator="type")
+    name: str = "dataset"
+
+
+class CompareConfig(BaseModel):
+    source: Side
+    target: Side
+    keys: list[str] = []
+    sort_keys: list[str] = []
+    bucket_rows: int = 100_000
+    hash_mode: str = "unordered"
+    distinct: bool = False
+    #: the reference declared max_delta and never used it
+    #: (reference main.py:153); here it works.
+    max_delta: int = 0
+    row_limit: int = 50
+
+
+class RootConfig(BaseModel):
+    compare: CompareConfig
+
+
+def load_config(path: str) -> RootConfig:
+    """YAML -> validated model (reference raises on malformed/empty
+    YAML — same here via pydantic)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if raw is None:
+        raise ValueError(f"empty config: {path}")
+    return RootConfig.model_validate(raw)
+
+
+def build_dataframe(spark: SparkSession, side: Side) -> DataFrame:
+    src = side.db
+    if isinstance(src, ParquetSource):
+        df = spark.read.parquet(src.path)
+        return df.select(*src.columns) if src.columns else df
+    if isinstance(src, SqlSource):
+        return spark.sql(src.qry)
+    from scribedb_spark.sources import read_jdbc_query
+
+    return read_jdbc_query(
+        spark,
+        src.url,
+        src.qry,
+        driver=src.driver,
+        user=src.user,
+        password_env=src.password_env,
+    )
+
+
+def run_compare_config(spark: SparkSession, cfg: RootConfig):
+    """Spec -> result (the reference's whole main(), reference
+    main.py:155-267, minus construction-is-execution)."""
+    from scribedb_spark.compare import CompareSpec, compare
+
+    c = cfg.compare
+    src = build_dataframe(spark, c.source)
+    tgt = build_dataframe(spark, c.target)
+    spec = CompareSpec(
+        keys=c.keys,
+        sort_keys=c.sort_keys,
+        bucket_rows=c.bucket_rows,
+        hash_mode=c.hash_mode,
+        distinct=c.distinct,
+        max_delta=c.max_delta,
+        row_limit=c.row_limit,
+    )
+    return compare(src, tgt, spec)

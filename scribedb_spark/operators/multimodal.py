@@ -1,0 +1,90 @@
+"""Multimodal (binary) column plumbing (north star; the container has
+no image/audio libraries, so decode itself is stubbed — the Spark-side
+plumbing is real and tested: binary columns, typed metadata, Arrow
+batch shape, mapInPandas partitioning).
+
+Design: media is an opaque ``binary`` column plus typed metadata
+(SURVEY.md §2.10). Feature extraction is ``mapInPandas`` — Arrow
+batches in, Arrow batches out, so bytes never round-trip through
+row-at-a-time pickling. At 100 TB the same code runs per input split;
+``spark.sql.files.maxPartitionBytes`` bounds batch memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scribedb_spark.queries import register
+from scribedb_spark.sources import table
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, content_md5 string, fake_width int, fake_height int"
+)
+
+
+def fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake "decode": real binary handling (length, md5),
+    fake geometry derived from the byte length. Replace the body with
+    a real decoder (PIL/ffmpeg) in a container that has one — the
+    Spark plumbing (schema, batching, partitioning) is unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        blobs = pdf["blob"]
+        n_bytes = blobs.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "content_md5": blobs.map(lambda b: hashlib.md5(b).hexdigest()),
+                "fake_width": (n_bytes % 256).astype("int32"),
+                "fake_height": ((n_bytes // 256) % 256).astype("int32"),
+            }
+        )
+
+
+def decode_image(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Real image decode — requires PIL/opencv, absent in this
+    container. The mapInPandas scaffolding is identical to
+    fake_decode_batches; only the batch function body differs."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not in this environment); "
+        "use fake_decode_batches for the plumbing-verified path"
+    )
+
+
+def sample_frames(df: DataFrame, blob_col: str = "blob", stride: int = 1000) -> DataFrame:
+    """Real video frame sampling — requires ffmpeg bindings, absent
+    here; same mapInPandas shape as fake_decode_batches."""
+    raise NotImplementedError(
+        "video frame sampling requires ffmpeg (not in this environment)"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) % 256 AS INT) AS fake_width,
+           CAST((octet_length(encode(text)) // 256) % 256 AS INT) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir) -> DataFrame:
+    """Binary-column feature extraction end-to-end: documents.text ->
+    binary blob -> mapInPandas fake decode -> typed features.
+
+    The oracle reproduces the deterministic fake features in SQL
+    (md5 over utf-8 bytes == DuckDB md5(text)); the Spark side runs
+    the *actual* binary pipeline a real decoder would use."""
+    d = table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return d.mapInPandas(fake_decode_batches, schema=FEATURE_SCHEMA)

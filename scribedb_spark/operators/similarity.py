@@ -1,0 +1,231 @@
+"""Similarity search over embeddings + set-similarity join (north
+star; SURVEY.md J7 / `vec_cosine_topk`).
+
+Three tiers:
+
+- ``vec_cosine_topk``  brute-force cosine top-k — built-in expressions
+  (zip_with/aggregate), the correctness baseline.
+- ``ann_lsh_topk``     sign-random-projection LSH: deterministic
+  hyperplanes (md5-seeded, no RNG), bucket join + exact re-rank of
+  candidates only. The 100 TB path: candidates per query are bounded
+  by bucket size, the join is a shuffle on bucket key.
+- ``join_similarity``  token-set jaccard join with *prefix filtering*
+  (PPJoin-style, see /root/repo/PAPERS.md): tokens ordered by global
+  frequency, only the first |r| - ceil(t*|r|) + 1 tokens of each set
+  can witness a candidate pair — an exact filter (no false negatives)
+  that avoids the O(n^2) cross join.
+
+The LSH hyperplane matrix is generated driver-side from md5 bytes
+(deterministic across runs/machines) and broadcast; the per-vector
+projection runs in an Arrow-batched pandas UDF (numpy matmul — the
+vectorized slow-path escape hatch, ~100x a row-at-a-time UDF).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scribedb_spark.queries import register
+from scribedb_spark.sources import table
+from scribedb_spark.functions.vector import cosine, to_double_array
+
+
+@register(
+    "vec_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+          FROM embeddings e, q
+          WHERE e.vec_id <> 0)
+    SELECT vec_id, score FROM s
+    ORDER BY score DESC, vec_id LIMIT 20
+    """,
+)
+def vec_cosine_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-20 neighbors of vec_id 0.
+
+    One broadcast of the query vector, one scan, TakeOrdered top-k —
+    no shuffle of the embedding table. Scores rounded to 6 dp so the
+    float compare is engine-stable."""
+    e = table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        to_double_array("embedding").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(to_double_array("embedding"), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "vec_id").limit(20)
+
+
+N_PLANES = 8
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bytes — no RNG
+    state, identical on every machine/run."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d_ in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d_}".encode()).digest()
+            v = int.from_bytes(h[:4], "big") / 2**31 - 1.0  # [-1, 1)
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Bucket id = sign bits of the projections onto each hyperplane,
+    as a pure SQL expression (JVM-side; fine for small N_PLANES*dim)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec_col, arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+@register("ann_lsh_topk")  # no oracle: hyperplane LSH is not reasonably SQL-twinned
+def ann_lsh_topk(spark, sf_dir) -> DataFrame:
+    """ANN top-5 per query via sign-random-projection LSH.
+
+    Queries = vec_id < 10. Pipeline: bucket every vector (8
+    deterministic hyperplanes -> 256 buckets), join queries to
+    same-bucket candidates, exact cosine re-rank, top-5 per query.
+    Compared to brute force this scans |bucket| instead of n per
+    query; recall is tunable via N_PLANES / multi-probe.
+
+    Driver records a rows-only check for this key (the LSH structure
+    itself is validated in tests against brute force)."""
+    e = table(spark, "embeddings", sf_dir)
+    dim = 64
+    planes = _hyperplanes(dim)
+    v = e.select(
+        "vec_id", to_double_array("embedding").alias("v")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
+    queries = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cands = v.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "bucket")
+    pairs = queries.join(cands, "bucket").filter(F.col("q_id") != F.col("c_id"))
+    scored = pairs.select(
+        "q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "score", "rk")
+    )
+
+
+_SIMJOIN_THRESHOLD = 0.9
+
+_SIMJOIN_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS tok
+      FROM documents d),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_id1, doc_id2,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_id1
+    JOIN sz sb ON sb.doc_id = doc_id2
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {_SIMJOIN_THRESHOLD}
+    """
+
+
+@register("join_similarity", oracle=_SIMJOIN_ORACLE)
+def join_similarity(spark, sf_dir) -> DataFrame:
+    """J7: set-similarity self-join, token jaccard >= 0.9, blocked by
+    source.
+
+    Spark side uses prefix filtering: tokens ranked by global
+    frequency (rare first); a pair can reach jaccard t only if the
+    two sets share a token among each side's first
+    |r| - ceil(t*|r|) + 1 rarest tokens. Candidates come from joining
+    on *prefix* tokens only, then exact jaccard verification via the
+    full intersection count. Exact — no false negatives — and the
+    candidate join is linear in token occurrences, not quadratic in
+    docs. The oracle brute-forces the same pairs via the full token
+    join (affordable at test SF).
+    """
+    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    # global token frequency -> rarity rank (broadcast: vocab is small;
+    # at 100 TB this is a small dim table by construction — vocab <<
+    # corpus)
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = tok.join(F.broadcast(freq), "tok").withColumn(
+        "rank_key", F.struct(F.col("tf"), F.col("tok"))
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # order each doc's tokens by rarity; keep prefix
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    pos = ranked.withColumn("pos", F.row_number().over(w)).join(sz, "doc_id")
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(_SIMJOIN_THRESHOLD))
+        + 1
+    )
+    prefix = pos.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "source", "tok"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2")
+        )
+        .distinct()
+    )
+    # exact verification: full intersection count for candidates only
+    t1 = tok.select(F.col("doc_id").alias("doc_id1"), F.col("tok"))
+    t2 = tok.select(F.col("doc_id").alias("doc_id2"), F.col("tok"))
+    inter = (
+        cand.join(t1, "doc_id1")
+        .join(t2, ["doc_id2", "tok"])
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("doc_id1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("doc_id2"), F.col("n").alias("n2"))
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(s1, "doc_id1")
+        .join(s2, "doc_id2")
+        .filter(jac >= _SIMJOIN_THRESHOLD)
+        .select("doc_id1", "doc_id2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,995 @@
+"""Query-key registry (SURVEY.md §2 inventory -> driver t2 contract).
+
+Every operator key from SURVEY.md §2 is registered here as a
+``QueryDef``: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus,
+where SQL-expressible, a DuckDB oracle string computing the same
+result. The driver hash-compares the pair at sf0.01
+(row-count + schema + order-insensitive value-hash).
+
+Cross-engine determinism rules used throughout (these are what make
+Spark and DuckDB agree bit-for-bit):
+
+- Money/measure aggregation goes through DECIMAL(18,2) (exact in both
+  engines, order-independent), and the *final* value is cast to
+  DOUBLE — the same exact decimal converts to the same double.
+  Plain SUM(double) would differ in the last ulp between engines
+  because summation order differs.
+- Averages are SUM(decimal)::double / COUNT — never AVG(double).
+- Window/topk/limit queries always carry a unique tiebreaker column
+  in ORDER BY (o_orderkey etc.), so the selected/ranked set is
+  deterministic.
+- year()/length()/etc. results are cast to INT on both sides (Spark
+  returns int, DuckDB bigint).
+- Timestamps: events.ts is floored to microseconds identically on
+  both sides (see sources.table); the Spark session runs in UTC.
+
+Scale notes are attached per query where the plan shape matters
+(broadcast dims, pre-aggregation before joins, single-partition
+windows avoided except where the operator *is* a global order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scribedb_spark.sources import table
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(key: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[key] = QueryDef(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# helpers: the cross-engine-exact aggregation idiom
+# ---------------------------------------------------------------------------
+
+def d2(col: str):
+    """DECIMAL(18,2) view of a money/measure column — exact,
+    order-independent aggregation (see module docstring)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def dsum(col: str, alias: str):
+    """SUM over DECIMAL(18,2), surfaced as DOUBLE."""
+    return F.sum(d2(col)).cast("double").alias(alias)
+
+
+def davg(col: str, alias: str):
+    """Exact-decimal average surfaced as DOUBLE (sum::double / count)."""
+    return (F.sum(d2(col)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+SQL_DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+SQL_DAVG = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (SURVEY.md A4 + §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM.format(c='l_quantity')} AS sum_qty,
+           {SQL_DSUM.format(c='l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,4))
+               ) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(CAST(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))
+                           AS DECIMAL(8,4))
+                           * CAST(CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))
+                           AS DECIMAL(8,4))
+                           AS DECIMAL(8,4))
+               ) AS DOUBLE) AS sum_charge,
+           {SQL_DAVG.format(c='l_quantity')} AS avg_qty,
+           {SQL_DAVG.format(c='l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem (TPC-H Q1 shape).
+
+    Scale: filter pushes to the parquet scan; groupBy on a 6-value key
+    -> map-side partial aggregation, a few KB cross the shuffle.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_factor = (one - d2("l_discount")).cast("decimal(8,4)")
+    # (1-d)*(1+t) with 2-dec inputs is *exactly* scale 4 — the (8,4)
+    # cast loses nothing, and keeping factor scale at 4 keeps the sum
+    # at scale 6, whose integer form fits 2^53: the decimal->double
+    # conversion is then single-rounded and engine-identical.
+    charge_factor = (
+        disc_factor * (one + d2("l_tax")).cast("decimal(8,4)")
+    ).cast("decimal(8,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(d2("l_extendedprice") * disc_factor).cast("double").alias("sum_disc_price"),
+            F.sum(d2("l_extendedprice") * charge_factor).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / §2.2 projections & filters
+# ---------------------------------------------------------------------------
+
+@register("scan_parquet", oracle="SELECT r_regionkey, r_name FROM region")
+def scan_parquet(spark, sf_dir):
+    """S7: raw parquet scan."""
+    return table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+
+
+@register("project_cols", oracle="SELECT c_custkey, c_name FROM customer")
+def project_cols(spark, sf_dir):
+    """P1: projection passthrough (ref example.md:174 select-list).
+    Column pruning reaches the scan (ReadSchema shows 2 columns)."""
+    return table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 10 AND l_quantity <= 20
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def filter_pred(spark, sf_dir):
+    """P4: filter passthrough (ref tests/yaml/config_filter_one_col.yaml).
+    All three predicates appear in PushedFilters at the parquet scan."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "proj_case_expr",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS status_or_null
+    FROM orders
+    """,
+)
+def proj_case_expr(spark, sf_dir):
+    """P5: scalar CASE passthrough (ref tests/yaml/default_config_estimate.yaml
+    'case when item=0 then null else item end')."""
+    o = table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_or_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark, sf_dir):
+    """J1: inner equi-join; Catalyst/AQE picks broadcast vs SMJ from
+    actual sizes."""
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_anti_diff",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_diff(spark, sf_dir):
+    """J2: left-anti join — one direction of the reference's
+    set-difference diff (ref main.py:129-130)."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """J4: left-semi join."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer_diff",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'added'
+                WHEN o.o_custkey IS NULL THEN 'removed'
+                ELSE 'both' END AS change
+    FROM customer c
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer_diff(spark, sf_dir):
+    """J3: full-outer diff classification (the compare core's keyed
+    path, ref main.py:116-137 src:/tgt: pairing)."""
+    c = table(spark, "customer", sf_dir).select("c_custkey")
+    o = table(spark, "orders", sf_dir).select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "added")
+        .when(F.col("o_custkey").isNull(), "removed")
+        .otherwise("both")
+        .alias("change"),
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_supp,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """J5: explicit broadcast of small dims (nation: 25 rows, region: 5)
+    — at 100 TB the fact side never shuffles for these joins."""
+    s = table(spark, "supplier", sf_dir)
+    n = F.broadcast(table(spark, "nation", sf_dir))
+    r = F.broadcast(table(spark, "region", sf_dir))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_supp"), dsum("s_acctbal", "sum_bal"))
+    )
+
+
+_BANDS = [("b0", 0, 50), ("b1", 50, 100), ("b2", 100, 150), ("b3", 150, 200), ("b4", 200, 1000000)]
+
+
+@register(
+    "join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('b0', 0, 50), ('b1', 50, 100), ('b2', 100, 150),
+      ('b3', 150, 200), ('b4', 200, 1000000))
+    SELECT b.band, COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range(spark, sf_dir):
+    """J6: range/theta join against a tiny banding dim — broadcast
+    nested loop, no shuffle of the fact side."""
+    e = table(spark, "events", sf_dir)
+    bands = F.broadcast(
+        spark.createDataFrame(_BANDS, "band string, lo int, hi int")
+    )
+    return (
+        e.join(bands, (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_count",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    """,
+)
+def agg_count(spark, sf_dir):
+    """A1: COUNT(*) pre-flight (ref scribedb/base.py:86-94) + distinct."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_groupby_sum",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           {SQL_DSUM.format(c='l_quantity')} AS sum_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_groupby_sum(spark, sf_dir):
+    """A4: hash aggregate with partial (map-side) combine."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity", "sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "agg_distinct_count",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_count(spark, sf_dir):
+    """A5: count-distinct (expands to two-phase agg; approx_count_distinct
+    is the 100 TB alternative when exactness isn't required)."""
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """A6: rollup grouping sets."""
+    o = table(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice", "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_row_number",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_row_number(spark, sf_dir):
+    """W1: partitioned row numbering (first 3 orders per customer).
+    Partitioned by key -> parallel; the *global* variant is
+    canonical.global_row_number (two-phase, no single-partition sort)."""
+    o = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rk,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS drk,
+           NTILE(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+    FROM supplier
+    """,
+)
+def window_rank(spark, sf_dir):
+    """W2: rank/dense_rank/ntile with a unique tiebreaker."""
+    s = table(spark, "supplier", sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """W3: lag/lead over per-user event time."""
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "window_frame_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_frame_sum(spark, sf_dir):
+    """W4: running frame aggregate. DECIMAL inside the frame sum keeps
+    both engines exact at every prefix."""
+    o = table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(d2("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+    FROM orders
+    ORDER BY pos LIMIT 1000
+    """,
+)
+def sort_global(spark, sf_dir):
+    """O1: global total-order (the reference *requires* user ORDER BY,
+    ref example.md:190-192). The position column makes order
+    verifiable under the driver's order-insensitive hash. Global
+    row_number is inherently a gather — bounded here by LIMIT 1000
+    (TakeOrdered), so no full single-partition sort materializes."""
+    o = table(spark, "orders", sf_dir)
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 1000)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 100 OFFSET 50
+    """,
+)
+def limit_offset(spark, sf_dir):
+    """O3: the reference's chunk-slicing primitive
+    (ref scribedb/postgres.py:84-88 'limit stop offset start')."""
+    o = table(spark, "orders", sf_dir)
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(50).limit(100)
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def topk(spark, sf_dir):
+    """O5: top-k -> Spark plans TakeOrderedAndProject (per-partition
+    heaps + driver merge; no global sort)."""
+    o = table(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+_SETOP_A = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000"
+_SETOP_B = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > 150000 OR o_orderstatus = 'F'"
+)
+
+
+@register(
+    "setop_except_sym",
+    oracle=f"""
+    WITH a AS ({_SETOP_A}), b AS ({_SETOP_B})
+    SELECT o_orderkey, o_totalprice, 'src' AS side
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) x
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'tgt' AS side
+      FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a) y
+    """,
+)
+def setop_except_sym(spark, sf_dir):
+    """E1: the diff core — symmetric bag difference with side labels
+    (ref compare_d7, main.py:116-137), via the engine's own
+    symmetric_diff."""
+    from scribedb_spark.compare import symmetric_diff
+
+    o = table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_totalprice")
+    b = o.filter(
+        (F.col("o_totalprice") > 150000) | (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_totalprice")
+    return symmetric_diff(a, b)
+
+
+@register(
+    "setop_union",
+    oracle="""
+    SELECT c_custkey AS id, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+    """,
+)
+def setop_union(spark, sf_dir):
+    """E2: union (bag)."""
+    c = table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("kind")
+    )
+    s = table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("id"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT l_orderkey AS okey FROM lineitem
+    INTERSECT
+    SELECT o_orderkey AS okey FROM orders
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    """E3: intersect (set semantics)."""
+    li = table(spark, "lineitem", sf_dir).select(F.col("l_orderkey").alias("okey"))
+    o = table(spark, "orders", sf_dir).select(F.col("o_orderkey").alias("okey"))
+    return li.intersect(o)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function families
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since
+    FROM orders
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    """Datetime family (engine-native additions per SURVEY.md §2.8)."""
+    o = table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+    )
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           substring(p_type, 1, 5) AS type5,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_name, ' ', '_') AS snake,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev
+    FROM part
+    """,
+)
+def scalar_string(spark, sf_dir):
+    """String family."""
+    p = table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("int").alias("lev"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_size - 25) AS abs_off,
+           CAST(p_size % 7 AS INT) AS m7,
+           CAST(ceil(p_retailprice) AS DOUBLE) AS c,
+           CAST(floor(p_retailprice) AS DOUBLE) AS f,
+           sqrt(p_retailprice) AS sq,
+           p_retailprice * p_retailprice AS sqr
+    FROM part
+    """,
+)
+def scalar_math(spark, sf_dir):
+    """Math family (sqrt is IEEE-correctly-rounded -> engine-stable;
+    ln/exp are not and are deliberately excluded from the oracle-checked
+    surface)."""
+    p = table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("abs_off"),
+        (F.col("p_size") % 7).cast("int").alias("m7"),
+        F.ceil("p_retailprice").cast("double").alias("c"),
+        F.floor("p_retailprice").cast("double").alias("f"),
+        F.sqrt("p_retailprice").alias("sq"),
+        (F.col("p_retailprice") * F.col("p_retailprice")).alias("sqr"),
+    )
+
+
+@register(
+    "scalar_array_explode",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    """,
+)
+def scalar_array_explode(spark, sf_dir):
+    """Array family: split -> explode -> count (word count over
+    documents)."""
+    d = table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def scalar_json_extract(spark, sf_dir):
+    """JSON family over events.props (a JSON string column)."""
+    e = table(spark, "events", sf_dir)
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 fingerprints + compare verdict (the reference's signature ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fp_row_md5",
+    oracle="""
+    SELECT n_nationkey,
+           md5(concat('(', concat_ws(',', CAST(n_nationkey AS VARCHAR), n_name,
+                                     CAST(n_regionkey AS VARCHAR)), ')')) AS row_md5
+    FROM nation
+    """,
+)
+def fp_row_md5_q(spark, sf_dir):
+    """F1: canonical row text + MD5 (ref scribedb/postgres.py:22's
+    md5(row::text) rendering, made explicit). Uses the engine's
+    canonical_row; the oracle spells out the same rendering (no
+    escaping differences on this data — names contain no separators)."""
+    from scribedb_spark.canonical import fp_row_md5
+
+    n = table(spark, "nation", sf_dir)
+    return fp_row_md5(n).select("n_nationkey", "row_md5")
+
+
+@register(
+    "fp_unordered",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(('0x' || substr(
+                 md5(concat('(', concat_ws(',',
+                     CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                     l_returnflag, l_linestatus), ')')), 1, 15)) AS BIGINT))
+             AS DECIMAL(38,0)) AS DOUBLE) AS fp
+    FROM lineitem
+    """,
+)
+def fp_unordered_q(spark, sf_dir):
+    """F3: commutative dataset fingerprint over lineitem key columns
+    (the engine's default equality check — order-insensitive, fully
+    parallel, one scalar per side). The engine keeps the fingerprint
+    as DECIMAL(38,0); this checkable key surfaces it as DOUBLE because
+    DuckDB's pandas bridge degrades wide decimals to float anyway —
+    the exact decimal converts to the same nearest double on both
+    sides."""
+    from scribedb_spark.canonical import fp_unordered
+
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    return fp_unordered(li).withColumn("fp", F.col("fp").cast("double"))
+
+
+@register(
+    "compare_verdict",
+    oracle="""
+    WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+         tgt AS (SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice + 1
+                             ELSE o_totalprice END AS o_totalprice
+                 FROM orders)
+    SELECT o_orderkey, o_totalprice, 'src' AS side
+      FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM tgt) x
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'tgt' AS side
+      FROM (SELECT * FROM tgt EXCEPT ALL SELECT * FROM src) y
+    """,
+)
+def compare_verdict(spark, sf_dir):
+    """F4: end-to-end diff — the reference's whole purpose
+    (ref main.py:216-267): source vs a mutated copy, differing rows
+    reported from both sides."""
+    from scribedb_spark.compare import symmetric_diff
+
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    tgt = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 1000 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return symmetric_diff(o, tgt)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming (batch-equivalent keys — F.window/session_window run
+# identically under readStream; see scribedb_spark/streaming/)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark, sf_dir):
+    """Tumbling window aggregation — identical code under Structured
+    Streaming with a watermark (streaming/windows.py)."""
+    e = table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    SELECT win_start, COUNT(*) AS cnt
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS win_start
+      FROM events
+    ) t
+    GROUP BY win_start
+    """,
+)
+def stream_sliding_agg(spark, sf_dir):
+    """Sliding window (10 min width, 5 min slide): each event lands in
+    exactly two windows; the oracle enumerates both alignments."""
+    e = table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "cnt")
+    )
+
+
+@register(
+    "stream_session_agg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM f)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_agg(spark, sf_dir):
+    """Session windows (30 min gap) — F.session_window in batch; the
+    oracle derives sessions via gaps-and-islands."""
+    e = table(spark, "events", sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("win.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (Spark has no native one — SURVEY.md custom-operator
+    case (a): composition of existing ops). Union both streams, one
+    window pass per user carries the latest click forward — a single
+    shuffle on user_id, no per-row lookups; scales linearly.
+
+    Tie rule: at equal ts the click is visible to the purchase
+    (matches DuckDB ASOF's >= semantics) — clicks sort before
+    purchases at the same instant via the kind column.
+    """
+    e = table(spark, "events", sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(0).alias("kind")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("kind")
+    )
+    unioned = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "click_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# public registry accessors (wired into /root/repo/__spark_entry__.py)
+# ---------------------------------------------------------------------------
+
+def load_extensions() -> None:
+    """Import extension modules for their @register side effects."""
+    import scribedb_spark.operators.dedup  # noqa: F401
+    import scribedb_spark.operators.similarity  # noqa: F401
+    import scribedb_spark.functions.text  # noqa: F401
+    import scribedb_spark.operators.multimodal  # noqa: F401
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_extensions()
+    return {k: v.fn for k, v in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    load_extensions()
+    return {k: v.oracle for k, v in REGISTRY.items() if v.oracle}

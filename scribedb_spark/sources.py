@@ -43,9 +43,9 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     from pyspark.sql import types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer div, NOT `/`: long/1000 promotes to double and the
+        # ~1.7e18 ns values lose ulp precision -> off-by-1-microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

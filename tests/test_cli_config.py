@@ -1,0 +1,88 @@
+"""Config + CLI tests (reference tests/test_configuration.py +
+test_scribedb.py shape tests, SURVEY.md §5.1-2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from scribedb_spark.config import load_config, run_compare_config
+
+
+GOOD_YAML = """
+compare:
+  source:
+    db: {{type: parquet, path: "{sf}/orders.parquet"}}
+    name: src
+  target:
+    db: {{type: parquet, path: "{sf}/orders.parquet"}}
+    name: tgt
+  keys: [o_orderkey]
+"""
+
+BAD_SHAPE_YAML = """
+compare:
+  source:
+    db: {type: teradata, host: nope}
+  target:
+    db: {type: parquet, path: /x}
+"""
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        load_config("/nonexistent/config.yaml")
+
+
+def test_empty_yaml(tmp_path):
+    p = tmp_path / "empty.yaml"
+    p.write_text("")
+    with pytest.raises(ValueError):
+        load_config(str(p))
+
+
+def test_malformed_shape(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text(BAD_SHAPE_YAML)
+    with pytest.raises(Exception):  # pydantic ValidationError
+        load_config(str(p))
+
+
+def test_config_roundtrip_compare(spark, sf_dir, tmp_path):
+    p = tmp_path / "cmp.yaml"
+    p.write_text(GOOD_YAML.format(sf=sf_dir))
+    cfg = load_config(str(p))
+    assert cfg.compare.max_delta == 0  # default
+    res = run_compare_config(spark, cfg)
+    assert res.equal and res.diff_count == 0
+
+
+def test_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
+    from scribedb_spark.cli import main
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(GOOD_YAML.format(sf=sf_dir))
+    rc = main(["-f", str(p)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out
+
+
+def test_cli_detects_diff(spark, sf_dir, tmp_path, capsys):
+    from scribedb_spark.cli import main
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    df = t.to_pandas()
+    df.loc[df["o_orderkey"] == 7, "o_totalprice"] += 1
+    mut = tmp_path / "orders_mut.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(mut))
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir).replace(
+            f"{sf_dir}/orders.parquet\"}}\n    name: tgt", f"{mut}\"}}\n    name: tgt"
+        )
+    )
+    rc = main(["-f", str(p), "--search-diff"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "different" in out and "src:" in out and "tgt:" in out
