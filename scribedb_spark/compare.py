@@ -113,15 +113,38 @@ def check_schema(src: DataFrame, tgt: DataFrame, strict: bool = False) -> None:
 
 def symmetric_diff(src: DataFrame, tgt: DataFrame, distinct: bool = False) -> DataFrame:
     """E1: symmetric difference, tagged by side (reference
-    ``compare_d7``, main.py:116-137). Bag semantics via exceptAll
-    unless ``distinct`` (reference set() compat)."""
+    ``compare_d7``, main.py:116-137). Bag semantics unless
+    ``distinct`` (reference set() compat).
+
+    Output is identical to ``exceptAll`` in both directions (a row
+    with multiplicity m on one side and k on the other appears
+    |m - k| times, tagged with the surplus side) but the plan is ONE
+    shuffle: union both sides with a tag, groupBy all columns counting
+    per-side multiplicities, re-expand the surplus with
+    explode(sequence). Two exceptAlls would shuffle the full data
+    twice and scan each side twice."""
     a, b = (src.distinct(), tgt.distinct()) if distinct else (src, tgt)
     # align target columns positionally, as the reference compares
     # tuples by position (names may differ across sides)
     b = b.toDF(*a.columns)
-    only_src = a.exceptAll(b).withColumn("side", F.lit("src"))
-    only_tgt = b.exceptAll(a).withColumn("side", F.lit("tgt"))
-    return only_src.unionByName(only_tgt)
+    cols = a.columns
+    u = a.withColumn("__side", F.lit("src")).unionByName(
+        b.withColumn("__side", F.lit("tgt"))
+    )
+    g = u.groupBy(*cols).agg(
+        F.sum(F.when(F.col("__side") == "src", 1).otherwise(0)).alias("__ns"),
+        F.sum(F.when(F.col("__side") == "tgt", 1).otherwise(0)).alias("__nt"),
+    )
+    surplus = g.filter(F.col("__ns") != F.col("__nt")).select(
+        *cols,
+        F.when(F.col("__ns") > F.col("__nt"), F.lit("src"))
+        .otherwise(F.lit("tgt"))
+        .alias("side"),
+        F.abs(F.col("__ns") - F.col("__nt")).alias("__n"),
+    )
+    return surplus.withColumn(
+        "__i", F.explode(F.sequence(F.lit(1), F.col("__n")))
+    ).select(*cols, "side")
 
 
 def keyed_diff(
@@ -235,8 +258,8 @@ def compare(
     spec = spec or CompareSpec()
     check_schema(src, tgt, spec.strict_schema)
 
-    sfp = fp_unordered(src).collect()[0]
-    tfp = fp_unordered(tgt.toDF(*src.columns)).collect()[0]
+    sfp = fp_unordered(src, algo="xxhash64").collect()[0]
+    tfp = fp_unordered(tgt.toDF(*src.columns), algo="xxhash64").collect()[0]
     src_rows, tgt_rows = sfp["n_rows"], tfp["n_rows"]
 
     fast_equal = (sfp["fp"] == tfp["fp"]) and (src_rows == tgt_rows)

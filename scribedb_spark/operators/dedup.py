@@ -45,6 +45,39 @@ def tokens_distinct(text: Column) -> Column:
     return F.array_distinct(F.split(text, " "))
 
 
+def shingles3(text: Column) -> Column:
+    """Distinct 3-word shingles. The corpus vocabulary is tiny (~30
+    words), so *unigram* sets of long documents are all identical —
+    shingling is what makes set similarity discriminative (and is the
+    standard LLM-dedup preprocessing: shingle -> minhash -> band)."""
+    # zero-width lookahead captures overlapping 3-word windows at each
+    # word start — one codegen'd regexp_extract_all beats an
+    # interpreted transform(sequence, element_at x3) ~2.5x (verified
+    # identical output)
+    return F.array_distinct(
+        F.regexp_extract_all(text, F.lit(r"(?<= |^)(?=(\S+ \S+ \S+))"), 1)
+    )
+
+
+def min_tokens_filter() -> Column:
+    """Guard: callers filter to docs with >= 3 tokens (sequence()
+    would run backwards below that; the synthetic corpus has none
+    anyway). A function, not a module constant — Columns can't be
+    built before a SparkContext exists."""
+    return F.size(F.split(F.col("text"), " ")) >= 3
+
+#: DuckDB twin of shingles3 (a FROM-clause fragment producing
+#: (doc_id, source, tok) distinct shingle rows)
+SQL_SHINGLES = """
+      SELECT DISTINCT d.doc_id, d.source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents) d
+      CROSS JOIN (SELECT unnest(range(1, 5000)) AS i) ix
+      WHERE i <= len(w) - 2
+"""
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -72,8 +105,7 @@ def dedup_exact(spark, sf_dir) -> DataFrame:
 
 
 _MINHASH_ORACLE = f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    WITH tok AS ({SQL_SHINGLES}),
     seeds AS (SELECT unnest(range({N_HASHES})) AS seed),
     mh AS (
       SELECT doc_id, seed,
@@ -98,35 +130,52 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     No cross join anywhere; bucket sizes bound the pair blow-up, and
     at scale the band join is an AQE-skew-handled shuffle join.
     """
-    d = table(spark, "documents", sf_dir).select("doc_id", "text")
-    tok = d.select(
-        "doc_id", F.explode(tokens_distinct(F.col("text"))).alias("tok")
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
     )
-    seeds = F.broadcast(
-        d.sparkSession.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    # explode to (doc_id, shingle) rows, then compute all 16 hashes as
+    # plain columns: md5/conv on flat rows stays inside whole-stage
+    # codegen (a transform()-lambda formulation runs interpreted per
+    # array element — measured ~7x slower); the groupBy(min x16) is
+    # map-side partial, so the only shuffle carries one 16-long row
+    # per doc.
+    sh = d.select("doc_id", F.explode(shingles3(F.col("text"))).alias("tok"))
+    hcols = [
+        hash60(F.concat_ws(":", F.lit(seed), F.col("tok"))).alias(f"th{seed}")
+        for seed in range(N_HASHES)
+    ]
+    hashed = sh.select("doc_id", *hcols)
+    mh = hashed.groupBy("doc_id").agg(
+        *[F.min(f"th{seed}").alias(f"h{seed}") for seed in range(N_HASHES)]
     )
-    mh = (
-        tok.crossJoin(seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(hash60(F.concat_ws(":", F.col("seed"), F.col("tok")))).alias("h"))
-    )
-    sig = (
-        mh.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("seed"), F.col("h")))
-                        ),
-                        lambda x: x["h"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("s")
-        )
-    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * ROWS_PER_BAND + i}").cast("string")
+                    for i in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    sigs = mh.select("doc_id", *band_cols)
+    sig = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("s")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.s").alias("s"))
     a = sig.select(F.col("doc_id").alias("doc_id1"), "band", "s")
     b = sig.select(F.col("doc_id").alias("doc_id2"), "band", "s")
     return (
@@ -149,8 +198,7 @@ def _simhash_sql() -> str:
         f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
     )
     return f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    WITH tok AS ({SQL_SHINGLES}),
     h AS (
       SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
     bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
@@ -174,9 +222,17 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
     simhash prefixes — pigeonhole over 4-bit quarters — instead of a
     metadata column; the signature computation is identical).
     """
-    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
-    tok = d.select("doc_id", F.explode(tokens_distinct(F.col("text"))).alias("tok"))
-    h = tok.select("doc_id", hash60(F.col("tok")).alias("h"))
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "source", "text")
+        .filter(min_tokens_filter())
+    )
+    # explode shingles so the md5 and bit tests run codegen'd on flat
+    # rows (not interpreted inside array lambdas); per-bit +-1 sums are
+    # map-side partial aggregates — one compact shuffle of 16 ints/doc
+    h = d.select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    ).select("doc_id", hash60(F.col("tok")).alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -249,24 +305,23 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(3)),
         )
     )
-    sh = d.select(
-        "doc_id", "source", F.explode(grams).alias("g")
+    # carry the shingle *array* per doc; the source block join pairs
+    # docs, array_intersect computes |∩| in-row — one shuffle (the
+    # block join), no shingle-level explode/join/groupBy
+    g = d.select("doc_id", "source", grams.alias("gr"), F.size(grams).alias("n"))
+    a = g.select(
+        F.col("doc_id").alias("doc_id1"), "source",
+        F.col("gr").alias("g1"), F.col("n").alias("n1"),
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_id1"), "source", "g")
-    b = sh.select(F.col("doc_id").alias("doc_id2"), "source", "g")
-    pairs = (
-        a.join(b, ["source", "g"])
-        .filter(F.col("doc_id1") < F.col("doc_id2"))
-        .groupBy("doc_id1", "doc_id2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    b = g.select(
+        F.col("doc_id").alias("doc_id2"), "source",
+        F.col("gr").alias("g2"), F.col("n").alias("n2"),
     )
-    sa = sz.select(F.col("doc_id").alias("doc_id1"), F.col("n").alias("n1"))
-    sb = sz.select(F.col("doc_id").alias("doc_id2"), F.col("n").alias("n2"))
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    pairs = a.join(b, "source").filter(F.col("doc_id1") < F.col("doc_id2"))
+    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2")))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
     return (
-        pairs.join(sa, "doc_id1")
-        .join(sb, "doc_id2")
+        pairs.filter(inter > 0)
         .filter(jac >= 0.9)
         .select("doc_id1", "doc_id2", F.round(jac, 6).alias("jaccard"))
     )

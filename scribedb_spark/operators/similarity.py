@@ -70,16 +70,18 @@ def vec_cosine_topk(spark, sf_dir) -> DataFrame:
 
 
 N_PLANES = 8
+N_TABLES = 4
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
+def _hyperplanes(dim: int, tbl: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 bytes — no RNG
-    state, identical on every machine/run."""
+    state, identical on every machine/run. ``tbl`` seeds one of the
+    N_TABLES independent hash tables (OR-amplification)."""
     planes = []
     for p in range(N_PLANES):
         row = []
         for d_ in range(dim):
-            h = hashlib.md5(f"plane:{p}:{d_}".encode()).digest()
+            h = hashlib.md5(f"plane:{tbl}:{p}:{d_}".encode()).digest()
             v = int.from_bytes(h[:4], "big") / 2**31 - 1.0  # [-1, 1)
             row.append(v)
         planes.append(row)
@@ -115,15 +117,39 @@ def ann_lsh_topk(spark, sf_dir) -> DataFrame:
     itself is validated in tests against brute force)."""
     e = table(spark, "embeddings", sf_dir)
     dim = 64
-    planes = _hyperplanes(dim)
-    v = e.select(
-        "vec_id", to_double_array("embedding").alias("v")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
-    queries = v.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    # N_TABLES independent bucketings (OR-amplification): a candidate
+    # only needs to collide in ONE table, which is what lifts recall
+    # with random hyperplanes; each vector carries N_TABLES (tbl,
+    # bucket) rows, the join key is (tbl, bucket)
+    v = e.select("vec_id", to_double_array("embedding").alias("v"))
+    for t in range(N_TABLES):
+        v = v.withColumn(
+            f"b{t}", lsh_bucket_expr(F.col("v"), _hyperplanes(dim, t))
+        )
+    tb = v.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    queries = tb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket"
     )
-    cands = v.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "bucket")
-    pairs = queries.join(cands, "bucket").filter(F.col("q_id") != F.col("c_id"))
+    cands = tb.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "tbl", "bucket"
+    )
+    pairs = (
+        queries.join(cands, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "qv", "cv")
+        .dropDuplicates(["q_id", "c_id"])
+    )
     scored = pairs.select(
         "q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score")
     )
@@ -140,9 +166,7 @@ def ann_lsh_topk(spark, sf_dir) -> DataFrame:
 _SIMJOIN_THRESHOLD = 0.9
 
 _SIMJOIN_ORACLE = f"""
-    WITH tok AS (
-      SELECT DISTINCT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS tok
-      FROM documents d),
+    WITH tok AS ({{shingles}}),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS i
@@ -158,7 +182,10 @@ _SIMJOIN_ORACLE = f"""
     """
 
 
-@register("join_similarity", oracle=_SIMJOIN_ORACLE)
+from scribedb_spark.operators.dedup import SQL_SHINGLES, min_tokens_filter, shingles3  # noqa: E402
+
+
+@register("join_similarity", oracle=_SIMJOIN_ORACLE.format(shingles=SQL_SHINGLES))
 def join_similarity(spark, sf_dir) -> DataFrame:
     """J7: set-similarity self-join, token jaccard >= 0.9, blocked by
     source.
@@ -173,31 +200,32 @@ def join_similarity(spark, sf_dir) -> DataFrame:
     docs. The oracle brute-forces the same pairs via the full token
     join (affordable at test SF).
     """
-    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
-    tok = d.select(
-        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    d = (
+        table(spark, "documents", sf_dir)
+        .filter(min_tokens_filter())
+        .select("doc_id", "source", shingles3(F.col("text")).alias("toks"))
     )
+    # shingle arrays feed three branches (token explode + both verify
+    # sides); persist so shingling runs once, not three times
+    d.persist()
+    tok = d.select("doc_id", "source", F.explode("toks").alias("tok"))
     # global token frequency -> rarity rank (broadcast: vocab is small;
     # at 100 TB this is a small dim table by construction — vocab <<
     # corpus)
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    ranked = tok.join(F.broadcast(freq), "tok").withColumn(
-        "rank_key", F.struct(F.col("tf"), F.col("tok"))
-    )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # order each doc's tokens by rarity; keep prefix
+    # order each doc's tokens by rarity; keep only the prefix
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("tf", "tok")
-    pos = ranked.withColumn("pos", F.row_number().over(w)).join(sz, "doc_id")
+    pos = (
+        tok.join(F.broadcast(freq), "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
     prefix_len = (
-        F.col("n")
-        - F.ceil(F.col("n") * F.lit(_SIMJOIN_THRESHOLD))
-        + 1
+        F.col("n") - F.ceil(F.col("n") * F.lit(_SIMJOIN_THRESHOLD)) + 1
     )
-    prefix = pos.filter(F.col("pos") <= prefix_len).select(
-        "doc_id", "source", "tok"
-    )
+    prefix = pos.filter(F.col("pos") <= prefix_len).select("doc_id", "source", "tok")
     cand = (
         prefix.alias("a")
         .join(
@@ -211,21 +239,21 @@ def join_similarity(spark, sf_dir) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification: full intersection count for candidates only
-    t1 = tok.select(F.col("doc_id").alias("doc_id1"), F.col("tok"))
-    t2 = tok.select(F.col("doc_id").alias("doc_id2"), F.col("tok"))
-    inter = (
-        cand.join(t1, "doc_id1")
-        .join(t2, ["doc_id2", "tok"])
-        .groupBy("doc_id1", "doc_id2")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # exact verification for candidates only: join the token *arrays*
+    # back and compute |∩| in-row (array_intersect) — no token-level
+    # join/groupBy in the verify phase
+    d1 = d.select(
+        F.col("doc_id").alias("doc_id1"), F.col("toks").alias("t1"),
+        F.size("toks").alias("n1"),
     )
-    s1 = sz.select(F.col("doc_id").alias("doc_id1"), F.col("n").alias("n1"))
-    s2 = sz.select(F.col("doc_id").alias("doc_id2"), F.col("n").alias("n2"))
-    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    d2 = d.select(
+        F.col("doc_id").alias("doc_id2"), F.col("toks").alias("t2"),
+        F.size("toks").alias("n2"),
+    )
+    verified = cand.join(F.broadcast(d1), "doc_id1").join(F.broadcast(d2), "doc_id2")
+    inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
     return (
-        inter.join(s1, "doc_id1")
-        .join(s2, "doc_id2")
-        .filter(jac >= _SIMJOIN_THRESHOLD)
+        verified.filter(jac >= _SIMJOIN_THRESHOLD)
         .select("doc_id1", "doc_id2", F.round(jac, 6).alias("jaccard"))
     )

@@ -1,0 +1,73 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale-critical plan
+properties — pushdown, pruning, broadcast, partial aggregation,
+top-k — are asserted, not just inspected once. A regression that
+silently de-optimizes a plan fails here even though results stay
+correct."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def qmod():
+    from scribedb_spark import queries as Q
+
+    Q.load_extensions()
+    return Q
+
+
+def plan(qmod, spark, sf_dir, key, mode="formatted"):
+    df = qmod.REGISTRY[key].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_scan(qmod, spark, sf_dir):
+    p = plan(qmod, spark, sf_dir, "filter_pred")
+    assert "PushedFilters:" in p
+    # the equality and range predicates must be pushed into parquet
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in p
+
+
+def test_column_pruning_reaches_scan(qmod, spark, sf_dir):
+    p = plan(qmod, spark, sf_dir, "project_cols")
+    # ReadSchema must contain only the two projected columns
+    assert "c_custkey" in p and "c_name" in p
+    assert "c_acctbal" not in p and "c_mktsegment" not in p
+
+
+def test_broadcast_join_is_broadcast(qmod, spark, sf_dir):
+    p = plan(qmod, spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q1_has_partial_aggregation(qmod, spark, sf_dir):
+    p = plan(qmod, spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) + final hash aggregation, single exchange
+    assert "partial_sum" in p
+    assert p.count("HashAggregate") >= 4  # plan tree + per-node detail
+    assert p.count("(") and "Exchange (" in p
+
+
+def test_topk_uses_take_ordered(qmod, spark, sf_dir):
+    p = plan(qmod, spark, sf_dir, "topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_range_join_broadcasts_bands(qmod, spark, sf_dir):
+    p = plan(qmod, spark, sf_dir, "join_range")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_fp_unordered_single_exchange(qmod, spark, sf_dir):
+    """The commutative fingerprint must be partial-agg -> one exchange
+    of a single scalar row -> final agg (this is the whole point of
+    F3 vs the reference's sequential chain)."""
+    p = plan(qmod, spark, sf_dir, "fp_unordered")
+    # one Exchange node (appears twice in formatted output: tree+detail)
+    assert "Exchange (" in p and "partial_" in p
+    assert p.count("HashAggregate (") == 2  # partial + final
