@@ -847,6 +847,34 @@ def compare_verdict(spark, sf_dir):
     return symmetric_diff(o, tgt)
 
 
+@register(
+    "fp_chain",
+    oracle="""
+    WITH t AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 10000 AS chunk_id,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+             '(' || concat_ws(',', CAST(o_orderkey AS VARCHAR), o_orderstatus) || ')' AS txt
+      FROM orders)
+    SELECT chunk_id, COUNT(*) AS n_rows,
+           list_reduce(list_prepend('', list(txt ORDER BY rn)),
+                       (x, y) -> upper(md5(x || y))) AS fp
+    FROM t GROUP BY chunk_id
+    """,
+)
+def fp_chain_q(spark, sf_dir):
+    """F2: the reference's order-sensitive chained-MD5 fingerprint
+    (state <- upper(md5(state || row_text)), state0 = '' — reference
+    scribedb/postgres.py:17-30), chunked at 10k rows over orders
+    ordered by o_orderkey. The DuckDB twin reproduces the exact chain
+    via list_reduce, so the engine's distributed fold (range
+    repartition + per-partition row numbers + per-chunk JVM fold) is
+    verified against a sequential reference implementation."""
+    from scribedb_spark.canonical import fp_chain
+
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    return fp_chain(o, ["o_orderkey"], bucket_rows=10_000)
+
+
 # ---------------------------------------------------------------------------
 # §2.10 streaming (batch-equivalent keys — F.window/session_window run
 # identically under readStream; see scribedb_spark/streaming/)
@@ -983,6 +1011,11 @@ def load_extensions() -> None:
     import scribedb_spark.operators.similarity  # noqa: F401
     import scribedb_spark.functions.text  # noqa: F401
     import scribedb_spark.operators.multimodal  # noqa: F401
+
+    # SURVEY.md §2.10 names the MinHash-LSH near-dup key `dedup_near`;
+    # keep that name as an alias of the concrete implementation key.
+    if "dedup_near" not in REGISTRY and "dedup_minhash_lsh" in REGISTRY:
+        REGISTRY["dedup_near"] = REGISTRY["dedup_minhash_lsh"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -87,3 +87,33 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir, emb):
         if S[qi, idx[r["c_id"]]] >= np.quantile(row, 0.9):
             ok += 1
     assert ok >= max(1, int(0.7 * len(rows)))
+
+
+def test_blocked_cosine_topk_matches_numpy(spark, sf_dir, emb):
+    """The Arrow/numpy blocked top-k must agree with dense numpy
+    ground truth (scores to 1e-9; identical id sets per query)."""
+    from scribedb_spark.operators.similarity import cosine_topk_blocked
+
+    ids, V = emb
+    S = _cosine_matrix(V)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = cosine_topk_blocked(e, query_ids=[0, 1, 2], k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for qid, rows in by_q.items():
+        qi = idx[qid]
+        scores = S[qi].copy()
+        scores[qi] = -np.inf
+        want = sorted(
+            ((round(scores[i], 6), int(ids[i])) for i in range(len(ids)) if i != qi),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got_pairs = sorted(
+            ((r["score"], r["c_id"]) for r in rows), key=lambda t: (-t[0], t[1])
+        )
+        assert [p[1] for p in got_pairs] == [p[1] for p in want]
+        for (gs, _), (ws, _) in zip(got_pairs, want):
+            assert abs(gs - ws) < 1e-6
+    assert set(by_q) == {0, 1, 2}

@@ -85,3 +85,41 @@ def test_stream_compare_detects_mutation(spark, events_batch, events_stream_dir)
     assert len(acc.batches) >= 2  # several micro-batches ran
     assert acc.total_diff == 2  # the mutated row, from each side
     assert sum(0 if b["equal"] else 1 for b in acc.batches) == 1
+
+
+def test_stateful_running_stats_converges_to_batch(
+    spark, events_batch, events_stream_dir
+):
+    """applyInPandasWithState: after draining all micro-batches, the
+    last update emitted per user must equal the batch aggregation.
+    (Update mode re-emits a user's row on every batch that touches it;
+    the memory sink keeps appends, so take each user's final row —
+    max n_events.)"""
+    from scribedb_spark.streaming.stateful import (
+        batch_user_stats,
+        running_user_stats,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, schema=events_batch.schema)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_all = spark.table("t_stateful").collect()
+    final = {}
+    for r in got_all:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    want = {r["user_id"]: r for r in batch_user_stats(events_batch).collect()}
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        g = final[uid]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["sum_value"] - w["sum_value"]) < 1e-6
+        assert g["max_value"] == w["max_value"]
