@@ -28,15 +28,22 @@ BENCH_KEYS = [
     "q1_pricing_summary",
     "join_inner",
     "join_broadcast",
+    "join_asof",
     "window_frame_sum",
     "fp_unordered",
+    "fp_chain",
     "compare_verdict",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "join_similarity",
     "text_stats",
     "vec_cosine_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
     "stream_tumbling_agg",
+    "stream_session_agg",
 ]
 
 

@@ -287,43 +287,88 @@ _NGRAM_ORACLE = """
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     """Character-3-gram jaccard near-dup pairs (>= 0.9) within a
-    source block.
+    source block, with prefix filtering.
 
-    Shingling via sliding window expressions (sequence + transform —
-    no UDF); intersection counts via the shingle self-join; jaccard
-    verified exactly from set sizes. The source blocking key bounds
-    the candidate join the same way LSH bands do for minhash.
+    All-pairs-per-block verification was measured at 145 s at sf0.1
+    (622k pairs x interpreted array_intersect); the prefix filter
+    (PPJoin bound: a >= 0.9 pair must share a gram among each side's
+    |r| - ceil(0.9|r|) + 1 globally-rarest grams) cuts candidates to
+    the near-dup clusters before any intersection runs. Exact — no
+    false negatives.
     """
     d = (
         table(spark, "documents", sf_dir)
         .select("doc_id", "source", "text")
         .filter(F.length("text") >= 3)  # sequence() would run backwards
     )
+    # overlapping char trigrams via zero-width lookahead — codegen'd,
+    # measured 5x over the interpreted transform(substr) form
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length("text") - 2),
-            lambda i: F.col("text").substr(i, F.lit(3)),
-        )
+        F.regexp_extract_all(F.col("text"), F.lit("(?=(.{3}))"), 1)
     )
-    # carry the shingle *array* per doc; the source block join pairs
-    # docs, array_intersect computes |∩| in-row — one shuffle (the
-    # block join), no shingle-level explode/join/groupBy
     g = d.select("doc_id", "source", grams.alias("gr"), F.size(grams).alias("n"))
-    a = g.select(
-        F.col("doc_id").alias("doc_id1"), "source",
-        F.col("gr").alias("g1"), F.col("n").alias("n1"),
+    g.persist()
+    ex = g.select("doc_id", "source", "n", F.explode("gr").alias("gm"))
+    freq = ex.groupBy("gm").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("tf", "gm")
+    prefix = (
+        ex.join(F.broadcast(freq), "gm")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(0.9)) + 1)
+        .select("doc_id", "source", "gm", "n")
     )
-    b = g.select(
-        F.col("doc_id").alias("doc_id2"), "source",
-        F.col("gr").alias("g2"), F.col("n").alias("n2"),
+    # both sides of the self-join read prefix: persist, or the whole
+    # explode+freq+window pipeline runs twice
+    prefix.persist()
+    # candidate pruning: shared prefix gram (PPJoin prefix bound) AND
+    # compatible set sizes (length bound: t <= |r|/|s| <= 1/t). The
+    # char-gram vocabulary is small (~400), so the prefix alone prunes
+    # weakly here — the length filter does most of the cutting.
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gm") == F.col("b.gm"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(0.9)))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(0.9))),
+        )
+        .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
+        .distinct()
     )
-    pairs = a.join(b, "source").filter(F.col("doc_id1") < F.col("doc_id2"))
-    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2")))
-    jac = inter / (F.col("n1") + F.col("n2") - inter)
-    return (
-        pairs.filter(inter > 0)
-        .filter(jac >= 0.9)
-        .select("doc_id1", "doc_id2", F.round(jac, 6).alias("jaccard"))
+    # exact verification: broadcast one {doc_id -> gram frozenset} map
+    # (the whole corpus' gram sets are a few tens of MB here; at larger
+    # scale this becomes per-block maps) and verify candidate pairs
+    # with local set intersection — nothing but (id, id) pairs ever
+    # shuffles. Joining the gram arrays onto 100k+ candidate rows was
+    # measured 30s+ purely in Arrow serialization of the arrays.
+    import pandas as pd
+
+    sets = {
+        r["doc_id"]: frozenset(r["gr"]) for r in g.select("doc_id", "gr").collect()
+    }
+    bsets = spark.sparkContext.broadcast(sets)
+
+    def verify_batches(batches):
+        lookup = bsets.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jac = []
+            for d1, d2 in zip(pdf["doc_id1"], pdf["doc_id2"]):
+                s1, s2 = lookup[d1], lookup[d2]
+                i = len(s1 & s2)
+                jac.append(round(i / (len(s1) + len(s2) - i), 6))
+            out = pd.DataFrame(
+                {"doc_id1": pdf["doc_id1"], "doc_id2": pdf["doc_id2"], "jaccard": jac}
+            )
+            yield out[out["jaccard"] >= 0.9]
+
+    return cand.mapInPandas(
+        verify_batches, schema="doc_id1 long, doc_id2 long, jaccard double"
     )
 
 
@@ -339,22 +384,36 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
 def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.42 over all pairs.
 
-    This key is the *correctness baseline* (O(n^2) pair scan —
-    fine at test SF). The scale path for the same semantics is
-    operators.similarity (LSH-bucketed / blocked numpy), which this
-    result validates against.
+    Blocked-matrix execution: the (normalized) embedding matrix is
+    broadcast once; each Arrow batch of rows computes one numpy
+    matmul against it and emits only the (i < j, score >= t) pairs —
+    the expression-based per-pair cosine was measured 40x slower
+    (interpreted fold per pair). At 100 TB the same kernel runs per
+    IVF/LSH bucket instead of against the full matrix.
     """
-    from scribedb_spark.functions.vector import cosine, to_double_array
+    import numpy as np
+    import pandas as pd
 
     e = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    a = e.select(
-        F.col("vec_id").alias("vec_id1"), to_double_array("embedding").alias("va")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_id2"), to_double_array("embedding").alias("vb")
-    )
-    return (
-        a.join(b, F.col("vec_id1") < F.col("vec_id2"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.42)
-        .select("vec_id1", "vec_id2")
-    )
+    rows = e.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, Vn))
+
+    def pair_batches(batches):
+        all_ids, M = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ M.T
+            my_ids = pdf["vec_id"].to_numpy()
+            bi, bj = np.where(S >= 0.42)
+            keep = my_ids[bi] < all_ids[bj]
+            yield pd.DataFrame(
+                {"vec_id1": my_ids[bi][keep], "vec_id2": all_ids[bj][keep]}
+            )
+
+    return e.mapInPandas(pair_batches, schema="vec_id1 long, vec_id2 long")

@@ -120,24 +120,45 @@ def ann_lsh_topk(spark, sf_dir) -> DataFrame:
     # N_TABLES independent bucketings (OR-amplification): a candidate
     # only needs to collide in ONE table, which is what lifts recall
     # with random hyperplanes; each vector carries N_TABLES (tbl,
-    # bucket) rows, the join key is (tbl, bucket)
-    v = e.select("vec_id", to_double_array("embedding").alias("v"))
-    for t in range(N_TABLES):
-        v = v.withColumn(
-            f"b{t}", lsh_bucket_expr(F.col("v"), _hyperplanes(dim, t))
-        )
-    tb = v.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(N_TABLES)
-                ]
+    # bucket) rows, the join key is (tbl, bucket).
+    # Bucketing runs as one Arrow-batched numpy matmul per batch
+    # ((batch x dim) @ (dim x tables*planes) -> sign bits) — the
+    # expression form (aggregate/zip_with per plane) is interpreted
+    # and was measured ~5x slower.
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(
+        [_hyperplanes(dim, t) for t in range(N_TABLES)], dtype=np.float64
+    )  # (tables, planes, dim)
+    Hflat = H.reshape(N_TABLES * N_PLANES, dim).T  # (dim, tables*planes)
+    bh = spark.sparkContext.broadcast(Hflat)
+    pow2 = np.array([1 << i for i in range(N_PLANES)], dtype=np.int64)
+
+    def bucket_batches(batches):
+        M = bh.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            signs = (V @ M) > 0  # (batch, tables*planes)
+            signs = signs.reshape(len(V), N_TABLES, N_PLANES)
+            buckets = (signs * pow2).sum(axis=2)  # (batch, tables)
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), N_TABLES),
+                    "v": [v for v in pdf["v"] for _ in range(N_TABLES)],
+                    "tbl": np.tile(np.arange(N_TABLES), len(V)),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-        ).alias("tb"),
-    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+            yield out
+
+    v = e.select("vec_id", to_double_array("embedding").alias("v"))
+    tb = v.mapInPandas(
+        bucket_batches,
+        schema="vec_id long, v array<double>, tbl int, bucket long",
+    )
     queries = tb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "tbl", "bucket"
     )
