@@ -24,7 +24,6 @@ vectorized slow-path escape hatch, ~100x a row-at-a-time UDF).
 from __future__ import annotations
 
 import hashlib
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,7 +89,10 @@ def _hyperplanes(dim: int, tbl: int = 0) -> list[list[float]]:
 
 def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     """Bucket id = sign bits of the projections onto each hyperplane,
-    as a pure SQL expression (JVM-side; fine for small N_PLANES*dim)."""
+    as a pure SQL expression. Kept as the no-Python alternative to the
+    numpy bucketing in ann_lsh_topk (use when Python workers are
+    undesirable); note higher-order functions run interpreted, so this
+    is ~5x slower per vector."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])

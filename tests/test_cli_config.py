@@ -86,3 +86,39 @@ def test_cli_detects_diff(spark, sf_dir, tmp_path, capsys):
     rc = main(["-f", str(p), "--search-diff"])
     out = capsys.readouterr().out
     assert rc == 1 and "different" in out and "src:" in out and "tgt:" in out
+
+
+def test_config_golden_model_dump(tmp_path):
+    """Golden-shape test (reference tests/test_configuration.py:29-34
+    asserts exact YAML->JSON equality; here: exact parsed model dump)."""
+    p = tmp_path / "g.yaml"
+    p.write_text(
+        """
+compare:
+  source:
+    db: {type: parquet, path: /data/a.parquet}
+    name: src
+  target:
+    db: {type: sql, qry: "SELECT 1 AS x"}
+    name: tgt
+  keys: [x]
+  max_delta: 3
+"""
+    )
+    cfg = load_config(str(p))
+    assert cfg.model_dump() == {
+        "compare": {
+            "source": {
+                "db": {"type": "parquet", "path": "/data/a.parquet", "columns": None},
+                "name": "src",
+            },
+            "target": {"db": {"type": "sql", "qry": "SELECT 1 AS x"}, "name": "tgt"},
+            "keys": ["x"],
+            "sort_keys": [],
+            "bucket_rows": 100000,
+            "hash_mode": "unordered",
+            "distinct": False,
+            "max_delta": 3,
+            "row_limit": 50,
+        }
+    }
