@@ -848,6 +848,21 @@ def compare_verdict(spark, sf_dir):
 
 
 @register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """A6 (cube half): full grouping-set lattice."""
+    o = table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
     "fp_chain",
     oracle="""
     WITH t AS (
