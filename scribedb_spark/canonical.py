@@ -282,3 +282,35 @@ def fp_chain(
         )
     out = fold(numbered, ["chunk_id"])
     return out.withColumn("n_rows", F.col("n_rows").cast("long"))
+
+
+def pg_composite_text(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """Reference-compat row rendering: imitates PostgreSQL's composite
+    literal form the way the reference's Oracle side does — comma
+    concat, parens, tokens containing whitespace wrapped in double
+    quotes via regexp (reference scribedb/oracle.py:60
+    ``regexp_replace(value,'(\\w*\\s[^,)]*)','"\\1"')``, same trick in
+    example.md:63), timestamps via NLS-style 'YYYY-MM-DD HH24:MI:SS'
+    (reference scribedb/oracle.py:140).
+
+    Divergences from true PG composite rendering are the reference's
+    own (documented, SURVEY.md §7 hard-part 3): NULL renders empty
+    (collides with ''), quotes inside values are not doubled, and
+    only whitespace triggers quoting. Use ``canonical_row`` (the
+    engine default) unless byte-parity with the reference's hash
+    input is required.
+    """
+    cols = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cells = []
+    for c in cols:
+        dtype = fields[c]
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            cell = F.date_format(F.col(c), TS_FORMAT)
+        else:
+            cell = F.col(c).cast("string")
+        cell = F.coalesce(cell, F.lit(""))  # reference: NULL -> empty
+        cells.append(cell)
+    joined = F.concat_ws(",", *cells)
+    quoted = F.regexp_replace(joined, r"(\w*\s[^,)]*)", '"$1"')
+    return F.concat(F.lit("("), quoted, F.lit(")"))

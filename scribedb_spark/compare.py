@@ -258,8 +258,20 @@ def compare(
     spec = spec or CompareSpec()
     check_schema(src, tgt, spec.strict_schema)
 
-    sfp = fp_unordered(src, algo="xxhash64").collect()[0]
-    tfp = fp_unordered(tgt.toDF(*src.columns), algo="xxhash64").collect()[0]
+    # both sides' fingerprints in ONE job: union with a side tag,
+    # grouped aggregation — halves the scan/action count vs two
+    # separate collects
+    tagged = src.withColumn("__cmp_side", F.lit("src")).unionByName(
+        tgt.toDF(*src.columns).withColumn("__cmp_side", F.lit("tgt"))
+    )
+    fps = {
+        r["__cmp_side"]: r
+        for r in fp_unordered(
+            tagged, cols=src.columns, group_by=["__cmp_side"], algo="xxhash64"
+        ).collect()
+    }
+    empty = {"n_rows": 0, "fp": None}
+    sfp, tfp = fps.get("src", empty), fps.get("tgt", empty)
     src_rows, tgt_rows = sfp["n_rows"], tfp["n_rows"]
 
     fast_equal = (sfp["fp"] == tfp["fp"]) and (src_rows == tgt_rows)

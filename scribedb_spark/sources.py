@@ -109,3 +109,24 @@ def write_report(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     (reference main.py:229-247); the engine writes a structured
     report dataset."""
     df.write.mode("overwrite").format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join keys.
+
+    Bucketing is the 100 TB co-location lever: two tables bucketed by
+    the same keys into the same bucket count join WITHOUT a shuffle
+    (verified by tests/test_plans.py::test_bucketed_join_no_shuffle).
+    Re-used across every downstream join on those keys — the shuffle
+    is paid once at write time instead of per query.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

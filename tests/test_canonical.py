@@ -124,3 +124,32 @@ def test_fp_chain_merkle_two_level(f3):
     assert {r["chunk_id"]: r["n_rows"] for r in flat.collect()} == {
         r["chunk_id"]: r["n_rows"] for r in merkle.collect()
     }
+
+
+def test_pg_composite_text_quoting(spark):
+    """FIXTURES.md F2: values with spaces ('Jose Manuel') get PG-style
+    double quotes, plain values don't (reference scribedb/oracle.py:60)."""
+    from scribedb_spark.canonical import pg_composite_text
+
+    df = spark.createDataFrame(
+        [(1, "Jose Manuel"), (2, "Alice")], "id int, first_name string"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", pg_composite_text(df).alias("t")).collect()
+    }
+    assert got[1] == '(1,"Jose Manuel")'
+    assert got[2] == "(2,Alice)"
+
+
+def test_pg_composite_null_renders_empty(spark):
+    """The reference's known flaw, reproduced in compat mode only:
+    NULL and '' collide (engine-default canonical_row keeps them
+    distinct)."""
+    from scribedb_spark.canonical import pg_composite_text
+
+    df1 = spark.createDataFrame([(1, None)], "id int, s string")
+    df2 = spark.createDataFrame([(1, "")], "id int, s string")
+    t1 = df1.select(pg_composite_text(df1).alias("t")).collect()[0]["t"]
+    t2 = df2.select(pg_composite_text(df2).alias("t")).collect()[0]["t"]
+    assert t1 == t2 == "(1,)"

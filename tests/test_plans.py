@@ -71,3 +71,40 @@ def test_fp_unordered_single_exchange(qmod, spark, sf_dir):
     # one Exchange node (appears twice in formatted output: tree+detail)
     assert "Exchange (" in p and "partial_" in p
     assert p.count("HashAggregate (") == 2  # partial + final
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge join with
+    NO Exchange (the co-location contract bucketing exists for).
+    Uses the session's default warehouse dir (static config); tables
+    are dropped afterwards."""
+    from scribedb_spark.sources import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "orders_b", ["o_custkey"], 8)
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        ["o_custkey"],
+        8,
+    )
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        p = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        # and the result is actually correct
+        assert j.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
