@@ -1,0 +1,70 @@
+"""Training-data pipeline walkthrough: the north-star operators end to
+end on the driver's documents/embeddings tables.
+
+    python examples/llm_pipeline.py [sf_dir]
+
+Stages (each a registered, oracle-checked query key — see
+scribedb_spark/queries.py):
+ 1. text quality + language scoring        (text_quality_score, text_lang_id)
+ 2. exact dedup by normalized content key  (dedup_exact)
+ 3. near-dup candidates via MinHash LSH    (dedup_minhash_lsh)
+ 4. embedding near-dups + ANN search       (dedup_embedding_cosine, ann_lsh_topk)
+ 5. multimodal feature extraction          (multimodal_features)
+The final "keep" set = documents minus exact-dup losers minus near-dup
+losers (keep the lowest doc_id of each cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import scribedb_spark as ssp
+from scribedb_spark import queries as Q
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    Q.load_extensions()
+    spark = ssp.get_spark(app_name="llm-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+
+    from scribedb_spark.sources import table
+
+    documents = table(spark, "documents", sf_dir)
+    n_docs = documents.count()
+
+    quality = Q.REGISTRY["text_quality_score"].fn(spark, sf_dir)
+    low_q = quality.filter(F.col("quality") < 0.3).count()
+
+    exact = Q.REGISTRY["dedup_exact"].fn(spark, sf_dir)
+    n_exact_groups = exact.count()
+
+    near = Q.REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    # near-dup losers: the higher doc_id of every candidate pair
+    losers = near.select(F.col("doc_id2").alias("doc_id")).distinct()
+    keep = documents.join(losers, "doc_id", "left_anti")
+    n_keep = keep.count()
+
+    emb_pairs = Q.REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).count()
+    ann = Q.REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).count()
+    mm = Q.REGISTRY["multimodal_features"].fn(spark, sf_dir).count()
+
+    print(f"documents:              {n_docs}")
+    print(f"low-quality (<0.3):     {low_q}")
+    print(f"exact-dup groups:       {n_exact_groups}")
+    print(f"near-dup losers pruned: {n_docs - n_keep}")
+    print(f"kept after dedup:       {n_keep}")
+    print(f"embedding near-dup pairs: {emb_pairs}")
+    print(f"ANN results (10 queries x top-5): {ann}")
+    print(f"multimodal feature rows:  {mm}")
+    print(f"total wall time: {time.perf_counter()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or []))

@@ -199,6 +199,8 @@ def global_row_number(
         r["__pid"]: r["cnt"]
         for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    if not counts:  # empty input: create_map() with zero args is invalid
+        return df.withColumn(out_col, F.lit(None).cast("long"))
     offsets = {}
     acc = 0
     for pid in sorted(counts):

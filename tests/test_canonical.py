@@ -153,3 +153,11 @@ def test_pg_composite_null_renders_empty(spark):
     t1 = df1.select(pg_composite_text(df1).alias("t")).collect()[0]["t"]
     t2 = df2.select(pg_composite_text(df2).alias("t")).collect()[0]["t"]
     assert t1 == t2 == "(1,)"
+
+
+def test_global_row_number_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    empty = spark.range(0).select(F.col("id").alias("a"))
+    assert global_row_number(empty, ["a"]).count() == 0
+    assert fp_chain(empty, ["a"]).count() == 0
