@@ -151,3 +151,26 @@ def test_keyed_diff_rejects_non_unique_key(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     with pytest.raises(ValueError, match="not unique"):
         keyed_diff(li, li, ["l_orderkey", "l_linenumber"])
+
+
+def test_write_report_and_register_views(spark, sf_dir, tmp_path):
+    """S6 sink + S3 view registration (sources.py)."""
+    from scribedb_spark.sources import register_views, write_report
+
+    register_views(spark, sf_dir)
+    assert spark.sql("select count(*) c from nation").collect()[0]["c"] == 25
+
+    res = compare(
+        spark.table("orders"),
+        spark.table("orders").withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 3, F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+    )
+    out = str(tmp_path / "report")
+    write_report(res.diff, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == set(res.diff.columns)
