@@ -1041,3 +1041,173 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     load_extensions()
     return {k: v.oracle for k, v in REGISTRY.items() if v.oracle}
+
+
+# ---------------------------------------------------------------------------
+# breadth: additional engine-native operator keys (round-1 widening)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact percentiles (linear interpolation — both engines use the
+    same a + (b-a)*frac rule on the sorted values)."""
+    o = table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_stats_manual",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_manual(spark, sf_dir):
+    """Sample variance from exact decimal sums (sum-of-squares form).
+    Built-in var_samp is order-dependent in its float accumulation and
+    differs across engines in the last ulp; exact decimal sums make
+    the formula deterministic on both sides."""
+    li = table(spark, "lineitem", sf_dir)
+    s = F.sum(d2("l_quantity")).cast("double")
+    ss = F.sum(d2("l_quantity") * d2("l_quantity")).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        ((ss - s * s / n) / (n - F.lit(1))).alias("var_qty"),
+    )
+
+
+@register(
+    "window_dist",
+    oracle="""
+    SELECT s_suppkey,
+           percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS pr,
+           cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS cd
+    FROM supplier
+    """,
+)
+def window_dist(spark, sf_dir):
+    """Distribution window functions ((rank-1)/(n-1) and rank/n —
+    exact rational arithmetic in double, engine-identical with a
+    unique ordering)."""
+    s = table(spark, "supplier", sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT p_partkey,
+           coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
+           greatest(p_size, 25) AS g,
+           least(p_size, 25) AS l,
+           CASE WHEN p_size IS NULL THEN -1 ELSE p_size END AS size_nn
+    FROM part
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    """Conditional family: coalesce/nullif/greatest/least."""
+    p = table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("g"),
+        F.least(F.col("p_size"), F.lit(25)).alias("l"),
+        F.when(F.col("p_size").isNull(), F.lit(-1)).otherwise(F.col("p_size")).alias("size_nn"),
+    )
+
+
+@register(
+    "scalar_bitops",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 12 AS band,
+           p_size | 3 AS bor,
+           xor(p_size, 21) AS bxor,
+           p_size << 2 AS shl,
+           p_size >> 1 AS shr
+    FROM part
+    """,
+)
+def scalar_bitops(spark, sf_dir):
+    """Bitwise family on int columns."""
+    p = table(spark, "part", sf_dir)
+    c = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        c.bitwiseAND(12).alias("band"),
+        c.bitwiseOR(3).alias("bor"),
+        c.bitwiseXOR(21).alias("bxor"),
+        F.shiftleft(c, 2).alias("shl"),
+        F.shiftright(c, 1).alias("shr"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (listagg/string_agg): deterministic
+    via explicit ORDER BY / array_sort on both sides."""
+    n = table(spark, "nation", sf_dir)
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cross join of two tiny dims (125 rows out; BroadcastNestedLoop)."""
+    r = table(spark, "region", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "setop_except_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_distinct(spark, sf_dir):
+    """EXCEPT (set semantics) — complements the bag-semantics
+    setop_except_sym."""
+    o = table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)
