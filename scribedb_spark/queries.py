@@ -1211,3 +1211,232 @@ def setop_except_distinct(spark, sf_dir):
     a = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.subtract(b)
+
+# ---------------------------------------------------------------------------
+# headline TPC-H-shaped queries beyond Q1 (multi-join, filter-agg, having)
+# ---------------------------------------------------------------------------
+
+SQL_REVENUE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))"
+    " AS DECIMAL(8,4))) AS DOUBLE)"
+)
+
+
+def _revenue():
+    """sum(extendedprice * (1-discount)) through exact decimals
+    (scale 6 — integer form fits 2^53, single-rounded to double)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return F.sum(d2("l_extendedprice") * (one - d2("l_discount")).cast("decimal(8,4)")).cast(
+        "double"
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {SQL_REVENUE} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join -> group -> top-10.
+
+    Scale: both filters push to the scans; customer (dim-sized after
+    the segment filter) broadcasts; the orders><lineitem join shuffles
+    on the orderkey; top-10 plans as TakeOrderedAndProject (no global
+    sort materialization). l_orderkey is the unique tiebreaker.
+    """
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    c = table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + scalar aggregate.
+
+    Scale: all four predicates reach the parquet scan (PushedFilters);
+    the single-row result comes from partial aggregation — no shuffle
+    of data rows at all, only of per-task partial sums.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(d2("l_extendedprice") * d2("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING subquery (semi-join) + 3-way join.
+
+    Scale: the HAVING aggregate reduces lineitem to qualifying
+    orderkeys FIRST (map-side partial agg), and that small key set
+    broadcasts into a left-semi join — lineitem is scanned twice but
+    never shuffled at full width; customer joins after the order-level
+    reduction.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(d2("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(d2("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            d2("o_totalprice").cast("double").alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation) with an explicit value
+    list — no extra pass to discover pivot values, single shuffle.
+    """
+    o = table(spark, "orders", sf_dir)
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(d2("o_totalprice")).cast("double"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )
+
+
+@register(
+    "scalar_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_type, 'BRUSHED|POLISHED') THEN 1 ELSE 0 END AS is_finished
+    FROM part
+    """,
+)
+def scalar_regexp(spark, sf_dir):
+    """Regexp family: extract / replace-all / match test.
+
+    DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics.
+    """
+    p = table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").cast("int").alias("is_finished"),
+    )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark, sf_dir):
+    """Two-stage salted aggregation over a 3-value (maximally skewed)
+    key: stage 1 groups by (key, salt) spreading each hot key over 16
+    reducers; stage 2 re-aggregates the 48 partials.
+
+    Scale: without salting, 3 reducers own all data at any cluster
+    size. Decimal sums re-merge exactly (associative), so the result
+    is bit-identical to the direct groupBy.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.sum(d2("l_extendedprice")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_s").cast("double").alias("sum_price"),
+        F.sum("_n").alias("n"),
+    )
