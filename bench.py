@@ -26,6 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: operator family + every north-star extension that matters at scale)
 BENCH_KEYS = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_volume",
+    "agg_skew_salted",
     "join_inner",
     "join_broadcast",
     "join_asof",
