@@ -108,3 +108,42 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_q3_broadcasts_dim_and_takes_topk(qmod, spark, sf_dir):
+    """Q3: the filtered customer dim must broadcast (never SMJ at this
+    size) and the LIMIT 10 must plan as TakeOrderedAndProject, not a
+    global sort."""
+    p = plan(qmod, spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # both date filters pushed into the parquet scans
+    assert "LessThan(o_orderdate," in p
+    assert "GreaterThan(l_shipdate," in p
+
+
+def test_q6_all_predicates_pushed(qmod, spark, sf_dir):
+    """Q6: every predicate reaches the scan; the aggregate is
+    partial+final over scalar rows (no row-level shuffle)."""
+    p = plan(qmod, spark, sf_dir, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate," in p
+    assert "LessThan(l_shipdate," in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    assert "partial_sum" in p
+
+
+def test_q18_semi_join_is_broadcast(qmod, spark, sf_dir):
+    """Q18: the HAVING-qualified orderkey set must broadcast into a
+    left-semi join — lineitem is never shuffled at full width for the
+    qualification step."""
+    p = plan(qmod, spark, sf_dir, "q18_large_volume")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_salted_agg_two_stage(qmod, spark, sf_dir):
+    """Salted aggregation: two groupBys -> two aggregate pairs; the
+    first exchange is on (key, salt), i.e. 48 groups, not 3."""
+    p = plan(qmod, spark, sf_dir, "agg_skew_salted")
+    assert "_salt" in p
+    assert p.count("HashAggregate (") >= 4  # partial+final x 2 stages
