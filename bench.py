@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_KEYS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier",
     "q6_forecast_revenue",
     "q18_large_volume",
     "agg_skew_salted",

@@ -1440,3 +1440,105 @@ def agg_skew_salted(spark, sf_dir):
         F.sum("_s").cast("double").alias("sum_price"),
         F.sum("_n").alias("n"),
     )
+
+
+@register(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {SQL_REVENUE} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (local-supplier revenue by nation).
+
+    Scale: region/nation/supplier collapse into one broadcast-sized
+    dim (region filter first, so only EUROPE suppliers ship);
+    lineitem><orders><customer shuffle on their keys; the
+    c_nationkey = s_nationkey residual rides the broadcast join as a
+    non-equi condition. Only the 5-value n_name group survives.
+    """
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    r = table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    n = (
+        table(spark, "nation", sf_dir)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        table(spark, "supplier", sf_dir)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = table(spark, "lineitem", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long). Spark plans a single Expand node — one
+    scan emitting 3 rows per input row, not 3 scans like the UNION
+    ALL formulation the oracle uses."""
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") <= 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    """Deterministic ~1/8 hash sample: filter on an md5-prefix of the
+    key. Unlike TABLESAMPLE, the selected set is engine- and
+    partitioning-independent — the right way to carve stable
+    train/eval splits from a 100 TB table (and to sample the same
+    rows on both sides of a compare).
+    """
+    o = table(spark, "orders", sf_dir)
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_totalprice")

@@ -147,3 +147,16 @@ def test_salted_agg_two_stage(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "agg_skew_salted")
     assert "_salt" in p
     assert p.count("HashAggregate (") >= 4  # partial+final x 2 stages
+
+
+def test_q5_dims_broadcast_unpivot_expands(qmod, spark, sf_dir):
+    """Q5: region/nation/supplier ride broadcast joins (no SMJ for
+    dims); unpivot plans as a single Expand over one scan."""
+    p = plan(qmod, spark, sf_dir, "q5_local_supplier")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(r_name,EUROPE)" in p
+    p2 = plan(qmod, spark, sf_dir, "agg_unpivot")
+    assert "Expand" in p2
+    # one scan node (formatted mode prints it in tree + detail = 2
+    # mentions); the UNION ALL formulation would show 3 scans = 6
+    assert p2.count("Scan parquet") == 2
