@@ -1542,3 +1542,104 @@ def sample_deterministic(spark, sf_dir):
     return o.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM g
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def window_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): a 30-min inactivity
+    gap starts a new session; session id = running sum of gap flags.
+
+    Scale: both windows and the final groupBy share the user_id
+    partitioning — one shuffle total; no global sort. (The streaming
+    twin is stream_session_agg via F.session_window.)
+    """
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = F.sum(F.when(gap_us > 1_800_000_000, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select("user_id", "ts", sess.alias("sess_id"))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
+
+
+@register(
+    "window_dedup_top1",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_dedup_top1(spark, sf_dir):
+    """Latest-row-per-key dedup (the CDC/compaction idiom): keep each
+    user's most recent event via row_number() = 1.
+
+    Scale: one hash shuffle on user_id; AQE handles hot users. For
+    append-only 100 TB logs this is the standard 'current state' view.
+    """
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "scalar_higher_order",
+    oracle="""
+    SELECT p_partkey,
+           CAST(list_transform(generate_series(1, (p_size % 8) + 1), x -> x * 2)
+                AS BIGINT[]) AS doubled,
+           CAST(list_filter(generate_series(1, (p_size % 8) + 1), x -> x % 2 = 0)
+                AS BIGINT[]) AS evens,
+           CAST(list_sum(generate_series(1, (p_size % 8) + 1)) AS BIGINT) AS total
+    FROM part
+    """,
+)
+def scalar_higher_order(spark, sf_dir):
+    """Higher-order array functions: transform / filter / aggregate
+    over a per-row constructed array.
+
+    Note: Spark evaluates these lambdas interpreted (outside codegen)
+    — fine for short arrays; heavy per-element work belongs on
+    exploded flat rows instead (see operators/dedup.py).
+    """
+    p = table(spark, "part", sf_dir)
+    arr = F.sequence(F.lit(1), F.pmod(F.col("p_size"), F.lit(8)) + 1)
+    return p.select(
+        "p_partkey",
+        F.transform(arr, lambda x: x * 2).cast("array<long>").alias("doubled"),
+        F.filter(arr, lambda x: x % 2 == 0).cast("array<long>").alias("evens"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
+    )
