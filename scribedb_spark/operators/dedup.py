@@ -107,10 +107,14 @@ def dedup_exact(spark, sf_dir) -> DataFrame:
 _MINHASH_ORACLE = f"""
     WITH tok AS ({SQL_SHINGLES}),
     seeds AS (SELECT unnest(range({N_HASHES})) AS seed),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(tok), 18, 14)) AS BIGINT) AS h2
+      FROM tok),
     mh AS (
-      SELECT doc_id, seed,
-             MIN(CAST(('0x' || substr(md5(concat(seed, ':', tok)), 1, 15)) AS BIGINT)) AS h
-      FROM tok CROSS JOIN seeds GROUP BY doc_id, seed),
+      SELECT doc_id, seed, MIN(h1 + seed * h2) AS h
+      FROM th CROSS JOIN seeds GROUP BY doc_id, seed),
     sig AS (
       SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
              md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS s
@@ -135,18 +139,28 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
         .select("doc_id", "text")
         .filter(min_tokens_filter())
     )
-    # explode to (doc_id, shingle) rows, then compute all 16 hashes as
-    # plain columns: md5/conv on flat rows stays inside whole-stage
-    # codegen (a transform()-lambda formulation runs interpreted per
-    # array element — measured ~7x slower); the groupBy(min x16) is
+    # explode to (doc_id, shingle) rows, then derive the 16 hash
+    # family members by double hashing: ONE md5 per shingle, split
+    # into two 56-bit halves, h_i = h1 + i*h2 (long arithmetic, no
+    # overflow: h1 + 15*h2 < 2^60). All codegen on flat rows — a
+    # transform()-lambda formulation runs interpreted (~7x slower),
+    # and 16 independent md5s cost ~8x this. The groupBy(min x16) is
     # map-side partial, so the only shuffle carries one 16-long row
     # per doc.
     sh = d.select("doc_id", F.explode(shingles3(F.col("text"))).alias("tok"))
-    hcols = [
-        hash60(F.concat_ws(":", F.lit(seed), F.col("tok"))).alias(f"th{seed}")
-        for seed in range(N_HASHES)
-    ]
-    hashed = sh.select("doc_id", *hcols)
+    full = F.md5(F.col("tok"))
+    halves = sh.select(
+        "doc_id",
+        F.conv(F.substring(full, 1, 14), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(full, 18, 14), 16, 10).cast("long").alias("_h2"),
+    )
+    hashed = halves.select(
+        "doc_id",
+        *[
+            (F.col("_h1") + F.lit(seed) * F.col("_h2")).alias(f"th{seed}")
+            for seed in range(N_HASHES)
+        ],
+    )
     mh = hashed.groupBy("doc_id").agg(
         *[F.min(f"th{seed}").alias(f"h{seed}") for seed in range(N_HASHES)]
     )
