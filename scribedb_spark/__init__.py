@@ -16,6 +16,14 @@ Public API:
 
 from scribedb_spark.session import get_spark
 from scribedb_spark.compare import CompareResult, CompareSpec, compare
+from scribedb_spark.sources import (
+    read_csv,
+    read_json,
+    read_jdbc_query,
+    convert_to_parquet,
+    write_bucketed,
+    write_report,
+)
 from scribedb_spark.canonical import (
     canonical_row,
     fp_row_md5,
@@ -34,4 +42,10 @@ __all__ = [
     "fp_row_md5",
     "fp_unordered",
     "fp_chain",
+    "read_csv",
+    "read_json",
+    "read_jdbc_query",
+    "convert_to_parquet",
+    "write_bucketed",
+    "write_report",
 ]

@@ -130,3 +130,41 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with a REQUIRED schema.
+
+    ``inferSchema`` is deliberately not offered: inference is a full
+    extra pass over the data before the real job — at 100 TB that
+    doubles the scan. Column pruning still works (Spark's CSV reader
+    parses only requested columns); predicate pushdown does not, so
+    prefer converting hot CSV datasets to parquet via
+    ``convert_to_parquet``.
+    """
+    return spark.read.schema(schema).options(header=str(header).lower(), **options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema, **options: str) -> DataFrame:
+    """JSON-lines scan with a REQUIRED schema (same no-inference rule
+    as read_csv; schema-on-read also silently nulls malformed fields
+    instead of failing mid-job — pair with a count on
+    ``_corrupt_record`` if strictness matters)."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def convert_to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """One-time conversion of a row-format source (CSV/JSON/JDBC) to
+    parquet, optionally hive-partitioned — the standard first step
+    that buys pushdown, pruning, and column statistics for every
+    later query."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

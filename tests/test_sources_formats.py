@@ -1,0 +1,52 @@
+"""Round-trip tests for the non-parquet source formats (S1/S7
+adjacents): schema-required CSV and JSON-lines readers must
+reproduce the parquet-read dataset exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    from scribedb_spark.sources import table
+
+    return table(spark, "orders", sf_dir)
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("o_orderkey").collect()]
+
+
+def test_csv_round_trip(spark, orders, tmp_path_factory):
+    from scribedb_spark.sources import read_csv
+
+    p = str(tmp_path_factory.mktemp("csv") / "orders")
+    orders.write.mode("overwrite").option("header", "true").csv(p)
+    back = read_csv(spark, p, orders.schema)
+    assert back.schema == orders.schema
+    assert _sorted_rows(back) == _sorted_rows(orders)
+
+
+def test_json_round_trip(spark, orders, tmp_path_factory):
+    from scribedb_spark.sources import read_json
+
+    p = str(tmp_path_factory.mktemp("json") / "orders")
+    orders.write.mode("overwrite").json(p)
+    back = read_json(spark, p, orders.schema)
+    assert back.schema == orders.schema
+    assert _sorted_rows(back) == _sorted_rows(orders)
+
+
+def test_convert_to_parquet_partitioned(spark, orders, tmp_path_factory):
+    from scribedb_spark.sources import convert_to_parquet
+
+    p = str(tmp_path_factory.mktemp("pq") / "orders")
+    convert_to_parquet(orders, p, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(p)
+    assert back.count() == orders.count()
+    # partition pruning: a status filter must prune to one directory
+    plan = back.filter("o_orderstatus = 'F'")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
