@@ -251,7 +251,14 @@ def fp_chain(
     bounding per-group state at max(subchunk_rows, bucket/subchunk).
     """
     txt = canonical_row(df, cols)
-    numbered = global_row_number(df.withColumn("__txt", txt), sort_keys)
+    # number only (sort_keys, __txt): global_row_number persists its
+    # range-partitioned input for determinism, and nothing downstream
+    # needs the original columns — at scale this shrinks the cached
+    # footprint to the canonical text instead of the full row width
+    slim = df.withColumn("__txt", txt).select(
+        *dict.fromkeys(sort_keys), "__txt"
+    )
+    numbered = global_row_number(slim, sort_keys)
     numbered = numbered.withColumn(
         "chunk_id", ((F.col("rn") - 1) / F.lit(bucket_rows)).cast("long")
     )
