@@ -1643,3 +1643,24 @@ def scalar_higher_order(spark, sf_dir):
         F.filter(arr, lambda x: x % 2 == 0).cast("array<long>").alias("evens"),
         F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
     )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL/KLL estimates are
+# algorithm-specific, so a DuckDB twin can't hash-match; the engine
+# test asserts relative error vs the exact answers instead
+def agg_approx_distinct(spark, sf_dir):
+    """Sketch aggregates: approx_count_distinct (HyperLogLog++) and
+    approx_percentile (KLL-style) per group.
+
+    Scale: sketches are the ONLY sane form of these at 100 TB — fixed
+    a-few-KB state per group merged associatively map-side, vs an
+    exact count-distinct's full shuffle of every distinct value.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("nd_partkey"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("nd_suppkey"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "p50_price_approx"
+        ),
+    )

@@ -80,3 +80,35 @@ def test_query_matches_oracle(spark, sf_dir, qmod, duck, key):
         (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
     ][:5]
     assert not mism, f"{key}: first value mismatches: {mism}"
+
+
+def test_agg_approx_distinct_tolerance(spark, sf_dir):
+    """Rows-only key: assert the sketches land within tolerance of the
+    exact answers (2% HLL sd -> allow 6%; KLL median within 5% of the
+    exact median's neighborhood)."""
+    from pyspark.sql import functions as F
+    from scribedb_spark import queries as Q
+    from scribedb_spark.sources import table
+
+    Q.load_extensions()
+    approx = {
+        r["l_returnflag"]: r
+        for r in Q.REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    li = table(spark, "lineitem", sf_dir)
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_partkey"),
+            F.countDistinct("l_suppkey").alias("nd_suppkey"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["nd_partkey"] - e["nd_partkey"]) <= max(3, 0.06 * e["nd_partkey"])
+        assert abs(a["nd_suppkey"] - e["nd_suppkey"]) <= max(3, 0.06 * e["nd_suppkey"])
+        assert abs(a["p50_price_approx"] - e["p50"]) <= 0.05 * e["p50"] + 1
