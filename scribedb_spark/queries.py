@@ -1664,3 +1664,28 @@ def agg_approx_distinct(spark, sf_dir):
             "p50_price_approx"
         ),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status,
+    per-priority, and grand-total aggregates in one pass — Spark plans
+    a single Expand + one shuffle, not three scans."""
+    o = table(spark, "orders", sf_dir)
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.sum(d2("o_totalprice")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
