@@ -1689,3 +1689,31 @@ def agg_grouping_sets(spark, sf_dir):
         F.sum(d2("o_totalprice")).cast("double").alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                          RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS peers_within_100
+    FROM supplier
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE-framed window (value-based frame, vs the row-based frame
+    in window_frame_sum): peers whose acctbal is within +/-100.
+    COUNT over the frame is order-independent, so ties in s_acctbal
+    don't break cross-engine agreement."""
+    s = table(spark, "supplier", sf_dir)
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal")
+        .rangeBetween(-100, 100)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.count(F.lit(1)).over(w).alias("peers_within_100"),
+    )

@@ -174,3 +174,20 @@ def test_write_report_and_register_views(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert set(back.columns) == set(res.diff.columns)
+
+
+def test_keyed_diff_null_payload_semantics(spark):
+    """Struct comparison must treat NULL==NULL as equal (no phantom
+    'changed') while NULL vs value IS a change — load-bearing for
+    diffing nullable tables."""
+    from scribedb_spark.compare import keyed_diff
+
+    src = spark.createDataFrame(
+        [(1, None, "x"), (2, "b", None), (3, "c", "z")], "id int, p1 string, p2 string"
+    )
+    tgt = spark.createDataFrame(
+        [(1, None, "x"), (2, "b", "now-set"), (3, None, "z")],
+        "id int, p1 string, p2 string",
+    )
+    out = {r["id"]: r["change"] for r in keyed_diff(src, tgt, ["id"]).collect()}
+    assert out == {2: "changed", 3: "changed"}
