@@ -67,14 +67,21 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR).values():
         df.count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for key in BENCH_KEYS:
         fn = Q.REGISTRY[key].fn
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side collect of
-        # payload data
-        fn(spark, SF_DIR).count()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # count() forces full execution without driver-side collect
+            # of payload data
+            fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        # best-of-k: single-JVM local mode has high scheduler/GC noise;
+        # the minimum is the stable estimate of the plan's cost
+        timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
