@@ -123,3 +123,67 @@ def test_stateful_running_stats_converges_to_batch(
         assert g["n_events"] == w["n_events"]
         assert abs(g["sum_value"] - w["sum_value"]) < 1e-6
         assert g["max_value"] == w["max_value"]
+
+
+def test_streaming_dedup_across_batches_and_state_eviction(spark, tmp_path_factory):
+    """Streaming dropDuplicates: duplicates arriving in a LATER
+    micro-batch are removed (cross-batch dedup state), and the
+    watermark evicts old keys from state (bounded memory — the 100 TB
+    requirement). Note Spark guarantees state cleanup only; rows
+    later than the watermark "may or may not" be dropped (observed:
+    admitted), so that is deliberately not asserted.
+    """
+    import os
+    from datetime import datetime, timedelta
+
+    d = tmp_path_factory.mktemp("stream_dedup")
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    def write_file(rows, name, mtime):
+        p = str(d / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    write_file(
+        [(i, base + timedelta(minutes=i), 1, "a", 1.0) for i in range(10)],
+        "b1",
+        1_700_000_000,
+    )
+    write_file(
+        [
+            (5, base + timedelta(minutes=5), 1, "a", 1.0),  # dup of b1's id 5
+            (101, base + timedelta(hours=3), 1, "a", 1.0),  # advances watermark
+        ],
+        "b2",
+        1_700_000_100,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/b*")
+    )
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["event_id"] for r in spark.table("t_sdedup").collect()]
+    assert sorted(ids) == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 101]  # id 5 once
+    # watermark after batch2 = 13:00 - 1h = 12:00 > every b1 key ->
+    # all b1 dedup state evicted; only id 101's key can remain
+    evicted = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert evicted and evicted[-1] <= 2
