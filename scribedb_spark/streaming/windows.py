@@ -100,3 +100,26 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str | None = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once dedup over an event stream: cross-batch duplicate
+    keys are dropped; the watermark bounds dedup state (keys older
+    than it are evicted — without one, state grows with every key
+    ever seen, which no 100 TB stream survives).
+
+    Batch twin (same call on a batch DataFrame): plain
+    ``dropDuplicates(keys)``. Note Spark only guarantees state
+    CLEANUP at the watermark; rows arriving later than it may still
+    pass through (documented "may or may not be dropped").
+    """
+    if events.isStreaming and watermark:
+        return events.withWatermark(ts_col, watermark).dropDuplicates(
+            [*keys, ts_col]
+        )
+    return events.dropDuplicates([*keys, ts_col])

@@ -168,7 +168,9 @@ def test_streaming_dedup_across_batches_and_state_eviction(spark, tmp_path_facto
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d) + "/b*")
     )
-    dedup = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
+    from scribedb_spark.streaming.windows import dedup_stream
+
+    dedup = dedup_stream(stream, ["event_id"], watermark="1 hour")
     q = (
         dedup.writeStream.format("memory")
         .queryName("t_sdedup")
