@@ -29,6 +29,7 @@ BENCH_KEYS = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q10_returned_items",
     "q18_large_volume",
     "agg_skew_salted",
     "join_inner",

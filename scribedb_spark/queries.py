@@ -1717,3 +1717,56 @@ def window_range_frame(spark, sf_dir):
         "s_acctbal",
         F.count(F.lit(1)).over(w).alias("peers_within_100"),
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {SQL_REVENUE} AS revenue,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue ranking (top 20
+    customers by lost revenue in a quarter-ish window).
+
+    Scale: returnflag + date filters push to the scans; nation
+    broadcasts; lineitem><orders shuffle on orderkey, then one
+    shuffle on custkey for the join + group; top-20 is
+    TakeOrderedAndProject with c_custkey as the unique tiebreak.
+    """
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    li = table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    o = table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    c = table(spark, "customer", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            d2("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
