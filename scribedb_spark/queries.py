@@ -1770,3 +1770,35 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution (left outer
+    join keeps order-less customers as count 0, then re-aggregate the
+    counts).
+
+    Scale: COUNT(o_orderkey) ignores the null-extended rows by SQL
+    semantics; the second aggregation's key space is tiny (max orders
+    per customer), so the second shuffle is a few rows per partition.
+    """
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
