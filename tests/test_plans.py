@@ -160,3 +160,16 @@ def test_q5_dims_broadcast_unpivot_expands(qmod, spark, sf_dir):
     # one scan node (formatted mode prints it in tree + detail = 2
     # mentions); the UNION ALL formulation would show 3 scans = 6
     assert p2.count("Scan parquet") == 2
+
+
+def test_q10_q13_plan_shapes(qmod, spark, sf_dir):
+    """Q10: nation broadcasts, top-20 is TakeOrderedAndProject, the
+    returnflag filter reaches the scan. Q13: left-outer join then two
+    aggregate pairs (per-customer, then distribution)."""
+    p = plan(qmod, spark, sf_dir, "q10_returned_items")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    p2 = plan(qmod, spark, sf_dir, "q13_custdist")
+    assert "LeftOuter" in p2
+    assert p2.count("HashAggregate (") >= 4
