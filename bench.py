@@ -47,6 +47,7 @@ BENCH_KEYS = [
     "text_stats",
     "vec_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_features",
     "stream_tumbling_agg",
     "stream_session_agg",

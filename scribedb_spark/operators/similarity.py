@@ -1,7 +1,7 @@
 """Similarity search over embeddings + set-similarity join (north
 star; SURVEY.md J7 / `vec_cosine_topk`).
 
-Three tiers:
+Four tiers:
 
 - ``vec_cosine_topk``  brute-force cosine top-k — built-in expressions
   (zip_with/aggregate), the correctness baseline.
@@ -9,6 +9,11 @@ Three tiers:
   hyperplanes (md5-seeded, no RNG), bucket join + exact re-rank of
   candidates only. The 100 TB path: candidates per query are bounded
   by bucket size, the join is a shuffle on bucket key.
+- ``ann_ivf_topk``     IVF coarse quantizer (FAISS-style cells):
+  deterministic spherical k-means on a sample, one numpy pass assigns
+  each vector its cell, queries probe their nearest cells. At scale
+  the cell is the partition key — probed cells are the only data a
+  query touches.
 - ``join_similarity``  token-set jaccard join with *prefix filtering*
   (PPJoin-style, see /root/repo/PAPERS.md): tokens ordered by global
   frequency, only the first |r| - ceil(t*|r|) + 1 tokens of each set
@@ -353,4 +358,116 @@ def cosine_topk_blocked(
         local_tops.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", F.round("score", 6).alias("score"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+_IVF_SAMPLE = 2048
+_IVF_ITERS = 10
+
+
+def _ivf_centroids(V, k: int = N_CELLS, iters: int = _IVF_ITERS):
+    """Deterministic spherical k-means on a training sample: init =
+    first k rows (caller passes vec_id-sorted data — no RNG), Lloyd
+    iterations with dot-product assignment on L2-normalized vectors,
+    empty cells re-seeded from the worst-assigned point. Returns a
+    row-normalized (k, dim) centroid matrix."""
+    import numpy as np
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn[:k].copy()
+    for _ in range(iters):
+        sim = Vn @ C.T                      # (n, k)
+        assign = sim.argmax(axis=1)
+        for c in range(k):
+            members = Vn[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                C[c] = m / np.linalg.norm(m)
+            else:  # re-seed from the globally worst-assigned point
+                C[c] = Vn[sim.max(axis=1).argmin()]
+    return C
+
+
+@register("ann_ivf_topk")  # no oracle: IVF cells are not reasonably SQL-twinned
+def ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """ANN top-5 per query via an IVF coarse quantizer (the standard
+    billion-scale layout: FAISS-style cells, Spark-sized).
+
+    Train: deterministic spherical k-means over a vec_id-sorted driver
+    sample (at 100 TB: a fixed hash-sample; training cost is O(sample),
+    not O(n)). Index: one Arrow/numpy pass assigns every vector to its
+    nearest of 16 cells — at scale this is the partition/bucket key,
+    so a cell's vectors are co-located and each query shuffles only
+    its probed cells. Search: queries (vec_id < 10) probe their 4
+    nearest cells, candidates re-rank by exact cosine, top-5.
+
+    Driver records a rows-only check; tests validate scores and recall
+    against numpy brute force (tests/test_similarity.py)."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("v"))
+
+    sample = np.stack(
+        [r["v"] for r in v.orderBy("vec_id").limit(_IVF_SAMPLE).collect()]
+    ).astype(np.float64)
+    C = _ivf_centroids(sample)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_batches(batches):
+        M = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sim = Vn @ M.T                          # (batch, cells)
+            top = np.argsort(-sim, axis=1)[:, :N_PROBE]  # probe order
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cell": top[:, 0].astype(np.int32),
+                    "probes": [row.astype(np.int32) for row in top],
+                }
+            )
+
+    assigned = v.mapInPandas(
+        assign_batches,
+        schema="vec_id long, v array<double>, cell int, probes array<int>",
+    )
+    # each vector lives in exactly ONE cell (no cross-cell duplicates,
+    # unlike LSH OR-amplification); queries fan out to N_PROBE cells
+    cands = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "cell"
+    )
+    queries = (
+        assigned.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode("probes").alias("cell"),
+        )
+    )
+    scored = (
+        queries.join(cands, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "score", "rk")
     )

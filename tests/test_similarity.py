@@ -117,3 +117,47 @@ def test_blocked_cosine_topk_matches_numpy(spark, sf_dir, emb):
         for (gs, _), (ws, _) in zip(got_pairs, want):
             assert abs(gs - ws) < 1e-6
     assert set(by_q) == {0, 1, 2}
+
+
+def test_ann_ivf_results_are_exact_cosines_and_deterministic(spark, sf_dir, emb):
+    """IVF re-rank must carry true cosine scores, dense 1..k ranks,
+    and be run-to-run deterministic (k-means init is vec_id-sorted,
+    no RNG anywhere)."""
+    from scribedb_spark.operators.similarity import ann_ivf_topk
+
+    ids, V = emb
+    S = _cosine_matrix(V)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    rows = ann_ivf_topk(spark, sf_dir).collect()
+    assert rows, "IVF returned nothing"
+    for r in rows:
+        true = round(S[idx[r["q_id"]], idx[r["c_id"]]], 6)
+        assert abs(r["score"] - true) < 2e-6, (r, true)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["rk"])
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+    rows2 = ann_ivf_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir, emb):
+    """Probing 4 of 16 cells must find good neighbors: each query's
+    IVF top-1 must sit at or above the 90th percentile of that
+    query's true similarity row, for >= 70% of queries (same bar as
+    the LSH test)."""
+    from scribedb_spark.operators.similarity import ann_ivf_topk
+
+    ids, V = emb
+    S = _cosine_matrix(V)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    rows = [r for r in ann_ivf_topk(spark, sf_dir).collect() if r["rk"] == 1]
+    assert rows
+    ok = 0
+    for r in rows:
+        qi = idx[r["q_id"]]
+        row = np.delete(S[qi], qi)
+        if S[qi, idx[r["c_id"]]] >= np.quantile(row, 0.9):
+            ok += 1
+    assert ok >= max(1, int(0.7 * len(rows)))
