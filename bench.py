@@ -41,6 +41,7 @@ BENCH_KEYS = [
     "compare_verdict",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "join_similarity",

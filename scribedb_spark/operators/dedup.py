@@ -10,6 +10,8 @@ agree bit-for-bit):
 - minhash LSH    shingle -> minhash signature -> banded LSH buckets
 - simhash        16-bit simhash + hamming-distance pairs
 - ngram jaccard  character-3-gram jaccard verification join
+- components     candidate pairs -> near-dup groups (iterative
+                 min-label propagation; recursive-CTE oracle)
 
 Scale design: every operator is explode -> groupBy -> self-join on a
 *bucket key* (band signature / simhash / shingle), never an O(n^2)
@@ -431,3 +433,65 @@ def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
             )
 
     return e.mapInPandas(pair_batches, schema="vec_id1 long, vec_id2 long")
+
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+              UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id
+    """
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark, sf_dir) -> DataFrame:
+    """Connected components over the minhash candidate-pair graph:
+    near-dup PAIRS become near-dup GROUPS (component = min doc_id
+    reachable), the form a dedup pipeline actually consumes — keep
+    one doc per component, drop the rest.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels (one join + one groupBy
+    per round, the standard distributed-CC loop); converges in
+    O(component diameter) rounds — near-dup clusters are shallow.
+    ``localCheckpoint`` truncates the growing lineage each round, and
+    the monotone label sum gives a cheap fixpoint test. The DuckDB
+    twin is a recursive CTE over the same edge set.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b")
+    ).unionAll(pairs.select(F.col("doc_id2").alias("a"), F.col("doc_id1").alias("b")))
+    edges = edges.localCheckpoint()  # the pair computation runs once
+
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    prev_sum = None
+    for _ in range(25):  # >> any real near-dup cluster diameter
+        neigh = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.a, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:  # monotone non-increasing -> fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("component"))
