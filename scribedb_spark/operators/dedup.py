@@ -457,8 +457,8 @@ def dedup_components(spark, sf_dir) -> DataFrame:
     one doc per component, drop the rest.
 
     Alternating large-star / small-star rounds (the MapReduce-CC
-    algorithm from the distributed-components literature, see
-    /root/repo/PAPERS.md): each round re-points every node's larger
+    algorithm of Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014): each round re-points every node's larger
     (resp. smaller) neighbors at the minimum of its neighborhood —
     one groupBy + one join per star, O(log^2 n) rounds proven,
     observed 2-7 on real pair graphs. Converged state is a star
