@@ -35,9 +35,12 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     pruning for free (SURVEY.md §4).
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark only reads
-    as a raw long (nanosAsLong, see session.py); convert to a proper
-    timestamp here (floor to microseconds — identical to DuckDB's read
-    of the same file)."""
+    as a raw long (nanosAsLong); convert to a proper timestamp here
+    (floor to microseconds — identical to DuckDB's read of the same
+    file). The conf is set at read time, not only at session build
+    (session.py), because callers — like the correctness driver — may
+    hand us a vanilla session; it is runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -50,3 +50,22 @@ def test_convert_to_parquet_partitioned(spark, orders, tmp_path_factory):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_events_read_without_session_conf(spark, sf_dir):
+    """Driver-env mirror: the correctness driver builds its own vanilla
+    SparkSession (no nanosAsLong conf), under which round-1's events
+    reads died with PARQUET_TYPE_ILLEGAL. table() must set the conf at
+    read time, so an events read succeeds even when the session was
+    built without it."""
+    from pyspark.sql import types as T
+
+    from scribedb_spark.sources import table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = table(spark, "events", sf_dir)
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert df.limit(5).count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
