@@ -323,7 +323,6 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
         F.regexp_extract_all(F.col("text"), F.lit("(?=(.{3}))"), 1)
     )
     g = d.select("doc_id", "source", grams.alias("gr"), F.size(grams).alias("n"))
-    g.persist()
     ex = g.select("doc_id", "source", "n", F.explode("gr").alias("gm"))
     freq = ex.groupBy("gm").agg(F.count(F.lit(1)).alias("tf"))
     from pyspark.sql import Window
@@ -334,10 +333,13 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(0.9)) + 1)
         .select("doc_id", "source", "gm", "n")
+        # both sides of the self-join read prefix: localCheckpoint
+        # materializes the explode+freq+window pipeline ONCE and —
+        # unlike persist() — its blocks are reclaimed by the
+        # ContextCleaner when the plan is dropped, so a long-lived
+        # session running many keys doesn't accumulate pinned cache
+        .localCheckpoint()
     )
-    # both sides of the self-join read prefix: persist, or the whole
-    # explode+freq+window pipeline runs twice
-    prefix.persist()
     # candidate pruning: shared prefix gram (PPJoin prefix bound) AND
     # compatible set sizes (length bound: t <= |r|/|s| <= 1/t). The
     # char-gram vocabulary is small (~400), so the prefix alone prunes
@@ -355,36 +357,31 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
         .distinct()
     )
-    # exact verification: broadcast one {doc_id -> gram frozenset} map
-    # (the whole corpus' gram sets are a few tens of MB here; at larger
-    # scale this becomes per-block maps) and verify candidate pairs
-    # with local set intersection — nothing but (id, id) pairs ever
-    # shuffles. Joining the gram arrays onto 100k+ candidate rows was
-    # measured 30s+ purely in Arrow serialization of the arrays.
-    import pandas as pd
-
-    sets = {
-        r["doc_id"]: frozenset(r["gr"]) for r in g.select("doc_id", "gr").collect()
-    }
-    bsets = spark.sparkContext.broadcast(sets)
-
-    def verify_batches(batches):
-        lookup = bsets.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            jac = []
-            for d1, d2 in zip(pdf["doc_id1"], pdf["doc_id2"]):
-                s1, s2 = lookup[d1], lookup[d2]
-                i = len(s1 & s2)
-                jac.append(round(i / (len(s1) + len(s2) - i), 6))
-            out = pd.DataFrame(
-                {"doc_id1": pdf["doc_id1"], "doc_id2": pdf["doc_id2"], "jaccard": jac}
-            )
-            yield out[out["jaccard"] >= 0.9]
-
-    return cand.mapInPandas(
-        verify_batches, schema="doc_id1 long, doc_id2 long, jaccard double"
+    # exact verification, fully distributed: count the gram
+    # intersection of each candidate pair by joining the pair list
+    # back to the EXPLODED gram rows (flat codegen'd shuffle joins —
+    # no gram arrays ride the shuffle, no driver-side map; round-1's
+    # broadcast {doc_id -> frozenset} dict was a driver-OOM at scale).
+    # Joining the gram ARRAYS onto candidates was measured 30s+
+    # purely in Arrow serialization; the exploded-count form shuffles
+    # only (pair, gram) longs and aggregates map-side.
+    exg = ex.select("doc_id", "gm")
+    inter = (
+        cand.join(exg.withColumnRenamed("doc_id", "doc_id1"), "doc_id1")
+        .join(
+            exg.select(F.col("doc_id").alias("doc_id2"), "gm"),
+            on=["doc_id2", "gm"],
+        )
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = g.select("doc_id", "n")
+    raw = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc_id1"), F.col("n").alias("na")), "doc_id1")
+        .join(sz.select(F.col("doc_id").alias("doc_id2"), F.col("n").alias("nb")), "doc_id2")
+        .filter(raw >= 0.9)
+        .select("doc_id1", "doc_id2", F.round(raw, 6).alias("jaccard"))
     )
 
 
@@ -398,41 +395,77 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.42 over all pairs.
+    """Embedding near-dup pairs: cosine >= 0.42 over all pairs (exact).
 
-    Blocked-matrix execution: the (normalized) embedding matrix is
-    broadcast once; each Arrow batch of rows computes one numpy
-    matmul against it and emits only the (i < j, score >= t) pairs —
-    the expression-based per-pair cosine was measured 40x slower
-    (interpreted fold per pair). At 100 TB the same kernel runs per
-    IVF/LSH bucket instead of against the full matrix.
+    Blocked all-pairs execution, fully distributed: vectors hash into
+    B blocks; each of the B(B+1)/2 block PAIRS becomes one
+    ``applyInPandas`` group whose numpy kernel matmuls the two blocks
+    and emits only (id1 < id2, score >= t) rows. Every vector pair
+    lands in exactly one group, so the result is exact — no driver
+    ``collect()``, no full-matrix broadcast (round-1 version had both).
+
+    Scale: total compute is inherently O(n^2) for an *exact*
+    threshold join; B parallelizes it and bounds task memory to two
+    blocks (~2 * BLOCK_TARGET vectors). Shuffle volume is n * B rows.
+    For approximate-is-fine pipelines at 100 TB, run ann_lsh_topk /
+    ann_ivf_topk (operators/similarity.py) to prefilter candidates
+    instead; the expression-based per-pair cosine alternative was
+    measured 40x slower (interpreted fold per pair).
     """
     import numpy as np
     import pandas as pd
 
     e = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    rows = e.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, Vn))
-
-    def pair_batches(batches):
-        all_ids, M = b.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            S = Cn @ M.T
-            my_ids = pdf["vec_id"].to_numpy()
-            bi, bj = np.where(S >= 0.42)
-            keep = my_ids[bi] < all_ids[bj]
-            yield pd.DataFrame(
-                {"vec_id1": my_ids[bi][keep], "vec_id2": all_ids[bj][keep]}
+    # count() over parquet resolves from footer metadata — one cheap
+    # job that sizes the block grid to the data
+    n = e.count()
+    nblocks = int(min(64, max(4, -(-n // 1024))))
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nblocks)).cast("int")
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(o)).alias("pi"),
+                F.greatest(blk, F.lit(o)).alias("pj"),
             )
+            for o in range(nblocks)
+        ]
+    )
+    replicated = e.select(
+        "vec_id",
+        "embedding",
+        blk.alias("blk"),
+        F.explode(F.array_distinct(pair_keys)).alias("bp"),
+    ).select("vec_id", "embedding", "blk", "bp.pi", "bp.pj")
 
-    return e.mapInPandas(pair_batches, schema="vec_id1 long, vec_id2 long")
+    def block_pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id1": pd.Series(dtype="int64"), "vec_id2": pd.Series(dtype="int64")}
+        )
+        if not len(pdf):
+            return empty
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        if pi == pj:
+            S = Vn @ Vn.T
+            bi, bj = np.where(S >= 0.42)
+            keep = ids[bi] < ids[bj]
+            return pd.DataFrame({"vec_id1": ids[bi][keep], "vec_id2": ids[bj][keep]})
+        left = (pdf["blk"] == pi).to_numpy()
+        if not left.any() or left.all():
+            return empty
+        lid, rid = ids[left], ids[~left]
+        S = Vn[left] @ Vn[~left].T
+        bi, bj = np.where(S >= 0.42)
+        a, b = lid[bi], rid[bj]
+        return pd.DataFrame(
+            {"vec_id1": np.minimum(a, b), "vec_id2": np.maximum(a, b)}
+        )
+
+    return replicated.groupBy("pi", "pj").applyInPandas(
+        block_pair_kernel, schema="vec_id1 long, vec_id2 long"
+    )
 
 
 _COMPONENTS_ORACLE = f"""

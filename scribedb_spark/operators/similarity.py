@@ -123,7 +123,10 @@ def ann_lsh_topk(spark, sf_dir) -> DataFrame:
     Driver records a rows-only check for this key (the LSH structure
     itself is validated in tests against brute force)."""
     e = table(spark, "embeddings", sf_dir)
-    dim = 64
+    # derive dim from the data (one-row head, not a hard-coded 64 —
+    # any other embedding width would fail or mis-project at the
+    # matmul otherwise)
+    dim = len(e.select("embedding").head()["embedding"])
     # N_TABLES independent bucketings (OR-amplification): a candidate
     # only needs to collide in ONE table, which is what lifts recall
     # with random hyperplanes; each vector carries N_TABLES (tbl,
@@ -232,10 +235,13 @@ def join_similarity(spark, sf_dir) -> DataFrame:
         table(spark, "documents", sf_dir)
         .filter(min_tokens_filter())
         .select("doc_id", "source", shingles3(F.col("text")).alias("toks"))
+        # shingle arrays feed three branches (token explode + both
+        # verify sides); localCheckpoint materializes the shingling
+        # once and, unlike persist(), its blocks are reclaimed by the
+        # ContextCleaner when the plan is dropped — no pinned cache
+        # accumulating across keys in a long-lived session
+        .localCheckpoint()
     )
-    # shingle arrays feed three branches (token explode + both verify
-    # sides); persist so shingling runs once, not three times
-    d.persist()
     tok = d.select("doc_id", "source", F.explode("toks").alias("tok"))
     # global token frequency -> rarity rank (broadcast: vocab is small;
     # at 100 TB this is a small dim table by construction — vocab <<
@@ -269,7 +275,9 @@ def join_similarity(spark, sf_dir) -> DataFrame:
     )
     # exact verification for candidates only: join the token *arrays*
     # back and compute |∩| in-row (array_intersect) — no token-level
-    # join/groupBy in the verify phase
+    # join/groupBy in the verify phase. Plain shuffle joins on doc_id:
+    # candidates are few, and broadcasting the doc table here would
+    # mean broadcasting the corpus (round-1 mistake) — let AQE pick.
     d1 = d.select(
         F.col("doc_id").alias("doc_id1"), F.col("toks").alias("t1"),
         F.size("toks").alias("n1"),
@@ -278,7 +286,7 @@ def join_similarity(spark, sf_dir) -> DataFrame:
         F.col("doc_id").alias("doc_id2"), F.col("toks").alias("t2"),
         F.size("toks").alias("n2"),
     )
-    verified = cand.join(F.broadcast(d1), "doc_id1").join(F.broadcast(d2), "doc_id2")
+    verified = cand.join(d1, "doc_id1").join(d2, "doc_id2")
     inter = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
     jac = inter / (F.col("n1") + F.col("n2") - inter)
     return (

@@ -1328,10 +1328,13 @@ def q18_large_volume(spark, sf_dir):
     """TPC-H Q18 shape: HAVING subquery (semi-join) + 3-way join.
 
     Scale: the HAVING aggregate reduces lineitem to qualifying
-    orderkeys FIRST (map-side partial agg), and that small key set
-    broadcasts into a left-semi join — lineitem is scanned twice but
-    never shuffled at full width; customer joins after the order-level
-    reduction.
+    orderkeys FIRST (map-side partial agg) into a left-semi join —
+    lineitem is scanned twice but never shuffled at full width;
+    customer joins after the order-level reduction. The semi-join
+    strategy is deliberately LEFT TO AQE: the qualifying key set is
+    data-dependent (19% of orders on this data!), so a forced
+    broadcast would OOM at 100x — AQE broadcasts it only when the
+    runtime size is actually small.
     """
     li = table(spark, "lineitem", sf_dir)
     o = table(spark, "orders", sf_dir)
@@ -1343,7 +1346,7 @@ def q18_large_volume(spark, sf_dir):
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        li.join(big, "l_orderkey", "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -133,12 +133,40 @@ def test_q6_all_predicates_pushed(qmod, spark, sf_dir):
     assert "partial_sum" in p
 
 
-def test_q18_semi_join_is_broadcast(qmod, spark, sf_dir):
-    """Q18: the HAVING-qualified orderkey set must broadcast into a
-    left-semi join — lineitem is never shuffled at full width for the
-    qualification step."""
+def test_q18_semi_join_adaptive_not_forced(qmod, spark, sf_dir):
+    """Q18: the HAVING-qualified key set is data-dependent (19% of
+    orders on this data), so the semi join must NOT carry a forced
+    broadcast hint — at test SF the size-based planner still picks
+    broadcast, but with auto-broadcast disabled the plan must degrade
+    to shuffle joins (proving no hint survives to OOM a 100x run)."""
     p = plan(qmod, spark, sf_dir, "q18_large_volume")
-    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p  # size-based at tiny SF
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p2 = plan(qmod, spark, sf_dir, "q18_large_volume")
+        assert ") BroadcastHashJoin" not in p2 and "SortMergeJoin" in p2
+        assert "LeftSemi" in p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_similarity_verify_join_not_corpus_broadcast(qmod, spark, sf_dir):
+    """join_similarity / dedup_ngram_jaccard: with auto-broadcast
+    disabled, the only broadcasts left must be the hinted token-
+    frequency dim (vocab-sized) — never the document table. The
+    round-1 version broadcast the full corpus into the verify join."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(qmod, spark, sf_dir, "join_similarity")
+        # exactly the freq hint (prefix is planned twice -> 2 branches);
+        # the three doc-table joins (cand self-join + 2 verify) are SMJ
+        assert p.count(") BroadcastHashJoin") == 2
+        assert p.count(") SortMergeJoin") >= 3
+        p2 = plan(qmod, spark, sf_dir, "dedup_ngram_jaccard")
+        assert ") BroadcastHashJoin" not in p2
+        assert p2.count(") SortMergeJoin") >= 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_salted_agg_two_stage(qmod, spark, sf_dir):
