@@ -186,15 +186,24 @@ def global_row_number(
     The reference leans on server-side LIMIT/OFFSET for the same job
     (reference scribedb/postgres.py:84-88) — O(chunks) re-sorts; this
     is one sort total.
+
+    Determinism requires ``sort_keys`` to uniquely order rows; rows
+    tying on every key get arbitrary (run-dependent) numbers. Callers
+    needing run-stable output append a content tiebreaker — fp_chain
+    appends its canonical ``__txt`` column.
     """
     sc = [F.col(k) for k in sort_keys]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *sc).sortWithinPartitions(*sc)
     parted = parted.withColumn("__pid", F.spark_partition_id())
-    # Persist so the pid->count map and the local row numbers see the
-    # exact same partitioning (repartitionByRange samples; recompute
-    # could differ).
-    parted.persist()
+    # localCheckpoint so the pid->count map and the local row numbers
+    # see the exact same partitioning (repartitionByRange SAMPLES its
+    # boundaries; a recompute could partition differently). Stronger
+    # than persist(): a persist'd block evicted under memory pressure
+    # would silently recompute-and-resample, and checkpoint blocks are
+    # reclaimed by the ContextCleaner when the plan is dropped instead
+    # of pinning cache across keys in a long-lived session.
+    parted = parted.localCheckpoint()
     counts = {
         r["__pid"]: r["cnt"]
         for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -258,7 +267,12 @@ def fp_chain(
     slim = df.withColumn("__txt", txt).select(
         *dict.fromkeys(sort_keys), "__txt"
     )
-    numbered = global_row_number(slim, sort_keys)
+    # __txt as final tiebreaker: rows tying on sort_keys are ordered
+    # by content, so numbering — and therefore every chunk hash — is
+    # reproducible under any parallelism even when sort_keys don't
+    # uniquely order the dataset (ties with IDENTICAL text are
+    # interchangeable: any order folds to the same chunk hashes)
+    numbered = global_row_number(slim, list(dict.fromkeys(sort_keys)) + ["__txt"])
     numbered = numbered.withColumn(
         "chunk_id", ((F.col("rn") - 1) / F.lit(bucket_rows)).cast("long")
     )

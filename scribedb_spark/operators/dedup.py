@@ -218,12 +218,10 @@ def _simhash_sql() -> str:
     h AS (
       SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
     bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
-    sh AS (SELECT doc_id, {bit_join} AS simhash FROM bits),
-    src AS (SELECT d.doc_id, d.source, s.simhash FROM documents d JOIN sh s USING (doc_id))
+    sh AS (SELECT doc_id, {bit_join} AS simhash FROM bits)
     SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM src a JOIN src b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
@@ -231,16 +229,20 @@ def _simhash_sql() -> str:
 @register("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark, sf_dir) -> DataFrame:
     """SimHash near-dup: 16-bit signature (sign of per-bit weight
-    sums over token hashes), pairs within the same source at hamming
-    distance <= 3.
+    sums over token hashes), ALL pairs at hamming distance <= 3.
 
-    The source column is the blocking key (at 100 TB you'd block on
-    simhash prefixes — pigeonhole over 4-bit quarters — instead of a
-    metadata column; the signature computation is identical).
+    Blocking is pigeonhole over the signature itself: hamming <= 3
+    across 16 bits means at least one of the 4 disjoint 4-bit
+    quarters is IDENTICAL, so candidates = pairs sharing any
+    (quarter-index, quarter-value) key — an exact filter with no
+    dependence on a metadata column (round 1 blocked on `source`).
+    At 100 TB widen the signature (64-bit, 4x16-bit bands -> 65536
+    block values per band) so per-block candidate sets stay bounded;
+    the construction is identical.
     """
     d = (
         table(spark, "documents", sf_dir)
-        .select("doc_id", "source", "text")
+        .select("doc_id", "text")
         .filter(min_tokens_filter())
     )
     # explode shingles so the md5 and bit tests run codegen'd on flat
@@ -261,20 +263,40 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
         term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     sh = bits.select("doc_id", simhash.alias("simhash"))
-    src = d.select("doc_id", "source").join(sh, "doc_id")
-    a = src.select(
-        F.col("doc_id").alias("doc_id1"), "source", F.col("simhash").alias("sh1")
+    n_quarters = _SIMHASH_BITS // 4
+    quarters = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("q"),
+                        F.shiftright(F.col("simhash"), 4 * k)
+                        .bitwiseAND(F.lit(15))
+                        .alias("qv"),
+                    )
+                    for k in range(n_quarters)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
+    a = quarters.select(
+        F.col("doc_id").alias("doc_id1"), F.col("simhash").alias("sh1"), "q", "qv"
     )
-    b = src.select(
-        F.col("doc_id").alias("doc_id2"), "source", F.col("simhash").alias("sh2")
+    b = quarters.select(
+        F.col("doc_id").alias("doc_id2"), F.col("simhash").alias("sh2"), "q", "qv"
     )
     ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
     return (
-        a.join(b, "source")
+        a.join(b, ["q", "qv"])
         .filter(F.col("doc_id1") < F.col("doc_id2"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= 3)
+        # a pair can collide in several quarters: dedup after the
+        # cheap hamming filter so distinct() sees only survivors
         .select("doc_id1", "doc_id2", "hamming")
+        .distinct()
     )
 
 
@@ -512,6 +534,7 @@ def dedup_components(spark, sf_dir) -> DataFrame:
         # first(u) is exact
         return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
+    converged = False
     prev_ck = None
     for _ in range(30):  # proven O(log^2 n); observed 2-7
         sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -545,8 +568,17 @@ def dedup_components(spark, sf_dir) -> DataFrame:
         ).collect()[0]
         cur_ck = (str(ck["h"]), ck["n"])
         if cur_ck == prev_ck:
+            converged = True
             break
         prev_ck = cur_ck
+    if not converged:
+        # partially merged components are silently WRONG groups —
+        # never hand them back as if final
+        raise RuntimeError(
+            "dedup_components: large/small-star did not reach its edge-set "
+            "fixpoint within 30 rounds (O(log^2 n) bound implies a bug or "
+            "pathological graph); refusing to return partial components"
+        )
     comp = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("doc_id")).subtract(
         e.select(F.col("u").alias("doc_id"))

@@ -1005,7 +1005,10 @@ def join_asof(spark, sf_dir):
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        # click_id as final tiebreaker: several clicks at the same
+        # (user_id, ts) would otherwise make F.last nondeterministic
+        # across runs — here the max click_id deterministically wins
+        .orderBy("ts", "kind", "click_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
