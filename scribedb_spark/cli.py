@@ -44,7 +44,21 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="scribedb-compare")
     spark.sparkContext.setLogLevel(args.loglevel)
 
-    res = run_compare_config(spark, cfg)
+    import time
+
+    t0 = time.monotonic()
+    res = run_compare_config(spark, cfg, with_chunks=(args.mode == "hash"))
+    if res.chunk_status is not None:
+        # per-chunk report, the reference's console UX (reference
+        # main.py:229-247): i/n OK|NOK hash (ms) pct% — ms is elapsed
+        # since the compare started (chunks hash in ONE Spark job
+        # here, not N sequential round-trips)
+        chunks = res.chunk_status.collect()
+        n = len(chunks)
+        for i, r in enumerate(chunks, 1):
+            ms = int((time.monotonic() - t0) * 1000)
+            fp = r["src_fp"] if r["status"] == "OK" else f"{r['src_fp']}!={r['tgt_fp']}"
+            print(f"{i}/{n} {r['status']} {fp} ({ms} ms) {100 * i // n}%")
     print(
         f"rows: src={res.src_rows} tgt={res.tgt_rows} "
         f"diff={res.diff_count} equal={res.equal}"

@@ -10,10 +10,12 @@ win. This module *generates* the server-side SQL for that mode —
 semantically equivalent statements written for this engine (own
 naming/formulation; not copies of the reference's embedded SQL).
 
-Execution of these statements requires a live database connection
-(e.g. via JDBC ``spark._sc._jvm`` drivers or an external runner) and
-is intentionally out of scope here — generation is unit-tested, the
-distributed path (canonical.fp_chain) is the engine default and is
+``run_remote_hash`` executes a bundle over any DBAPI connection
+(install -> view -> hash -> drop), so remote-hash mode actually runs
+end to end wherever a driver is available — the unit tests drive it
+against DuckDB (the database this container has) and check the
+remotely computed chain equals canonical.fp_chain's. The distributed
+path (canonical.fp_chain) remains the engine default and is
 oracle-verified. See tests/test_compat.py.
 """
 
@@ -79,6 +81,107 @@ def postgres_remote_hash(
     )
 
 
+#: the reference's whitespace-quoting rule, applied to each rendered
+#: row before hashing (reference scribedb/oracle.py:60) — required for
+#: byte parity with the PG composite rendering of the other side
+_ORA_QUOTE = r"""regexp_replace(val, '(\w*\s[^,)]*)', '"\1"')"""
+
+
+def oracle_remote_hash(
+    query: str,
+    view_name: str,
+    cols: list[str],
+    *,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> RemoteHashSQL:
+    """Oracle statement bundle — ODCI user-defined aggregate.
+
+    Reproduces the semantics of the reference's biggest single
+    component (reference scribedb/oracle.py:18-88): a chained-MD5
+    ODCI aggregate whose recurrence is
+    ``state_hex <- RAWTOHEX(md5(state_hex || quote(row_text)))``
+    with initial state '' — identical to the PostgreSQL fold in
+    ``postgres_remote_hash`` (RAWTOHEX yields uppercase hex, matching
+    PG's ``upper(md5(...))``). Rows render as ``'('||c1||','||...||')'``
+    (``cols`` supplies the column expressions, the reference derives
+    them by parsing the query — scribedb/oracle.py:170-187), the
+    whitespace-quoting regexp of reference oracle.py:60 applies inside
+    the aggregate, and the session NLS timestamp format is pinned to
+    'YYYY-MM-DD HH24:MI:SS' (reference oracle.py:140) so timestamps
+    render like the PG side. The ODCI method names are Oracle's fixed
+    extensibility API; the type body here is this engine's own
+    formulation.
+
+    Note: like the reference's aggregate, the chain is only
+    well-defined serially — ODCIAggregateMerge degrades to hashing
+    the two partial states together (reference oracle.py:79-82), so a
+    parallel-executed aggregation is NOT equal to the serial chain.
+    Run with parallel DML disabled when byte parity matters.
+    """
+    typ = f"{PREFIX}_md5agg_t"
+    fn = f"{PREFIX}_md5"
+    window = ""
+    if offset is not None:
+        window += f" offset {offset} rows"
+    if limit is not None:
+        window += f" fetch next {limit} rows only"
+    row_expr = "'('||" + "||','||".join(cols) + "||')'"
+    type_spec = f"""create or replace type {typ} as object(
+  h raw(16),
+  static function odciaggregateinitialize(ctx in out {typ}) return number,
+  member function odciaggregateiterate(self in out {typ}, val in clob) return number,
+  member function odciaggregateterminate(self in out {typ}, result out varchar2, flags in number) return number,
+  member function odciaggregatemerge(self in out {typ}, other in out {typ}) return number
+)"""
+    type_body = f"""create or replace type body {typ} is
+  static function odciaggregateinitialize(ctx in out {typ}) return number is
+  begin
+    ctx := {typ}(null);
+    return odciconst.success;
+  end;
+
+  member function odciaggregateiterate(self in out {typ}, val in clob) return number is
+    state clob;
+  begin
+    if val is not null and length(val) > 0 then
+      state := case when self.h is null then '' else rawtohex(self.h) end;
+      self.h := dbms_crypto.hash(state || {_ORA_QUOTE}, dbms_crypto.hash_md5);
+    end if;
+    return odciconst.success;
+  end;
+
+  member function odciaggregateterminate(self in out {typ}, result out varchar2, flags in number) return number is
+  begin
+    result := rawtohex(self.h);
+    return odciconst.success;
+  end;
+
+  member function odciaggregatemerge(self in out {typ}, other in out {typ}) return number is
+  begin
+    -- order-insensitive fallback; serial execution required for
+    -- parity with the chained fold (see module docstring)
+    self.h := dbms_crypto.hash(self.h || other.h, dbms_crypto.hash_md5);
+    return odciconst.success;
+  end;
+end;"""
+    return RemoteHashSQL(
+        install=[
+            "alter session set NLS_TIMESTAMP_FORMAT = 'YYYY-MM-DD HH24:MI:SS'",
+            type_spec,
+            type_body,
+            f"create or replace function {fn} (input clob) return varchar2 parallel_enable aggregate using {typ}",
+        ],
+        create_view=f"create or replace view {view_name} as {query}{window}",
+        hash_query=f"select {fn}({row_expr}) from {view_name}",
+        drop=[
+            f"drop view {view_name}",
+            f"drop function {fn}",
+            f"drop type {typ}",
+        ],
+    )
+
+
 def duckdb_remote_hash(
     query: str, view_name: str, *, limit: int | None = None, offset: int | None = None
 ) -> RemoteHashSQL:
@@ -101,3 +204,71 @@ def duckdb_remote_hash(
         ),
         drop=[f"drop view if exists {view_name}"],
     )
+
+
+def chunked_bundles(
+    kind: str,
+    query: str,
+    view_name: str,
+    n_rows: int,
+    bucket_rows: int,
+    cols: list[str] | None = None,
+) -> list[RemoteHashSQL]:
+    """One bundle per chunk of ``bucket_rows`` rows — the reference's
+    per-chunk view-rebuild loop (reference scribedb/base.py:156-170,
+    main.py:216-247) expressed as data. ``query`` must carry a total
+    ORDER BY, or chunk boundaries are not stable.
+
+    Chunks map 1:1 to canonical.fp_chain's [i*b, (i+1)*b) windows, so
+    remote chunk hashes line up against the Spark-computed chunk
+    report (compare.chunk_fingerprints).
+    """
+    makers = {
+        "postgres": lambda lo, w: postgres_remote_hash(
+            query, f"{view_name}_{lo // bucket_rows}", limit=w, offset=lo
+        ),
+        "duckdb": lambda lo, w: duckdb_remote_hash(
+            query, f"{view_name}_{lo // bucket_rows}", limit=w, offset=lo
+        ),
+        "oracle": lambda lo, w: oracle_remote_hash(
+            query, f"{view_name}_{lo // bucket_rows}", cols or [], limit=w, offset=lo
+        ),
+    }
+    try:
+        mk = makers[kind]
+    except KeyError:
+        raise ValueError(f"unknown remote-hash dialect: {kind!r}") from None
+    return [
+        mk(lo, min(bucket_rows, n_rows - lo)) for lo in range(0, n_rows, bucket_rows)
+    ]
+
+
+def run_remote_hash(conn, bundle: RemoteHashSQL) -> str:
+    """Execute one bundle over a DBAPI connection: install the
+    aggregate, create the windowed view, fetch the ONE 32-hex-char
+    chunk hash (the reference's whole point — only the hash crosses
+    the wire, reference scribedb/postgres.py:47,65-67), then drop
+    everything the bundle installed. Objects are dropped even when the
+    hash query fails."""
+    cur = conn.cursor()
+    try:
+        for s in bundle.install:
+            cur.execute(s)
+        cur.execute(bundle.create_view)
+        cur.execute(bundle.hash_query)
+        row = cur.fetchone()
+        return row[0] if row else ""
+    finally:
+        for s in bundle.drop:
+            try:
+                cur.execute(s)
+            except Exception:  # drop-on-best-effort, mirrors reference
+                pass
+
+
+def run_remote_hash_chunks(conn, bundles: list[RemoteHashSQL]) -> list[str]:
+    """Sequential per-chunk execution of ``chunked_bundles`` output.
+    Sequential is intentional: the chained fold is order-sensitive and
+    the reference's thread pool around this loop was broken by design
+    (reference main.py:170-175; SURVEY.md §3)."""
+    return [run_remote_hash(conn, b) for b in bundles]

@@ -105,9 +105,13 @@ def build_dataframe(spark: SparkSession, side: Side) -> DataFrame:
     )
 
 
-def run_compare_config(spark: SparkSession, cfg: RootConfig):
+def run_compare_config(
+    spark: SparkSession, cfg: RootConfig, *, with_chunks: bool = False
+):
     """Spec -> result (the reference's whole main(), reference
-    main.py:155-267, minus construction-is-execution)."""
+    main.py:155-267, minus construction-is-execution).
+    ``with_chunks`` also fills ``result.chunk_status`` (the per-chunk
+    OK/NOK report the CLI prints in hash mode)."""
     from scribedb_spark.compare import CompareSpec, compare
 
     c = cfg.compare
@@ -122,4 +126,4 @@ def run_compare_config(spark: SparkSession, cfg: RootConfig):
         max_delta=c.max_delta,
         row_limit=c.row_limit,
     )
-    return compare(src, tgt, spec)
+    return compare(src, tgt, spec, with_chunks=with_chunks)

@@ -122,3 +122,56 @@ compare:
             "row_limit": 50,
         }
     }
+
+
+def test_cli_hash_mode_prints_chunk_report(spark, sf_dir, tmp_path, capsys):
+    """--mode hash prints the reference's per-chunk console lines
+    (i/n OK|NOK hash (ms) pct%, reference main.py:229-247)."""
+    import re
+
+    from scribedb_spark.cli import main
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir)
+        + "  sort_keys: [o_orderkey]\n  bucket_rows: 500\n"
+    )
+    rc = main(["-f", str(p), "--mode", "hash"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if re.match(r"^\d+/\d+ (OK|NOK) ", l)]
+    assert len(lines) >= 2  # sf0.001 orders = 1500 rows / 500 per chunk
+    assert all(" OK " in l for l in lines)
+    assert lines[-1].endswith("100%")
+    assert re.search(r"\(\d+ ms\)", lines[0])
+
+
+def test_cli_hash_mode_chunk_nok(spark, sf_dir, tmp_path, capsys):
+    """A mutated row must flip exactly its own chunk to NOK."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribedb_spark.cli import main
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    df = t.to_pandas()
+    df.loc[df["o_orderkey"] == 7, "o_totalprice"] += 1
+    mut = tmp_path / "orders_mut.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(mut))
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir).replace(
+            f"{sf_dir}/orders.parquet\"}}\n    name: tgt", f"{mut}\"}}\n    name: tgt"
+        )
+        + "  sort_keys: [o_orderkey]\n  bucket_rows: 500\n"
+    )
+    rc = main(["-f", str(p), "--mode", "hash"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    ok = [l for l in out.splitlines() if re.match(r"^\d+/\d+ OK ", l)]
+    nok = [l for l in out.splitlines() if re.match(r"^\d+/\d+ NOK ", l)]
+    assert len(nok) == 1 and "!=" in nok[0]
+    assert len(ok) >= 1
