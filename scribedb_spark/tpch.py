@@ -17,7 +17,7 @@ to INT on both sides, unique tiebreakers in every ORDER BY ... LIMIT.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from scribedb_spark.queries import d2, register
 from scribedb_spark.sources import table
@@ -69,12 +69,14 @@ def q2_min_cost_supplier(spark, sf_dir):
     correlated MIN subquery (no partsupp table in the test data, so
     "supply cost" = MIN lineitem extendedprice per part+supplier).
 
-    Scale: the correlated subquery is decorrelated into a per-part MIN
-    aggregate joined back on partkey — two shuffles over the reduced
-    cost table, never a per-row subquery. Region-filtered supplier and
-    size/type-filtered part are dims -> broadcast; lineitem reduces via
-    map-side partial MIN before its shuffle. (s_name, p_partkey) is a
-    unique tiebreaker for the LIMIT.
+    Scale: the correlated subquery is decorrelated into a MIN window
+    over partkey on the already-aggregated cost table — lineitem is
+    scanned ONCE (a join back to a per-part MIN aggregate would plan
+    the whole cost subtree twice), reduced by map-side partial MIN,
+    then one narrow repartition by partkey for the window. Region-
+    filtered supplier and size/type-filtered part are dims ->
+    broadcast. (s_name, p_partkey) is a unique tiebreaker for the
+    LIMIT.
     """
     li = table(spark, "lineitem", sf_dir)
     s = table(spark, "supplier", sf_dir)
@@ -94,9 +96,9 @@ def q2_min_cost_supplier(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("supply_cost"))
     )
-    min_cost = cost.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    w = Window.partitionBy("l_partkey")
     return (
-        cost.join(min_cost, "l_partkey")
+        cost.withColumn("min_cost", F.min("supply_cost").over(w))
         .filter(F.col("supply_cost") == F.col("min_cost"))
         .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
         .join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
@@ -368,6 +370,9 @@ def q11_important_stock(spark, sf_dir):
         li.join(F.broadcast(asia), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(d2("l_extendedprice")).alias("value_dec"))
+        # reused by the total AND the output: materialize once so the
+        # lineitem scan + aggregate subtree isn't planned twice
+        .localCheckpoint(eager=False)
     )
     total = per_part.agg(
         (F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold")
@@ -576,20 +581,24 @@ def q17_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17 shape: lineitems below 20% of their part's average
     quantity (correlated AVG subquery), one brand.
 
-    Scale: decorrelated into a per-part AVG aggregate (map-side
-    partials over the full lineitem) joined back on partkey — the
-    classic rewrite; no per-row subquery execution. The threshold is
-    derived from an exact decimal sum, so both engines compare against
-    the same double.
+    Scale: the correlated AVG only ever ranges over lineitems whose
+    partkey survives the brand filter, so it decorrelates into an AVG
+    window over partkey on the ALREADY part-filtered join — lineitem
+    is scanned once (the classic aggregate-join-back rewrite plans the
+    lineitem subtree twice), and the window repartition moves only the
+    brand-filtered slice. The threshold is derived from an exact
+    decimal sum, so both engines compare against the same double.
     """
     li = table(spark, "lineitem", sf_dir)
     p = table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(d2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(per_part, li.l_partkey == F.col("pk"))
+        .withColumn(
+            "avg_qty",
+            F.sum(d2("l_quantity")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum(d2("l_extendedprice")).cast("double") / F.lit(7.0))
@@ -750,6 +759,9 @@ def q21_waiting_supplier(spark, sf_dir):
             .cast("int"),
         )
         .select("l_orderkey", "l_suppkey", "late")
+        # reused by the per-order aggregate AND the late-row filter:
+        # materialize once so the lineitem-orders join runs once
+        .localCheckpoint(eager=False)
     )
     per_order = flagged.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -803,9 +815,12 @@ def q22_global_sales(spark, sf_dir):
     """
     c = table(spark, "customer", sf_dir)
     code = F.substring("c_name", 17, 2)
-    potential = c.filter(
-        code.isin("10", "11", "12", "13", "14", "15", "16")
-    ).select(code.alias("cntrycode"), "c_acctbal", "c_custkey")
+    potential = (
+        c.filter(code.isin("10", "11", "12", "13", "14", "15", "16"))
+        .select(code.alias("cntrycode"), "c_acctbal", "c_custkey")
+        # reused by the average AND the main query: materialize once
+        .localCheckpoint(eager=False)
+    )
     avg_bal = potential.filter(F.col("c_acctbal") > 0).agg(
         (F.sum(d2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
     )

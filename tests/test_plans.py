@@ -201,3 +201,45 @@ def test_q10_q13_plan_shapes(qmod, spark, sf_dir):
     p2 = plan(qmod, spark, sf_dir, "q13_custdist")
     assert "LeftOuter" in p2
     assert p2.count("HashAggregate (") >= 4
+
+
+def test_tpch_breadth_single_scan_rewrites(qmod, spark, sf_dir):
+    """Q2/Q17: the correlated MIN/AVG subqueries decorrelate into
+    windows over the aggregated (resp. filtered) slice, so lineitem
+    is scanned ONCE — the naive aggregate-join-back plans the whole
+    lineitem subtree twice. Q21: the reused lineitem-orders join is
+    checkpoint-materialized, so it too contributes one lineitem scan."""
+    p = plan(qmod, spark, sf_dir, "q2_min_cost_supplier")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+    p = plan(qmod, spark, sf_dir, "q17_small_qty_revenue")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+    p = plan(qmod, spark, sf_dir, "q21_waiting_supplier")
+    assert "lineitem.parquet" not in p  # behind the lazy checkpoint
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_breadth_join_strategies(qmod, spark, sf_dir):
+    """Q4: EXISTS plans as a LEFT SEMI with the quarter filter pushed
+    to the orders scan. Q16: NOT IN over a non-null key plans as a
+    broadcast LEFT ANTI of the filtered supplier set. Q20: the
+    qualified-supplier set's join is left to AQE (no forced broadcast
+    of a data-dependent key set)."""
+    p = plan(qmod, spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    p = plan(qmod, spark, sf_dir, "q16_parts_supplier")
+    assert "LeftAnti" in p
+    assert "LessThan(s_acctbal,0.0)" in p
+    p = plan(qmod, spark, sf_dir, "q20_part_promotion")
+    assert "LeftSemi" in p
+
+
+def test_q19_disjunctive_predicates_pushed(qmod, spark, sf_dir):
+    """Q19: Catalyst derives per-table OR filters from the
+    OR-of-ANDs join predicate and pushes them into BOTH parquet
+    scans — the scan must not read unfiltered tables."""
+    p = plan(qmod, spark, sf_dir, "q19_discount_revenue")
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+    assert "Or(Or(And(EqualTo(p_brand,Brand#13)" in p
