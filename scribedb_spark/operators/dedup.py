@@ -511,32 +511,80 @@ def dedup_components(spark, sf_dir) -> DataFrame:
     reachable), the form a dedup pipeline actually consumes — keep
     one doc per component, drop the rest.
 
-    Alternating large-star / small-star rounds (the MapReduce-CC
-    algorithm of Kiveris et al., "Connected Components in MapReduce
-    and Beyond", SoCC 2014): each round re-points every node's larger
-    (resp. smaller) neighbors at the minimum of its neighborhood —
-    one groupBy + one join per star, O(log^2 n) rounds proven,
-    observed 2-7 on real pair graphs. Converged state is a star
-    forest: every node points directly at its component min. Plain
-    min-label propagation needs O(diameter) rounds and its long-chain
-    tail was measured 10x slower on the sf0.1 graph.
+    Two phases. (1) Partition-local contraction: each task runs a
+    min-root union-find over its slice of the edge list (mapInPandas,
+    no shuffle) and emits its star forest — connectivity-equivalent,
+    at most one edge per local node, every edge already pointing at a
+    local minimum. (2) Alternating large-star / small-star rounds
+    (the MapReduce-CC algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) stitch the
+    partition forests globally: O(log^2 n) rounds proven, and after
+    contraction typically 2-3 — each distributed round is a groupBy +
+    join, so halving rounds halves shuffles. Plain min-label
+    propagation needs O(diameter) rounds and its long-chain tail was
+    measured 10x slower on the sf0.1 graph. Converged state is a star
+    forest: every node points directly at its component min.
     ``localCheckpoint`` truncates lineage between rounds; fixpoint =
     unchanged (checksum, count) of the edge set. The DuckDB twin is a
     recursive CTE over the same pair edges.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    e = pairs.select(
-        F.col("doc_id1").alias("u"), F.col("doc_id2").alias("v")
-    ).localCheckpoint()  # the pair computation runs once
+
+    def contract(batches):
+        import pandas as pd
+
+        # union-find with path compression; roots are component minima
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["doc_id1"].to_numpy(), pdf["doc_id2"].to_numpy()):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        us = [x for x in parent if find(x) != x]
+        if us:
+            yield pd.DataFrame({"u": us, "v": [find(x) for x in us]})
+
+    e = (
+        pairs.mapInPandas(contract, schema="u long, v long")
+        .localCheckpoint()  # the pair computation runs once
+    )
 
     def star_min(sym):
         # m(u) = min(neighborhood(u) incl u); u is the group key so
         # first(u) is exact
         return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
+    def is_star_forest(e):
+        # Exact convergence test: every edge already has v < u, so e
+        # is the final answer iff (a) no node has two parents and
+        # (b) no edge target is itself re-pointed (no u->v->w chain).
+        # Two limit-1 probes on a tiny edge set — far cheaper than
+        # running a confirming star round to see the checksum repeat.
+        multi = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        chain = e.alias("a").join(
+            e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi"
+        )
+        return multi.isEmpty() and chain.isEmpty()
+
     converged = False
-    prev_ck = None
-    for _ in range(30):  # proven O(log^2 n); observed 2-7
+    for _ in range(31):  # proven O(log^2 n); observed 0-7 after contraction
+        if is_star_forest(e):
+            converged = True
+            break
         sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = star_min(sym)
         large = (
@@ -561,16 +609,6 @@ def dedup_components(spark, sf_dir) -> DataFrame:
             .distinct()
         )
         e = small.localCheckpoint()
-        ck = e.agg(
-            # xxhash64 sums overflow BIGINT under ANSI — go decimal
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        cur_ck = (str(ck["h"]), ck["n"])
-        if cur_ck == prev_ck:
-            converged = True
-            break
-        prev_ck = cur_ck
     if not converged:
         # partially merged components are silently WRONG groups —
         # never hand them back as if final
