@@ -31,6 +31,10 @@ BENCH_KEYS = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q21_waiting_supplier",
     "agg_skew_salted",
     "join_inner",
     "join_broadcast",
