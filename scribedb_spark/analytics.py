@@ -1,0 +1,275 @@
+"""Round-2 breadth: additional exact analytic operator keys.
+
+Same contract as scribedb_spark.queries — every key pairs a Spark
+DataFrame program with a DuckDB oracle that hash-matches bit-for-bit.
+The exactness rules (decimal sums before double casts, unique
+orderings for anything order-sensitive, identical double expression
+trees on both sides) are the ones documented in queries.py's module
+docstring; each key below notes which rule it leans on.
+
+Families covered here, extending the §2 inventory:
+- window:  ntile, first/last/nth_value framed navigation
+- agg:     arg-max/arg-min (max_by/min_by), FILTER-clause conditional
+           aggregates, boolean and bitwise aggregates, correlation
+           (exact-decimal-sum formulation)
+- setop:   INTERSECT ALL (bag semantics, complements setop_intersect)
+- scalar:  struct/map construction + field extraction round-trip
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scribedb_spark.queries import d2, register
+from scribedb_spark.sources import table
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark, sf_dir) -> DataFrame:
+    """ntile bucketing (equal-frequency quartiles per status group).
+
+    Exactness: ntile is pure integer arithmetic over the row order;
+    o_orderkey tiebreaks ties in o_totalprice so the order — and
+    therefore every bucket assignment — is engine-identical.
+    Scale: one hash shuffle on the partition key; no global sort.
+    """
+    o = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           first_value(s_suppkey) OVER w AS cheapest_supp,
+           last_value(s_suppkey)  OVER w AS richest_supp,
+           nth_value(s_suppkey, 2) OVER w AS second_supp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf_dir) -> DataFrame:
+    """Framed navigation functions: first/last/nth over the FULL
+    partition frame (the default frame would make last_value the
+    current row — the classic SQL footgun; both sides pin the frame
+    explicitly). s_suppkey tiebreaks equal balances."""
+    s = table(spark, "supplier", sf_dir)
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal", "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_suppkey").over(w).alias("cheapest_supp"),
+        F.last("s_suppkey").over(w).alias("richest_supp"),
+        F.nth_value("s_suppkey", 2).over(w).alias("second_supp"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           * 10000000 + c_custkey) AS richest_cust,
+           arg_min(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           * 10000000 + c_custkey) AS poorest_cust
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_minmax_by(spark, sf_dir) -> DataFrame:
+    """arg-max/arg-min aggregation (max_by/min_by): the customer name
+    at the extreme account balance per nation.
+
+    Exactness: ties in the ordering value make arg_max engine-defined,
+    so the ordering key is (balance-in-cents, custkey) packed into one
+    BIGINT — exact decimal cents (no double rounding) and unique.
+    Scale: a regular hash aggregate — partial max_by merges map-side
+    exactly like min/max.
+    """
+    c = table(spark, "customer", sf_dir)
+    rank = (d2("c_acctbal") * 100).cast("long") * F.lit(10_000_000) + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", rank).alias("richest_cust"),
+        F.min_by("c_name", rank).alias("poorest_cust"),
+    )
+
+
+@register(
+    "agg_count_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_filter(spark, sf_dir) -> DataFrame:
+    """FILTER-clause conditional aggregation — several differently-
+    filtered aggregates in ONE pass/shuffle (vs one scan per filter).
+    Null-sum semantics match: a group with no 'O' rows yields NULL.
+    """
+    o = table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", d2("o_totalprice")))
+        .cast("double")
+        .alias("open_total"),
+    )
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_custkey % 100 = 0) AS any_round_cust,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey)  AS key_or,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_bit(spark, sf_dir) -> DataFrame:
+    """Boolean (every/any) and bitwise (and/or/xor) aggregates —
+    all associative + commutative, so order-independent and exact on
+    BIGINT/boolean; partials merge map-side."""
+    o = table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_custkey") % 100 == 0).alias("any_round_cust"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@register(
+    "agg_corr_manual",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
+           / sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+           / sqrt(COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
+           AS corr_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_manual(spark, sf_dir) -> DataFrame:
+    """Pearson correlation from exact decimal sums (same technique as
+    agg_stats_manual): built-in corr() accumulates in floats whose
+    order differs across engines; computing n, Sx, Sy, Sxx, Syy, Sxy
+    as exact decimals and applying one fixed double expression
+    (n*Sxy - Sx*Sy) / sqrt(n*Sxx - Sx^2) / sqrt(n*Syy - Sy^2)
+    is deterministic on both sides (identical IEEE expression tree).
+
+    Magnitude constraint: the decimal-to-double casts are only
+    single-rounded when each sum's UNSCALED value stays below 2^53 —
+    above that, engines legally differ in the last ulp (DuckDB's
+    int128 path double-rounds; verified with sum(price^2) at sf0.001).
+    corr is affine-invariant, so large-magnitude variables are
+    pre-scaled, not summed raw — here quantity (<=50) vs discount
+    (<=0.10) are used directly.
+    Scale: six decimal partial sums per group, map-side merged — the
+    same cost class as a plain SUM."""
+    li = table(spark, "lineitem", sf_dir)
+    n = F.count(F.lit(1))
+    sx = F.sum(d2("l_quantity")).cast("double")
+    sy = F.sum(d2("l_discount")).cast("double")
+    sxx = F.sum(d2("l_quantity") * d2("l_quantity")).cast("double")
+    syy = F.sum(d2("l_discount") * d2("l_discount")).cast("double")
+    sxy = F.sum(d2("l_quantity") * d2("l_discount")).cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"), corr.alias("corr_qty_disc")
+    )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def setop_intersect_all(spark, sf_dir) -> DataFrame:
+    """INTERSECT ALL (bag semantics — keeps min(multiplicity) copies;
+    complements the set-semantics setop_intersect). One shuffle on
+    the value, like a groupBy."""
+    o = table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "scalar_struct_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_from_struct,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_from_struct,
+           o_orderpriority AS prio_from_map,
+           2 AS map_size
+    FROM orders
+    """,
+)
+def scalar_struct_map(spark, sf_dir) -> DataFrame:
+    """Struct/map construction and field extraction round-trip: pack
+    columns into a struct and a map, then pull them back out (output
+    is flat so the cross-engine hash compares scalars, not engine-
+    specific nested renderings).
+
+    Scale: structs/maps are columnar in Tungsten — construction and
+    getField are codegen'd projections, no serialization cost.
+    """
+    o = table(spark, "orders", sf_dir)
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            d2("o_totalprice").alias("price"),
+        ).alias("s"),
+        F.create_map(
+            F.lit("prio"), F.col("o_orderpriority"),
+            F.lit("status"), F.col("o_orderstatus"),
+        ).alias("m"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("s.status").alias("status_from_struct"),
+        F.col("s.price").cast("double").alias("price_from_struct"),
+        F.element_at("m", "prio").alias("prio_from_map"),
+        F.size("m").alias("map_size"),
+    )

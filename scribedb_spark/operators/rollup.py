@@ -1,0 +1,104 @@
+"""Hypertable-style tiered time rollups (timeseries continuous-
+aggregate pattern).
+
+The idea: aggregate a 100 TB event stream ONCE at the finest grain
+(minute), then derive every coarser grain (hour, day, month, ...)
+by re-aggregating the partials — never rescanning the raw table.
+This only works for aggregates whose partial states merge
+associatively (count, sum, min, max, and sketches like HLL);
+averages/ratios are computed at the END from the merged sums.
+
+Scale design: the minute tier reduces the raw table by orders of
+magnitude (events-per-minute-per-key -> 1 row), so the hour and day
+tiers shuffle tiny inputs. On a real deployment each tier is written
+partitioned by its bucket (convert_to_parquet(partition_by=[...]))
+and refreshed incrementally: only buckets whose watermark advanced
+are recomputed — the batch twin of a Structured Streaming windowed
+aggregation with append output (streaming/windows.py).
+
+The registered key proves the tier chain is EXACT: the day tier
+built minute->hour->day hash-matches a direct day aggregation of the
+raw table (the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scribedb_spark.queries import register
+from scribedb_spark.sources import table
+
+#: merge rules for re-aggregable partial columns: output name ->
+#: (leaf aggregate over the raw column, merge aggregate over partials)
+_MERGEABLE = {
+    "n_events": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum_value": (lambda c: F.sum(c.cast("decimal(18,2)")), F.sum),
+    "min_value": (lambda c: F.min(c), F.min),
+    "max_value": (lambda c: F.max(c), F.max),
+}
+
+
+def tiered_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    tiers: list[str] = ("minute", "hour", "day"),
+) -> dict[str, DataFrame]:
+    """Build the tier chain: finest tier from the raw rows, every
+    coarser tier from the previous tier's partials. Returns
+    {tier_name: DataFrame} with columns [bucket, *keys, n_events,
+    sum_value (decimal), min_value, max_value]."""
+    out: dict[str, DataFrame] = {}
+    v = F.col(value_col)
+    leaf = [leaf_fn(v).alias(name) for name, (leaf_fn, _) in _MERGEABLE.items()]
+    cur = (
+        df.groupBy(F.date_trunc(tiers[0], F.col(ts_col)).alias("bucket"), *keys)
+        .agg(*leaf)
+    )
+    out[tiers[0]] = cur
+    for tier in tiers[1:]:
+        merge = [
+            merge_fn(F.col(name)).alias(name)
+            for name, (_, merge_fn) in _MERGEABLE.items()
+        ]
+        cur = (
+            cur.groupBy(F.date_trunc(tier, F.col("bucket")).alias("bucket"), *keys)
+            .agg(*merge)
+        )
+        out[tier] = cur
+    return out
+
+
+@register(
+    "rollup_hypertable",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_hypertable(spark, sf_dir) -> DataFrame:
+    """Day-level continuous aggregate computed through the FULL tier
+    chain (minute -> hour -> day re-aggregation), hash-checked against
+    a direct day-grain aggregation of the raw table — proving the
+    partial-merge rules are exact (decimal sums merge associatively;
+    avg derived from merged sum/count at the end, never averaged
+    across tiers)."""
+    e = table(spark, "events", sf_dir)
+    day = tiered_rollup(e, "ts", "value", ["event_type"])["day"]
+    return day.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )

@@ -243,3 +243,24 @@ def test_q19_disjunctive_predicates_pushed(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "q19_discount_revenue")
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
     assert "Or(Or(And(EqualTo(p_brand,Brand#13)" in p
+
+
+def test_rollup_tier_chain_single_scan(qmod, spark, sf_dir):
+    """rollup_hypertable: the minute->hour->day tier chain reads the
+    raw events table exactly ONCE (coarser tiers re-aggregate the
+    previous tier's partials), and each tier has map-side partial
+    aggregation — the hypertable continuous-aggregate shape."""
+    p = plan(qmod, spark, sf_dir, "rollup_hypertable")
+    assert p.count("events.parquet") == 1
+    assert p.count("partial_") >= 4  # leaf tier partial aggs
+    assert p.count("Exchange") >= 3  # one shuffle per tier, nothing more
+
+
+def test_filtered_aggregates_single_pass(qmod, spark, sf_dir):
+    """agg_count_filter: three differently-filtered aggregates compile
+    to ONE scan + ONE shuffle (conditional aggregation), not one pass
+    per filter."""
+    p = plan(qmod, spark, sf_dir, "agg_count_filter")
+    assert p.count("orders.parquet") == 1
+    assert p.count("Exchange") <= 2  # agg shuffle (+ AQE final coalesce)
+    assert "partial_count(CASE WHEN" in p
