@@ -35,6 +35,8 @@ BENCH_KEYS = [
     "q7_volume_shipping",
     "q9_product_profit",
     "q21_waiting_supplier",
+    "pipeline_curation",
+    "rollup_hypertable",
     "agg_skew_salted",
     "join_inner",
     "join_broadcast",

@@ -1,0 +1,114 @@
+"""End-to-end training-data curation pipeline (flagship composition).
+
+A user of the reference compares datasets; a user of THIS engine also
+prepares them. This module chains the text-analysis and dedup
+operator families into the standard LLM-corpus curation shape:
+
+    raw documents
+      -> language marker filter      (functions/text.py heuristics)
+      -> heuristic quality filter    (length + stopword-ratio score)
+      -> content-normalized exact dedup, keep lowest doc_id
+      -> token accounting per source (the training-mix ledger)
+
+Every stage is a narrow filter/projection or one hash shuffle:
+- the two filters are codegen'd scans (no shuffle, pushdown-friendly);
+- dedup is ONE row_number window over the content key (same shuffle
+  count as the groupBy formulation but keeps the winning ROW, not
+  just the key);
+- the final per-source stats are a map-side-partial aggregation.
+At 100 TB the whole pipeline is two shuffles total.
+
+Exactness: the quality score is a double, but it is only FILTERED on
+(same IEEE expression tree both engines), never summed; all outputs
+are exact ints/strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scribedb_spark.functions.text import (
+    SQL_NTOK,
+    normalized,
+    occurrences,
+    sql_occ,
+    ws_token_count,
+)
+from scribedb_spark.queries import register
+from scribedb_spark.sources import table
+
+#: pipeline thresholds (chosen so each stage drops a real fraction of
+#: the synthetic corpus: marker >=1 keeps all, quality >=0.2 keeps
+#: ~70%, dedup collapses ~11% of survivors)
+MIN_QUALITY = 0.2
+
+
+def quality_score(t) -> "F.Column":
+    """0.5 * saturating-length score + 0.5 * stopword ratio — the
+    same expression as the text_quality_score key."""
+    ntok = ws_token_count(t)
+    len_score = F.least(ntok, F.lit(100)).cast("double") / 100
+    stop_ratio = occurrences(t, "the").cast("double") / ntok
+    return 0.5 * len_score + 0.5 * stop_ratio
+
+
+def curate(docs: DataFrame, min_quality: float = MIN_QUALITY) -> DataFrame:
+    """The kept-documents view: filters + exact-dedup winner rows.
+    Returns the surviving (doc_id, source, text, n_tokens) rows."""
+    t = F.col("text")
+    filtered = docs.filter(
+        (occurrences(t, "the") + occurrences(t, "a") >= 1)
+        & (quality_score(t) >= F.lit(min_quality))
+    )
+    key = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(t, " "))), " "))
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    return (
+        filtered.withColumn("content_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "text", ws_token_count(t).alias("n_tokens"))
+    )
+
+
+@register(
+    "pipeline_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {SQL_NTOK} AS n_tokens,
+             CAST(least({SQL_NTOK}, 100) AS DOUBLE) / 100 * 0.5
+               + 0.5 * CAST({sql_occ('the')} AS DOUBLE) / {SQL_NTOK} AS quality
+      FROM documents
+      WHERE {sql_occ('the')} + {sql_occ('a')} >= 1
+    ),
+    kept AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))), ' '))
+               ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE quality >= {MIN_QUALITY}
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(n_tokens) AS max_doc_tokens
+    FROM kept WHERE rn = 1
+    GROUP BY source
+    """,
+)
+def pipeline_curation(spark, sf_dir) -> DataFrame:
+    """Flagship composition: filter -> quality-gate -> dedup -> token
+    ledger per source, hash-checked end to end against one DuckDB SQL
+    program — proving the composed operator semantics, not just each
+    stage in isolation."""
+    kept = curate(table(spark, "documents", sf_dir))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+    )

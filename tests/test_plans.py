@@ -264,3 +264,14 @@ def test_filtered_aggregates_single_pass(qmod, spark, sf_dir):
     assert p.count("orders.parquet") == 1
     assert p.count("Exchange") <= 2  # agg shuffle (+ AQE final coalesce)
     assert "partial_count(CASE WHEN" in p
+
+
+def test_pipeline_curation_two_shuffles(qmod, spark, sf_dir):
+    """pipeline_curation: the whole filter -> quality -> dedup ->
+    ledger chain is ONE scan and TWO shuffles (dedup window + final
+    agg), with WindowGroupLimit pruning rn=1 losers before the
+    exchange."""
+    p = plan(qmod, spark, sf_dir, "pipeline_curation")
+    assert p.count("documents.parquet") == 1
+    assert "WindowGroupLimit" in p
+    assert p.count("+- Exchange") <= 2
