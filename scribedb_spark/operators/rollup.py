@@ -39,6 +39,21 @@ _MERGEABLE = {
 }
 
 
+def merge_tier(tier_df: DataFrame, tier: str, keys: list[str]) -> DataFrame:
+    """Re-aggregate a tier frame [bucket, *keys, partials...] to a
+    coarser grain by merging the partial columns (sum-of-sums,
+    min-of-mins, ...). Works on any frame with _MERGEABLE columns —
+    including one produced by the STREAMING leaf tier."""
+    merge = [
+        merge_fn(F.col(name)).alias(name)
+        for name, (_, merge_fn) in _MERGEABLE.items()
+    ]
+    return (
+        tier_df.groupBy(F.date_trunc(tier, F.col("bucket")).alias("bucket"), *keys)
+        .agg(*merge)
+    )
+
+
 def tiered_rollup(
     df: DataFrame,
     ts_col: str,
@@ -59,16 +74,37 @@ def tiered_rollup(
     )
     out[tiers[0]] = cur
     for tier in tiers[1:]:
-        merge = [
-            merge_fn(F.col(name)).alias(name)
-            for name, (_, merge_fn) in _MERGEABLE.items()
-        ]
-        cur = (
-            cur.groupBy(F.date_trunc(tier, F.col("bucket")).alias("bucket"), *keys)
-            .agg(*merge)
-        )
+        cur = merge_tier(cur, tier, keys)
         out[tier] = cur
     return out
+
+
+def stream_minute_tier(
+    events: DataFrame,
+    keys: list[str] = ("event_type",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """The STREAMING leaf of the continuous aggregate: a watermarked
+    1-minute windowed aggregation maintaining the same partial columns
+    as the batch minute tier — so `merge_tier` rolls its output up to
+    hour/day unchanged. This is the production split: one streaming
+    job maintains the finest tier incrementally; cheap periodic batch
+    jobs re-aggregate it upward (they scan the tiny tier table, never
+    the raw stream's history)."""
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming and watermark
+        else events
+    )
+    v = F.col(value_col)
+    leaf = [leaf_fn(v).alias(name) for name, (leaf_fn, _) in _MERGEABLE.items()]
+    return (
+        src.groupBy(F.window(ts_col, "1 minute").alias("win"), *keys)
+        .agg(*leaf)
+        .select(F.col("win.start").alias("bucket"), *keys, *_MERGEABLE)
+    )
 
 
 @register(

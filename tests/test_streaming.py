@@ -189,3 +189,24 @@ def test_streaming_dedup_across_batches_and_state_eviction(spark, tmp_path_facto
         if p["stateOperators"]
     ]
     assert evicted and evicted[-1] <= 2
+
+
+def test_stream_rollup_tier_chain(spark, events_batch, events_stream_dir):
+    """Continuous-aggregate split: the STREAMING minute tier drained
+    over all micro-batches, then batch-merged up to day via
+    merge_tier, equals the all-batch tier chain — so partial-merge
+    exactness holds across the streaming/batch boundary too."""
+    from scribedb_spark.operators.rollup import (
+        merge_tier,
+        stream_minute_tier,
+        tiered_rollup,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, schema=events_batch.schema)
+    minute = _drain(
+        spark, stream_minute_tier(stream, watermark=None), "t_rollup_minute"
+    )
+    got = merge_tier(merge_tier(minute, "hour", ["event_type"]), "day", ["event_type"])
+    want = tiered_rollup(events_batch, "ts", "value", ["event_type"])["day"]
+    cols = ["bucket", "event_type", "n_events", "sum_value", "min_value", "max_value"]
+    assert _rows(got, cols) == _rows(want, cols)
