@@ -210,3 +210,48 @@ def test_stream_rollup_tier_chain(spark, events_batch, events_stream_dir):
     want = tiered_rollup(events_batch, "ts", "value", ["event_type"])["day"]
     cols = ["bucket", "event_type", "n_events", "sum_value", "min_value", "max_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_static_enrich_equals_batch(spark, events_batch, events_stream_dir, sf_dir):
+    """Stream-static join: every micro-batch joins the static customer
+    dim; the drained result equals the batch join exactly."""
+    from scribedb_spark.streaming.joins import stream_static_enrich
+
+    dim = table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    stream = read_events_stream(spark, events_stream_dir, schema=events_batch.schema)
+    got = _drain(
+        spark,
+        stream_static_enrich(stream, dim, "user_id").select(
+            "event_id", "user_id", "c_name", "c_nationkey"
+        ),
+        "t_enrich",
+        mode="append",
+    )
+    want = stream_static_enrich(events_batch, dim, "user_id").select(
+        "event_id", "user_id", "c_name", "c_nationkey"
+    )
+    cols = ["event_id", "user_id", "c_name", "c_nationkey"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_attribution_equals_batch(spark, events_batch, events_stream_dir):
+    """Stream-stream time-bounded inner join (view->click attribution
+    within 10 minutes) drained over unordered micro-batches equals the
+    batch self-join twin. No watermark: replayed files are unordered,
+    and an inner join without one is allowed (state just isn't
+    evicted)."""
+    from scribedb_spark.streaming.joins import view_click_attribution
+
+    stream = read_events_stream(spark, events_stream_dir, schema=events_batch.schema)
+    sv = stream.filter(F.col("event_type") == "view")
+    sc = stream.filter(F.col("event_type") == "click")
+    got = _drain(
+        spark, view_click_attribution(sv, sc, watermark=None), "t_attrib", mode="append"
+    )
+    bv = events_batch.filter(F.col("event_type") == "view")
+    bc = events_batch.filter(F.col("event_type") == "click")
+    want = view_click_attribution(bv, bc, watermark=None)
+    cols = ["v_user", "view_id", "click_id", "v_ts", "c_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
