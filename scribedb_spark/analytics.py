@@ -273,3 +273,67 @@ def scalar_struct_map(spark, sf_dir) -> DataFrame:
         F.element_at("m", "prio").alias("prio_from_map"),
         F.size("m").alias("map_size"),
     )
+
+
+@register(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def scalar_url_parse(spark, sf_dir) -> DataFrame:
+    """URL parsing family (parse_url HOST/PATH/QUERY-param): Spark's
+    dedicated parser vs the oracle's equivalent regexps — same output
+    on well-formed URLs. The URLs are constructed from table columns
+    so the check covers real value diversity."""
+    d = table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_good_value
+    FROM events
+    """,
+)
+def window_ignore_nulls(spark, sf_dir) -> DataFrame:
+    """IGNORE NULLS navigation (gap-filling / last-observation-carried-
+    forward): per user, the running latest non-error reading. The
+    (ts, event_id) ordering is unique, so the carried value is
+    deterministic on both engines."""
+    e = table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    good = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(good, ignorenulls=True).over(w).alias("last_good_value"),
+    )
