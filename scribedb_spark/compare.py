@@ -295,3 +295,39 @@ def compare(
     if spec.keys and not fast_equal:
         result.keyed_diff = keyed_diff(src, tgt, spec.keys)
     return result
+
+
+def fingerprint_delta(
+    prev: DataFrame,
+    cur: DataFrame,
+    id_col: str = "chunk_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental recheck: diff two persisted fingerprint tables.
+
+    The 100 TB compare loop is: each run persists its chunk
+    fingerprints (``chunk_fingerprints`` -> ``write_report``); the
+    next run diffs against the previous table and re-runs the
+    row-level plan ONLY for chunks reported here — the reference
+    re-hashes every chunk every run (reference main.py:216-247),
+    which at scale re-reads the world to confirm nothing changed.
+
+    Returns ``id_col, prev_fp, cur_fp, status`` for every chunk whose
+    status is not 'unchanged': 'added' / 'removed' / 'changed'.
+    One full-outer join on the (tiny) fingerprint tables — no touch
+    of the underlying data.
+    """
+    p = prev.select(F.col(id_col), F.col(fp_col).alias("prev_fp"))
+    c = cur.select(F.col(id_col), F.col(fp_col).alias("cur_fp"))
+    j = p.join(c, id_col, "full_outer")
+    return (
+        j.withColumn(
+            "status",
+            F.when(F.col("prev_fp").isNull(), F.lit("added"))
+            .when(F.col("cur_fp").isNull(), F.lit("removed"))
+            .when(F.col("prev_fp") != F.col("cur_fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .filter(F.col("status") != "unchanged")
+        .orderBy(id_col)
+    )

@@ -63,3 +63,40 @@ def salted_join(
     )
     out = s.join(o, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def _register_keys() -> None:
+    """Registry key lives behind a function so importing skew.py for
+    the library API doesn't require the registry machinery."""
+    from scribedb_spark.queries import d2, register
+    from scribedb_spark.sources import table
+
+    @register(
+        "join_skew_salted",
+        oracle="""
+        WITH dim AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS flag_qty
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, d.flag_qty
+        FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+        """,
+    )
+    def join_skew_salted(spark, sf_dir) -> DataFrame:
+        """Salted join on a maximally-skewed key (l_returnflag: 3
+        values, so a plain shuffle join lands ALL data on 3 reducers
+        at any cluster size). The salted plan spreads each hot key
+        over 16 (key, salt) partitions; the oracle is the PLAIN join
+        — hash-equality proves salting is invisible in the result.
+        """
+        li = table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+        )
+        dim = li.groupBy("l_returnflag").agg(
+            F.sum(d2("l_quantity")).cast("double").alias("flag_qty")
+        )
+        out = salted_join(li, dim, "l_returnflag")
+        return out.select("l_orderkey", "l_linenumber", "l_returnflag", "flag_qty")
+
+
+_register_keys()

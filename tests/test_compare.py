@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from scribedb_spark.compare import (
+    fingerprint_delta,
     CompareSpec,
     SchemaMismatch,
     chunk_fingerprints,
@@ -191,3 +192,26 @@ def test_keyed_diff_null_payload_semantics(spark):
     )
     out = {r["id"]: r["change"] for r in keyed_diff(src, tgt, ["id"]).collect()}
     assert out == {2: "changed", 3: "changed"}
+
+
+def test_fingerprint_delta_incremental_recheck(t_test):
+    """Incremental compare: persisting chunk fingerprints per run and
+    diffing them flags exactly the changed + appended chunks — the
+    scale replacement for the reference's rehash-everything loop."""
+    spec = CompareSpec(sort_keys=["a"], bucket_rows=1000)
+
+    def run_fps(df):
+        return chunk_fingerprints(df, df, spec).select(
+            "chunk_id", F.col("src_fp").alias("fp")
+        )
+
+    nxt = t_test.withColumn(
+        "b", F.when(F.col("a") == 4321, F.lit(0)).otherwise(F.col("b"))
+    ).unionAll(
+        t_test.sparkSession.createDataFrame(
+            [(99999, 1, "x")], "a int, b int, c string"
+        )
+    )
+    delta = fingerprint_delta(run_fps(t_test), run_fps(nxt)).collect()
+    got = {(r["chunk_id"], r["status"]) for r in delta}
+    assert got == {(4, "changed"), (5, "added")}
