@@ -337,3 +337,30 @@ def window_ignore_nulls(spark, sf_dir) -> DataFrame:
         "ts",
         F.last(good, ignorenulls=True).over(w).alias("last_good_value"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(floor(o_totalprice / 60000) AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY o_orderstatus, bucket
+    """,
+)
+def agg_histogram(spark, sf_dir) -> DataFrame:
+    """Fixed-width histogram per group (manual bucket expression, not
+    width_bucket, so both engines evaluate the IDENTICAL double
+    formula — engine-internal width_bucket roundings can't disagree).
+    Scale: a plain two-key hash aggregate; the bucket count bounds
+    output size regardless of input rows."""
+    o = table(spark, "orders", sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 60000).cast("int")
+    return o.groupBy("o_orderstatus", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
