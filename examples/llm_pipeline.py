@@ -10,6 +10,9 @@ scribedb_spark/queries.py):
  3. near-dup candidates via MinHash LSH    (dedup_minhash_lsh)
  4. embedding near-dups + ANN search       (dedup_embedding_cosine, ann_lsh_topk)
  5. multimodal feature extraction          (multimodal_features)
+ 6. composed curation ledger               (pipeline_curation)
+ 7. chunking + sequence packing            (text_chunk_split, text_pack_greedy)
+ 8. int8 embedding quantization            (vec_quantize_int8)
 The final "keep" set = documents minus exact-dup losers minus near-dup
 losers (keep the lowest doc_id of each cluster).
 """
@@ -55,6 +58,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     ann = Q.REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).count()
     mm = Q.REGISTRY["multimodal_features"].fn(spark, sf_dir).count()
 
+    ledger = Q.REGISTRY["pipeline_curation"].fn(spark, sf_dir)
+    led = ledger.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_tokens").alias("t")
+    ).first()
+    n_chunks = Q.REGISTRY["text_chunk_split"].fn(spark, sf_dir).count()
+    n_packs = (
+        Q.REGISTRY["text_pack_greedy"].fn(spark, sf_dir)
+        .select("source", "pack_id").distinct().count()
+    )
+    n_quant = Q.REGISTRY["vec_quantize_int8"].fn(spark, sf_dir).count()
+
     print(f"documents:              {n_docs}")
     print(f"low-quality (<0.3):     {low_q}")
     print(f"exact-dup groups:       {n_exact_groups}")
@@ -63,6 +77,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"embedding near-dup pairs: {emb_pairs}")
     print(f"ANN results (10 queries x top-5): {ann}")
     print(f"multimodal feature rows:  {mm}")
+    print(f"curation ledger: {led['d']} docs kept, {led['t']} tokens")
+    print(f"training chunks (100-tok, 20 overlap): {n_chunks}")
+    print(f"packed sequences (4096-tok budget):    {n_packs}")
+    print(f"int8-quantized embeddings: {n_quant}")
     print(f"total wall time: {time.perf_counter()-t0:.1f}s")
 
 
