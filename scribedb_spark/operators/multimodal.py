@@ -88,3 +88,54 @@ def multimodal_features(spark, sf_dir) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     return d.mapInPandas(fake_decode_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
+
+
+def fake_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake frame sampler: the blob is treated as a
+    stream of fixed-64-byte "frames"; every 4th frame is kept and
+    fingerprinted. Swap the slicing for an ffmpeg keyframe reader in
+    a real container — batching/schema/stride logic is unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            for idx in range(0, (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_STRIDE):
+                frame = blob[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_bytes"].append(len(frame))
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(octet_length(encode(substr(text, i*{FRAME_BYTES}+1, {FRAME_BYTES}))) AS INT)
+             AS frame_bytes,
+           md5(substr(text, i*{FRAME_BYTES}+1, {FRAME_BYTES})) AS frame_md5
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, 10000)) AS i) ix
+    WHERE i % {FRAME_STRIDE} = 0
+      AND i * {FRAME_BYTES} < octet_length(encode(text))
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir) -> DataFrame:
+    """Strided frame sampling over binary media columns: blob ->
+    fixed-size frames -> keep every {FRAME_STRIDE}th -> fingerprint.
+    mapInPandas (Arrow batches); the oracle reproduces the fake
+    sampler with byte-exact substr slices (the synthetic text is
+    ASCII, so char and byte offsets coincide)."""
+    d = table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return d.mapInPandas(fake_frame_batches, schema=FRAME_SCHEMA)
