@@ -622,3 +622,41 @@ def dedup_components(spark, sf_dir) -> DataFrame:
         e.select(F.col("u").alias("doc_id"))
     )
     return comp.unionAll(roots.withColumn("component", F.col("doc_id")))
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+           levenshtein(substr(a.text, 1, 150), substr(b.text, 1, 150)) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 150), substr(b.text, 1, 150)) <= 60
+    """,
+)
+def dedup_levenshtein(spark, sf_dir) -> DataFrame:
+    """Edit-distance near-dup verification: candidate pairs from a
+    blocking key (source — the same block the ngram-jaccard key uses),
+    verified by levenshtein over a 150-char prefix (both engines use
+    unit edit costs, so distances are identical integers).
+
+    Scale notes: levenshtein is O(len^2) per pair — the prefix cap
+    bounds it, and the blocking join bounds the pair count; at 100 TB
+    feed it LSH candidates (dedup_minhash_lsh output joined back to
+    text) instead of a metadata block. The prefix is also the standard
+    trick in record-linkage systems (compare the discriminative head,
+    not the whole document).
+    """
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "source", F.substring("text", 1, 150).alias("head"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_id1"), "source", F.col("head").alias("h1"))
+    b = d.select(F.col("doc_id").alias("doc_id2"), "source", F.col("head").alias("h2"))
+    dist = F.levenshtein("h1", "h2")
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_id1") < F.col("doc_id2"))
+        .select("doc_id1", "doc_id2", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 60)
+    )
