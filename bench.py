@@ -52,7 +52,10 @@ BENCH_KEYS = [
     "dedup_embedding_cosine",
     "join_similarity",
     "text_stats",
+    "text_chunk_split",
+    "text_pack_greedy",
     "vec_cosine_topk",
+    "vec_quantize_int8",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_features",
