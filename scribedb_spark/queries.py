@@ -15,6 +15,14 @@ Spark and DuckDB agree bit-for-bit):
   Plain SUM(double) would differ in the last ulp between engines
   because summation order differs.
 - Averages are SUM(decimal)::double / COUNT — never AVG(double).
+- The decimal->double cast is only single-rounded in BOTH engines
+  while the sum's UNSCALED integer stays < 2^53 (DuckDB's int128
+  path double-rounds above that) — keep summed magnitudes small
+  (e.g. corr over quantity/discount, not price^2; pre-scale when
+  needed — affine-invariant statistics allow it).
+- Integer sums (token counts etc.) need CAST(SUM(x) AS BIGINT) in
+  the oracle: DuckDB's SUM(int) returns HUGEINT, which the pandas
+  bridge degrades to float.
 - Window/topk/limit queries always carry a unique tiebreaker column
   in ORDER BY (o_orderkey etc.), so the selected/ranked set is
   deterministic.
