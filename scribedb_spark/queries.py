@@ -1073,7 +1073,10 @@ _CONTRACT_KEYS = (
 
 #: LLM-training-data-pipeline operator families — second tier: graded
 #: as first-class components, ahead of the TPC-H breadth keys
-_PIPELINE_PREFIXES = ("dedup_", "text_", "ann_", "multimodal_", "stream_")
+_PIPELINE_PREFIXES = (
+    "dedup_", "text_", "ann_", "multimodal_", "stream_",
+    "vec_", "pipeline_", "rollup_",
+)
 
 
 def _enumeration_order() -> list[str]:
