@@ -275,3 +275,29 @@ def test_pipeline_curation_two_shuffles(qmod, spark, sf_dir):
     assert p.count("documents.parquet") == 1
     assert "WindowGroupLimit" in p
     assert p.count("+- Exchange") <= 2
+
+
+def test_no_lingering_cached_blocks(qmod, spark, sf_dir):
+    """Cache hygiene (round-1 verdict item): registry fns must not
+    leave persisted RDD blocks behind in a long-lived session — the
+    engine uses localCheckpoint (ContextCleaner-reclaimed) instead of
+    persist(). Run the keys that materialize intermediates and assert
+    the persistent-RDD map drains (checkpoint blocks unreference as
+    the returned plans go out of scope)."""
+    import gc
+
+    for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
+        qmod.REGISTRY[key].fn(spark, sf_dir).count()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    jsc = spark.sparkContext._jsc.sc()
+    # allow the async ContextCleaner a moment to drain
+    import time as _t
+
+    for _ in range(20):
+        if jsc.getPersistentRDDs().size() == 0:
+            break
+        _t.sleep(0.5)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    assert jsc.getPersistentRDDs().size() == 0
