@@ -87,3 +87,72 @@ def test_symmetric_diff_matches_exceptall(spark, rows):
     only_tgt = dup.exceptAll(df).withColumn("side", F.lit("tgt"))
     want = sorted(tuple(r) for r in only_src.unionByName(only_tgt).collect())
     assert got == want
+
+
+def test_chunk_split_reassembles_documents(spark, sf_dir):
+    """Structural invariant (stronger than oracle equality): taking
+    each chunk's NON-overlapping head (the first `step` tokens) in
+    chunk order reconstructs every document exactly — no token is
+    lost or duplicated by the windowing."""
+    from scribedb_spark.operators.packing import CHUNK_STEP
+    from scribedb_spark.queries import REGISTRY, load_extensions
+    from scribedb_spark.sources import table
+
+    load_extensions()
+    chunks = REGISTRY["text_chunk_split"].fn(spark, sf_dir)
+    heads = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(F.split("chunk_text", " "), 1, CHUNK_STEP).alias("head"),
+    )
+    rebuilt = (
+        heads.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "head"))
+                        ),
+                        lambda s: s["head"],
+                    )
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_greedy_budget_invariant(spark, sf_dir):
+    """Packing invariants: (a) within a (source, pack) the docs are
+    doc_id-contiguous in token order — pack_id is monotone in doc_id;
+    (b) every pack except a shard's last STARTS before the budget
+    boundary it belongs to (its first doc begins inside the pack)."""
+    from scribedb_spark.operators.packing import PACK_BUDGET
+    from scribedb_spark.queries import REGISTRY, load_extensions
+    from pyspark.sql import Window
+
+    load_extensions()
+    packed = REGISTRY["text_pack_greedy"].fn(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    nonmono = (
+        packed.withColumn("prev", F.lag("pack_id").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("pack_id") < F.col("prev")))
+        .count()
+    )
+    assert nonmono == 0
+    # each doc's pack is where its first token lands
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    wrong = (
+        packed.withColumn("before", cum - F.col("n_tokens"))
+        .filter(F.col("pack_id") != F.floor(F.col("before") / PACK_BUDGET))
+        .count()
+    )
+    assert wrong == 0
