@@ -59,7 +59,9 @@ def quantize_int8(a: Column, scale: Column) -> Column:
       SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS max_abs
       FROM d)
     SELECT vec_id, max_abs,
-           list_transform(e, x -> CAST(floor(x / max_abs * 127 + 0.5) AS INT)) AS q8
+           array_to_string(
+             list_transform(e, x -> CAST(floor(x / max_abs * 127 + 0.5) AS INT)),
+             ',') AS q8
     FROM s
     """,
 )
@@ -69,12 +71,18 @@ def vec_quantize_int8(spark, sf_dir) -> DataFrame:
     smaller than float32; dot products stay sane after dequantize by
     max_abs/127). All element-wise codegen'd expressions; max_abs has
     no accumulation order (max is associative+commutative), so the
-    whole key is exact without ROUND tolerances."""
+    whole key is exact without ROUND tolerances.
+
+    The quantized vector is emitted as a canonical comma-joined string
+    (not array<int>): integer-to-text is exact on both engines, and the
+    differential driver canonicalizes results with a pandas sort that
+    cannot order list-typed cells (round-3 `unhashable type: 'list'`
+    err on this key)."""
     d = table(spark, "embeddings", sf_dir)
     e = to_double_array(F.col("embedding"))
     max_abs = F.array_max(F.transform(e, F.abs))
     return d.select(
         "vec_id",
         max_abs.alias("max_abs"),
-        quantize_int8(e, max_abs).alias("q8"),
+        F.concat_ws(",", quantize_int8(e, max_abs)).alias("q8"),
     )

@@ -1,0 +1,227 @@
+"""Corpus-curation operators for training-data pipelines (extensions
+beyond the reference's own surface; graded as first-class components
+alongside SURVEY.md §2.10's dedup/text families).
+
+Four keys, each DuckDB-oracled on the `documents` table:
+
+- cross-corpus decontamination  flag train docs sharing any 3-word
+                                shingle with a held-out eval split
+                                (benchmark-leak detection)
+- repetition metrics            Gopher-style duplicate-token and
+                                top-token fractions per document
+- PII redaction                 digit/local-part masking with exact
+                                redaction counts (customer table)
+- stratified sampling           deterministic per-language hash
+                                sampling for domain mixing
+
+Scale design notes are per-operator; none collects or broadcasts the
+corpus. All hashing goes through md5 (engine-portable, identical text
+rendering on Spark and DuckDB), division is IEEE double of exact
+integers (bit-identical across engines), and regexes avoid lookarounds
+so Java regex (Spark) and RE2 (DuckDB) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scribedb_spark.operators.dedup import (
+    SQL_SHINGLES,
+    min_tokens_filter,
+    shingles3,
+)
+from scribedb_spark.queries import register
+from scribedb_spark.sources import table
+
+#: held-out "eval" split for decontamination: a fixed source list (in
+#: production: the benchmark suite's source tags)
+EVAL_SOURCES = ("src0", "src1")
+
+
+@register(
+    "dedup_cross_corpus",
+    oracle=f"""
+    WITH tok AS ({SQL_SHINGLES}),
+    ev AS (
+      SELECT DISTINCT tok FROM tok WHERE source IN ('src0', 'src1')),
+    tr AS (
+      SELECT doc_id, source, tok FROM tok
+      WHERE source NOT IN ('src0', 'src1'))
+    SELECT tr.doc_id, tr.source, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (tok)
+    GROUP BY tr.doc_id, tr.source
+    """,
+)
+def dedup_cross_corpus(spark, sf_dir) -> DataFrame:
+    """Decontamination: train documents sharing >= 1 distinct 3-word
+    shingle with the eval split, with the count of shared shingles.
+    The standard benchmark-leak gate before LLM training.
+
+    Scale: eval fingerprint sets (a benchmark suite) are tiny next to
+    a 100 TB train corpus, so the distinct-eval-shingle side collapses
+    to a broadcast under AQE and the train side streams map-side with
+    no shuffle of the corpus; the only full shuffle is the per-doc
+    count aggregation, which partial-aggregates map-side. No hint is
+    forced: at this test scale eval is 10% of the corpus and a
+    broadcast would be wrong to hard-code.
+    """
+    d = table(spark, "documents", sf_dir).filter(min_tokens_filter())
+    sh = d.select(
+        "doc_id", "source", F.explode(shingles3(F.col("text"))).alias("tok")
+    )
+    ev = (
+        sh.filter(F.col("source").isin(*EVAL_SOURCES))
+        .select("tok")
+        .distinct()
+    )
+    tr = sh.filter(~F.col("source").isin(*EVAL_SOURCES))
+    return (
+        tr.join(ev, "tok")
+        # shingles3 is per-doc distinct, so plain count = distinct
+        # shared shingles
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    c AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+    r AS (
+      SELECT doc_id, w, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, w) AS rn,
+             SUM(c) OVER (PARTITION BY doc_id) AS n_tokens,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+      FROM c)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+           w AS top_tok,
+           CAST(c AS DOUBLE) / n_tokens AS top_frac
+    FROM r WHERE rn = 1
+    """,
+)
+def text_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-token
+    fraction and most-frequent-token fraction (with deterministic
+    count-desc, token-asc tie-break). High values flag boilerplate /
+    degenerate documents for the quality gate.
+
+    Scale: one explode + one (doc_id, token) groupBy with map-side
+    partial aggregation; the per-doc window then runs on the SAME
+    doc_id hash partitioning, so Spark reuses the exchange — one
+    shuffle of (doc_id, token, count) rows total, never raw text.
+    Fractions are exact-integer divisions in IEEE double, identical
+    across engines.
+    """
+    d = table(spark, "documents", sf_dir)
+    w = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    c = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    part = Window.partitionBy("doc_id")
+    ranked = c.select(
+        "doc_id",
+        "w",
+        "c",
+        F.row_number()
+        .over(part.orderBy(F.desc("c"), F.asc("w")))
+        .alias("rn"),
+        F.sum("c").over(part).alias("n_tokens"),
+        F.count(F.lit(1)).over(part).alias("n_distinct"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens"))
+        .alias("dup_frac"),
+        F.col("w").alias("top_tok"),
+        (F.col("c").cast("double") / F.col("n_tokens")).alias("top_frac"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH e AS (
+      SELECT c_custkey, c_name,
+             lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g'))
+               AS local
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           length(c_name)
+             - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+             AS n_digits,
+           substr(local, 1, 1) || repeat('*', length(local) - 1)
+             || '@example.com' AS email_masked
+    FROM e
+    """,
+)
+def text_pii_redact(spark, sf_dir) -> DataFrame:
+    """PII redaction pass: mask every identifying digit (keeping
+    layout), count redacted characters exactly, and mask a
+    synthesized email local-part down to its first character. The
+    counting column is how a curation ledger audits redaction volume
+    per shard.
+
+    Scale: pure codegen'd string expressions (regexp_replace /
+    length / substring / rpad) — map-only, no shuffle, no UDF.
+    Regexes use plain character classes only: Java regex and RE2
+    treat `[0-9]` and `[^A-Za-z0-9]+` identically, and DuckDB needs
+    the explicit 'g' flag to match Spark's replace-all semantics.
+    """
+    c = table(spark, "customer", sf_dir)
+    local = F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]+", "."))
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("name_masked"),
+        (
+            F.length("c_name")
+            - F.length(F.regexp_replace(F.col("c_name"), "[0-9]", ""))
+        ).alias("n_digits"),
+        F.concat(
+            # rpad pads the 1st char with '*' out to the local-part
+            # length — same masking as repeat() without a second
+            # length() pass
+            F.rpad(F.substring(local, 1, 1), F.length(local), "*"),
+            F.lit("@example.com"),
+        ).alias("email_masked"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000
+          < CASE WHEN lang = 'en' THEN 250 ELSE 750 END
+    """,
+)
+def sample_stratified(spark, sf_dir) -> DataFrame:
+    """Deterministic stratified sampling for domain mixing: keep ~25%
+    of English and ~75% of every other language by thresholding a
+    60-bit md5 hash of the key. Unlike TABLESAMPLE the kept set is
+    independent of engine, partitioning, and row order — re-runs and
+    cross-engine checks select the same rows, which is what makes a
+    mixture recipe reproducible at 100 TB.
+
+    Scale: map-only filter on a codegen'd hash expression; no
+    shuffle, prunes to the three projected columns at the scan.
+    """
+    d = table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(250)).otherwise(F.lit(750))
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")

@@ -38,6 +38,7 @@ windows avoided except where the operator *is* a global order).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -856,6 +857,35 @@ def compare_verdict(spark, sf_dir):
 
 
 @register(
+    "compare_schema_compat",
+    oracle="""
+    WITH a AS (SELECT column_name FROM (DESCRIBE customer)),
+         b AS (SELECT column_name FROM (DESCRIBE supplier))
+    SELECT COALESCE(a.column_name, b.column_name) AS col_name,
+           a.column_name IS NOT NULL AS in_source,
+           b.column_name IS NOT NULL AS in_target
+    FROM a FULL OUTER JOIN b ON a.column_name = b.column_name
+    """,
+)
+def compare_schema_compat(spark, sf_dir):
+    """Schema-compat report between the two sides of a compare: the
+    reference only checks projection ARITY by parsing the SQL text
+    (ref main.py:157-168, ref scribedb/base.py:71-72); here the real
+    schemas drive a per-column presence report. Driver-side metadata
+    only — no data is read, so it is free at any scale.
+    """
+    a = table(spark, "customer", sf_dir)
+    b = table(spark, "supplier", sf_dir)
+    cols_a, cols_b = set(a.columns), set(b.columns)
+    rows = [
+        (c, c in cols_a, c in cols_b) for c in sorted(cols_a | cols_b)
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, in_source boolean, in_target boolean"
+    )
+
+
+@register(
     "agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
@@ -1045,6 +1075,7 @@ def load_extensions() -> None:
     import scribedb_spark.functions.vector  # noqa: F401
     import scribedb_spark.operators.skew  # noqa: F401
     import scribedb_spark.operators.packing  # noqa: F401
+    import scribedb_spark.operators.curation  # noqa: F401
 
     # SURVEY.md §2.10 names the MinHash-LSH near-dup key `dedup_near`;
     # keep that name as an alias of the concrete implementation key.
@@ -1079,24 +1110,69 @@ _PIPELINE_PREFIXES = (
 )
 
 
+def _driver_proven_keys() -> set[str]:
+    """Keys that already have a fully-green row (no err, rows+schema
+    and, where present, hash match) in ANY past round's
+    ``CORRECTNESS_r*.json`` at the repo root. Read-only and best-effort:
+    any parse problem just means "nothing proven yet"."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proven: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            ):
+                proven.add(key)
+    return proven
+
+
 def _enumeration_order() -> list[str]:
     """Registry keys in driver-enumeration priority: §2 contract keys,
     then the LLM-pipeline operator families, then everything else in
     registration order. Round 1's correctness report stopped after 50
     keys (registration-ordered), leaving the pipeline family without
     driver rows — priority ordering makes any driver-side budget spend
-    itself on the keys that matter most."""
+    itself on the keys that matter most.
+
+    The non-contract tail is additionally SELF-ADVANCING: keys that
+    already hold a fully-green driver row in a past round's
+    CORRECTNESS_r*.json yield their budget slot to keys that were never
+    driver-checked (the driver caps each round at ~50 rows). Contract
+    keys always stay first — they are re-proven every round — while the
+    remaining slots rotate through unproven keys until the whole
+    registry has a hard driver signal. Ordering within each partition
+    is stable, so runs are deterministic given the same report files."""
     seen: dict[str, None] = {}
     for k in _CONTRACT_KEYS:
         if k in REGISTRY:
             seen[k] = None
+    tail: list[str] = []
     for k in REGISTRY:
         if k not in seen and k.startswith(_PIPELINE_PREFIXES):
             seen[k] = None
+            tail.append(k)
     for k in REGISTRY:
         if k not in seen:
             seen[k] = None
-    return list(seen)
+            tail.append(k)
+    proven = _driver_proven_keys()
+    head = [k for k in seen if k not in set(tail)]
+    return head + sorted(tail, key=lambda k: k in proven)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1690,17 +1766,21 @@ def window_dedup_top1(spark, sf_dir):
     "scalar_higher_order",
     oracle="""
     SELECT p_partkey,
-           CAST(list_transform(generate_series(1, (p_size % 8) + 1), x -> x * 2)
-                AS BIGINT[]) AS doubled,
-           CAST(list_filter(generate_series(1, (p_size % 8) + 1), x -> x % 2 = 0)
-                AS BIGINT[]) AS evens,
+           array_to_string(
+             list_transform(generate_series(1, (p_size % 8) + 1), x -> x * 2),
+             ',') AS doubled,
+           COALESCE(array_to_string(
+             list_filter(generate_series(1, (p_size % 8) + 1), x -> x % 2 = 0),
+             ','), '') AS evens,
            CAST(list_sum(generate_series(1, (p_size % 8) + 1)) AS BIGINT) AS total
     FROM part
     """,
 )
 def scalar_higher_order(spark, sf_dir):
     """Higher-order array functions: transform / filter / aggregate
-    over a per-row constructed array.
+    over a per-row constructed array. Array results are emitted as
+    canonical comma-joined strings — exact for integers, and scalar so
+    the differential driver's pandas sort can canonicalize them.
 
     Note: Spark evaluates these lambdas interpreted (outside codegen)
     — fine for short arrays; heavy per-element work belongs on
@@ -1710,8 +1790,8 @@ def scalar_higher_order(spark, sf_dir):
     arr = F.sequence(F.lit(1), F.pmod(F.col("p_size"), F.lit(8)) + 1)
     return p.select(
         "p_partkey",
-        F.transform(arr, lambda x: x * 2).cast("array<long>").alias("doubled"),
-        F.filter(arr, lambda x: x % 2 == 0).cast("array<long>").alias("evens"),
+        F.concat_ws(",", F.transform(arr, lambda x: x * 2)).alias("doubled"),
+        F.concat_ws(",", F.filter(arr, lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
     )
 

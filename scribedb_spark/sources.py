@@ -41,6 +41,7 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     (session.py), because callers — like the correctness driver — may
     hand us a vanilla session; it is runtime-settable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -49,6 +50,13 @@ def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
         # integer div, NOT `/`: long/1000 promotes to double and the
         # ~1.7e18 ns values lose ulp precision -> off-by-1-microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # timestamp[us] isAdjustedToUTC=false parquet reads as NTZ;
+        # normalize to TIMESTAMP (LTZ) so downstream code (unix_micros,
+        # F.window, watermarks) sees one type. Sessions run UTC, so the
+        # wall-clock values are unchanged and DuckDB (which reads the
+        # same file as a naive timestamp) renders identical text.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -283,21 +283,36 @@ def test_no_lingering_cached_blocks(qmod, spark, sf_dir):
     engine uses localCheckpoint (ContextCleaner-reclaimed) instead of
     persist(). Run the keys that materialize intermediates and assert
     the persistent-RDD map drains (checkpoint blocks unreference as
-    the returned plans go out of scope)."""
+    the returned plans go out of scope). The async ContextCleaner
+    gives no latency bound, so the assertion is on LIFETIME, not
+    latency: every block id present after pass 1 must be reclaimed
+    by the end of pass 2 — i.e. no block survives a whole extra
+    round of the same queries, so the count is bounded instead of
+    accumulating in a long-lived session."""
     import gc
-
-    for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
-        qmod.REGISTRY[key].fn(spark, sf_dir).count()
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    jsc = spark.sparkContext._jsc.sc()
-    # allow the async ContextCleaner a moment to drain
     import time as _t
 
-    for _ in range(20):
-        if jsc.getPersistentRDDs().size() == 0:
-            break
-        _t.sleep(0.5)
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-    assert jsc.getPersistentRDDs().size() == 0
+    def run_keys():
+        for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
+            qmod.REGISTRY[key].fn(spark, sf_dir).count()
+
+    def rdd_ids() -> set[int]:
+        # JavaSparkContext's java.util.Map (the scala Map lacks a
+        # py4j-friendly accessor)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(str(i)) for i in jmap.keySet().toArray()}
+
+    def drain_of(old: set[int]) -> set[int]:
+        for _ in range(30):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            left = rdd_ids() & old
+            if not left:
+                break
+            _t.sleep(0.5)
+        return rdd_ids() & old
+
+    run_keys()
+    pass1 = rdd_ids()
+    run_keys()
+    assert drain_of(pass1) == set(), "pass-1 checkpoint blocks never reclaimed"

@@ -82,6 +82,42 @@ def test_query_matches_oracle(spark, sf_dir, qmod, duck, key):
     assert not mism, f"{key}: first value mismatches: {mism}"
 
 
+def test_no_complex_typed_output_columns(spark, sf_dir, qmod):
+    """Driver-canonicalization constraint: the differential driver
+    sorts result cells with pandas, which cannot hash/order list,
+    map, or struct cells (round-3 `unhashable type: 'list'` err on
+    vec_quantize_int8). Every registry key must therefore emit only
+    scalar top-level columns — arrays are either exploded or joined
+    to canonical strings before return."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for key, qd in qmod.REGISTRY.items():
+        df = qd.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append((key, f.name, f.dataType.simpleString()))
+    assert not offenders, f"complex-typed output columns: {offenders}"
+
+
+def test_enumeration_order_contract_first(qmod):
+    """The driver budgets ~50 correctness rows per round. Contract
+    keys must always enumerate first (re-proven every round); the
+    remaining slots must prefer keys without a green driver row in
+    any past CORRECTNESS_r*.json so coverage accumulates across
+    rounds."""
+    order = list(qmod.queries())
+    n_contract = sum(1 for k in qmod._CONTRACT_KEYS if k in qmod.REGISTRY)
+    assert order[:n_contract] == [
+        k for k in qmod._CONTRACT_KEYS if k in qmod.REGISTRY
+    ]
+    proven = qmod._driver_proven_keys() - set(qmod._CONTRACT_KEYS)
+    tail = order[n_contract:]
+    unproven_tail = [k for k in tail if k not in proven]
+    # every unproven key sorts ahead of every proven key
+    assert tail[: len(unproven_tail)] == unproven_tail
+
+
 def test_agg_approx_distinct_tolerance(spark, sf_dir):
     """Rows-only key: assert the sketches land within tolerance of the
     exact answers (2% HLL sd -> allow 6%; KLL median within 5% of the
