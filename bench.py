@@ -54,6 +54,11 @@ BENCH_KEYS = [
     "text_stats",
     "text_chunk_split",
     "text_pack_greedy",
+    "text_repetition",
+    "dedup_cross_corpus",
+    "sample_stratified",
+    "compare_keyed_diff",
+    "fp_chunk_hashes",
     "vec_cosine_topk",
     "vec_quantize_int8",
     "ann_lsh_topk",

@@ -193,6 +193,68 @@ def keyed_diff(
     )
 
 
+def keyed_diff_cols(
+    src: DataFrame, tgt: DataFrame, keys: list[str], *, validate_keys: bool = True
+) -> DataFrame:
+    """Scalar-output variant of ``keyed_diff``: per differing key, the
+    change class ('added'/'removed'/'changed') plus ``changed_cols`` —
+    a comma-joined list of the payload columns whose values differ
+    (null-safe comparison). The reference's NOK output makes the user
+    eyeball which column diverged (reference README.md:12-13); this
+    names the columns as data, and the flat schema (no structs) makes
+    the report directly writable/hashable by any sink.
+
+    Same full-outer-join shape as keyed_diff: one shuffle on the key,
+    payload compared column-wise JVM-side; scales like the join.
+    """
+    tgt = tgt.toDF(*src.columns)
+    if validate_keys:
+        for name, df in (("src", src), ("tgt", tgt)):
+            dup = (
+                df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"keyed_diff_cols: key {keys} is not unique on the {name} "
+                    "side; pass a unique key or validate_keys=False"
+                )
+    payload = [c for c in src.columns if c not in keys]
+    s = src.select(
+        *keys,
+        F.lit(True).alias("__in_src"),
+        *[F.col(c).alias(f"__s_{c}") for c in payload],
+    )
+    t = tgt.select(
+        *keys,
+        F.lit(True).alias("__in_tgt"),
+        *[F.col(c).alias(f"__t_{c}") for c in payload],
+    )
+    j = s.join(t, on=keys, how="full_outer")
+    col_differs = [
+        ~F.col(f"__s_{c}").eqNullSafe(F.col(f"__t_{c}")) for c in payload
+    ]
+    any_differs = col_differs[0]
+    for d in col_differs[1:]:
+        any_differs = any_differs | d
+    change = (
+        F.when(F.col("__in_src").isNull(), F.lit("added"))
+        .when(F.col("__in_tgt").isNull(), F.lit("removed"))
+        .when(any_differs, F.lit("changed"))
+    )
+    changed_cols = F.when(
+        change == "changed",
+        # concat_ws skips the NULLs that non-differing columns produce
+        F.concat_ws(
+            ",", *[F.when(d, F.lit(c)) for c, d in zip(payload, col_differs)]
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change", changed_cols.alias("changed_cols"))
+    )
+
+
 def chunk_fingerprints(
     src: DataFrame,
     tgt: DataFrame,

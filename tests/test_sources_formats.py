@@ -38,6 +38,21 @@ def test_json_round_trip(spark, orders, tmp_path_factory):
     assert _sorted_rows(back) == _sorted_rows(orders)
 
 
+def test_orc_round_trip(spark, orders, tmp_path_factory):
+    from scribedb_spark.sources import read_orc
+
+    p = str(tmp_path_factory.mktemp("orc") / "orders")
+    orders.write.mode("overwrite").orc(p)
+    back = read_orc(spark, p)
+    assert back.schema == orders.schema
+    assert _sorted_rows(back) == _sorted_rows(orders)
+    # ORC scans push predicates like parquet
+    plan = back.filter("o_orderkey = 7")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
+
+
 def test_convert_to_parquet_partitioned(spark, orders, tmp_path_factory):
     from scribedb_spark.sources import convert_to_parquet
 
