@@ -36,6 +36,7 @@ BENCH_KEYS = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "pipeline_curation",
+    "pipeline_shard_ledger",
     "rollup_hypertable",
     "agg_skew_salted",
     "join_inner",

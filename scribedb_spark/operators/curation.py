@@ -197,6 +197,49 @@ def text_pii_redact(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "text_shard_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id, h % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+             AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def text_shard_assign(spark, sf_dir) -> DataFrame:
+    """Deterministic global shuffle into training shards — the last
+    step before writing a corpus as shard files: every doc gets a
+    shard (hash mod n_shards) and a position within its shard
+    (ordered by hash, doc_id tiebreak so md5 collisions cannot make
+    the order run-dependent). The assignment is a pure function of
+    doc_id — engines, partitioning, and re-runs all agree, so shard
+    files are reproducible.
+
+    Scale: one shuffle on the shard key; each shard's window is one
+    reducer, which matches the one-writer-per-shard-file layout —
+    n_shards scales with the corpus (thousands at 100 TB), so
+    per-reducer work stays bounded at ~corpus/n_shards.
+    """
+    d = table(spark, "documents", sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    withh = d.select("doc_id", h.alias("h"))
+    shard = F.pmod(F.col("h"), F.lit(8))
+    w = Window.partitionBy(shard).orderBy("h", "doc_id")
+    return withh.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
     "sample_stratified",
     oracle="""
     SELECT doc_id, lang, source

@@ -112,3 +112,60 @@ def pipeline_curation(spark, sf_dir) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("n_tokens").alias("max_doc_tokens"),
     )
+
+
+@register(
+    "pipeline_shard_ledger",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {SQL_NTOK} AS n_tokens,
+             CAST(least({SQL_NTOK}, 100) AS DOUBLE) / 100 * 0.5
+               + 0.5 * CAST({sql_occ('the')} AS DOUBLE) / {SQL_NTOK} AS quality
+      FROM documents
+      WHERE {sql_occ('the')} + {sql_occ('a')} >= 1
+    ),
+    kept AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))), ' '))
+               ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE quality >= {MIN_QUALITY}
+    ),
+    sh AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 8 AS shard
+      FROM kept WHERE rn = 1)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM sh GROUP BY shard
+    """,
+)
+def pipeline_shard_ledger(spark, sf_dir) -> DataFrame:
+    """Flagship composition #2: the curated corpus dealt into
+    deterministic hash shards with a per-shard size/token ledger —
+    what a writer needs to emit balanced, reproducible training shard
+    files (and what an auditor re-derives to check them). Adds ONE
+    map-side-partial aggregation after curate(); the shard key is a
+    pure doc_id function, so no extra shuffle of text ever happens."""
+    kept = curate(table(spark, "documents", sf_dir)).select("doc_id", "n_tokens")
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(8),
+    )
+    return (
+        kept.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
