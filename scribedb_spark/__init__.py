@@ -14,11 +14,12 @@ Public API:
     from scribedb_spark import get_spark, compare, CompareSpec
 """
 
-from scribedb_spark.session import get_spark
+from scribedb_spark.session import get_spark, scale_conf
 from scribedb_spark.compare import CompareResult, CompareSpec, compare
 from scribedb_spark.sources import (
     read_csv,
     read_json,
+    read_orc,
     read_jdbc_query,
     convert_to_parquet,
     write_bucketed,
@@ -44,8 +45,10 @@ __all__ = [
     "fp_chain",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_jdbc_query",
     "convert_to_parquet",
     "write_bucketed",
     "write_report",
+    "scale_conf",
 ]

@@ -64,3 +64,59 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+#: target on-heap bytes per shuffle partition. 128 MB compressed
+#: shuffle blocks keep per-task state well under a 4-8 GB executor
+#: heap share after decompression/deserialization (~2-4x inflation).
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def scale_conf(
+    total_input_bytes: int,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    shuffle_fraction: float = 0.5,
+) -> dict[str, str]:
+    """Recommended conf overrides for a given data scale — the
+    arithmetic behind "would this hold at 1000 executors / 100 TB",
+    written down as code instead of folklore. Pass the result as
+    ``get_spark(extra_conf=scale_conf(...))``.
+
+    - ``spark.sql.shuffle.partitions``: sized so the LARGEST shuffle
+      (~``shuffle_fraction`` of input after scan-level pruning) lands
+      ~128 MB per partition, floored at 2 tasks per core so AQE's
+      coalescing has slack to merge, never the other way around.
+      AQE then shrinks small stages at runtime — a static number can
+      only be "big enough", so this errs high.
+    - ``spark.sql.files.maxPartitionBytes``: stays at 128 MB — scan
+      parallelism follows file splits, not the shuffle number.
+    - advisory sizes feed AQE's coalescing/skew-split so runtime
+      re-planning aims at the same 128 MB target.
+
+    At 100 TB input, defaults give: shuffle ≈ 50 TB ->
+    ~400k partitions (~128 MB each) across 4k cores (~100 waves) —
+    bounded task state, no 2 GB-block overflow, skew handled by AQE
+    splitting anything past 2x the advisory size.
+    """
+    if total_input_bytes <= 0:
+        raise ValueError("total_input_bytes must be positive")
+    cores = max(1, executors * cores_per_executor)
+    shuffle_bytes = int(total_input_bytes * shuffle_fraction)
+    parts = max(
+        2 * cores,
+        -(-shuffle_bytes // TARGET_PARTITION_BYTES),  # ceil div
+    )
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(TARGET_PARTITION_BYTES),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            TARGET_PARTITION_BYTES
+        ),
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16m",
+        # splits any post-shuffle partition 2x past advisory: the
+        # salting fallback for keys we didn't know were hot
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            2 * TARGET_PARTITION_BYTES
+        ),
+    }

@@ -175,3 +175,28 @@ def test_cli_hash_mode_chunk_nok(spark, sf_dir, tmp_path, capsys):
     nok = [l for l in out.splitlines() if re.match(r"^\d+/\d+ NOK ", l)]
     assert len(nok) == 1 and "!=" in nok[0]
     assert len(ok) >= 1
+
+
+def test_scale_conf_arithmetic():
+    """scale_conf sizes the shuffle for ~128 MB partitions with a
+    2-tasks-per-core floor, and returns only string values (Spark
+    conf contract)."""
+    from scribedb_spark.session import TARGET_PARTITION_BYTES, scale_conf
+
+    # 100 TB / 1000 executors x 4 cores: partition count driven by
+    # shuffle volume (50 TB / 128 MB = 409600), not the core floor
+    conf = scale_conf(100 * 1024**4)
+    assert int(conf["spark.sql.shuffle.partitions"]) == 409600
+    assert int(conf["spark.sql.shuffle.partitions"]) >= 2 * 4000
+    # tiny input: the per-core floor dominates
+    small = scale_conf(1024**3, executors=2, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16
+    for v in conf.values():
+        assert isinstance(v, str)
+    assert int(conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == (
+        TARGET_PARTITION_BYTES
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        scale_conf(0)
