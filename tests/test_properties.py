@@ -156,3 +156,51 @@ def test_pack_greedy_budget_invariant(spark, sf_dir):
         .count()
     )
     assert wrong == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=-100, max_value=100),
+            st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    ),
+    mutate=st.integers(min_value=0, max_value=24),
+    drop_src=st.booleans(),
+)
+@_settings
+def test_keyed_diff_cols_classification(spark, rows, mutate, drop_src):
+    """keyed_diff_cols classifies arbitrary keyed mutations correctly:
+    a row dropped from one side shows as added/removed, a payload
+    mutation shows as changed with exactly the mutated column named,
+    identical rows never appear."""
+    from scribedb_spark.compare import keyed_diff_cols
+
+    mutate = mutate % len(rows)
+    mut_key = rows[mutate][0]
+    src_rows = rows
+    tgt_rows = [
+        (k, v + 1 if k == mut_key else v, s) for (k, v, s) in rows
+    ]
+    dropped_key = None
+    if drop_src and len(rows) > 1:
+        # drop a DIFFERENT key than the mutated one from tgt
+        for k, _, _ in rows:
+            if k != mut_key:
+                dropped_key = k
+                break
+        tgt_rows = [r for r in tgt_rows if r[0] != dropped_key]
+    src = spark.createDataFrame(src_rows, "k int, v int, s string")
+    tgt = spark.createDataFrame(tgt_rows, "k int, v int, s string")
+    out = {r["k"]: r for r in keyed_diff_cols(src, tgt, ["k"]).collect()}
+    expected_keys = {mut_key} | ({dropped_key} if dropped_key is not None else set())
+    assert set(out) == expected_keys
+    assert out[mut_key]["change"] == "changed"
+    assert out[mut_key]["changed_cols"] == "v"
+    if dropped_key is not None:
+        assert out[dropped_key]["change"] == "removed"
+        assert out[dropped_key]["changed_cols"] == ""
