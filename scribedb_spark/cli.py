@@ -31,6 +31,13 @@ def parse_args(argv=None):
         action="store_true",
         help="print differing rows (the reference parsed this flag but ignored it)",
     )
+    p.add_argument(
+        "-a",
+        "--attribute",
+        action="store_true",
+        help="with spec keys: print per-key change class + the exact "
+        "differing columns (added/removed/changed[cols])",
+    )
     p.add_argument("-l", "--loglevel", default="WARN")
     return p.parse_args(argv)
 
@@ -68,6 +75,12 @@ def main(argv=None) -> int:
             side = r["side"]
             vals = [f"{k}={r[k]}" for k in res.diff.columns if k != "side"]
             print(f"{side}: " + ", ".join(vals))
+    if args.attribute and res.changed_cols is not None:
+        keys = [c for c in res.changed_cols.columns if c not in ("change", "changed_cols")]
+        for r in res.changed_cols.collect():
+            kv = ", ".join(f"{k}={r[k]}" for k in keys)
+            suffix = f" [{r['changed_cols']}]" if r["changed_cols"] else ""
+            print(f"{r['change']}: {kv}{suffix}")
     if res.equal:
         print("Datasets are identicals")  # the reference's wording
         return 0

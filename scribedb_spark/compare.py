@@ -90,6 +90,9 @@ class CompareResult:
     #: keyed classification (when spec.keys): key cols + 'change' in
     #: {'added','removed','changed'}.
     keyed_diff: DataFrame | None = None
+    #: scalar keyed report (when spec.keys): key cols + 'change' +
+    #: 'changed_cols' (comma-joined differing payload column names).
+    changed_cols: DataFrame | None = None
 
     def raise_on_diff(self) -> None:
         """Reference exit behavior (reference main.py:263-267)."""
@@ -356,6 +359,10 @@ def compare(
         result.chunk_status = chunk_fingerprints(src, tgt, spec)
     if spec.keys and not fast_equal:
         result.keyed_diff = keyed_diff(src, tgt, spec.keys)
+        # keyed_diff already validated key uniqueness above
+        result.changed_cols = keyed_diff_cols(
+            src, tgt, spec.keys, validate_keys=False
+        )
     return result
 
 

@@ -200,3 +200,30 @@ def test_scale_conf_arithmetic():
 
     with pytest.raises(ValueError):
         scale_conf(0)
+
+
+def test_cli_attribute_prints_changed_columns(spark, sf_dir, tmp_path, capsys):
+    """--attribute: per-key change lines name the exact differing
+    columns, e.g. `changed: o_orderkey=7 [o_totalprice]`."""
+    from scribedb_spark.cli import main
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    df = t.to_pandas()
+    df.loc[df["o_orderkey"] == 7, "o_totalprice"] += 1
+    df = df[df["o_orderkey"] != 33]  # becomes 'removed'
+    mut = tmp_path / "orders_mut.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(mut))
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir).replace(
+            f"{sf_dir}/orders.parquet\"}}\n    name: tgt", f"{mut}\"}}\n    name: tgt"
+        )
+    )
+    rc = main(["-f", str(p), "--attribute", "--mode", "hash"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "changed: o_orderkey=7 [o_totalprice]" in out
+    assert "removed: o_orderkey=33" in out
