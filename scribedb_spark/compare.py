@@ -258,6 +258,43 @@ def keyed_diff_cols(
     )
 
 
+def tolerance_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    abs_tol: str = "0.01",
+) -> DataFrame:
+    """Numeric-tolerance keyed compare: per key, per value column, the
+    exact delta and whether it exceeds ``abs_tol``. ETL pipelines that
+    recompute money math routinely drift by rounding ulps; a bit-exact
+    diff flags every row, this reports only real violations while
+    keeping the deltas auditable.
+
+    ``abs_tol`` is a DECIMAL STRING on purpose: the comparison runs in
+    exact decimal arithmetic (no float round-off deciding a verdict);
+    cast to double only happens in display columns the caller adds.
+    Plan: one inner join on the key (added/removed rows are
+    ``keyed_diff``'s job), map-side delta expressions — scales like
+    the join.
+    """
+    tgt = tgt.toDF(*src.columns)
+    s = src.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in value_cols])
+    t = tgt.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in value_cols])
+    j = s.join(t, on=keys, how="inner")
+    tol = F.lit(abs_tol).cast("decimal(18,6)")
+    out_cols: list = list(keys)
+    for c in value_cols:
+        delta = F.col(f"__t_{c}") - F.col(f"__s_{c}")
+        out_cols.append(delta.alias(f"delta_{c}"))
+        out_cols.append((F.abs(delta) > tol).alias(f"viol_{c}"))
+    viol_any = None
+    for c in value_cols:
+        v = F.abs(F.col(f"__t_{c}") - F.col(f"__s_{c}")) > tol
+        viol_any = v if viol_any is None else viol_any | v
+    return j.select(*out_cols).filter(viol_any)
+
+
 def chunk_fingerprints(
     src: DataFrame,
     tgt: DataFrame,

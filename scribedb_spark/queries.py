@@ -966,6 +966,47 @@ def fp_chunk_hashes(spark, sf_dir):
 
 
 @register(
+    "compare_tolerance",
+    oracle="""
+    WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+    tgt AS (
+      SELECT o_orderkey,
+             o_totalprice
+               + CASE WHEN o_orderkey % 500 = 0
+                      THEN CAST('0.005' AS DECIMAL(18,3))
+                      ELSE CAST('0' AS DECIMAL(18,3)) END
+               + CASE WHEN o_orderkey % 700 = 0
+                      THEN CAST('5' AS DECIMAL(18,3))
+                      ELSE CAST('0' AS DECIMAL(18,3)) END AS o_totalprice
+      FROM orders)
+    SELECT s.o_orderkey,
+           t.o_totalprice - s.o_totalprice AS delta_o_totalprice,
+           abs(t.o_totalprice - s.o_totalprice)
+             > CAST('0.01' AS DECIMAL(18,6)) AS viol_o_totalprice
+    FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+    WHERE abs(t.o_totalprice - s.o_totalprice) > CAST('0.01' AS DECIMAL(18,6))
+    """,
+)
+def compare_tolerance(spark, sf_dir):
+    """Numeric-tolerance compare (compare.tolerance_diff): ulp-sized
+    drift (+0.005, inside the 0.01 tolerance) is accepted; real drift
+    (+5) is reported with its exact decimal delta. The whole verdict
+    runs in exact decimal arithmetic — no float round-off can flip a
+    boundary case differently across engines."""
+    from scribedb_spark.compare import tolerance_diff
+
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    zero = F.lit("0").cast("decimal(18,3)")
+    pert = F.when(
+        F.col("o_orderkey") % 500 == 0, F.lit("0.005").cast("decimal(18,3)")
+    ).otherwise(zero) + F.when(
+        F.col("o_orderkey") % 700 == 0, F.lit("5").cast("decimal(18,3)")
+    ).otherwise(zero)
+    tgt = o.withColumn("o_totalprice", F.col("o_totalprice") + pert)
+    return tolerance_diff(o, tgt, ["o_orderkey"], ["o_totalprice"], "0.01")
+
+
+@register(
     "compare_schema_compat",
     oracle="""
     WITH a AS (SELECT column_name FROM (DESCRIBE customer)),
