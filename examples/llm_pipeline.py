@@ -69,6 +69,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     n_quant = Q.REGISTRY["vec_quantize_int8"].fn(spark, sf_dir).count()
 
+    # round-4 curation surface: decontamination, repetition gating,
+    # PII audit, stratified mixing, shard layout
+    n_contam = Q.REGISTRY["dedup_cross_corpus"].fn(spark, sf_dir).count()
+    rep = Q.REGISTRY["text_repetition"].fn(spark, sf_dir)
+    n_repetitive = rep.filter(F.col("dup_frac") > 0.8).count()
+    pii = Q.REGISTRY["text_pii_redact"].fn(spark, sf_dir)
+    n_redacted = pii.agg(F.sum("n_digits").alias("n")).first()["n"]
+    n_sampled = Q.REGISTRY["sample_stratified"].fn(spark, sf_dir).count()
+    shards = Q.REGISTRY["pipeline_shard_ledger"].fn(spark, sf_dir)
+    sh = shards.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_docs").alias("lo"),
+        F.max("n_docs").alias("hi"),
+    ).first()
+
     print(f"documents:              {n_docs}")
     print(f"low-quality (<0.3):     {low_q}")
     print(f"exact-dup groups:       {n_exact_groups}")
@@ -81,6 +96,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"training chunks (100-tok, 20 overlap): {n_chunks}")
     print(f"packed sequences (4096-tok budget):    {n_packs}")
     print(f"int8-quantized embeddings: {n_quant}")
+    print(f"eval-contaminated train docs: {n_contam}")
+    print(f"highly repetitive (dup_frac>0.8): {n_repetitive}")
+    print(f"PII digits redacted (customer): {n_redacted}")
+    print(f"stratified sample kept: {n_sampled}")
+    print(
+        f"training shards: {sh['n']} "
+        f"(docs/shard {sh['lo']}-{sh['hi']})"
+    )
     print(f"total wall time: {time.perf_counter()-t0:.1f}s")
 
 
