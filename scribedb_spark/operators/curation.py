@@ -197,6 +197,60 @@ def text_pii_redact(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "text_rare_bigrams",
+    oracle="""
+    WITH bg AS (
+      SELECT DISTINCT d.doc_id, w[i] || ' ' || w[i+1] AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+      CROSS JOIN (SELECT unnest(range(1, 5000)) AS i) ix
+      WHERE i <= len(w) - 1),
+    dfq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           MIN(df) AS min_df
+    FROM bg JOIN dfq USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def text_rare_bigrams(spark, sf_dir) -> DataFrame:
+    """Corpus-statistics fluency signal: per document, how many of its
+    distinct word bigrams are RARE corpus-wide (document frequency
+    < 3) and the rarest bigram's frequency — a cheap integer-exact
+    stand-in for LM-perplexity filtering (gibberish scores high
+    n_rare; boilerplate scores high df). The shape is the general
+    "build a corpus stats table, join it back per doc" motif every
+    frequency-based filter reuses.
+
+    Scale: bigrams are per-doc DISTINCT (document frequency, not term
+    frequency), exploded flat so the regexp runs codegen'd; the df
+    table aggregates with map-side partials and is vocabulary-sized —
+    orders smaller than the corpus — so AQE broadcasts it back for
+    the re-join; the per-doc rollup partial-aggregates again. Two
+    real shuffles of (doc_id, bigram) pairs, never raw text.
+    """
+    d = table(spark, "documents", sf_dir).filter(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    # overlapping 2-word windows via zero-width lookahead (same trick
+    # as dedup.shingles3) — one codegen'd regexp_extract_all
+    bigrams = F.array_distinct(
+        F.regexp_extract_all(F.col("text"), F.lit(r"(?<= |^)(?=(\S+ \S+))"), 1)
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    dfq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        bg.join(dfq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") < 3, 1).otherwise(0)).alias("n_rare"),
+            F.min("df").alias("min_df"),
+        )
+    )
+
+
+@register(
     "text_shard_assign",
     oracle="""
     WITH h AS (
