@@ -351,3 +351,20 @@ def test_dedup_cross_corpus_no_forced_broadcast(qmod, spark, sf_dir):
     assert "ResolvedHint" not in logical
     p = plan(qmod, spark, sf_dir, "dedup_cross_corpus")
     assert "partial_count" in p
+
+
+def test_rare_bigrams_partial_aggs_and_single_scan(qmod, spark, sf_dir):
+    """text_rare_bigrams: both aggregations partial-aggregate map-side
+    and raw text is scanned once (the df table re-join must not
+    re-read documents.parquet a third time)."""
+    p = plan(qmod, spark, sf_dir, "text_rare_bigrams")
+    assert "partial_count" in p
+    assert p.count("documents.parquet") <= 2  # bg side + dfq side
+
+
+def test_shard_assign_single_exchange(qmod, spark, sf_dir):
+    """text_shard_assign: one hash exchange on the shard key; the scan
+    prunes to doc_id only (text never read)."""
+    p = plan(qmod, spark, sf_dir, "text_shard_assign")
+    assert p.count("Exchange (") == 1
+    assert "text" not in p[p.index("ReadSchema"):]
