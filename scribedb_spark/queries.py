@@ -1007,6 +1007,78 @@ def compare_tolerance(spark, sf_dir):
 
 
 @register(
+    "compare_fp_delta",
+    oracle="""
+    WITH nb AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders),
+    prev AS (
+      SELECT CAST((rn - 1) // 1000 AS BIGINT) AS chunk_id,
+             CAST(SUM(CAST(('0x' || substr(
+                   md5(concat('(', concat_ws(',',
+                       CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                       o_orderpriority), ')')), 1, 15)) AS BIGINT))
+               % 2305843009213693951 AS BIGINT) AS fp
+      FROM nb GROUP BY (rn - 1) // 1000),
+    cur AS (
+      SELECT CAST((rn - 1) // 1000 AS BIGINT) AS chunk_id,
+             CAST(SUM(CAST(('0x' || substr(
+                   md5(concat('(', concat_ws(',',
+                       CAST(o_orderkey AS VARCHAR),
+                       CASE WHEN o_orderkey % 1500 = 0 THEN 'X'
+                            ELSE o_orderstatus END,
+                       o_orderpriority), ')')), 1, 15)) AS BIGINT))
+               % 2305843009213693951 AS BIGINT) AS fp
+      FROM nb GROUP BY (rn - 1) // 1000)
+    SELECT COALESCE(p.chunk_id, c.chunk_id) AS chunk_id,
+           p.fp AS prev_fp, c.fp AS cur_fp,
+           CASE WHEN p.chunk_id IS NULL THEN 'added'
+                WHEN c.chunk_id IS NULL THEN 'removed'
+                WHEN p.fp <> c.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM prev p FULL OUTER JOIN cur c ON p.chunk_id = c.chunk_id
+    WHERE CASE WHEN p.chunk_id IS NULL THEN 'added'
+               WHEN c.chunk_id IS NULL THEN 'removed'
+               WHEN p.fp <> c.fp THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+)
+def compare_fp_delta(spark, sf_dir):
+    """Incremental recheck (compare.fingerprint_delta): diff two
+    persisted chunk-fingerprint tables and report only the chunks
+    whose fp moved — the 100 TB compare loop re-reads exactly those
+    chunks instead of the world. Scenario: a 1-in-1500-keys status
+    mutation flips a handful of chunk fingerprints; the delta join
+    touches only the (tiny) fp tables."""
+    from scribedb_spark.canonical import fp_unordered, global_row_number
+    from scribedb_spark.compare import fingerprint_delta
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    o = table(spark, "orders", sf_dir).select(*cols)
+
+    def chunk_fp(df):
+        nb = global_row_number(df, ["o_orderkey"])
+        chunked = nb.withColumn("chunk_id", F.expr("(rn - 1) div 1000"))
+        return (
+            fp_unordered(chunked, cols, group_by=["chunk_id"])
+            .withColumn(
+                "fp",
+                F.pmod(F.col("fp"), F.lit(2305843009213693951)).cast("long"),
+            )
+            .select("chunk_id", "fp")
+        )
+
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 1500 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return fingerprint_delta(chunk_fp(o), chunk_fp(mutated))
+
+
+@register(
     "compare_schema_compat",
     oracle="""
     WITH a AS (SELECT column_name FROM (DESCRIBE customer)),
