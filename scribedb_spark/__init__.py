@@ -24,6 +24,7 @@ from scribedb_spark.sources import (
     convert_to_parquet,
     write_bucketed,
     write_report,
+    write_sharded,
 )
 from scribedb_spark.canonical import (
     canonical_row,
@@ -50,5 +51,6 @@ __all__ = [
     "convert_to_parquet",
     "write_bucketed",
     "write_report",
+    "write_sharded",
     "scale_conf",
 ]

@@ -170,6 +170,43 @@ def read_json(spark: SparkSession, path: str, schema, **options: str) -> DataFra
     return spark.read.schema(schema).options(**options).json(path)
 
 
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_shards: int = 8,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Write a dataset as deterministic hash shards: one directory per
+    shard (``shard=K/``), exactly one file per shard, rows ordered by
+    the shard hash (collision-broken by the key) — the training-shard
+    layout `text_shard_assign` computes, materialized. Because the
+    shard and order are pure functions of the key, re-runs and other
+    engines reproduce byte-identical shard membership.
+
+    Scale: one shuffle (repartition on the shard id); each shard is
+    one writer task, so pick ``n_shards`` to bound file sizes
+    (corpus_bytes / n_shards ~ a few hundred MB per file).
+    """
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sharded = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards))
+    )
+    order = ["__h", key] if sort_within is None else sort_within
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", *order)
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """ORC scan. Unlike CSV/JSON, ORC is self-describing and columnar:
     no schema argument needed, and predicate pushdown + column pruning

@@ -84,3 +84,50 @@ def test_events_read_without_session_conf(spark, sf_dir):
         assert df.limit(5).count() > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_write_sharded_layout_and_determinism(spark, sf_dir, tmp_path_factory):
+    """write_sharded: shard=K dirs, one file per shard, membership =
+    md5-hash mod n, in-file rows hash-ordered; a second write from a
+    differently-partitioned input produces identical shard membership."""
+    import glob
+
+    from scribedb_spark.sources import table, write_sharded
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "source")
+    base = tmp_path_factory.mktemp("shards")
+    p1 = str(base / "run1")
+    write_sharded(docs, p1, "doc_id", n_shards=4)
+    dirs = sorted(glob.glob(f"{p1}/shard=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2", "3"]
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    back = spark.read.parquet(p1)
+    assert back.count() == docs.count()
+    # membership matches the registry operator's assignment
+    from pyspark.sql import functions as F
+
+    expected = docs.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(4),
+        ),
+    )
+    mismatch = (
+        back.select("doc_id", "shard")
+        .exceptAll(expected.select("doc_id", "shard"))
+        .count()
+    )
+    assert mismatch == 0
+
+    # determinism: same membership from a shuffled/differently-
+    # partitioned input
+    p2 = str(base / "run2")
+    write_sharded(docs.repartition(13), p2, "doc_id", n_shards=4)
+    a = spark.read.parquet(p1).select("doc_id", "shard")
+    b = spark.read.parquet(p2).select("doc_id", "shard")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
