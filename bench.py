@@ -60,6 +60,8 @@ BENCH_KEYS = [
     "sample_stratified",
     "compare_keyed_diff",
     "fp_chunk_hashes",
+    "compare_fp_delta",
+    "text_rare_bigrams",
     "vec_cosine_topk",
     "vec_quantize_int8",
     "ann_lsh_topk",
