@@ -23,6 +23,14 @@ Spark and DuckDB agree bit-for-bit):
 - Integer sums (token counts etc.) need CAST(SUM(x) AS BIGINT) in
   the oracle: DuckDB's SUM(int) returns HUGEINT, which the pandas
   bridge degrades to float.
+- Sums of 60-bit hash terms (chunk fingerprints) exceed 2^53, where
+  DECIMAL(38,0)->DOUBLE rounds its last ulp differently per engine —
+  emit them mod 2^61-1 (Mersenne) as BIGINT instead: exact integer
+  comparison, no double cast at all (see fp_chunk_hashes).
+- Outputs are SCALAR columns only: the driver canonicalizes with a
+  pandas sort that cannot order list/map/struct cells — join integer
+  arrays to comma strings (COALESCE to '' in DuckDB: its
+  array_to_string of an empty list is NULL, Spark's concat_ws is '').
 - Window/topk/limit queries always carry a unique tiebreaker column
   in ORDER BY (o_orderkey etc.), so the selected/ranked set is
   deterministic.
