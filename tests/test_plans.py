@@ -386,3 +386,50 @@ def test_fp_chunk_hashes_no_global_window(qmod, spark, sf_dir):
         # ASC/DESC); a partitioned window's is the partition column
         assert " ASC" not in first_arg and " DESC" not in first_arg, p
     assert any("__pid" in s for s in specs)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """§4 optimizer feature that only pays off at scale: a selective
+    filter on the build side of a shuffle join injects a runtime
+    bloom filter into the probe-side scan (row-level pruning before
+    the shuffle). Local test data sits under the 10 MB default
+    creation threshold, so the thresholds are forced here; at real
+    scale they trigger on their own. Results must be identical with
+    and without the filter."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.sources import table
+
+    o = table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = table(spark, "lineitem", sf_dir)
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    base = j.count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        p = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
+        assert j.count() == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
