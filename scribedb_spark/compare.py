@@ -164,6 +164,11 @@ def keyed_diff(
     default (one cheap groupBy-count per side — partial aggregation,
     tiny shuffle). Disable with ``validate_keys=False`` when the key
     is known-unique (e.g. enforced upstream).
+
+    Key matching is NULL-SAFE: a null key on both sides pairs up
+    (groupBy already treats nulls as one group for the uniqueness
+    check), so identical rows with null keys don't surface as phantom
+    added+removed pairs the way a plain equi-join would report them.
     """
     tgt = tgt.toDF(*src.columns)
     if validate_keys:
@@ -181,9 +186,22 @@ def keyed_diff(
                     "pass a unique key or validate_keys=False"
                 )
     payload = [c for c in src.columns if c not in keys]
-    s = src.select(*keys, F.struct(*payload).alias("__src"))
-    t = tgt.select(*keys, F.struct(*payload).alias("__tgt"))
-    j = s.join(t, on=keys, how="full_outer")
+    s = src.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        F.struct(*payload).alias("__src"),
+    )
+    t = tgt.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        F.struct(*payload).alias("__tgt"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__sk_{k}").eqNullSafe(F.col(f"__tk_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = s.join(t, on=cond, how="full_outer")
+    out_keys = [
+        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k) for k in keys
+    ]
     return (
         j.withColumn(
             "change",
@@ -192,7 +210,7 @@ def keyed_diff(
             .when(F.col("__src") != F.col("__tgt"), F.lit("changed")),
         )
         .filter(F.col("change").isNotNull())
-        .select(*keys, "change", "__src", "__tgt")
+        .select(*out_keys, "change", "__src", "__tgt")
     )
 
 
@@ -223,16 +241,31 @@ def keyed_diff_cols(
                 )
     payload = [c for c in src.columns if c not in keys]
     s = src.select(
-        *keys,
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
         F.lit(True).alias("__in_src"),
         *[F.col(c).alias(f"__s_{c}") for c in payload],
     )
     t = tgt.select(
-        *keys,
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
         F.lit(True).alias("__in_tgt"),
         *[F.col(c).alias(f"__t_{c}") for c in payload],
     )
-    j = s.join(t, on=keys, how="full_outer")
+    # null-safe key join: null keys pair with null keys (see
+    # keyed_diff's docstring)
+    cond = None
+    for k in keys:
+        eq = F.col(f"__sk_{k}").eqNullSafe(F.col(f"__tk_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = s.join(t, on=cond, how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"__sk_{k}"), F.col(f"__tk_{k}")).alias(k)
+            for k in keys
+        ],
+        "__in_src",
+        "__in_tgt",
+        *[F.col(f"__s_{c}") for c in payload],
+        *[F.col(f"__t_{c}") for c in payload],
+    )
     col_differs = [
         ~F.col(f"__s_{c}").eqNullSafe(F.col(f"__t_{c}")) for c in payload
     ]

@@ -215,3 +215,25 @@ def test_fingerprint_delta_incremental_recheck(t_test):
     delta = fingerprint_delta(run_fps(t_test), run_fps(nxt)).collect()
     got = {(r["chunk_id"], r["status"]) for r in delta}
     assert got == {(4, "changed"), (5, "added")}
+
+
+def test_keyed_diff_null_keys_pair_null_safe(spark):
+    """Null keys match null keys (IS NOT DISTINCT FROM semantics):
+    identical rows with a null key are NOT phantom added+removed
+    pairs, and a payload change under a null key classifies as
+    'changed' with the column named."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from scribedb_spark.compare import keyed_diff, keyed_diff_cols
+
+    src = spark.createDataFrame([(1, "a"), (None, "b")], "k int, v string")
+    same = spark.createDataFrame([(1, "a"), (None, "b")], "k int, v string")
+    assert keyed_diff(src, same, ["k"]).count() == 0
+    assert keyed_diff_cols(src, same, ["k"]).count() == 0
+
+    mut = spark.createDataFrame([(1, "a"), (None, "c")], "k int, v string")
+    rows = keyed_diff_cols(src, mut, ["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] is None
+    assert rows[0]["change"] == "changed"
+    assert rows[0]["changed_cols"] == "v"
