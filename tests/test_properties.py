@@ -204,3 +204,50 @@ def test_keyed_diff_cols_classification(spark, rows, mutate, drop_src):
     if dropped_key is not None:
         assert out[dropped_key]["change"] == "removed"
         assert out[dropped_key]["changed_cols"] == ""
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.decimals(
+                min_value="-99999.99",
+                max_value="99999.99",
+                places=2,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1990, 1, 1),
+                max_value=__import__("datetime").datetime(2050, 12, 31),
+            ),
+            st.one_of(st.none(), st.text(alphabet="xyz ", max_size=8)),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@_settings
+def test_fp_typed_canonicalization_partition_invariant(spark, rows, parts):
+    """Canonical rendering of decimal / timestamp / nullable-string
+    cells is deterministic and partition-independent: the md5-based
+    commutative fingerprint of a typed dataset is identical across
+    repartitionings, and a single-cell decimal bump changes it."""
+    from decimal import Decimal
+
+    from scribedb_spark.canonical import fp_unordered
+
+    schema = "a long, d decimal(18,2), ts timestamp, s string"
+    df = spark.createDataFrame(rows, schema)
+    a = fp_unordered(df).collect()[0]
+    b = fp_unordered(df.repartition(parts)).collect()[0]
+    assert (a["fp"], a["n_rows"]) == (b["fp"], b["n_rows"])
+
+    bumped = [
+        (r[0], r[1] + Decimal("0.01"), r[2], r[3]) if i == 0 else r
+        for i, r in enumerate(rows)
+    ]
+    df2 = spark.createDataFrame(bumped, schema)
+    c = fp_unordered(df2).collect()[0]
+    assert c["fp"] != a["fp"]
