@@ -139,3 +139,44 @@ def multimodal_frame_sample(spark, sf_dir) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     return d.mapInPandas(fake_frame_batches, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             md5(substr(text, i*{FRAME_BYTES}+1, {FRAME_BYTES})) AS frame_md5
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 10000)) AS i) ix
+      WHERE i % {FRAME_STRIDE} = 0
+        AND i * {FRAME_BYTES} < octet_length(encode(text)))
+    SELECT frame_md5,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keep_doc
+    FROM fr
+    GROUP BY frame_md5
+    HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_frame_dedup(spark, sf_dir) -> DataFrame:
+    """Cross-document duplicate-frame detection: sampled frames
+    fingerprinted, grouped by content hash, duplicates reported with
+    a deterministic keeper — the screening pass video pipelines run
+    before re-encoding storage-heavy media (identical intros/credits/
+    stock footage collapse to one stored frame).
+
+    Scale: composes the mapInPandas sampler with ONE hash groupBy
+    (map-side partial agg on the 32-byte md5 key); only fingerprints
+    shuffle, never frame bytes."""
+    frames = multimodal_frame_sample(spark, sf_dir)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
