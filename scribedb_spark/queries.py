@@ -1191,6 +1191,29 @@ def stream_tumbling_agg(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Exactly-once stream dedup, batch twin (streaming/windows.py
+    dedup_stream: watermark-bounded dropDuplicates; tested cross-batch
+    in tests/test_streaming.py): a deliberately at-least-once-duplicated
+    feed collapses back to one row per (event_id, ts). Duplicates are
+    byte-identical, so whichever physical row wins, the projected
+    values are deterministic."""
+    from scribedb_spark.streaming.windows import dedup_stream
+
+    e = table(spark, "events", sf_dir)
+    doubled = e.unionByName(e)
+    return dedup_stream(doubled, ["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
     "stream_sliding_agg",
     oracle="""
     SELECT win_start, COUNT(*) AS cnt
