@@ -312,8 +312,9 @@ def test_no_lingering_cached_blocks(qmod, spark, sf_dir):
             _t.sleep(0.5)
         return rdd_ids() & old
 
+    baseline = rdd_ids()  # blocks other tests' fixtures legitimately pin
     run_keys()
-    pass1 = rdd_ids()
+    pass1 = rdd_ids() - baseline
     run_keys()
     assert drain_of(pass1) == set(), "pass-1 checkpoint blocks never reclaimed"
 
