@@ -68,8 +68,10 @@ BENCH_KEYS = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "multimodal_features",
+    "multimodal_frame_dedup",
     "stream_tumbling_agg",
     "stream_session_agg",
+    "stream_dedup_exact",
 ]
 
 
