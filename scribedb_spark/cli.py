@@ -38,6 +38,13 @@ def parse_args(argv=None):
         help="with spec keys: print per-key change class + the exact "
         "differing columns (added/removed/changed[cols])",
     )
+    p.add_argument(
+        "-o",
+        "--out",
+        default=None,
+        help="write the machine-readable reports (diff/, chunks/, "
+        "changed_cols/) as parquet under this directory",
+    )
     p.add_argument("-l", "--loglevel", default="WARN")
     return p.parse_args(argv)
 
@@ -75,6 +82,17 @@ def main(argv=None) -> int:
             side = r["side"]
             vals = [f"{k}={r[k]}" for k in res.diff.columns if k != "side"]
             print(f"{side}: " + ", ".join(vals))
+    if args.out:
+        # persisted reports are what the next run diffs against
+        # (fingerprint_delta) and what audits read — console output is
+        # for humans, parquet is the machine interface
+        from scribedb_spark.sources import write_report
+
+        write_report(res.diff, f"{args.out}/diff")
+        if res.chunk_status is not None:
+            write_report(res.chunk_status, f"{args.out}/chunks")
+        if res.changed_cols is not None:
+            write_report(res.changed_cols, f"{args.out}/changed_cols")
     if args.attribute and res.changed_cols is not None:
         keys = [c for c in res.changed_cols.columns if c not in ("change", "changed_cols")]
         for r in res.changed_cols.collect():

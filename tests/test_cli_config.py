@@ -227,3 +227,35 @@ def test_cli_attribute_prints_changed_columns(spark, sf_dir, tmp_path, capsys):
     assert rc == 1
     assert "changed: o_orderkey=7 [o_totalprice]" in out
     assert "removed: o_orderkey=33" in out
+
+
+def test_cli_out_writes_parquet_reports(spark, sf_dir, tmp_path, capsys):
+    """--out: diff/, chunks/ and changed_cols/ land as parquet — the
+    machine interface the next run's fingerprint_delta reads."""
+    from scribedb_spark.cli import main
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    df = t.to_pandas()
+    df.loc[df["o_orderkey"] == 7, "o_totalprice"] += 1
+    mut = tmp_path / "orders_mut.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(mut))
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir).replace(
+            f"{sf_dir}/orders.parquet\"}}\n    name: tgt", f"{mut}\"}}\n    name: tgt"
+        )
+    )
+    out = tmp_path / "report"
+    rc = main(["-f", str(p), "--mode", "hash", "--out", str(out)])
+    capsys.readouterr()
+    assert rc == 1
+    diff = spark.read.parquet(str(out / "diff"))
+    assert diff.count() == 2  # src+tgt version of the mutated row
+    chunks = spark.read.parquet(str(out / "chunks"))
+    assert chunks.filter("status = 'NOK'").count() >= 1
+    changed = spark.read.parquet(str(out / "changed_cols"))
+    rows = changed.collect()
+    assert len(rows) == 1 and rows[0]["changed_cols"] == "o_totalprice"
