@@ -36,22 +36,24 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
 
+# the WHOLE registry, not just this round's ~50-key budget: the
+# self-advancing enumeration rotates new keys into the budget each
+# round, so every key must already survive the driver's session
 qs = e.queries()
-budget = list(qs)[:50]
 failed = []
-for k in budget:
+for k in qs:
     try:
         qs[k](spark, %(sf)r).count()
     except Exception as ex:  # noqa: BLE001
         failed.append((k, repr(ex)[:200]))
-print("CHECKED", len(budget))
+print("CHECKED", len(qs))
 for k, err in failed:
     print("FAILED", k, err)
 sys.exit(1 if failed else 0)
 """
 
 
-def test_driver_budget_runs_under_vanilla_session(sf_dir):
+def test_registry_runs_under_vanilla_session(sf_dir):
     code = SMOKE % {"repo": REPO, "sf": sf_dir}
     proc = subprocess.run(
         [sys.executable, "-c", code],
@@ -61,5 +63,7 @@ def test_driver_budget_runs_under_vanilla_session(sf_dir):
         cwd=REPO,
     )
     out = proc.stdout + proc.stderr
-    assert "CHECKED 50" in out, out[-2000:]
+    assert "CHECKED" in out, out[-2000:]
+    n = int(out.split("CHECKED", 1)[1].split()[0])
+    assert n >= 131, out[-2000:]
     assert proc.returncode == 0, out[-2000:]
