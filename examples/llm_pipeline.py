@@ -56,7 +56,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     emb_pairs = Q.REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).count()
     ann = Q.REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).count()
+    ann_pq = Q.REGISTRY["ann_pq_topk"].fn(spark, sf_dir).count()
     mm = Q.REGISTRY["multimodal_features"].fn(spark, sf_dir).count()
+    dup_frames = Q.REGISTRY["multimodal_frame_dedup"].fn(spark, sf_dir).count()
 
     ledger = Q.REGISTRY["pipeline_curation"].fn(spark, sf_dir)
     led = ledger.agg(
@@ -91,7 +93,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"kept after dedup:       {n_keep}")
     print(f"embedding near-dup pairs: {emb_pairs}")
     print(f"ANN results (10 queries x top-5): {ann}")
+    print(f"PQ/ADC results (4-bit codes):     {ann_pq}")
     print(f"multimodal feature rows:  {mm}")
+    print(f"duplicate frames found:   {dup_frames}")
     print(f"curation ledger: {led['d']} docs kept, {led['t']} tokens")
     print(f"training chunks (100-tok, 20 overlap): {n_chunks}")
     print(f"packed sequences (4096-tok budget):    {n_packs}")
