@@ -272,3 +272,65 @@ def run_remote_hash_chunks(conn, bundles: list[RemoteHashSQL]) -> list[str]:
     the reference's thread pool around this loop was broken by design
     (reference main.py:170-175; SURVEY.md §3)."""
     return [run_remote_hash(conn, b) for b in bundles]
+
+
+def hybrid_compare(
+    conn,
+    kind: str,
+    remote_query: str,
+    df,
+    sort_keys: list[str],
+    bucket_rows: int = 100_000,
+    cols: list[str] | None = None,
+    view_name: str = "scdb_hybrid",
+) -> list[dict]:
+    """The reference's headline scenario composed end to end: one side
+    lives in a remote database (hashing pushed INTO it — only 32 hex
+    chars per chunk cross the wire, reference scribedb/postgres.py:47,
+    65-67), the other side is a Spark DataFrame fingerprinted by
+    canonical.fp_chain — and the verdict is a per-chunk OK/NOK report
+    without a single data row leaving either engine.
+
+    ``remote_query`` must project ONE column ``v``: the canonical
+    ``(a,b,...)`` row text, with a total ORDER BY matching
+    ``sort_keys`` order on the Spark side.
+
+    Returns [{chunk_id, remote_fp, local_fp, status}] — the same
+    shape as compare.chunk_fingerprints, so downstream tooling
+    (CLI printing, fingerprint_delta persistence) works unchanged.
+    At 100 TB the Spark side is a parallel fold; the remote side runs
+    at whatever the source database can hash — the reference's
+    calibration problem, unchanged by design (SURVEY.md §4 X2).
+    """
+    from scribedb_spark.canonical import fp_chain
+
+    local = {
+        r["chunk_id"]: r["fp"]
+        for r in fp_chain(df, sort_keys, bucket_rows, cols=cols).collect()
+    }
+    n_rows = df.count()
+    bundles = chunked_bundles(
+        kind, remote_query, view_name, n_rows, bucket_rows
+    )
+    remote = run_remote_hash_chunks(conn, bundles)
+    out = []
+    for i, rh in enumerate(remote):
+        lh = local.get(i)
+        out.append(
+            {
+                "chunk_id": i,
+                "remote_fp": rh,
+                "local_fp": lh,
+                "status": "OK" if lh is not None and rh == lh else "NOK",
+            }
+        )
+    for cid in sorted(set(local) - set(range(len(remote)))):
+        out.append(
+            {
+                "chunk_id": cid,
+                "remote_fp": None,
+                "local_fp": local[cid],
+                "status": "NOK",
+            }
+        )
+    return out

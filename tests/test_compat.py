@@ -139,3 +139,34 @@ def test_chunked_remote_hashes_match_fp_chain(spark, sf_dir):
     assert len(remote) == len(local) >= 2
     for i, h in enumerate(remote):
         assert h == local[i], f"chunk {i}"
+
+
+def test_hybrid_compare_remote_vs_spark(spark, sf_dir):
+    """hybrid_compare: DuckDB-side pushed hashing vs Spark-side
+    fp_chain, per-chunk verdicts with zero data movement. Equal data
+    -> all OK; a one-row remote mutation flips exactly that chunk."""
+    from scribedb_spark.compat import hybrid_compare
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view nation as select * from read_parquet('{sf_dir}/nation.parquet')"
+    )
+    q = (
+        "select '(' || concat_ws(',', cast(n_nationkey as varchar), n_name) || ')' "
+        "as v from nation order by n_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    report = hybrid_compare(con, "duckdb", q, n, ["n_nationkey"], bucket_rows=10)
+    assert len(report) >= 2
+    assert all(r["status"] == "OK" for r in report)
+
+    q_mut = q.replace(
+        "n_name", "case when n_nationkey = 3 then 'XX' else n_name end"
+    )
+    report2 = hybrid_compare(
+        con, "duckdb", q_mut, n, ["n_nationkey"], bucket_rows=10
+    )
+    bad = [r for r in report2 if r["status"] == "NOK"]
+    assert [r["chunk_id"] for r in bad] == [0]  # key 3 lives in chunk 0
