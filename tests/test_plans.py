@@ -8,6 +8,10 @@ from __future__ import annotations
 
 import pytest
 
+import os
+
+REPO_PLANS = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(scope="module")
 def qmod():
@@ -277,55 +281,48 @@ def test_pipeline_curation_two_shuffles(qmod, spark, sf_dir):
     assert p.count("+- Exchange") <= 2
 
 
-def test_no_lingering_cached_blocks(qmod, spark, sf_dir):
+def test_no_lingering_cached_blocks(sf_dir):
     """Cache hygiene (round-1 verdict item): registry fns must not
     leave persisted RDD blocks behind in a long-lived session — the
     engine uses localCheckpoint (ContextCleaner-reclaimed) instead of
-    persist(). Run the keys that materialize intermediates and assert
-    the persistent-RDD map drains (checkpoint blocks unreference as
-    the returned plans go out of scope). The async ContextCleaner
-    gives no latency bound, so the assertion is on LIFETIME, not
-    latency: every block id present after pass 1 must be reclaimed
-    by the end of pass 2 — i.e. no block survives a whole extra
-    round of the same queries, so the count is bounded instead of
-    accumulating in a long-lived session."""
-    import gc
-    import time as _t
+    persist(). Runs in a SUBPROCESS with a fresh JVM: in the shared
+    suite session System.gc is advisory and the async cleaner can lag
+    arbitrarily under old-gen pressure, making any in-process drain
+    window a race; a fresh JVM reclaims promptly and deterministically
+    proves the blocks are unreferenced."""
+    import subprocess
+    import sys
 
-    def run_keys():
-        for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
-            qmod.REGISTRY[key].fn(spark, sf_dir).count()
-
-    def rdd_ids() -> set[int]:
-        # JavaSparkContext's java.util.Map (the scala Map lacks a
-        # py4j-friendly accessor)
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(str(i)) for i in jmap.keySet().toArray()}
-
-    def drain(new_of: set[int], tries: int = 12) -> set[int]:
-        for _ in range(tries):
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            left = rdd_ids() & new_of
-            if not left:
-                break
-            _t.sleep(0.5)
-        return rdd_ids() & new_of
-
-    # The ContextCleaner is async with NO latency bound, so a
-    # zero-blocks-after-one-pass assertion races it (flaky under
-    # full-suite JVM load). Assert BOUNDED GROWTH instead: if blocks
-    # were never reclaimed, three passes would pin ~3x one pass's
-    # footprint; reclamation keeps the net count near one footprint.
-    baseline = rdd_ids()  # blocks other tests' fixtures legitimately pin
-    footprints = []
-    for _ in range(3):
-        run_keys()
-        drain(rdd_ids() - baseline)
-        footprints.append(len(rdd_ids() - baseline))
-    assert footprints[2] <= max(2 * max(footprints[0], 1), footprints[0] + 2), (
-        f"checkpoint blocks accumulate across passes: {footprints}"
+    code = f"""
+import gc, sys, time
+sys.path.insert(0, {REPO_PLANS!r})
+from scribedb_spark.session import get_spark
+from scribedb_spark import queries as Q
+Q.load_extensions()
+spark = get_spark(app_name="cache-hygiene")
+spark.sparkContext.setLogLevel("ERROR")
+for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
+    Q.REGISTRY[key].fn(spark, {sf_dir!r}).count()
+jmap = spark.sparkContext._jsc.getPersistentRDDs
+for _ in range(30):
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    if jmap().size() == 0:
+        break
+    time.sleep(0.5)
+left = jmap().size()
+print("LEFT", left)
+sys.exit(1 if left else 0)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=420,
     )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-1500:]
+
 
 
 def test_text_repetition_single_shuffle(qmod, spark, sf_dir):
