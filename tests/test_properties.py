@@ -80,12 +80,16 @@ def test_symmetric_diff_matches_exceptall(spark, rows):
     half = df.filter(F.col("a") % 2 == 0)
     dup = df.unionAll(half)  # duplicates on one side
 
+    # key=repr: plain tuple ordering raises on None-vs-float when
+    # rows tie on every earlier field
     got = sorted(
-        tuple(r) for r in symmetric_diff(df, dup).collect()
+        (tuple(r) for r in symmetric_diff(df, dup).collect()), key=repr
     )
     only_src = df.exceptAll(dup).withColumn("side", F.lit("src"))
     only_tgt = dup.exceptAll(df).withColumn("side", F.lit("tgt"))
-    want = sorted(tuple(r) for r in only_src.unionByName(only_tgt).collect())
+    want = sorted(
+        (tuple(r) for r in only_src.unionByName(only_tgt).collect()), key=repr
+    )
     assert got == want
 
 
