@@ -70,6 +70,9 @@ class CompareConfig(BaseModel):
     #: (reference main.py:153); here it works.
     max_delta: int = 0
     row_limit: int = 50
+    #: require matching column names/types, not just arity (the
+    #: reference checks arity only, reference main.py:157-168)
+    strict_schema: bool = False
 
 
 class RootConfig(BaseModel):
@@ -124,6 +127,7 @@ def run_compare_config(
         hash_mode=c.hash_mode,
         distinct=c.distinct,
         max_delta=c.max_delta,
+        strict_schema=c.strict_schema,
         row_limit=c.row_limit,
     )
     return compare(src, tgt, spec, with_chunks=with_chunks)

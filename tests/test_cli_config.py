@@ -120,6 +120,7 @@ compare:
             "distinct": False,
             "max_delta": 3,
             "row_limit": 50,
+            "strict_schema": False,
         }
     }
 
@@ -259,3 +260,29 @@ def test_cli_out_writes_parquet_reports(spark, sf_dir, tmp_path, capsys):
     changed = spark.read.parquet(str(out / "changed_cols"))
     rows = changed.collect()
     assert len(rows) == 1 and rows[0]["changed_cols"] == "o_totalprice"
+
+
+def test_config_strict_schema_rejects_renamed_column(spark, sf_dir, tmp_path):
+    """strict_schema in the YAML reaches the engine: a renamed column
+    passes the reference-style arity check but fails strict mode."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet").rename_columns(
+        ["o_orderkey", "o_custkey", "o_orderstatus", "RENAMED",
+         "o_orderdate", "o_orderpriority"]
+    )
+    mut = tmp_path / "orders_renamed.parquet"
+    pq.write_table(t, str(mut))
+
+    base = GOOD_YAML.format(sf=sf_dir).replace(
+        f"{sf_dir}/orders.parquet\"}}\n    name: tgt", f"{mut}\"}}\n    name: tgt"
+    )
+    p = tmp_path / "cmp.yaml"
+    p.write_text(base + "  strict_schema: true\n")
+    cfg = load_config(str(p))
+    assert cfg.compare.strict_schema
+    with pytest.raises(ValueError, match="schema"):
+        run_compare_config(spark, cfg)
+    # without strict mode the same spec runs (arity matches)
+    p.write_text(base)
+    run_compare_config(spark, load_config(str(p)))
