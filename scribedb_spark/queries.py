@@ -1317,6 +1317,58 @@ def join_asof(spark, sf_dir):
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click matched to the NEXT purchase at
+    or after it (time-to-conversion). Mirror of join_asof with the
+    window looking forward — F.first over (currentRow,
+    unboundedFollowing) instead of F.last over the trailing frame;
+    still one shuffle on user_id.
+
+    Determinism: purchases are pre-reduced to one per (user_id, ts)
+    (MIN event_id) in BOTH engines, so the as-of pick has no hidden
+    tie for DuckDB's ASOF and Spark's window to break differently.
+    Tie rule: a purchase at the click's exact ts matches (<=), so
+    purchases sort BEFORE clicks at the same instant via kind.
+    """
+    e = table(spark, "events", sf_dir)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .withColumn("kind", F.lit(0))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(1).alias("kind")
+    )
+    unioned = purchases.withColumn(
+        "click_id", F.lit(None).cast("long")
+    ).unionByName(clicks.withColumn("purchase_id", F.lit(None).cast("long")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("kind").desc(), "purchase_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "purchase_id", F.first("purchase_id", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "click_id", "user_id", F.col("ts").alias("click_ts"), "purchase_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public registry accessors (wired into /root/repo/__spark_entry__.py)
 # ---------------------------------------------------------------------------
