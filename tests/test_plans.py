@@ -304,7 +304,7 @@ spark.sparkContext.setLogLevel("ERROR")
 for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
     Q.REGISTRY[key].fn(spark, {sf_dir!r}).count()
 jmap = spark.sparkContext._jsc.getPersistentRDDs
-for _ in range(30):
+for _ in range(60):
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     if jmap().size() == 0:
@@ -314,11 +314,16 @@ left = jmap().size()
 print("LEFT", left)
 sys.exit(1 if left else 0)
 """
+    import os as _os
+
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=420,
+        # a small JVM: the parent suite's 32-thread session is still
+        # resident, and CPU oversubscription slows the async cleaner
+        env={**_os.environ, "SPARK_GRAFT_CPUS": "8"},
     )
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out[-1500:]
