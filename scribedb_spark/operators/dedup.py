@@ -350,8 +350,12 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("tf", "gm")
+    # no broadcast hint on freq: char-trigram vocab is small for THIS
+    # corpus, but n-gram frequency tables grow with corpus size in
+    # general — AQE picks broadcast at test scale and a shuffle join
+    # when the vocabulary doesn't fit (same rule as join_similarity)
     prefix = (
-        ex.join(F.broadcast(freq), "gm")
+        ex.join(freq, "gm")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(0.9)) + 1)
         .select("doc_id", "source", "gm", "n")

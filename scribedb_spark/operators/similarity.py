@@ -243,16 +243,19 @@ def join_similarity(spark, sf_dir) -> DataFrame:
         .localCheckpoint()
     )
     tok = d.select("doc_id", "source", F.explode("toks").alias("tok"))
-    # global token frequency -> rarity rank (broadcast: vocab is small;
-    # at 100 TB this is a small dim table by construction — vocab <<
-    # corpus)
+    # global token frequency -> rarity rank. NO broadcast hint: the
+    # 3-word-shingle vocabulary grows near-linearly with corpus size
+    # (billions of distinct shingles at 100 TB), so a forced broadcast
+    # would OOM every executor at scale. AQE sizes the join at runtime
+    # — it still picks broadcast when freq is actually small (test SF)
+    # and falls back to a shuffle join when it isn't.
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     # order each doc's tokens by rarity; keep only the prefix
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("tf", "tok")
     pos = (
-        tok.join(F.broadcast(freq), "tok")
+        tok.join(freq, "tok")
         .withColumn("pos", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )

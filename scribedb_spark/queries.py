@@ -1468,7 +1468,14 @@ def _enumeration_order() -> list[str]:
     keys always stay first — they are re-proven every round — while the
     remaining slots rotate through unproven keys until the whole
     registry has a hard driver signal. Ordering within each partition
-    is stable, so runs are deterministic given the same report files."""
+    is stable, so runs are deterministic given the same report files.
+
+    Keys registered WITHOUT a DuckDB oracle (``oracle=None`` — the
+    ``ann_*`` family, ``agg_approx_distinct``) sort to the very end of
+    the tail: the driver's check for them is rows-only, so they can
+    never satisfy the "fully green" bar above and would otherwise pin
+    themselves ahead of provable keys forever, burning ~3 of the ~9
+    rotating budget slots every round."""
     seen: dict[str, None] = {}
     for k in _CONTRACT_KEYS:
         if k in REGISTRY:
@@ -1484,7 +1491,9 @@ def _enumeration_order() -> list[str]:
             tail.append(k)
     proven = _driver_proven_keys()
     head = [k for k in seen if k not in set(tail)]
-    return head + sorted(tail, key=lambda k: k in proven)
+    return head + sorted(
+        tail, key=lambda k: (REGISTRY[k].oracle is None, k in proven)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -155,17 +155,23 @@ def test_q18_semi_join_adaptive_not_forced(qmod, spark, sf_dir):
 
 
 def test_similarity_verify_join_not_corpus_broadcast(qmod, spark, sf_dir):
-    """join_similarity / dedup_ngram_jaccard: with auto-broadcast
-    disabled, the only broadcasts left must be the hinted token-
-    frequency dim (vocab-sized) — never the document table. The
-    round-1 version broadcast the full corpus into the verify join."""
+    """join_similarity / dedup_ngram_jaccard: no forced broadcast
+    ANYWHERE — not the document table (round-1 mistake) and not the
+    shingle-frequency table either (round-4 mistake: 3-gram vocab
+    grows with corpus size, so a hinted broadcast OOMs at 100 TB).
+    With no hints in the logical plan and auto-broadcast disabled,
+    every join must degrade to SMJ — proving strategy is left to AQE."""
+    for key in ("join_similarity", "dedup_ngram_jaccard"):
+        df = qmod.REGISTRY[key].fn(spark, sf_dir)
+        logical = df._jdf.queryExecution().logical().toString()
+        assert "ResolvedHint" not in logical, key
+        assert "UnresolvedHint" not in logical, key
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         p = plan(qmod, spark, sf_dir, "join_similarity")
-        # exactly the freq hint (prefix is planned twice -> 2 branches);
-        # the three doc-table joins (cand self-join + 2 verify) are SMJ
-        assert p.count(") BroadcastHashJoin") == 2
-        assert p.count(") SortMergeJoin") >= 3
+        # freq join + cand self-join + 2 verify joins: all size-based
+        assert ") BroadcastHashJoin" not in p
+        assert p.count(") SortMergeJoin") >= 4
         p2 = plan(qmod, spark, sf_dir, "dedup_ngram_jaccard")
         assert ") BroadcastHashJoin" not in p2
         assert p2.count(") SortMergeJoin") >= 5

@@ -113,9 +113,15 @@ def test_enumeration_order_contract_first(qmod):
     ]
     proven = qmod._driver_proven_keys() - set(qmod._CONTRACT_KEYS)
     tail = order[n_contract:]
-    unproven_tail = [k for k in tail if k not in proven]
-    # every unproven key sorts ahead of every proven key
-    assert tail[: len(unproven_tail)] == unproven_tail
+    # keys without a DuckDB oracle can never earn a fully-green driver
+    # row (err="no_oracle"), so they must yield every budget slot:
+    # they sort strictly last, behind even the proven oracle keys
+    no_oracle_tail = [k for k in tail if qmod.REGISTRY[k].oracle is None]
+    assert tail[-len(no_oracle_tail):] == no_oracle_tail
+    oracle_tail = tail[: len(tail) - len(no_oracle_tail)]
+    unproven_tail = [k for k in oracle_tail if k not in proven]
+    # every unproven oracle-backed key sorts ahead of every proven one
+    assert oracle_tail[: len(unproven_tail)] == unproven_tail
 
 
 def test_agg_approx_distinct_tolerance(spark, sf_dir):
