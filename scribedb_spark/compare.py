@@ -186,6 +186,12 @@ def keyed_diff(
                     "pass a unique key or validate_keys=False"
                 )
     payload = [c for c in src.columns if c not in keys]
+    if not payload:
+        raise ValueError(
+            "keyed_diff: keys must leave at least one payload column "
+            "(every column is a key — use setop/except for pure key-set "
+            "membership diffs)"
+        )
     s = src.select(
         *[F.col(k).alias(f"__sk_{k}") for k in keys],
         F.struct(*payload).alias("__src"),
@@ -240,6 +246,12 @@ def keyed_diff_cols(
                     "side; pass a unique key or validate_keys=False"
                 )
     payload = [c for c in src.columns if c not in keys]
+    if not payload:
+        raise ValueError(
+            "keyed_diff_cols: keys must leave at least one payload column "
+            "(every column is a key — use setop/except for pure key-set "
+            "membership diffs)"
+        )
     s = src.select(
         *[F.col(k).alias(f"__sk_{k}") for k in keys],
         F.lit(True).alias("__in_src"),
@@ -310,20 +322,44 @@ def tolerance_diff(
     Plan: one inner join on the key (added/removed rows are
     ``keyed_diff``'s job), map-side delta expressions — scales like
     the join.
+
+    NULL handling: a NULL<->value change on either side IS a
+    violation (its ``delta_<c>`` is NULL — not computable — but
+    ``viol_<c>`` is true); NULL==NULL is not. The key join is
+    null-safe, matching keyed_diff: null-keyed rows pair up instead
+    of silently dropping.
     """
     tgt = tgt.toDF(*src.columns)
-    s = src.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in value_cols])
-    t = tgt.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in value_cols])
-    j = s.join(t, on=keys, how="inner")
+    s = src.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in value_cols],
+    )
+    t = tgt.select(
+        *[F.col(k).alias(f"__tk_{k}") for k in keys],
+        *[F.col(c).alias(f"__t_{c}") for c in value_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__sk_{k}").eqNullSafe(F.col(f"__tk_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = s.join(t, on=cond, how="inner")
     tol = F.lit(abs_tol).cast("decimal(18,6)")
-    out_cols: list = list(keys)
+
+    def viol(c: str):
+        sv, tv = F.col(f"__s_{c}"), F.col(f"__t_{c}")
+        delta = tv - sv
+        # one-sided NULL -> delta is NULL but the values differ ->
+        # violation; both-NULL -> eqNullSafe short-circuits to OK
+        return ~sv.eqNullSafe(tv) & (delta.isNull() | (F.abs(delta) > tol))
+
+    out_cols: list = [F.col(f"__sk_{k}").alias(k) for k in keys]
     for c in value_cols:
         delta = F.col(f"__t_{c}") - F.col(f"__s_{c}")
         out_cols.append(delta.alias(f"delta_{c}"))
-        out_cols.append((F.abs(delta) > tol).alias(f"viol_{c}"))
+        out_cols.append(viol(c).alias(f"viol_{c}"))
     viol_any = None
     for c in value_cols:
-        v = F.abs(F.col(f"__t_{c}") - F.col(f"__s_{c}")) > tol
+        v = viol(c)
         viol_any = v if viol_any is None else viol_any | v
     return j.select(*out_cols).filter(viol_any)
 

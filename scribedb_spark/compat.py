@@ -266,6 +266,18 @@ def run_remote_hash(conn, bundle: RemoteHashSQL) -> str:
                 pass
 
 
+def remote_count(conn, query: str) -> int:
+    """One COUNT(*) scalar over the wire — the reference counts each
+    side before chunking (reference scribedb/base.py:114-121) and so
+    must we: sizing chunk windows from the LOCAL count alone would
+    leave remote rows at offsets >= n_local un-hashed by every chunk,
+    silently passing a remote side with extra trailing rows."""
+    cur = conn.cursor()
+    cur.execute(f"select count(*) from ({query}) scdb_cnt")
+    row = cur.fetchone()
+    return int(row[0]) if row else 0
+
+
 def run_remote_hash_chunks(conn, bundles: list[RemoteHashSQL]) -> list[str]:
     """Sequential per-chunk execution of ``chunked_bundles`` output.
     Sequential is intentional: the chained fold is order-sensitive and
@@ -308,7 +320,12 @@ def hybrid_compare(
         r["chunk_id"]: r["fp"]
         for r in fp_chain(df, sort_keys, bucket_rows, cols=cols).collect()
     }
-    n_rows = df.count()
+    # chunk windows must span BOTH sides: windows sized from the local
+    # count alone would never hash remote rows at offsets >= n_local,
+    # reporting all-OK against a remote side with extra trailing rows
+    # (local-extra chunks were already caught via the `local - remote`
+    # sweep below — this closes the asymmetry)
+    n_rows = max(df.count(), remote_count(conn, remote_query))
     bundles = chunked_bundles(
         kind, remote_query, view_name, n_rows, bucket_rows
     )

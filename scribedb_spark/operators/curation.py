@@ -228,6 +228,12 @@ def text_rare_bigrams(spark, sf_dir) -> DataFrame:
     orders smaller than the corpus — so AQE broadcasts it back for
     the re-join; the per-doc rollup partial-aggregates again. Two
     real shuffles of (doc_id, bigram) pairs, never raw text.
+
+    Oracle cap: the DuckDB mirror enumerates word positions only up
+    to 5000 (``range(1, 5000)``) while the Spark side is uncapped —
+    valid for this corpus (max doc length << 5000 words; asserted at
+    registration time would cost a pass, so documented instead). A
+    longer corpus needs the range sized from ``max(len(w))``.
     """
     d = table(spark, "documents", sf_dir).filter(
         F.size(F.split(F.col("text"), " ")) >= 2

@@ -1340,8 +1340,10 @@ def join_asof_forward(spark, sf_dir):
     Determinism: purchases are pre-reduced to one per (user_id, ts)
     (MIN event_id) in BOTH engines, so the as-of pick has no hidden
     tie for DuckDB's ASOF and Spark's window to break differently.
-    Tie rule: a purchase at the click's exact ts matches (<=), so
-    purchases sort BEFORE clicks at the same instant via kind.
+    Tie rule: a purchase at the click's exact ts matches (<=); clicks
+    sort before purchases at equal ts (kind DESC: click=1, purchase=0),
+    so an exact-ts purchase lands inside the click's (currentRow,
+    unboundedFollowing) forward frame.
     """
     e = table(spark, "events", sf_dir)
     purchases = (

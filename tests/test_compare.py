@@ -237,3 +237,43 @@ def test_keyed_diff_null_keys_pair_null_safe(spark):
     assert rows[0]["k"] is None
     assert rows[0]["change"] == "changed"
     assert rows[0]["changed_cols"] == "v"
+
+
+def test_tolerance_diff_null_drift_is_violation(spark):
+    """NULL<->value drift must be reported (delta is NULL — not
+    computable — but viol is true); NULL==NULL must not; null-keyed
+    rows must pair null-safely instead of silently dropping."""
+    from scribedb_spark.compare import tolerance_diff
+
+    src = spark.createDataFrame(
+        [(1, "10.00"), (2, None), (3, None), (4, "7.00"), (None, "1.00")],
+        "k int, v string",
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    tgt = spark.createDataFrame(
+        [(1, None), (2, "5.00"), (3, None), (4, "7.005"), (None, "9.00")],
+        "k int, v string",
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+
+    rows = {r["k"]: r for r in tolerance_diff(src, tgt, ["k"], ["v"]).collect()}
+    # k=1: value -> NULL, k=2: NULL -> value: both violations, delta NULL
+    assert 1 in rows and rows[1]["delta_v"] is None and rows[1]["viol_v"]
+    assert 2 in rows and rows[2]["delta_v"] is None and rows[2]["viol_v"]
+    # k=3: NULL == NULL -> not a violation
+    assert 3 not in rows
+    # k=4: inside tolerance (cast rounds 7.005 -> 7.01? decimal(18,2)
+    # HALF_UP gives 7.01 -> delta 0.01 == tol -> not a violation)
+    assert 4 not in rows
+    # null key pairs null-safely: 1.00 -> 9.00 is a real violation
+    assert None in rows and rows[None]["viol_v"]
+
+
+def test_keyed_diff_requires_payload(spark):
+    """Keys covering every column must raise a clear error, not
+    IndexError/empty-struct degradation."""
+    from scribedb_spark.compare import keyed_diff, keyed_diff_cols
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="payload"):
+        keyed_diff(df, df, ["k", "v"])
+    with pytest.raises(ValueError, match="payload"):
+        keyed_diff_cols(df, df, ["k", "v"])

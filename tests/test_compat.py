@@ -170,3 +170,38 @@ def test_hybrid_compare_remote_vs_spark(spark, sf_dir):
     )
     bad = [r for r in report2 if r["status"] == "NOK"]
     assert [r["chunk_id"] for r in bad] == [0]  # key 3 lives in chunk 0
+
+
+def test_hybrid_compare_remote_extra_rows_flagged(spark, sf_dir):
+    """Chunk windows must be sized from max(local, remote) counts: a
+    remote side with extra TRAILING rows (offsets >= n_local) used to
+    fall outside every chunk window and report all-OK."""
+    from scribedb_spark.compat import hybrid_compare
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view nation as select * from read_parquet('{sf_dir}/nation.parquet')"
+    )
+    # remote = nation + one extra row sorting AFTER every real key
+    q_extra = (
+        "select '(' || concat_ws(',', cast(n_nationkey as varchar), n_name) || ')' "
+        "as v from (select n_nationkey, n_name from nation "
+        "union all select 999, 'GHOST') order by n_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    report = hybrid_compare(con, "duckdb", q_extra, n, ["n_nationkey"], bucket_rows=10)
+    bad = [r for r in report if r["status"] == "NOK"]
+    # nation is 25 rows -> ghost row is remote offset 25, extending
+    # chunk 2 (rows 20..25 remote vs 20..24 local): exactly that
+    # chunk's hash diverges
+    assert [r["chunk_id"] for r in bad] == [2]
+
+    # symmetric case still works: local has a row the remote lacks
+    q_short = (
+        "select '(' || concat_ws(',', cast(n_nationkey as varchar), n_name) || ')' "
+        "as v from nation where n_nationkey < 24 order by n_nationkey"
+    )
+    report2 = hybrid_compare(con, "duckdb", q_short, n, ["n_nationkey"], bucket_rows=10)
+    assert any(r["status"] == "NOK" for r in report2)
