@@ -1,6 +1,7 @@
 """CLI (reference scribedb/command_line.py surface, made functional).
 
-    python -m scribedb_spark.cli -f compare.yaml [--mode hash|full]
+    python -m scribedb_spark.cli -f compare.yaml
+                                 [--mode hash|full|remote-hybrid]
                                  [--search-diff] [-l LOGLEVEL]
 
 The reference parsed ``--search_diff`` and never used it (reference
@@ -21,9 +22,12 @@ def parse_args(argv=None):
     p.add_argument("-f", "--file", required=True, help="YAML compare spec")
     p.add_argument(
         "--mode",
-        choices=["hash", "full"],
+        choices=["hash", "full", "remote-hybrid"],
         default="full",
-        help="hash: verdict+chunk report only; full: also materialize diff rows",
+        help="hash: verdict+chunk report only; full: also materialize "
+        "diff rows; remote-hybrid: one side is a `type: dbapi` source "
+        "hashed inside the remote database (32 hex chars per chunk "
+        "over the wire), compared to the Spark side's fp_chain",
     )
     p.add_argument(
         "-s",
@@ -61,6 +65,26 @@ def main(argv=None) -> int:
     import time
 
     t0 = time.monotonic()
+    if args.mode == "remote-hybrid":
+        # reference's headline WAN scenario (reference example.md:
+        # 205-252): per-chunk OK/NOK, zero data rows over the wire
+        from scribedb_spark.config import run_hybrid_config
+
+        report = run_hybrid_config(spark, cfg)
+        n = len(report)
+        for i, r in enumerate(report, 1):
+            ms = int((time.monotonic() - t0) * 1000)
+            fp = (
+                r["remote_fp"]
+                if r["status"] == "OK"
+                else f"{r['remote_fp']}!={r['local_fp']}"
+            )
+            print(f"{i}/{n} {r['status']} {fp} ({ms} ms) {100 * i // n}%")
+        if all(r["status"] == "OK" for r in report):
+            print("Datasets are identicals")  # the reference's wording
+            return 0
+        print("Datasets are different.")
+        return 1
     res = run_compare_config(spark, cfg, with_chunks=(args.mode == "hash"))
     if res.chunk_status is not None:
         # per-chunk report, the reference's console UX (reference

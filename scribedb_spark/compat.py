@@ -266,6 +266,50 @@ def run_remote_hash(conn, bundle: RemoteHashSQL) -> str:
                 pass
 
 
+def connect_dbapi(
+    kind: str,
+    database: str,
+    *,
+    user: str | None = None,
+    password_env: str | None = None,
+    init: list[str] | None = None,
+):
+    """Open a DBAPI connection for a remote-hash side. DuckDB ships in
+    this environment; postgres/oracle need their drivers installed
+    (psycopg2 / oracledb) — gated behind import so the CLI degrades
+    with a clear message instead of an ImportError traceback. ``init``
+    statements run once post-connect (view setup etc.)."""
+    import os
+
+    password = os.environ.get(password_env) if password_env else None
+    if kind == "duckdb":
+        import duckdb
+
+        conn = duckdb.connect(database)
+    elif kind == "postgres":
+        try:
+            import psycopg2
+        except ImportError as e:
+            raise RuntimeError(
+                "remote-hybrid postgres side needs psycopg2 installed"
+            ) from e
+        conn = psycopg2.connect(database, user=user, password=password)
+    elif kind == "oracle":
+        try:
+            import oracledb
+        except ImportError as e:
+            raise RuntimeError(
+                "remote-hybrid oracle side needs oracledb installed"
+            ) from e
+        conn = oracledb.connect(dsn=database, user=user, password=password)
+    else:
+        raise ValueError(f"unknown remote-hash dialect: {kind!r}")
+    cur = conn.cursor()
+    for stmt in init or []:
+        cur.execute(stmt)
+    return conn
+
+
 def remote_count(conn, query: str) -> int:
     """One COUNT(*) scalar over the wire — the reference counts each
     side before chunking (reference scribedb/base.py:114-121) and so

@@ -50,7 +50,29 @@ class JdbcSource(BaseModel):
     password_env: Optional[str] = None
 
 
-Source = Union[ParquetSource, SqlSource, JdbcSource]
+class DbapiSource(BaseModel):
+    """Remote-hash side for ``--mode remote-hybrid`` (the reference's
+    headline WAN scenario, reference example.md:205-252): the engine
+    pushes the chained-MD5 chunk hash INTO this database over a DBAPI
+    connection — only 32 hex chars per chunk cross the wire.
+
+    ``qry`` must project ONE column ``v`` — the canonical ``(a,b,...)``
+    row text — with a total ORDER BY matching the Spark side's
+    ``sort_keys`` (same contract as compat.hybrid_compare). ``init``
+    statements run once after connect (e.g. CREATE VIEW for tests);
+    ``cols`` feeds the Oracle bundle's typed concat."""
+
+    type: Literal["dbapi"]
+    kind: Literal["duckdb", "postgres", "oracle"]
+    database: str = ":memory:"
+    qry: str
+    init: list[str] = []
+    cols: Optional[list[str]] = None
+    user: Optional[str] = None
+    password_env: Optional[str] = None
+
+
+Source = Union[ParquetSource, SqlSource, JdbcSource, DbapiSource]
 
 
 class Side(BaseModel):
@@ -91,6 +113,11 @@ def load_config(path: str) -> RootConfig:
 
 def build_dataframe(spark: SparkSession, side: Side) -> DataFrame:
     src = side.db
+    if isinstance(src, DbapiSource):
+        raise ValueError(
+            "a dbapi source only hashes remotely — run with "
+            "--mode remote-hybrid (its rows never enter Spark by design)"
+        )
     if isinstance(src, ParquetSource):
         df = spark.read.parquet(src.path)
         return df.select(*src.columns) if src.columns else df
@@ -131,3 +158,47 @@ def run_compare_config(
         row_limit=c.row_limit,
     )
     return compare(src, tgt, spec, with_chunks=with_chunks)
+
+
+def run_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
+    """``--mode remote-hybrid``: one side is a ``dbapi`` source whose
+    chunk hashes are computed INSIDE the remote database (32 hex chars
+    per chunk over the wire); the other side is any Spark-readable
+    source fingerprinted by canonical.fp_chain. Returns the per-chunk
+    report (compat.hybrid_compare shape). Exactly one side must be
+    ``type: dbapi``; ``sort_keys`` are required (the chained hash is
+    order-sensitive)."""
+    from scribedb_spark.compat import connect_dbapi, hybrid_compare
+
+    c = cfg.compare
+    sides = {"source": c.source, "target": c.target}
+    remote = {k: s for k, s in sides.items() if isinstance(s.db, DbapiSource)}
+    if len(remote) != 1:
+        raise ValueError(
+            "remote-hybrid needs exactly one side with type: dbapi "
+            f"(got {len(remote)})"
+        )
+    ((_, rside),) = remote.items()
+    (lside,) = [s for s in sides.values() if s is not rside]
+    if not c.sort_keys:
+        raise ValueError("remote-hybrid requires sort_keys (chained hash)")
+    db = rside.db
+    conn = connect_dbapi(
+        db.kind,
+        db.database,
+        user=db.user,
+        password_env=db.password_env,
+        init=db.init,
+    )
+    try:
+        return hybrid_compare(
+            conn,
+            db.kind,
+            db.qry,
+            build_dataframe(spark, lside),
+            c.sort_keys,
+            bucket_rows=c.bucket_rows,
+            cols=db.cols,
+        )
+    finally:
+        conn.close()

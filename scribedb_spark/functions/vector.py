@@ -86,3 +86,54 @@ def vec_quantize_int8(spark, sf_dir) -> DataFrame:
         max_abs.alias("max_abs"),
         F.concat_ws(",", quantize_int8(e, max_abs)).alias("q8"),
     )
+
+
+@register(
+    "vec_centroid_label",
+    oracle="""
+    WITH x AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 4097)) AS i) ix
+      WHERE i <= len(embedding))
+    SELECT label, dim,
+           CAST(SUM(q) AS BIGINT) AS sum_micro,
+           COUNT(*) AS n_vecs
+    FROM x GROUP BY label, dim
+    """,
+)
+def vec_centroid_label(spark, sf_dir) -> DataFrame:
+    """Per-label embedding centroids as mergeable partial sums — the
+    building block of clustering-based curation (SemDeDup-style
+    semantic dedup, k-means assignment, per-class mean vectors). Emits
+    (label, dim, sum_micro, n_vecs): the centroid component is
+    sum_micro / n_vecs / 1e6, left to the consumer because the
+    EXPORTED state must be the mergeable partial — at 100 TB centroids
+    are reduced map-side per partition and merged, never averaged
+    per-partition (averages of averages are wrong under skew).
+
+    Exactness: each float is fixed-point-quantized by floor(x * 1e6)
+    BEFORE summing — float->double promotion is exact, one multiply is
+    correctly rounded identically in both engines, floor is exact, and
+    integer sums are order-independent — so the result is bit-exact
+    with no ROUND tolerance despite float inputs and Spark's
+    non-deterministic partial-agg order (a double SUM here would
+    hash-mismatch). Oracle cap: dims enumerated to 4096 (range limit);
+    test embeddings are 64-d.
+
+    Scale: one posexplode (map-only) + one (label, dim) groupBy with
+    map-side partials — the shuffle carries 8-byte quantized terms,
+    never float vectors. Output is labels x dims rows: tiny.
+    """
+    e = table(spark, "embeddings", sf_dir)
+    pos = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    q = F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("long")
+    return (
+        pos.select("label", "dim", q.alias("q"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("q").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -328,3 +328,59 @@ def sample_stratified(spark, sf_dir) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", F.lit(250)).otherwise(F.lit(750))
     return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_lang) AS n_min FROM c)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 15))
+               AS BIGINT) / 1152921504606846976.0
+          < sqrt(CAST(m.n_min AS DOUBLE) / c.n_lang)
+    """,
+)
+def sample_temperature(spark, sf_dir) -> DataFrame:
+    """Temperature-based language rebalancing (T=2, i.e. alpha=0.5):
+    keep rate per language r = sqrt(n_min / n_lang), so the smallest
+    language keeps 100% and dominant ones are sqrt-down-weighted —
+    the standard multilingual-LLM mixing move (flatten the empirical
+    distribution toward uniform without discarding the head).
+
+    Exactness across engines: the keep decision compares a 60-bit
+    md5-derived uniform (exact halving by 2^60) against sqrt(n_min /
+    n_lang) — int-to-double conversion, division, and sqrt are all
+    IEEE-correctly-rounded single operations in BOTH engines, so the
+    threshold is bit-identical and no boundary doc can flip. (A
+    general p^alpha needs pow(), which is NOT correctly rounded —
+    alpha=0.5 is the deliberately chosen exact case.)
+
+    Scale: the per-language count table is vocabulary-sized (dozens
+    of rows) — AQE broadcasts it and the min back; the keep filter is
+    then map-only over the corpus. Deterministic by doc_id hash:
+    identical keep set across engines, partitionings, and re-runs.
+    """
+    d = table(spark, "documents", sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_lang"))
+    return (
+        d.join(counts, "lang")
+        .crossJoin(n_min)
+        .filter(u < rate)
+        .select("doc_id", "lang", "source")
+    )

@@ -106,8 +106,11 @@ def dedup_exact(spark, sf_dir) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
-    WITH tok AS ({SQL_SHINGLES}),
+#: shared CTE chain: shingles -> 16 minhashes -> banded signatures ->
+#: LSH candidate pairs (the oracle twin of dedup_minhash_lsh's plan;
+#: dedup_levenshtein reuses it as its candidate generator)
+_MINHASH_CTES = f"""
+    tok AS ({SQL_SHINGLES}),
     seeds AS (SELECT unnest(range({N_HASHES})) AS seed),
     th AS (
       SELECT doc_id,
@@ -120,9 +123,16 @@ _MINHASH_ORACLE = f"""
     sig AS (
       SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
              md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS s
-      FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND})
-    SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-    FROM sig a JOIN sig b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
+      FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+    lsh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id)
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_id1, doc_id2 FROM lsh_cand
     """
 
 
@@ -630,37 +640,55 @@ def dedup_components(spark, sf_dir) -> DataFrame:
 
 @register(
     "dedup_levenshtein",
-    oracle="""
-    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-           levenshtein(substr(a.text, 1, 150), substr(b.text, 1, 150)) AS edit_dist
-    FROM documents a JOIN documents b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE levenshtein(substr(a.text, 1, 150), substr(b.text, 1, 150)) <= 60
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT c.doc_id1, c.doc_id2,
+           levenshtein(substr(da.text, 1, 150), substr(db.text, 1, 150))
+             AS edit_dist
+    FROM lsh_cand c
+    JOIN documents da ON da.doc_id = c.doc_id1
+    JOIN documents db ON db.doc_id = c.doc_id2
+    WHERE levenshtein(substr(da.text, 1, 150), substr(db.text, 1, 150)) <= 60
     """,
 )
 def dedup_levenshtein(spark, sf_dir) -> DataFrame:
-    """Edit-distance near-dup verification: candidate pairs from a
-    blocking key (source — the same block the ngram-jaccard key uses),
-    verified by levenshtein over a 150-char prefix (both engines use
-    unit edit costs, so distances are identical integers).
+    """Edit-distance near-dup verification over LSH candidate pairs:
+    dedup_minhash_lsh proposes (similarity-bounded — pair count tracks
+    true near-dups, not any metadata block's size), then levenshtein
+    over a 150-char prefix verifies (both engines use unit edit costs,
+    so distances are identical integers). Earlier rounds blocked on
+    the `source` column — the one remaining operator whose pair count
+    wasn't similarity-bounded; at 100 TB a hot block would have made
+    it quadratic. The prefix cap is the standard record-linkage trick
+    (compare the discriminative head, not the whole document) and
+    bounds the O(len^2) DP per pair.
 
-    Scale notes: levenshtein is O(len^2) per pair — the prefix cap
-    bounds it, and the blocking join bounds the pair count; at 100 TB
-    feed it LSH candidates (dedup_minhash_lsh output joined back to
-    text) instead of a metadata block. The prefix is also the standard
-    trick in record-linkage systems (compare the discriminative head,
-    not the whole document).
+    Plan: the LSH candidate plan (explode -> minhash agg -> band
+    self-join) + two doc_id equi-joins back to the 150-char heads —
+    AQE sizes those (candidates are few; heads are corpus-sized), then
+    a map-side levenshtein filter. No full-corpus self-join anywhere.
     """
-    d = (
-        table(spark, "documents", sf_dir)
-        .select("doc_id", "source", F.substring("text", 1, 150).alias("head"))
+    heads = table(spark, "documents", sf_dir).select(
+        "doc_id", F.substring("text", 1, 150).alias("head")
     )
-    a = d.select(F.col("doc_id").alias("doc_id1"), "source", F.col("head").alias("h1"))
-    b = d.select(F.col("doc_id").alias("doc_id2"), "source", F.col("head").alias("h2"))
-    dist = F.levenshtein("h1", "h2")
+    cand = dedup_minhash_lsh(spark, sf_dir)
     return (
-        a.join(b, "source")
-        .filter(F.col("doc_id1") < F.col("doc_id2"))
-        .select("doc_id1", "doc_id2", dist.alias("edit_dist"))
+        cand.join(
+            heads.select(
+                F.col("doc_id").alias("doc_id1"), F.col("head").alias("h1")
+            ),
+            "doc_id1",
+        )
+        .join(
+            heads.select(
+                F.col("doc_id").alias("doc_id2"), F.col("head").alias("h2")
+            ),
+            "doc_id2",
+        )
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.levenshtein("h1", "h2").alias("edit_dist"),
+        )
         .filter(F.col("edit_dist") <= 60)
     )

@@ -286,3 +286,76 @@ def test_config_strict_schema_rejects_renamed_column(spark, sf_dir, tmp_path):
     # without strict mode the same spec runs (arity matches)
     p.write_text(base)
     run_compare_config(spark, load_config(str(p)))
+
+
+def _hybrid_cfg(sf_dir, qry):
+    return {
+        "compare": {
+            "source": {
+                "db": {
+                    "type": "dbapi",
+                    "kind": "duckdb",
+                    "database": ":memory:",
+                    "qry": qry,
+                    "init": [
+                        "create view nation as select * from "
+                        f"read_parquet('{sf_dir}/nation.parquet')"
+                    ],
+                },
+                "name": "remote",
+            },
+            "target": {
+                "db": {
+                    "type": "parquet",
+                    "path": f"{sf_dir}/nation.parquet",
+                    "columns": ["n_nationkey", "n_name"],
+                },
+                "name": "spark",
+            },
+            "sort_keys": ["n_nationkey"],
+            "bucket_rows": 10,
+        }
+    }
+
+
+_HYBRID_QRY = (
+    "select '(' || concat_ws(',', cast(n_nationkey as varchar), n_name) || ')' "
+    "as v from nation order by n_nationkey"
+)
+
+
+def test_cli_remote_hybrid_ok_and_nok(spark, sf_dir, tmp_path, capsys):
+    """--mode remote-hybrid drives compat.hybrid_compare from YAML:
+    per-chunk OK report + exit 0 on equal; a remote mutation flips
+    the owning chunk and exits 1. The reference's headline WAN
+    scenario end-to-end from the CLI (reference example.md:205-252)."""
+    import yaml
+
+    from scribedb_spark.cli import main
+
+    p = tmp_path / "hybrid.yaml"
+    p.write_text(yaml.safe_dump(_hybrid_cfg(sf_dir, _HYBRID_QRY)))
+    rc = main(["-f", str(p), "--mode", "remote-hybrid"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out and "1/3 OK" in out
+
+    mut = _HYBRID_QRY.replace(
+        "n_name", "case when n_nationkey = 3 then 'XX' else n_name end"
+    )
+    p.write_text(yaml.safe_dump(_hybrid_cfg(sf_dir, mut)))
+    rc = main(["-f", str(p), "--mode", "remote-hybrid"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "different" in out and "NOK" in out
+
+
+def test_dbapi_source_rejected_outside_hybrid(spark, sf_dir, tmp_path):
+    """A dbapi side never materializes rows into Spark — plain modes
+    must refuse it with a pointer to remote-hybrid, not crash."""
+    import yaml
+
+    from scribedb_spark.cli import main
+
+    p = tmp_path / "hybrid.yaml"
+    p.write_text(yaml.safe_dump(_hybrid_cfg(sf_dir, _HYBRID_QRY)))
+    with pytest.raises(ValueError, match="remote-hybrid"):
+        main(["-f", str(p), "--mode", "full"])

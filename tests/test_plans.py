@@ -369,6 +369,15 @@ def test_dedup_cross_corpus_no_forced_broadcast(qmod, spark, sf_dir):
     assert "ResolvedHint" not in logical
     p = plan(qmod, spark, sf_dir, "dedup_cross_corpus")
     assert "partial_count" in p
+    # AQE must pick the EVAL shingle set (the join's right side) as
+    # the broadcast build side at test scale — the decontamination
+    # gate's whole scale story: benchmark fingerprints move, the
+    # train corpus never does. Runtime decision -> execute first,
+    # then read the final adaptive plan.
+    df.count()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
+    assert "BuildRight" in executed
 
 
 def test_rare_bigrams_partial_aggs_and_single_scan(qmod, spark, sf_dir):
