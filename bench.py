@@ -57,7 +57,11 @@ BENCH_KEYS = [
     "text_pack_greedy",
     "text_repetition",
     "dedup_cross_corpus",
+    "dedup_ngram_jaccard",
+    "dedup_levenshtein",
     "sample_stratified",
+    "sample_temperature",
+    "vec_centroid_label",
     "compare_keyed_diff",
     "fp_chunk_hashes",
     "compare_fp_delta",

@@ -354,8 +354,16 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     grams = F.array_distinct(
         F.regexp_extract_all(F.col("text"), F.lit("(?=(.{3}))"), 1)
     )
-    g = d.select("doc_id", "source", grams.alias("gr"), F.size(grams).alias("n"))
-    ex = g.select("doc_id", "source", "n", F.explode("gr").alias("gm"))
+    # g feeds the size lookups, ex feeds FOUR consumers (freq agg,
+    # window input, both verify joins): localCheckpoint each so the
+    # scan+regexp+explode runs once, not six times (measured 7.5s ->
+    # ~3s at sf0.1; blocks are ContextCleaner-reclaimed, not pinned)
+    g = d.select(
+        "doc_id", "source", grams.alias("gr"), F.size(grams).alias("n")
+    ).localCheckpoint()
+    ex = g.select(
+        "doc_id", "source", "n", F.explode("gr").alias("gm")
+    ).localCheckpoint()
     freq = ex.groupBy("gm").agg(F.count(F.lit(1)).alias("tf"))
     from pyspark.sql import Window
 
@@ -368,7 +376,7 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
         ex.join(freq, "gm")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(0.9)) + 1)
-        .select("doc_id", "source", "gm", "n")
+        .select("doc_id", "source", "gm", "n", "pos")
         # both sides of the self-join read prefix: localCheckpoint
         # materializes the explode+freq+window pipeline ONCE and —
         # unlike persist() — its blocks are reclaimed by the
@@ -377,9 +385,22 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
         .localCheckpoint()
     )
     # candidate pruning: shared prefix gram (PPJoin prefix bound) AND
-    # compatible set sizes (length bound: t <= |r|/|s| <= 1/t). The
-    # char-gram vocabulary is small (~400), so the prefix alone prunes
-    # weakly here — the length filter does most of the cutting.
+    # compatible set sizes (length bound: t <= |r|/|s| <= 1/t) AND the
+    # PPJoin POSITIONAL bound: a gram match at per-doc rarity ranks
+    # (pa, pb) caps the achievable overlap at 1 + min(na-pa, nb-pb)
+    # (everything before the match in the shared global (tf, gm)
+    # order can't intersect past it), which must reach the overlap
+    # a >= 0.9 pair needs: alpha = ceil(0.9/1.9 * (na+nb)). The
+    # char-gram vocabulary is small (~400) so the prefix alone prunes
+    # weakly here — the positional bound is what cuts candidates to
+    # near the true pairs (123k -> ~real-pair scale at sf0.1), and
+    # keeping ANY-row semantics (a pair survives if any shared gram
+    # passes) stays a superset of PPJoin's candidates: exact, no
+    # false negatives.
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
+    alpha = F.ceil((F.col("a.n") + F.col("b.n")) * F.lit(0.9 / 1.9))
     cand = (
         prefix.alias("a")
         .join(
@@ -388,7 +409,8 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(0.9)))
-            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(0.9))),
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(0.9)))
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
         .distinct()
