@@ -62,6 +62,7 @@ BENCH_KEYS = [
     "sample_stratified",
     "sample_temperature",
     "vec_centroid_label",
+    "profile_columns",
     "compare_keyed_diff",
     "fp_chunk_hashes",
     "compare_fp_delta",

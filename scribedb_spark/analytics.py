@@ -364,3 +364,59 @@ def agg_histogram(spark, sf_dir) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@register(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark, sf_dir) -> DataFrame:
+    """Per-column profile (rows / nulls / exact distinct) — the
+    standard pre-compare step in the reference's domain: before
+    diffing two tables you profile both sides to pick a key and spot
+    null-rate drift (a column whose n_distinct == n_rows is a key
+    candidate; compare.keyed_diff validates the choice).
+
+    Plan: ONE scan. Catalyst rewrites the multi-column COUNT(DISTINCT)
+    into its standard expand + two-stage aggregate (C-fold row
+    expansion, map-side partials), and the single wide result row is
+    transposed to long form with stack() — map-only on one row. No
+    per-column rescans, no collect. At 100 TB the C-fold expand is
+    the exact-answer cost; swap COUNT(DISTINCT) for
+    approx_count_distinct (see agg_approx_distinct) when ±2% is
+    acceptable. Counting avoids value RENDERING entirely, so
+    double/timestamp columns can't hash-mismatch on format.
+    """
+    o = table(spark, "orders", sf_dir)
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"cnt_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dst_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - cnt_{c}, dst_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

@@ -32,7 +32,12 @@ KEYS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_levenshtein",
     "join_similarity",
+    "sample_temperature",
+    "vec_centroid_label",
+    "profile_columns",
     "text_rare_bigrams",
     "text_shard_assign",
     "ann_pq_topk",

@@ -460,3 +460,35 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_profile_columns_one_scan_expand(qmod, spark, sf_dir):
+    """Multi-column exact-distinct profiling must stay ONE scan with
+    Catalyst's Expand rewrite (per-column rescans would read the
+    table C times at 100 TB)."""
+    p = plan(qmod, spark, sf_dir, "profile_columns")
+    # formatted output lists each node in the tree AND a detail block
+    assert p.count("Scan parquet ") == 2
+    assert "Expand" in p
+    assert "partial_count" in p
+
+
+def test_sample_temperature_count_tables_broadcast(qmod, spark, sf_dir):
+    """The per-language count table and its min are tiny — both join
+    back as broadcasts (no hint: AQE/size-estimation picks them), so
+    the keep filter is map-only over the corpus."""
+    df = qmod.REGISTRY["sample_temperature"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "sample_temperature")
+    assert p.count(") BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_vec_centroid_partial_agg_no_vector_shuffle(qmod, spark, sf_dir):
+    """Centroid sums must partial-aggregate map-side; the shuffle
+    carries quantized (label, dim, sum) longs, never float arrays."""
+    p = plan(qmod, spark, sf_dir, "vec_centroid_label")
+    assert "partial_sum" in p
+    assert p.count("Exchange (") == 1
+    # the shuffle rows are the quantized longs, not the float arrays
+    assert "embedding" not in p.split("Exchange (")[1].split("\n")[0]
