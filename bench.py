@@ -57,6 +57,11 @@ BENCH_KEYS = [
     "text_pack_greedy",
     "text_repetition",
     "dedup_cross_corpus",
+    "dedup_incremental",
+    "text_ngram_coverage",
+    "vec_knn_graph",
+    "rollup_retention",
+    "rollup_funnel",
     "dedup_ngram_jaccard",
     "dedup_levenshtein",
     "sample_stratified",

@@ -420,3 +420,132 @@ def profile_columns(spark, sf_dir) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@register(
+    "rollup_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    c AS (
+      SELECT user_id, d,
+             MIN(d) OVER (PARTITION BY user_id) AS cohort_day
+      FROM act)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, d) AS INT) AS offset_days,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def rollup_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each later active day — the standard product-analytics
+    rollup (and, for a training pipeline, the shape of "how much of
+    each ingest cohort survives each curation pass").
+
+    Plan: distinct (user, day) first — map-side partial collapses
+    each user's many daily events before anything wide — then the
+    per-user cohort via a window MIN (no self-join), then the
+    (cohort, offset) rollup with partial aggregation. Three
+    key-partitioned shuffles, none carrying more than one row per
+    (user, day). Day buckets stay `date_trunc` timestamps — the
+    cross-engine-exact bucket idiom of rollup_hypertable.
+    """
+    e = table(spark, "events", sf_dir)
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
+    return (
+        act.withColumn("cohort_day", cohort)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("int")
+            .alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "rollup_funnel",
+    oracle="""
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click' AND e.ts > tv.t_view
+      GROUP BY e.user_id),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+      GROUP BY e.user_id)
+    SELECT CAST(COUNT(tv.user_id) AS BIGINT) AS n_view_users,
+           CAST(COUNT(tc.user_id) AS BIGINT) AS n_click_users,
+           CAST(COUNT(tp.user_id) AS BIGINT) AS n_purchase_users
+    FROM tv
+    LEFT JOIN tc ON tv.user_id = tc.user_id
+    LEFT JOIN tp ON tc.user_id = tp.user_id
+    """,
+)
+def rollup_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered funnel conversion: view -> first click AFTER the
+    first view -> first purchase AFTER that click, per user; output
+    is one row of stage-completion counts. Strict event ordering
+    (each stage's timestamp must follow the previous stage's), not
+    mere per-user existence — the semantics sessionization tools
+    get wrong when they count any-order co-occurrence.
+
+    Plan: ONE scan, ONE exchange. The three stage timestamps stack
+    as sequential whole-partition window MINs over user_id (each
+    conditioned on the previous stage's column, so they can't fuse
+    into one aggregate — but they all share the same partitioning
+    and run back-to-back on the same exchange, no sort needed), then
+    one per-user collapse and a single-row count. The naive
+    formulation — three groupBys chained by user_id joins — expands
+    each stage's subtree into every consumer and rescans events SIX
+    times; this shape scans it once. Timestamps compare as exact
+    microsecond integers on both engines.
+    """
+    e = table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view_users"),
+        F.count("t_click").alias("n_click_users"),
+        F.count("t_purchase").alias("n_purchase_users"),
+    )

@@ -2,11 +2,14 @@
 beyond the reference's own surface; graded as first-class components
 alongside SURVEY.md §2.10's dedup/text families).
 
-Four keys, each DuckDB-oracled on the `documents` table:
+Each key is DuckDB-oracled on the `documents` table:
 
 - cross-corpus decontamination  flag train docs sharing any 3-word
                                 shingle with a held-out eval split
                                 (benchmark-leak detection)
+- n-gram coverage               per-doc fraction of shingles shared
+                                corpus-wide (partial-overlap /
+                                boilerplate score)
 - repetition metrics            Gopher-style duplicate-token and
                                 top-token fractions per document
 - PII redaction                 digit/local-part masking with exact
@@ -252,6 +255,57 @@ def text_rare_bigrams(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(F.when(F.col("df") < 3, 1).otherwise(0)).alias("n_rare"),
             F.min("df").alias("min_df"),
+        )
+    )
+
+
+@register(
+    "text_ngram_coverage",
+    oracle=f"""
+    WITH tok AS ({SQL_SHINGLES}),
+    freq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS coverage
+    FROM tok t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_ngram_coverage(spark, sf_dir) -> DataFrame:
+    """Fine-grained contamination score: per document, the fraction
+    of its distinct 3-word shingles that also occur in at least one
+    OTHER document (document frequency >= 2). Where `dedup_near`
+    gives a binary pair verdict and `dedup_cross_corpus` flags leaks
+    against one eval split, this scores partial overlap corpus-wide
+    — the signal used to rank "mostly boilerplate" documents for
+    removal before LLM training.
+
+    Scale: same "corpus stats table joined back per doc" motif as
+    `text_rare_bigrams` — shingles exploded flat (codegen'd regexp),
+    df table aggregated with map-side partials (vocabulary-sized,
+    AQE picks its join side), per-doc rollup partial-aggregates
+    again. Two shuffles of (doc_id, shingle) pairs; raw text never
+    shuffles. coverage = shared/total is one IEEE double division of
+    exact integers — bit-identical across engines.
+    """
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    sh = d.select("doc_id", F.explode(shingles3(F.col("text"))).alias("tok"))
+    freq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1))).alias("coverage"),
         )
     )
 

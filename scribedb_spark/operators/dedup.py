@@ -12,6 +12,9 @@ agree bit-for-bit):
 - ngram jaccard  character-3-gram jaccard verification join
 - components     candidate pairs -> near-dup groups (iterative
                  min-label propagation; recursive-CTE oracle)
+- incremental    delta-batch vs indexed-corpus classification (the
+                 steady-state ingest shape: only signatures of the
+                 index move, never its text)
 
 Scale design: every operator is explode -> groupBy -> self-join on a
 *bucket key* (band signature / simhash / shingle), never an O(n^2)
@@ -136,29 +139,21 @@ _MINHASH_ORACLE = f"""
     """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
-    """Near-dup candidate pairs via MinHash + banded LSH.
+def band_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, band, s) LSH band signatures for a (doc_id, text)
+    frame — the shared signature stage of `dedup_minhash_lsh` and
+    `dedup_incremental` (its DuckDB twin is the `sig` CTE inside
+    `_MINHASH_CTES`).
 
-    shingle -> 16 minhashes -> 4 band signatures -> pairs sharing any
-    band. Plan: one explode (doc x token x seed), one groupBy for
-    signatures, one self-join on (band, sig) — the LSH bucket join.
-    No cross join anywhere; bucket sizes bound the pair blow-up, and
-    at scale the band join is an AQE-skew-handled shuffle join.
+    Explode to (doc_id, shingle) rows, then derive the 16 hash
+    family members by double hashing: ONE md5 per shingle, split
+    into two 56-bit halves, h_i = h1 + i*h2 (long arithmetic, no
+    overflow: h1 + 15*h2 < 2^60). All codegen on flat rows — a
+    transform()-lambda formulation runs interpreted (~7x slower),
+    and 16 independent md5s cost ~8x this. The groupBy(min x16) is
+    map-side partial, so the only shuffle carries one 16-long row
+    per doc.
     """
-    d = (
-        table(spark, "documents", sf_dir)
-        .select("doc_id", "text")
-        .filter(min_tokens_filter())
-    )
-    # explode to (doc_id, shingle) rows, then derive the 16 hash
-    # family members by double hashing: ONE md5 per shingle, split
-    # into two 56-bit halves, h_i = h1 + i*h2 (long arithmetic, no
-    # overflow: h1 + 15*h2 < 2^60). All codegen on flat rows — a
-    # transform()-lambda formulation runs interpreted (~7x slower),
-    # and 16 independent md5s cost ~8x this. The groupBy(min x16) is
-    # map-side partial, so the only shuffle carries one 16-long row
-    # per doc.
     sh = d.select("doc_id", F.explode(shingles3(F.col("text"))).alias("tok"))
     full = F.md5(F.col("tok"))
     halves = sh.select(
@@ -202,6 +197,25 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.s").alias("s"))
+    return sig
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + banded LSH.
+
+    shingle -> 16 minhashes -> 4 band signatures -> pairs sharing any
+    band. Plan: one explode (doc x token x seed), one groupBy for
+    signatures, one self-join on (band, sig) — the LSH bucket join.
+    No cross join anywhere; bucket sizes bound the pair blow-up, and
+    at scale the band join is an AQE-skew-handled shuffle join.
+    """
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    sig = band_signatures(d)
     a = sig.select(F.col("doc_id").alias("doc_id1"), "band", "s")
     b = sig.select(F.col("doc_id").alias("doc_id2"), "band", "s")
     return (
@@ -209,6 +223,78 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
         .filter(F.col("doc_id1") < F.col("doc_id2"))
         .select("doc_id1", "doc_id2")
         .distinct()
+    )
+
+
+_INCREMENTAL_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    matches AS (
+      SELECT i.doc_id, MIN(x.doc_id) AS dup_of
+      FROM sig i JOIN sig x ON i.band = x.band AND i.s = x.s
+      WHERE i.doc_id % 10 = 0 AND x.doc_id % 10 <> 0
+      GROUP BY i.doc_id)
+    SELECT d.doc_id, COALESCE(m.dup_of, -1) AS dup_of,
+           CAST(m.dup_of IS NOT NULL AS INT) AS is_dup
+    FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
+    WHERE d.doc_id % 10 = 0
+    """
+
+
+@register("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental corpus dedup: classify an INCOMING batch of
+    documents (here docs with doc_id % 10 == 0 stand in for the
+    daily delta) against the already-INDEXED corpus (the other 90%)
+    — the steady-state shape of a production training pipeline,
+    where re-running all-pairs dedup over 100 TB per ingest is not
+    an option.
+
+    Each incoming doc gets a verdict: `is_dup` = it shares at least
+    one MinHash LSH band signature with some index doc, and `dup_of`
+    = the smallest such index doc_id (-1 when novel — no NULL
+    numeric cells, the driver's pandas sort degrades them to NaN
+    floats). Reference analog: the chunked recheck loop
+    (`/root/reference/scribedb/base.py` hash(start, stop)) — only
+    what changed is re-verified.
+
+    Scale: the index side contributes ONLY its band-signature table
+    (4 short rows per doc — at 100 TB this is a precomputed,
+    incrementally-maintained artifact, never the text); the incoming
+    side is a bounded delta batch. The (band, s) join strategy is
+    left to AQE: in production the delta signature table is far
+    under the broadcast threshold, so the index signatures never
+    shuffle at all — a forced broadcast hint here would instead pin
+    the *test* split (10% of the corpus, which grows with it) as
+    build side, the exact anti-pattern round 4 flagged on the
+    shingle-frequency joins. Docs under 3 tokens produce no
+    shingles, hence no signatures, and classify as novel on both
+    engines.
+    """
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    incoming = F.col("doc_id") % 10 == 0
+    # the signature pipeline feeds BOTH join sides (incoming + index
+    # split): localCheckpoint materializes the scan+shingle+minhash
+    # stage once instead of twice (same idiom as dedup_ngram_jaccard;
+    # blocks are ContextCleaner-reclaimed, not pinned)
+    sig = band_signatures(d.filter(min_tokens_filter())).localCheckpoint()
+    inc_sig = sig.filter(incoming).select(
+        F.col("doc_id").alias("inc_id"), "band", "s"
+    )
+    idx_sig = sig.filter(~incoming).select(
+        F.col("doc_id").alias("idx_id"), "band", "s"
+    )
+    matches = (
+        inc_sig.join(idx_sig, on=["band", "s"])
+        .groupBy("inc_id")
+        .agg(F.min("idx_id").alias("dup_of"))
+    )
+    base = d.filter(incoming).select("doc_id")
+    return base.join(
+        matches, base.doc_id == matches.inc_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
     )
 
 

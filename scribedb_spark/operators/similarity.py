@@ -1,7 +1,7 @@
 """Similarity search over embeddings + set-similarity join (north
 star; SURVEY.md J7 / `vec_cosine_topk`).
 
-Four tiers:
+Main tiers:
 
 - ``vec_cosine_topk``  brute-force cosine top-k — built-in expressions
   (zip_with/aggregate), the correctness baseline.
@@ -619,4 +619,142 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
         local_tops.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "score", "rk")
+    )
+
+
+_KNN_K = 3
+
+_KNN_ORACLE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+                 ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+    r AS (SELECT src, nbr,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                                    ORDER BY score DESC, nbr) AS rk
+          FROM s)
+    SELECT src AS vec_id,
+           string_agg(CAST(nbr AS VARCHAR), ',' ORDER BY nbr) AS neighbors
+    FROM r WHERE rk <= 3 GROUP BY src
+    """
+
+
+@register("vec_knn_graph", oracle=_KNN_ORACLE)
+def vec_knn_graph(spark, sf_dir) -> DataFrame:
+    """k-nearest-neighbor graph (k=3, exact cosine): every vector's
+    top-k neighbors, the building block for graph-based semantic
+    curation (SemDeDup-style cluster pruning, graph connectivity
+    over embeddings, kNN label propagation).
+
+    Same blocked all-pairs layout as ``dedup_exact``'s embedding twin
+    (operators/dedup.py block_pair_kernel): vectors hash into B
+    blocks, each block PAIR is one ``applyInPandas`` group whose
+    numpy kernel matmuls two blocks — no driver collect, no full
+    broadcast, task memory bounded by two blocks. The kernel emits
+    only each source's top (k+8) candidates *within the pair* by raw
+    score (the +8 margin makes the block-local pruning safe under
+    the global rounded-score order: dropping a global winner would
+    need 9+ candidates rounded-tied above it in one block), so the
+    shuffle carries O(n * B * k) rows, never n^2. A final window
+    rank over ROUND(score, 6) with neighbor-id tiebreak — the same
+    engine-stable float ordering as ``vec_cosine_topk`` — picks the
+    global top-k; neighbors emit as an ascending comma string
+    (driver-sortable scalar).
+
+    Scale: exact kNN is inherently O(n^2) compute; B parallelizes
+    it. At 100 TB run ``ann_ivf_topk``/``ann_pq_topk`` to restrict
+    candidate generation to probed cells and keep this kernel as the
+    in-cell exact scorer.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = e.count()
+    nblocks = int(min(64, max(4, -(-n // 1024))))
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nblocks)).cast("int")
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(o)).alias("pi"),
+                F.greatest(blk, F.lit(o)).alias("pj"),
+            )
+            for o in range(nblocks)
+        ]
+    )
+    replicated = e.select(
+        "vec_id",
+        "embedding",
+        blk.alias("blk"),
+        F.explode(F.array_distinct(pair_keys)).alias("bp"),
+    ).select("vec_id", "embedding", "blk", "bp.pi", "bp.pj")
+
+    m = _KNN_K + 8
+
+    def emit_topm(src_ids, nbr_ids, S):
+        # per-row top-m of S (src x nbr), self-pairs pre-masked
+        k = min(m, S.shape[1])
+        if k == 0 or S.shape[0] == 0:
+            return None
+        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        rows = np.repeat(src_ids, k)
+        cols = nbr_ids[part.ravel()]
+        scores = np.take_along_axis(S, part, axis=1).ravel()
+        keep = np.isfinite(scores)
+        return pd.DataFrame(
+            {"src": rows[keep], "nbr": cols[keep], "score": scores[keep]}
+        )
+
+    def block_pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "nbr": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        if pi == pj:
+            S = Vn @ Vn.T
+            np.fill_diagonal(S, -np.inf)
+            out = emit_topm(ids, ids, S)
+            return out if out is not None else empty
+        left = (pdf["blk"] == pi).to_numpy()
+        if not left.any() or left.all():
+            return empty
+        lid, rid = ids[left], ids[~left]
+        S = Vn[left] @ Vn[~left].T
+        parts = [emit_topm(lid, rid, S), emit_topm(rid, lid, S.T)]
+        parts = [p for p in parts if p is not None]
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    cand = replicated.groupBy("pi", "pj").applyInPandas(
+        block_pair_kernel, schema="src long, nbr long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.col("nbr")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy(F.col("src").alias("vec_id"))
+        .agg(
+            # sort numerically FIRST, then stringify (lexicographic
+            # sort of "10" < "9" would misorder); the transform lambda
+            # runs interpreted but over k=3 elements per row
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("nbr")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("neighbors")
+        )
     )

@@ -492,3 +492,59 @@ def test_vec_centroid_partial_agg_no_vector_shuffle(qmod, spark, sf_dir):
     assert p.count("Exchange (") == 1
     # the shuffle rows are the quantized longs, not the float arrays
     assert "embedding" not in p.split("Exchange (")[1].split("\n")[0]
+
+
+def test_dedup_incremental_shares_signature_stage(qmod, spark, sf_dir):
+    """dedup_incremental: the minhash signature pipeline feeds both
+    join sides through ONE materialized stage (localCheckpoint), so
+    raw documents parquet appears at most once in the final plan; no
+    forced broadcast hint (delta-vs-index sizing belongs to AQE —
+    the test split grows with the corpus even though a production
+    delta would not); the dup_of MIN partial-aggregates map-side."""
+    df = qmod.REGISTRY["dedup_incremental"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "dedup_incremental")
+    assert p.count("documents.parquet") <= 1
+    assert "partial_min" in p
+
+
+def test_ngram_coverage_two_scans_partial_aggs(qmod, spark, sf_dir):
+    """text_ngram_coverage: corpus-stats motif — shingle side + freq
+    side only (no third documents scan), both aggregations partial,
+    no forced broadcast of the shingle-frequency table."""
+    df = qmod.REGISTRY["text_ngram_coverage"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "text_ngram_coverage")
+    assert p.count("documents.parquet") <= 2
+    assert "partial_count" in p
+
+
+def test_knn_graph_pruned_shuffle_and_group_limit(qmod, spark, sf_dir):
+    """vec_knn_graph: candidates come from the block-pair Arrow
+    kernel (FlatMapGroupsInPandas), the rank filter compiles to
+    WindowGroupLimit (per-src top-k never materializes full windows),
+    and only two exchanges exist (block grouping + src window)."""
+    p = plan(qmod, spark, sf_dir, "vec_knn_graph")
+    assert "FlatMapGroupsInPandas" in p
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange (") <= 2
+
+
+def test_rollup_retention_single_scan(qmod, spark, sf_dir):
+    """rollup_retention: one events scan, distinct collapses with a
+    map-side partial before anything wide, cohort via window MIN
+    (no self-join re-scan)."""
+    p = plan(qmod, spark, sf_dir, "rollup_retention")
+    assert p.count("events.parquet") == 1
+    assert "partial_count" in p  # countDistinct partial
+
+
+def test_rollup_funnel_one_scan_one_user_exchange(qmod, spark, sf_dir):
+    """rollup_funnel: the stacked-window formulation must keep ONE
+    events scan (the chained-join version rescans it six times) and
+    at most two exchanges (user_id hash + final single-row agg)."""
+    p = plan(qmod, spark, sf_dir, "rollup_funnel")
+    assert p.count("events.parquet") == 1
+    assert p.count("Exchange (") <= 2
