@@ -58,10 +58,13 @@ BENCH_KEYS = [
     "text_repetition",
     "dedup_cross_corpus",
     "dedup_incremental",
+    "dedup_semantic_clusters",
     "text_ngram_coverage",
     "vec_knn_graph",
     "rollup_retention",
     "rollup_funnel",
+    "join_interval_overlap",
+    "compare_sampled",
     "dedup_ngram_jaccard",
     "dedup_levenshtein",
     "sample_stratified",

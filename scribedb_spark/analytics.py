@@ -549,3 +549,66 @@ def rollup_funnel(spark, sf_dir) -> DataFrame:
         F.count("t_click").alias("n_click_users"),
         F.count("t_purchase").alias("n_purchase_users"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             MIN(ts) AS t0, MAX(ts) AS t1
+      FROM events GROUP BY 1, 2)
+    SELECT a.d, a.user_id AS user1, b.user_id AS user2,
+           CAST(epoch_us(LEAST(a.t1, b.t1))
+                - epoch_us(GREATEST(a.t0, b.t0)) AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.d = b.d AND a.user_id < b.user_id
+     AND a.t0 <= b.t1 AND b.t0 <= a.t1
+    WHERE epoch_us(LEAST(a.t1, b.t1)) - epoch_us(GREATEST(a.t0, b.t0))
+          >= 72000000000
+    """,
+)
+def join_interval_overlap(spark, sf_dir) -> DataFrame:
+    """Interval-overlap self-join: pairs of users whose daily
+    activity spans [first event, last event] overlap by >= 20 hours
+    on the same day — the big-x-big interval join (co-activity,
+    session concurrency, range containment) that a naive formulation
+    turns into a broadcast-nested-loop over the whole corpus.
+
+    The scale pattern is EPOCH BINNING: intervals are built per
+    (user, day) so the day is an exact equi-key — the join hash-
+    partitions on it and the interval predicates run as post-join
+    filters inside each bin, never across bins. (Generic intervals
+    get the same treatment by exploding each into the fixed-width
+    epochs it touches and de-duplicating matches; here spans are
+    within-day by construction, so one bin each suffices.) Contrast
+    join_range (queries.py), where one side is a tiny broadcast
+    banding dim. The interval build is one partial-aggregated
+    groupBy; overlap microseconds are exact integer arithmetic on
+    both engines.
+    """
+    e = table(spark, "events", sf_dir)
+    iv = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    a = iv.alias("a")
+    b = iv.alias("b")
+    ov = F.unix_micros(
+        F.least(F.col("a.t1"), F.col("b.t1"))
+    ) - F.unix_micros(F.greatest(F.col("a.t0"), F.col("b.t0")))
+    return (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.t0") <= F.col("b.t1"))
+            & (F.col("b.t0") <= F.col("a.t1")),
+        )
+        .filter(ov >= 72000000000)
+        .select(
+            F.col("a.d").alias("d"),
+            F.col("a.user_id").alias("user1"),
+            F.col("b.user_id").alias("user2"),
+            ov.alias("overlap_us"),
+        )
+    )

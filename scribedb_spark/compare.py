@@ -506,3 +506,41 @@ def fingerprint_delta(
         .filter(F.col("status") != "unchanged")
         .orderBy(id_col)
     )
+
+
+def sampled_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    keys: list[str],
+    fraction: float = 0.01,
+    distinct: bool = False,
+) -> DataFrame:
+    """Deterministic sampled pre-compare: restrict BOTH sides to the
+    same key-hash sample, then run the symmetric diff on that slice.
+
+    The sample predicate is a pure function of the key values
+    (md5 -> 60-bit int < fraction * 2^60), so the two sides select
+    the SAME logical rows regardless of engine, partitioning, or row
+    order — unlike rand()/TABLESAMPLE, a drift found in the sample
+    is a real drift, and the expected hit rate on uniformly-spread
+    corruption is ~fraction. This is the cheap first pass a 100 TB
+    compare runs before committing to the full fingerprint sweep
+    (reference analog: the COUNT(*) pre-flight, base.py:86-94, as a
+    value-level spot check). The hash predicate cannot prune parquet
+    I/O (it is opaque to row-group stats — both sides still scan),
+    but it runs map-side before the diff's one shuffle, so only
+    ~fraction of rows ever move or aggregate; sources partitioned or
+    bucketed by key can additionally prune by mapping the hash range
+    onto buckets.
+
+    A clean sampled diff is NOT proof of equality (it bounds drift
+    only probabilistically); `compare()` remains the verdict. Use
+    this to fail fast and to size `row_limit` before the full run.
+    """
+    threshold = int(fraction * float(1 << 60))
+    key_str = F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
+    pred = (
+        F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10).cast("long")
+        < F.lit(threshold)
+    )
+    return symmetric_diff(src.filter(pred), tgt.filter(pred), distinct)

@@ -15,6 +15,8 @@ agree bit-for-bit):
 - incremental    delta-batch vs indexed-corpus classification (the
                  steady-state ingest shape: only signatures of the
                  index move, never its text)
+- semantic       SemDeDup-style ledger: embedding-cosine pairs ->
+                 connected components -> one survivor per cluster
 
 Scale design: every operator is explode -> groupBy -> self-join on a
 *bucket key* (band signature / simhash / shingle), never an O(n^2)
@@ -626,12 +628,17 @@ _COMPONENTS_ORACLE = f"""
     """
 
 
-@register("dedup_components", oracle=_COMPONENTS_ORACLE)
-def dedup_components(spark, sf_dir) -> DataFrame:
-    """Connected components over the minhash candidate-pair graph:
-    near-dup PAIRS become near-dup GROUPS (component = min doc_id
-    reachable), the form a dedup pipeline actually consumes — keep
-    one doc per component, drop the rest.
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "doc_id1",
+    id2: str = "doc_id2",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list
+    — the shared grouping engine behind ``dedup_components`` (minhash
+    pair graph) and ``dedup_semantic_clusters`` (embedding-cosine
+    pair graph). Returns (out_id, component) for every node that
+    appears in an edge; component = min reachable node id.
 
     Two phases. (1) Partition-local contraction: each task runs a
     min-root union-find over its slice of the edge list (mapInPandas,
@@ -647,10 +654,11 @@ def dedup_components(spark, sf_dir) -> DataFrame:
     measured 10x slower on the sf0.1 graph. Converged state is a star
     forest: every node points directly at its component min.
     ``localCheckpoint`` truncates lineage between rounds; fixpoint =
-    unchanged (checksum, count) of the edge set. The DuckDB twin is a
-    recursive CTE over the same pair edges.
+    unchanged (checksum, count) of the edge set.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = pairs.select(
+        F.col(id1).alias("doc_id1"), F.col(id2).alias("doc_id2")
+    )
 
     def contract(batches):
         import pandas as pd
@@ -739,11 +747,79 @@ def dedup_components(spark, sf_dir) -> DataFrame:
             "fixpoint within 30 rounds (O(log^2 n) bound implies a bug or "
             "pathological graph); refusing to return partial components"
         )
-    comp = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
-    roots = e.select(F.col("v").alias("doc_id")).subtract(
-        e.select(F.col("u").alias("doc_id"))
+    comp = e.select(F.col("u").alias(out_id), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias(out_id)).subtract(
+        e.select(F.col("u").alias(out_id))
     )
-    return comp.unionAll(roots.withColumn("component", F.col("doc_id")))
+    return comp.unionAll(roots.withColumn("component", F.col(out_id)))
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark, sf_dir) -> DataFrame:
+    """Connected components over the minhash candidate-pair graph:
+    near-dup PAIRS become near-dup GROUPS (component = min doc_id
+    reachable), the form a dedup pipeline actually consumes — keep
+    one doc per component, drop the rest. The grouping engine
+    (partition-local union-find contraction + large-star/small-star
+    rounds) is `connected_components` above; the DuckDB twin is a
+    recursive CTE over the same pair edges.
+    """
+    return connected_components(dedup_minhash_lsh(spark, sf_dir))
+
+
+_SEMANTIC_ORACLE = """
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.42),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e2.a, w.lbl FROM edges e2 JOIN walk w ON e2.b = w.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id)
+    SELECT em.vec_id,
+           COALESCE(comp.c, em.vec_id) AS cluster,
+           CAST(COALESCE(comp.c, em.vec_id) = em.vec_id AS INT) AS keep
+    FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.id
+    """
+
+
+@register("dedup_semantic_clusters", oracle=_SEMANTIC_ORACLE)
+def dedup_semantic_clusters(spark, sf_dir) -> DataFrame:
+    """SemDeDup-style semantic dedup ledger: embedding-cosine
+    near-dup PAIRS (exact threshold 0.42, the blocked all-pairs
+    kernel of ``dedup_embedding_cosine``) grouped into CLUSTERS via
+    ``connected_components``, then every vector gets a keep/drop
+    verdict — keep exactly the minimum id of each cluster, and every
+    singleton. This is the end-to-end form semantic dedup ships in
+    (Abbas et al., SemDeDup): pairs -> groups -> one survivor per
+    group.
+
+    Scale: pair generation is the block-pair applyInPandas kernel
+    (task memory bounded, shuffle n*B rows); components run on the
+    pair graph only (near-dup-bounded, not corpus-bounded); the
+    final verdict is one left join of the corpus id column against
+    the component table — at 100 TB the only corpus-sized stage, and
+    it carries ids, never embeddings. At that scale swap the exact
+    pair kernel for ann_ivf_topk candidates + exact re-scoring; the
+    grouping and ledger stages are unchanged.
+    """
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    comp = connected_components(
+        pairs, id1="vec_id1", id2="vec_id2", out_id="vec_id"
+    )
+    ids = table(spark, "embeddings", sf_dir).select("vec_id")
+    cluster = F.coalesce(F.col("component"), F.col("vec_id"))
+    return ids.join(comp, "vec_id", "left").select(
+        "vec_id",
+        cluster.alias("cluster"),
+        (cluster == F.col("vec_id")).cast("int").alias("keep"),
+    )
 
 
 @register(

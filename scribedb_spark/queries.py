@@ -1015,6 +1015,49 @@ def compare_tolerance(spark, sf_dir):
 
 
 @register(
+    "compare_sampled",
+    oracle=f"""
+    WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+         tgt AS (SELECT o_orderkey,
+                        CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice + 1
+                             ELSE o_totalprice END AS o_totalprice
+                 FROM orders),
+         ssrc AS (SELECT * FROM src
+                  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) < {int(0.2 * float(1 << 60))}),
+         stgt AS (SELECT * FROM tgt
+                  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) < {int(0.2 * float(1 << 60))})
+    SELECT o_orderkey, o_totalprice, 'src' AS side
+      FROM (SELECT * FROM ssrc EXCEPT ALL SELECT * FROM stgt) x
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'tgt' AS side
+      FROM (SELECT * FROM stgt EXCEPT ALL SELECT * FROM ssrc) y
+    """,
+)
+def compare_sampled(spark, sf_dir):
+    """Sampled pre-compare (compare.sampled_diff): both sides
+    restricted to the same deterministic 20% key-hash sample, then
+    the one-shuffle symmetric diff. The key-hash predicate (pure
+    function of key values — not rand()/TABLESAMPLE) means both
+    engines select identical logical rows, so every sampled hit is a
+    real drift; at 100 TB this is the fail-fast first pass before the
+    full fingerprint sweep — the hash filter runs map-side (it can't
+    prune parquet I/O, being opaque to row-group stats), so only
+    ~fraction of rows reach the diff's single shuffle."""
+    from scribedb_spark.compare import sampled_diff
+
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    tgt = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 1000 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return sampled_diff(o, tgt, ["o_orderkey"], fraction=0.2)
+
+
+@register(
     "compare_fp_delta",
     oracle="""
     WITH nb AS (

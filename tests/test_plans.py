@@ -548,3 +548,33 @@ def test_rollup_funnel_one_scan_one_user_exchange(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "rollup_funnel")
     assert p.count("events.parquet") == 1
     assert p.count("Exchange (") <= 2
+
+
+def test_semantic_clusters_id_only_final_join(qmod, spark, sf_dir):
+    """dedup_semantic_clusters: the component edges are materialized
+    behind a localCheckpoint (pair kernel + star rounds run once, so
+    they don't appear in the final plan); the final corpus join must
+    scan vec_id ONLY — the embedding array never enters the
+    ledger-join stage."""
+    p = plan(qmod, spark, sf_dir, "dedup_semantic_clusters")
+    assert "struct<vec_id:bigint>" in p
+    assert "embedding:array" not in p
+
+
+def test_compare_sampled_filters_before_single_shuffle(qmod, spark, sf_dir):
+    """compare_sampled: the deterministic hash-sample filter runs
+    map-side on BOTH inputs before the diff's one shuffle — exactly
+    one exchange in the whole plan, two filtered scans."""
+    p = plan(qmod, spark, sf_dir, "compare_sampled")
+    assert p.count("Exchange (") == 1
+    assert p.count("orders.parquet") == 2
+
+
+def test_interval_overlap_equi_bin_join_not_nested_loop(qmod, spark, sf_dir):
+    """join_interval_overlap: the day bin must make this an equi hash
+    or sort-merge join — a BroadcastNestedLoopJoin here means the
+    binning degenerated to an all-pairs theta join; the interval
+    build partial-aggregates map-side."""
+    p = plan(qmod, spark, sf_dir, "join_interval_overlap")
+    assert "NestedLoop" not in p
+    assert "partial_min" in p and "partial_max" in p
