@@ -37,6 +37,7 @@ BENCH_KEYS = [
     "q21_waiting_supplier",
     "pipeline_curation",
     "pipeline_shard_ledger",
+    "pipeline_incremental",
     "rollup_hypertable",
     "agg_skew_salted",
     "join_inner",

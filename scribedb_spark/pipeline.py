@@ -169,3 +169,97 @@ def pipeline_shard_ledger(spark, sf_dir) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+def _pipeline_incremental_oracle() -> str:
+    from scribedb_spark.operators.dedup import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    dup AS (
+      SELECT DISTINCT i.doc_id
+      FROM sig i JOIN sig x ON i.band = x.band AND i.s = x.s
+      WHERE i.doc_id % 10 = 0 AND x.doc_id % 10 <> 0),
+    novel AS (
+      SELECT d.doc_id, d.text FROM documents d
+      LEFT JOIN dup ON d.doc_id = dup.doc_id
+      WHERE d.doc_id % 10 = 0 AND dup.doc_id IS NULL),
+    scored AS (
+      SELECT doc_id, {SQL_NTOK} AS n_tokens,
+             CAST(least({SQL_NTOK}, 100) AS DOUBLE) / 100 * 0.5
+               + 0.5 * CAST({sql_occ('the')} AS DOUBLE) / {SQL_NTOK} AS quality
+      FROM novel
+      WHERE {sql_occ('the')} + {sql_occ('a')} >= 1),
+    kept AS (SELECT doc_id, n_tokens FROM scored WHERE quality >= {MIN_QUALITY}),
+    sh AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 8 AS shard
+      FROM kept)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM sh GROUP BY shard
+    """
+
+
+@register("pipeline_incremental", oracle=_pipeline_incremental_oracle())
+def pipeline_incremental(spark, sf_dir) -> DataFrame:
+    """Flagship composition #3: the DAILY-INGEST path. An incoming
+    delta batch (docs with doc_id % 10 == 0) is near-dedup'd against
+    the indexed corpus (MinHash band signatures — the index side
+    contributes only its signature table, the steady-state 100 TB
+    shape of dedup_incremental), survivors pass the same marker +
+    quality gates as pipeline_curation, and the batch lands in
+    deterministic hash shards with a per-shard doc/token ledger.
+    This is the pipeline a training corpus actually runs every day:
+    full-corpus curation once (pipeline_curation), then this
+    incremental form per ingest, with identical gate semantics.
+
+    Scale: the dedup stage shuffles band signatures (4 short rows
+    per doc), the anti-join carries ids, and the gates + shard
+    ledger are map-only expressions + one partial-aggregated
+    groupBy on the batch — the index's text is never read beyond
+    signature construction (at 100 TB the signature table is a
+    maintained artifact, so even that scan disappears).
+    """
+    from scribedb_spark.operators.dedup import (
+        band_signatures,
+        min_tokens_filter,
+    )
+
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    incoming = F.col("doc_id") % 10 == 0
+    sig = band_signatures(d.filter(min_tokens_filter())).localCheckpoint()
+    dup_ids = (
+        sig.filter(incoming)
+        .select(F.col("doc_id").alias("inc_id"), "band", "s")
+        .join(
+            sig.filter(~incoming).select("band", "s"),
+            on=["band", "s"],
+        )
+        .select(F.col("inc_id").alias("doc_id"))
+        .distinct()
+    )
+    novel = d.filter(incoming).join(dup_ids, "doc_id", "left_anti")
+    t = F.col("text")
+    kept = novel.filter(
+        (occurrences(t, "the") + occurrences(t, "a") >= 1)
+        & (quality_score(t) >= F.lit(MIN_QUALITY))
+    ).select("doc_id", ws_token_count(t).alias("n_tokens"))
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(8),
+    )
+    return (
+        kept.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -277,3 +277,26 @@ def test_keyed_diff_requires_payload(spark):
         keyed_diff(df, df, ["k", "v"])
     with pytest.raises(ValueError, match="payload"):
         keyed_diff_cols(df, df, ["k", "v"])
+
+
+def test_sampled_diff_deterministic_and_complete_at_full_fraction(spark):
+    """sampled_diff: fraction=1.0 must equal the full symmetric diff;
+    a smaller fraction must only ever return a SUBSET of it (the
+    key-hash predicate picks the same logical rows on both sides, so
+    no sampled row can be a false positive); and resampling is
+    deterministic across invocations."""
+    from scribedb_spark.compare import sampled_diff, symmetric_diff
+
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k int, v string"
+    )
+    tgt = spark.createDataFrame(
+        [(i, f"v{i}" if i % 20 else "MUT") for i in range(200)],
+        "k int, v string",
+    )
+    full = {tuple(r) for r in symmetric_diff(src, tgt).collect()}
+    assert {tuple(r) for r in sampled_diff(src, tgt, ["k"], 1.0).collect()} == full
+    half1 = {tuple(r) for r in sampled_diff(src, tgt, ["k"], 0.5).collect()}
+    half2 = {tuple(r) for r in sampled_diff(src, tgt, ["k"], 0.5).collect()}
+    assert half1 == half2  # deterministic, not rand()-based
+    assert half1 <= full and len(half1) > 0

@@ -578,3 +578,17 @@ def test_interval_overlap_equi_bin_join_not_nested_loop(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "join_interval_overlap")
     assert "NestedLoop" not in p
     assert "partial_min" in p and "partial_max" in p
+
+
+def test_pipeline_incremental_batch_only_after_dedup(qmod, spark, sf_dir):
+    """pipeline_incremental: after the (checkpointed) signature
+    stage, the plan reads documents only for the incoming batch —
+    the doc_id % 10 predicate must appear as a pushed/partition
+    filter on the remaining scan, the dedup anti-join carries ids,
+    and the shard ledger partial-aggregates map-side."""
+    p = plan(qmod, spark, sf_dir, "pipeline_incremental")
+    assert p.count("documents.parquet") <= 1
+    assert "partial_count" in p
+    # the surviving scan is the incoming batch: the modulo filter
+    # is present in the plan (codegen'd filter over doc_id)
+    assert "% 10" in p
