@@ -1520,7 +1520,15 @@ def _enumeration_order() -> list[str]:
     the tail: the driver's check for them is rows-only, so they can
     never satisfy the "fully green" bar above and would otherwise pin
     themselves ahead of provable keys forever, burning ~3 of the ~9
-    rotating budget slots every round."""
+    rotating budget slots every round.
+
+    Keys listed in ``_FRESH_KEYS`` (added in the CURRENT round) rank
+    behind the older unproven backlog: a new operator registering
+    mid-file must not displace keys that have been waiting for their
+    driver slot since earlier rounds — oldest-first draining, with
+    fresh keys joining the back of the queue. Move a round's entries
+    out of the set once that round's report lands (or leave them: a
+    green row makes the flag moot)."""
     seen: dict[str, None] = {}
     for k in _CONTRACT_KEYS:
         if k in REGISTRY:
@@ -1537,8 +1545,31 @@ def _enumeration_order() -> list[str]:
     proven = _driver_proven_keys()
     head = [k for k in seen if k not in set(tail)]
     return head + sorted(
-        tail, key=lambda k: (REGISTRY[k].oracle is None, k in proven)
+        tail,
+        key=lambda k: (
+            REGISTRY[k].oracle is None,
+            k in proven,
+            k in _FRESH_KEYS,
+        ),
     )
+
+
+#: keys added in round 5 AFTER the round-4 verdict queued its slate —
+#: they drain after the keys that were already waiting (see
+#: _enumeration_order docstring)
+_FRESH_KEYS = frozenset(
+    {
+        "dedup_incremental",
+        "dedup_semantic_clusters",
+        "vec_knn_graph",
+        "rollup_retention",
+        "rollup_funnel",
+        "text_ngram_coverage",
+        "join_interval_overlap",
+        "compare_sampled",
+        "pipeline_incremental",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -122,6 +122,12 @@ def test_enumeration_order_contract_first(qmod):
     unproven_tail = [k for k in oracle_tail if k not in proven]
     # every unproven oracle-backed key sorts ahead of every proven one
     assert oracle_tail[: len(unproven_tail)] == unproven_tail
+    # within the unproven keys, this round's FRESH additions join the
+    # BACK of the queue — they must not displace keys that have been
+    # waiting for a driver slot since earlier rounds
+    fresh_unproven = [k for k in unproven_tail if k in qmod._FRESH_KEYS]
+    if fresh_unproven:
+        assert unproven_tail[-len(fresh_unproven):] == fresh_unproven
 
 
 def test_agg_approx_distinct_tolerance(spark, sf_dir):
