@@ -612,3 +612,99 @@ def join_interval_overlap(spark, sf_dir) -> DataFrame:
             ov.alias("overlap_us"),
         )
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH cnt AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM cnt)
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir) -> DataFrame:
+    """Per-group statistical mode (most frequent value) with a
+    deterministic tiebreak: highest count, then smallest value.
+    Built-in mode() is tie-nondeterministic in both engines, so the
+    exact formulation is a two-level aggregate — count per
+    (group, value), then rank-1 per group.
+
+    Scale: the first groupBy does all the data reduction with
+    map-side partials (the shuffle carries one row per distinct
+    (group, value) pair, never raw rows); the window then ranks a
+    frame whose size is the VALUE-DOMAIN cardinality (|status| x
+    |priorities| here), independent of row count — same cost at 100 TB
+    as at sf0.01."""
+    o = table(spark, "orders", sf_dir)
+    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.col("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "rollup_path_ngrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || b || '>' || c AS path,
+           COUNT(*) AS n_paths
+    FROM s WHERE c IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)
+def rollup_path_ngrams(spark, sf_dir) -> DataFrame:
+    """Top-20 most common event-type trigram paths (a>b>c) across all
+    user journeys — the clickstream path-analysis rollup (and, for a
+    training pipeline, the shape of per-document token-transition
+    mining). Window ordering carries the unique event_id tiebreaker so
+    equal-timestamp neighbors sequence identically in both engines.
+
+    Scale: sequence construction is inherently per-user — ONE shuffle
+    on user_id for the lead window (no cross-user state), then the
+    path count aggregates on a key whose cardinality is bounded by
+    |event_type|^3 (125 here) with map-side partials, and the top-20
+    is TakeOrderedAndProject (no global sort). Per-user partitions are
+    single-user-history sized; a user with millions of events is the
+    skew case and would be range-chunked first."""
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        s.filter(F.col("c").isNotNull())
+        .select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )

@@ -40,6 +40,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance of two double arrays (fold order = element
+    order, like dot/norm)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def quantize_int8(a: Column, scale: Column) -> Column:
     """Symmetric int8 quantization against a per-vector scale:
     q_i = floor(x_i / scale * 127 + 0.5). Element-wise doubles only —

@@ -23,7 +23,7 @@ raw table (the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scribedb_spark.queries import register
@@ -137,4 +137,91 @@ def rollup_hypertable(spark, sf_dir) -> DataFrame:
         "min_value",
         "max_value",
         (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+@register(
+    "rollup_gapfill",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_v
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM b),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT s.bucket, t.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           last_value(a.avg_v IGNORE NULLS) OVER (
+             PARTITION BY t.event_type ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+    """,
+)
+def rollup_gapfill(spark, sf_dir) -> DataFrame:
+    """Timeseries gap-fill with last-observation-carried-forward
+    (the timescale-style `time_bucket_gapfill` + `locf` pattern): a
+    dense hourly grid per event_type, empty buckets emitted with
+    n_events = 0 and the last seen hourly average carried forward
+    (NULL before the first observation — both engines agree).
+
+    Exactness: the carried value is the exact-decimal-sum average
+    (sum DECIMAL(18,2) -> double / count), computed once per
+    observed bucket and COPIED into gaps — LOCF adds no arithmetic,
+    so no rounding tolerance is needed.
+
+    Scale: the raw table collapses in the FIRST aggregation
+    (map-side partials, one row per (bucket, key)); everything after
+    operates on grid-sized data. The spine is generated from a
+    1-row min/max aggregate via sequence+explode — its size is
+    time-range-bounded (hours-per-decade ~= 88k), independent of row
+    count, and the LOCF window partitions by key with
+    time-range-bounded partitions. A deployment with years of data
+    and millions of keys would range-partition the grid by (key,
+    month) and seed each range's LOCF with the previous range's
+    closing value — the same mergeable-partial trick as the tier
+    chain above."""
+    e = table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_v"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("locf_avg_value"),
+        )
     )

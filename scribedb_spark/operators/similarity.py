@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from scribedb_spark.queries import register
 from scribedb_spark.sources import table
-from scribedb_spark.functions.vector import cosine, to_double_array
+from scribedb_spark.functions.vector import cosine, l2_distance, to_double_array
 
 
 @register(
@@ -758,3 +758,39 @@ def vec_knn_graph(spark, sf_dir) -> DataFrame:
             ).alias("neighbors")
         )
     )
+
+
+@register(
+    "vec_l2_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id,
+                 ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+          FROM embeddings e, q
+          WHERE e.vec_id <> 0)
+    SELECT vec_id, dist FROM s
+    ORDER BY dist, vec_id LIMIT 20
+    """,
+)
+def vec_l2_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force Euclidean (L2) top-20 neighbors of vec_id 0 — the
+    metric twin of vec_cosine_topk (L2 is what IVF/PQ indexes and
+    k-means quantizers natively optimize; cosine == L2 on normalized
+    vectors). Same plan shape: one broadcast of the query vector, one
+    scan, TakeOrdered top-k — no shuffle of the embedding table.
+    Distances rounded to 6 dp so the float compare is engine-stable."""
+    e = table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        to_double_array("embedding").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                l2_distance(to_double_array("embedding"), F.col("qv")), 6
+            ).alias("dist"),
+        )
+    )
+    return scored.orderBy("dist", "vec_id").limit(20)

