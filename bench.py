@@ -86,6 +86,18 @@ BENCH_KEYS = [
     "stream_tumbling_agg",
     "stream_session_agg",
     "stream_dedup_exact",
+    "graph_pagerank",
+    "rollup_gapfill",
+    "rollup_path_ngrams",
+    "agg_mode",
+    "agg_zscore_outliers",
+    "profile_key_skew",
+    "vec_l2_topk",
+    "join_asof_nearest",
+    "dedup_survivor_pick",
+    "rollup_journey_pattern",
+    "compare_col_drift",
+    "window_running_distinct",
 ]
 
 

@@ -708,3 +708,429 @@ def rollup_path_ngrams(spark, sf_dir) -> DataFrame:
         .orderBy(F.desc("n_paths"), "path")
         .limit(20)
     )
+
+
+@register(
+    "agg_zscore_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - st.s / st.n)
+                 / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n)),
+                 6) AS z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE abs((e.value - st.s / st.n)
+              / sqrt(st.ss / st.n - (st.s / st.n) * (st.s / st.n))) > 2.5
+    """,
+)
+def agg_zscore_outliers(spark, sf_dir) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 2.5 against the
+    group's own mean/std) — the standard numeric-drift screen run
+    before a table compare, and a quality gate in data curation.
+
+    Exactness: mean and population std come from exact decimal sums
+    (n, S, SS — the agg_corr_manual technique), and z applies ONE
+    identical double expression tree on both sides, so even rows
+    sitting near the 2.5 boundary filter identically; the reported z
+    is rounded to 6 dp for the hash.
+
+    Scale: two passes expressed as one aggregate + one broadcast-able
+    join — the stats table has |group| rows (map-side partials do the
+    reduction), then the row-level z is a codegen'd projection. No
+    window over raw rows, no sort."""
+    e = table(spark, "events", sf_dir)
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2("value")).cast("double").alias("s"),
+        F.sum(d2("value") * d2("value")).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(st, "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH pk AS (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MAX(cnt) AS max_cnt,
+           MIN(cnt) AS min_cnt,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt,
+           CAST(SUM(CASE WHEN cnt >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys_ge_10,
+           CAST(SUM(CASE WHEN cnt >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys_ge_50,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singleton_keys
+    FROM pk
+    """,
+)
+def profile_key_skew(spark, sf_dir) -> DataFrame:
+    """Join/agg-key skew profile: the per-key count distribution of a
+    prospective shuffle key, summarized as exact integer tail counts
+    (max, singletons, keys above burst thresholds) plus the exact
+    average. This is the pre-flight a 100 TB join runs to decide
+    between a plain hash join, AQE skew splitting, or explicit
+    salting (operators/skew.py) — max_cnt/avg_cnt is the skew factor.
+
+    Exactness: everything is COUNT-derived integers (no value
+    rendering at all) except avg_cnt, which is an exact integer sum
+    divided once — identical in both engines.
+
+    Scale: one groupBy with map-side partials (the shuffle carries
+    one row per key), then a single-row final aggregate. The
+    threshold counts avoid percentile interpolation entirely —
+    exact-percentile semantics differ subtly across engines, and the
+    tail counts answer the same operational question."""
+    o = table(spark, "orders", sf_dir)
+    pk = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return pk.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
+        F.sum(F.when(F.col("cnt") >= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_ge_10"),
+        F.sum(F.when(F.col("cnt") >= 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_ge_50"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singleton_keys"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, MIN(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT c.click_id, c.user_id, c.ts,
+             p.pid AS back_pid, p.ts AS back_ts
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.ts),
+    f AS (
+      SELECT c.click_id, p.pid AS fwd_pid, p.ts AS fwd_ts
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT b.click_id, b.user_id, b.ts AS click_ts,
+           CASE WHEN f.fwd_ts IS NULL THEN b.back_pid
+                WHEN b.back_ts IS NULL THEN f.fwd_pid
+                WHEN epoch_us(b.ts) - epoch_us(b.back_ts)
+                     <= epoch_us(f.fwd_ts) - epoch_us(b.ts)
+                THEN b.back_pid
+                ELSE f.fwd_pid END AS purchase_id
+    FROM b JOIN f ON b.click_id = f.click_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir) -> DataFrame:
+    """Nearest-event as-of join: each click matched to the CLOSEST
+    purchase in time, looking both directions; ties (equidistant, or
+    an exact-ts purchase) resolve backward. Completes the as-of
+    family (join_asof backward, join_asof_forward forward).
+
+    One union + one shuffle on user_id computes BOTH directions: the
+    trailing frame carries the latest prior purchase, the following
+    frame the next one, over the same sort (purchases order before
+    clicks at equal ts, so the trailing frame sees an exact-ts
+    purchase — its delta is 0 and backward wins, which also makes the
+    forward frame's exclusion of that same-ts purchase irrelevant).
+    The pick is an integer-microsecond comparison — exact on both
+    engines. Purchases are pre-reduced to one per (user_id, ts) via
+    MIN event_id so neither engine has a hidden tie to break.
+
+    Scale: same class as join_asof — sequence logic stays per-user
+    (one exchange), windows are frame-bounded, no self-join of raw
+    events (the DuckDB oracle's two ASOF joins + re-join is the
+    shape this composition avoids)."""
+    e = table(spark, "events", sf_dir)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("pid"))
+        .select(
+            "user_id", "ts", "pid",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("click_id"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("pid"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("click_id"),
+    )
+    u = purchases.unionByName(clicks).withColumn(
+        "pts", F.when(F.col("kind") == 0, F.col("ts"))
+    ).withColumn("sid", F.coalesce("pid", "click_id"))
+    base = Window.partitionBy("user_id").orderBy("ts", "kind", "sid")
+    trail = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ahead = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = (
+        u.withColumn("back_pid", F.last("pid", ignorenulls=True).over(trail))
+        .withColumn("back_ts", F.last("pts", ignorenulls=True).over(trail))
+        .withColumn("fwd_pid", F.first("pid", ignorenulls=True).over(ahead))
+        .withColumn("fwd_ts", F.first("pts", ignorenulls=True).over(ahead))
+    )
+    back_d = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    fwd_d = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    pick = (
+        F.when(F.col("fwd_ts").isNull(), F.col("back_pid"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_pid"))
+        .when(back_d <= fwd_d, F.col("back_pid"))
+        .otherwise(F.col("fwd_pid"))
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        pick.alias("purchase_id"),
+    )
+
+
+@register(
+    "rollup_journey_pattern",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id)
+    SELECT user_id, journey,
+           CAST(regexp_matches(journey, 'v.*c.*p') AS INT) AS funnel_vcp,
+           CAST(length(journey) AS INT) AS n_events
+    FROM j
+    """,
+)
+def rollup_journey_pattern(spark, sf_dir) -> DataFrame:
+    """Per-user journey strings + regex pattern matching — the
+    poor-man's MATCH_RECOGNIZE: each user's ordered event-type
+    initials concatenate into one string ('vvcep...'), and funnel /
+    sequence questions become regexes over it (here: a view, then a
+    click, then a purchase, in order, anything between).
+
+    Determinism: collect_list is order-nondeterministic, so events
+    are collected as (ts, event_id, ch) structs and array_sort'ed —
+    a total lexicographic order (event_id unique) identical to the
+    oracle's ORDER BY ts, event_id. The regex semantics (unanchored
+    search) agree between Spark rlike and DuckDB regexp_matches.
+
+    Scale: one shuffle on user_id (collect_list merges partial
+    lists map-side); per-user state is that user's history — the
+    same per-entity bound as sessionization, with the usual
+    range-chunking escape for pathological users. The sort and the
+    interpreted transform run on ~tens of elements per user."""
+    e = table(spark, "events", sf_dir)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            )
+        )
+    )
+    j = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.transform(arr, lambda s: s["ch"])
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        "journey",
+        F.col("journey").rlike("v.*c.*p").cast("int").alias("funnel_vcp"),
+        F.length("journey").cast("int").alias("n_events"),
+    )
+
+
+@register(
+    "compare_col_drift",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+    tgt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 500 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2000 <> 0),
+    ps AS (
+      SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct FROM src
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice) FROM src
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority) FROM src),
+    pt AS (
+      SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct FROM tgt
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice) FROM tgt
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority) FROM tgt)
+    SELECT ps.col_name,
+           ps.n_rows AS rows_src, pt.n_rows AS rows_tgt,
+           ps.n_nulls AS nulls_src, pt.n_nulls AS nulls_tgt,
+           ps.n_distinct AS distinct_src, pt.n_distinct AS distinct_tgt,
+           CAST(ps.n_rows <> pt.n_rows OR ps.n_nulls <> pt.n_nulls
+                OR ps.n_distinct <> pt.n_distinct AS INT) AS drift
+    FROM ps JOIN pt ON ps.col_name = pt.col_name
+    """,
+)
+def compare_col_drift(spark, sf_dir) -> DataFrame:
+    """Side-by-side column-profile drift: before paying for a full
+    row compare, profile both sides (rows / nulls / exact distinct
+    per column) and diff the PROFILES — a dropped partition, a new
+    null source, or a collapsed enum shows up here at aggregate cost.
+    This is the reference domain's pre-flight (its count-first
+    behavior generalized per column), and the cheap first tier above
+    compare_verdict / compare_keyed_diff.
+
+    Exactness: all COUNT-derived integers; no value rendering.
+
+    Scale: one scan + one multi-distinct aggregate per side (Catalyst
+    expand + partial aggregation, same plan class as
+    profile_columns), then a |columns|-row join — the compare cost is
+    independent of row count beyond the two scans."""
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    o = table(spark, "orders", sf_dir).select(*cols)
+    src = o
+    tgt = (
+        o.filter(F.col("o_orderkey") % 2000 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 1000 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 500 == 0, F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+
+    def profile(df: DataFrame, suffix: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs.append(F.count(c).alias(f"cnt_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"dst_{c}"))
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', n_rows - cnt_{c}, dst_{c}" for c in cols
+        )
+        return wide.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) "
+                "AS (col_name, n_nulls, n_distinct)"
+            ),
+            "n_rows",
+        ).select(
+            "col_name",
+            F.col("n_rows").alias(f"rows_{suffix}"),
+            F.col("n_nulls").alias(f"nulls_{suffix}"),
+            F.col("n_distinct").alias(f"distinct_{suffix}"),
+        )
+
+    ps, pt = profile(src, "src"), profile(tgt, "tgt")
+    drift = (
+        (F.col("rows_src") != F.col("rows_tgt"))
+        | (F.col("nulls_src") != F.col("nulls_tgt"))
+        | (F.col("distinct_src") != F.col("distinct_tgt"))
+    )
+    return ps.join(pt, "col_name").select(
+        "col_name",
+        "rows_src", "rows_tgt",
+        "nulls_src", "nulls_tgt",
+        "distinct_src", "distinct_tgt",
+        drift.cast("int").alias("drift"),
+    )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_types_so_far
+    FROM f
+    """,
+)
+def window_running_distinct(spark, sf_dir) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — SQL can't
+    express it directly (DISTINCT isn't frame-able), so the exact
+    rewrite is: flag each (user, event_type)'s FIRST occurrence with
+    a per-type row_number, then a cumulative sum of the flags in
+    event order. Classic enrichment for engagement breadth ("how many
+    distinct behaviors has this user shown by time t").
+
+    Scale: two key-partitioned windows ((user, type) then (user)) —
+    two exchanges of slim rows, each frame bounded per user; no
+    collect_set state growing with the frame (the naive
+    size(collect_set() OVER ...) carries a per-row set — memory grows
+    with distinct cardinality and the state serializes per row)."""
+    e = table(spark, "events", sf_dir)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_cum).cast("long").alias("n_types_so_far"),
+    )

@@ -30,7 +30,7 @@ prefix filtering.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scribedb_spark.queries import register
@@ -875,4 +875,62 @@ def dedup_levenshtein(spark, sf_dir) -> DataFrame:
             F.levenshtein("h1", "h2").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 60)
+    )
+
+
+_SURVIVOR_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+              UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+    m AS (SELECT c.doc_id, c.component, d.n_chars
+          FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+    r AS (SELECT component, doc_id AS survivor_id,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM m)
+    SELECT m.doc_id, m.component, r.survivor_id,
+           CAST(m.doc_id = r.survivor_id AS INT) AS keep
+    FROM m JOIN r ON m.component = r.component AND r.rn = 1
+    """
+
+
+@register("dedup_survivor_pick", oracle=_SURVIVOR_ORACLE)
+def dedup_survivor_pick(spark, sf_dir) -> DataFrame:
+    """Survivor selection over near-dup groups: the step between
+    "grouped" and "deduplicated". Where dedup_components /
+    dedup_semantic_clusters keep the MIN-ID member (arbitrary but
+    cheap), real curation keeps the BEST member — here the longest
+    document (max n_chars, min doc_id on ties), the common
+    keep-the-most-complete-copy policy; swapping in
+    text_quality_score as the ranking column is the same plan.
+
+    Scale: components come from the LSH pair graph (never all
+    pairs); the ranking join adds one broadcast-able per-doc metadata
+    column, and the survivor window partitions by component —
+    frames are duplicate-group-sized. Output is the dedup ledger:
+    every grouped doc with its component, its group's survivor, and
+    a keep/drop verdict."""
+    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    d = table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    m = comp.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    r = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("survivor_id"))
+    )
+    return m.join(r, "component").select(
+        "doc_id",
+        "component",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("keep"),
     )

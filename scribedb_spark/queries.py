@@ -1433,6 +1433,7 @@ def load_extensions() -> None:
     import scribedb_spark.operators.skew  # noqa: F401
     import scribedb_spark.operators.packing  # noqa: F401
     import scribedb_spark.operators.curation  # noqa: F401
+    import scribedb_spark.operators.graph  # noqa: F401
 
     # SURVEY.md §2.10 names the MinHash-LSH near-dup key `dedup_near`;
     # keep that name as an alias of the concrete implementation key.

@@ -41,6 +41,8 @@ KEYS = [
     "text_rare_bigrams",
     "text_shard_assign",
     "ann_pq_topk",
+    "graph_pagerank",
+    "rollup_gapfill",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;

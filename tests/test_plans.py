@@ -640,3 +640,100 @@ def test_vec_l2_topk_broadcast_query_take_ordered(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "vec_l2_topk")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastExchange" in p
+
+
+def test_pagerank_edges_collapse_before_iterations(qmod, spark, sf_dir):
+    """graph_pagerank: the raw event stream collapses ONCE into the
+    (u, v, w) edge list (map-side partial counts in the
+    transition_graph stage), and the 3 unrolled iterations run over
+    checkpointed domain-sized frames — the final plan contains NO
+    events scan at all (a plan that re-derives the window+aggregate
+    subtree per iteration would show events.parquet ~10 times)."""
+    from scribedb_spark.operators.graph import transition_graph
+
+    eo, _nodes = transition_graph(spark, sf_dir)
+    pe = eo._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_count" in pe
+    assert pe.count("events.parquet") == 1
+    p = plan(qmod, spark, sf_dir, "graph_pagerank")
+    assert p.count("events.parquet") == 0
+    assert "ExistingRDD" in p
+
+
+def test_zscore_stats_aggregate_then_rowside_join(qmod, spark, sf_dir):
+    """agg_zscore_outliers: group stats reduce with map-side partial
+    sums; the row-level z is a projection after a join against the
+    |group|-row stats table — no window over raw rows, no sort
+    anywhere in the plan."""
+    p = plan(qmod, spark, sf_dir, "agg_zscore_outliers")
+    assert "partial_sum" in p
+    assert "Window" not in p
+    assert "Sort (" not in p
+
+
+def test_key_skew_profile_two_level_aggregate(qmod, spark, sf_dir):
+    """profile_key_skew: per-key counts partial-aggregate map-side,
+    then a single-row final aggregate — two aggregate levels, one
+    key-hash exchange, nothing else."""
+    p = plan(qmod, spark, sf_dir, "profile_key_skew")
+    assert "partial_count" in p
+    assert p.count("orders.parquet") == 1
+
+
+def test_asof_nearest_no_join_single_user_shuffle(qmod, spark, sf_dir):
+    """join_asof_nearest: the bidirectional nearest match compiles to
+    a union + windows — NO physical join operator at all, and exactly
+    one exchange keyed on user_id (the oracle's two ASOF joins +
+    re-join would be three)."""
+    p = plan(qmod, spark, sf_dir, "join_asof_nearest")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "NestedLoop" not in p
+    assert p.count("hashpartitioning(user_id") >= 1
+    assert "Union" in p
+
+
+def test_survivor_pick_ranks_after_components(qmod, spark, sf_dir):
+    """dedup_survivor_pick: the survivor window partitions by
+    component (duplicate-group-sized frames), the metadata join adds
+    only (doc_id, n_chars), and the component input arrives
+    checkpointed — no re-derivation of the LSH pair graph inside the
+    ranking stage."""
+    p = plan(qmod, spark, sf_dir, "dedup_survivor_pick")
+    assert "hashpartitioning(component" in p
+    assert "n_chars" in p
+    assert "text" not in p.split("documents.parquet")[-1][:400]
+
+
+def test_journey_pattern_single_user_shuffle(qmod, spark, sf_dir):
+    """rollup_journey_pattern: exactly one exchange (user_id for the
+    list aggregate) — the sort/concat/regex all run as projections
+    after the aggregate, no window, no second shuffle."""
+    p = plan(qmod, spark, sf_dir, "rollup_journey_pattern")
+    assert p.count("hashpartitioning(user_id") >= 1
+    assert "Window" not in p
+    assert "events.parquet" in p
+
+
+def test_col_drift_profile_cost_is_aggregate(qmod, spark, sf_dir):
+    """compare_col_drift: each side is ONE scan + one expand-based
+    multi-distinct aggregate; the final join touches |columns| rows.
+    Two scans total, partial aggregation present, no row-level
+    shuffle of payload columns."""
+    p = plan(qmod, spark, sf_dir, "compare_col_drift")
+    assert p.count("orders.parquet") == 2
+    assert "Expand" in p
+    assert "partial_count" in p
+
+
+def test_running_distinct_two_keyed_windows(qmod, spark, sf_dir):
+    """window_running_distinct: the exact rewrite is two
+    key-partitioned windows — (user, type) first-seen then (user)
+    cumulative sum; no collect_set state, no global window."""
+    p = plan(qmod, spark, sf_dir, "window_running_distinct")
+    assert "hashpartitioning(user_id" in p
+    assert "collect_set" not in p
+    assert p.count("Window") >= 2
