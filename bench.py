@@ -98,6 +98,8 @@ BENCH_KEYS = [
     "rollup_journey_pattern",
     "compare_col_drift",
     "window_running_distinct",
+    "fp_merkle",
+    "compare_merkle_drill",
 ]
 
 

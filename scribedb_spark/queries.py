@@ -2351,3 +2351,210 @@ def q13_custdist(spark, sf_dir):
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_MERKLE_L0 = """
+    WITH nb AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders),
+    l0 AS (
+      SELECT CAST((rn - 1) // 1000 AS BIGINT) AS node_id,
+             CAST(CAST(SUM(CAST(('0x' || substr(
+                   md5(concat('(', concat_ws(',',
+                       CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                       o_orderpriority), ')')), 1, 15)) AS BIGINT))
+               % 2305843009213693951 AS BIGINT) AS VARCHAR) AS h
+      FROM nb GROUP BY (rn - 1) // 1000)
+"""
+
+
+@register(
+    "fp_merkle",
+    oracle=_MERKLE_L0
+    + """,
+    l1 AS (
+      SELECT node_id // 16 AS node_id,
+             md5(string_agg(h, ',' ORDER BY node_id)) AS h
+      FROM l0 GROUP BY node_id // 16),
+    l2 AS (
+      SELECT node_id // 16 AS node_id,
+             md5(string_agg(h, ',' ORDER BY node_id)) AS h
+      FROM l1 GROUP BY node_id // 16)
+    SELECT 0 AS level, node_id, h FROM l0
+    UNION ALL SELECT 1 AS level, node_id, h FROM l1
+    UNION ALL SELECT 2 AS level, node_id, h FROM l2
+    """,
+)
+def fp_merkle(spark, sf_dir):
+    """Merkle tree over the chunk fingerprints (fanout 16, fixed
+    depth 2 above the chunk level): compare two tables by their
+    ROOTS, and on mismatch descend only the differing subtree —
+    O(fanout * depth) chunk probes instead of rescanning every chunk,
+    the log-depth generalization of the reference's linear chunk loop
+    (ref main.py:216-247) and of compare_fp_delta's flat chunk diff.
+
+    Exactness: level-0 hashes are the fp_chunk_hashes BIGINTs
+    rendered as decimal strings; every parent is md5 over its
+    children's hashes joined by ',' in node_id order — string
+    operations only, no float anywhere. Child order inside a parent
+    is made deterministic by array_sort over (node_id, h) structs
+    (collect_list alone is order-nondeterministic).
+
+    Scale: the chunk table is rows/1000; each level above shrinks
+    16x. The tree build shuffles only (node_id, hash) pairs —
+    building the whole tree costs a fraction of level 0, and level 0
+    is one pass (see fp_chunk_hashes)."""
+    l0, l1, l2 = merkle_levels(
+        table(spark, "orders", sf_dir),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        ["o_orderkey"],
+    )
+    lvl = lambda df, i: df.select(  # noqa: E731
+        F.lit(i).alias("level"), "node_id", "h"
+    )
+    return lvl(l0, 0).unionByName(lvl(l1, 1)).unionByName(lvl(l2, 2))
+
+
+def merkle_levels(df: DataFrame, cols: list[str], sort_keys: list[str]):
+    """Build the 3-level merkle tree of a frame: level-0 chunk
+    fingerprints (1000-row chunks in sort_keys order, commutative
+    60-bit md5 sum rendered as a decimal string) and two md5 parent
+    levels with fanout 16. Shared by fp_merkle (the tree itself) and
+    compare_merkle_drill (two trees diffed top-down)."""
+    from scribedb_spark.canonical import fp_unordered, global_row_number
+
+    nb = global_row_number(df.select(*cols), sort_keys)
+    chunked = nb.withColumn("chunk_id", F.expr("(rn - 1) div 1000"))
+    l0 = (
+        fp_unordered(chunked, cols, group_by=["chunk_id"])
+        .select(
+            F.col("chunk_id").alias("node_id"),
+            F.pmod(F.col("fp"), F.lit(2305843009213693951))
+            .cast("long")
+            .cast("string")
+            .alias("h"),
+        )
+        # the chunk level is the ONLY stage that touches the raw
+        # table; everything above reuses it 2-4x (parents + diffs),
+        # so materialize it once (a production build persists each
+        # level as a file anyway — this is the in-session analog)
+        .localCheckpoint()
+    )
+
+    def up(level_df: DataFrame) -> DataFrame:
+        kids = F.array_sort(
+            F.collect_list(F.struct(F.col("node_id"), F.col("h")))
+        )
+        joined = F.concat_ws(",", F.transform(kids, lambda s: s["h"]))
+        return (
+            level_df.groupBy(F.expr("node_id div 16").alias("node_id"))
+            .agg(F.md5(joined).alias("h"))
+        )
+
+    l1 = up(l0)
+    return l0, l1, up(l1)
+
+
+def _merkle_tree_sql(src_expr: str) -> str:
+    """The 3-level merkle CTE chain over an orders-shaped relation
+    (DuckDB side of merkle_levels)."""
+    return f"""
+      nb_{{t}} AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        FROM {src_expr}),
+      l0_{{t}} AS (
+        SELECT CAST((rn - 1) // 1000 AS BIGINT) AS node_id,
+               CAST(CAST(SUM(CAST(('0x' || substr(
+                     md5(concat('(', concat_ws(',',
+                         CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                         o_orderpriority), ')')), 1, 15)) AS BIGINT))
+                 % 2305843009213693951 AS BIGINT) AS VARCHAR) AS h
+        FROM nb_{{t}} GROUP BY (rn - 1) // 1000),
+      l1_{{t}} AS (
+        SELECT node_id // 16 AS node_id,
+               md5(string_agg(h, ',' ORDER BY node_id)) AS h
+        FROM l0_{{t}} GROUP BY node_id // 16),
+      l2_{{t}} AS (
+        SELECT node_id // 16 AS node_id,
+               md5(string_agg(h, ',' ORDER BY node_id)) AS h
+        FROM l1_{{t}} GROUP BY node_id // 16)
+    """
+
+
+@register(
+    "compare_merkle_drill",
+    oracle="WITH tgt_rows AS (SELECT o_orderkey,"
+    """
+             CASE WHEN o_orderkey % 4000 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority
+           FROM orders),
+    """
+    + _merkle_tree_sql("orders").format(t="s")
+    + ","
+    + _merkle_tree_sql("tgt_rows").format(t="t")
+    + """,
+    d2 AS (
+      SELECT s.node_id FROM l2_s s JOIN l2_t t ON s.node_id = t.node_id
+      WHERE s.h <> t.h),
+    d1 AS (
+      SELECT s.node_id FROM l1_s s JOIN l1_t t ON s.node_id = t.node_id
+      WHERE s.h <> t.h AND s.node_id // 16 IN (SELECT node_id FROM d2)),
+    d0 AS (
+      SELECT s.node_id, s.h AS h_src, t.h AS h_tgt
+      FROM l0_s s JOIN l0_t t ON s.node_id = t.node_id
+      WHERE s.h <> t.h AND s.node_id // 16 IN (SELECT node_id FROM d1))
+    SELECT node_id AS chunk_id, h_src, h_tgt FROM d0
+    """,
+)
+def compare_merkle_drill(spark, sf_dir):
+    """Top-down merkle compare: diff two tables' merkle ROOTS, then
+    descend only subtrees whose hashes disagree, emitting exactly the
+    level-0 chunks that differ — the drill-down that makes the
+    fp_merkle tree useful. Against a target with a few mutated rows,
+    the probe count is O(diff_chunks * fanout * depth) while a flat
+    chunk compare (compare_fp_delta) touches every chunk hash; at
+    one-divergent-chunk-in-a-million that is the difference between
+    reading 3 tree files and re-reading the whole fingerprint table.
+
+    Each level's diff is an equi-join on node_id filtered by the
+    PARENT level's differing set (left-semi on parent id) — so the
+    descent itself is expressed as joins that prune, mirroring how a
+    persisted tree would be probed by file path at 100 TB."""
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    src = table(spark, "orders", sf_dir).select(*cols)
+    tgt = src.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4000 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    s0, s1, s2 = merkle_levels(src, cols, ["o_orderkey"])
+    t0, t1, t2 = merkle_levels(tgt, cols, ["o_orderkey"])
+
+    def diff(sd: DataFrame, td: DataFrame) -> DataFrame:
+        return (
+            sd.alias("s")
+            .join(td.alias("t"), "node_id")
+            .filter(F.col("s.h") != F.col("t.h"))
+            .select(
+                "node_id",
+                F.col("s.h").alias("h_src"),
+                F.col("t.h").alias("h_tgt"),
+            )
+        )
+
+    def descend(child_diff: DataFrame, parent_diff: DataFrame) -> DataFrame:
+        # keep only differing children whose PARENT also differs —
+        # the pruning step of the top-down probe
+        parents = parent_diff.select(F.col("node_id").alias("p"))
+        return child_diff.join(
+            parents, F.expr("node_id div 16") == F.col("p"), "left_semi"
+        )
+
+    d2 = diff(s2, t2)
+    d1 = descend(diff(s1, t1), d2)
+    d0 = descend(diff(s0, t0), d1)
+    return d0.select(F.col("node_id").alias("chunk_id"), "h_src", "h_tgt")

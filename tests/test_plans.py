@@ -737,3 +737,14 @@ def test_running_distinct_two_keyed_windows(qmod, spark, sf_dir):
     assert "hashpartitioning(user_id" in p
     assert "collect_set" not in p
     assert p.count("Window") >= 2
+
+
+def test_merkle_chunk_level_materialized_once(qmod, spark, sf_dir):
+    """fp_merkle / compare_merkle_drill: the chunk fingerprint level
+    is checkpointed, so the final plans never re-scan the raw table —
+    parents and per-level diffs reuse the materialized level-0 (a
+    plan that re-derived it would show orders.parquet 3-6 times)."""
+    for key in ("fp_merkle", "compare_merkle_drill"):
+        p = plan(qmod, spark, sf_dir, key)
+        assert p.count("orders.parquet") == 0, key
+        assert "ExistingRDD" in p, key
