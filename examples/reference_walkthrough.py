@@ -76,6 +76,15 @@ def main() -> None:
             f"({r['src_rows']} vs {r['tgt_rows']} rows)"
         )
 
+    # merkle drill-down: locate the mutated chunk with log-depth
+    # probes instead of scanning every chunk hash
+    drill = ssp.merkle_drill(
+        t_test, mutated, ["a", "b", "c"], ["a"], bucket_rows=1000
+    )
+    print("merkle drill (fanout 16, 1000-row chunks):")
+    for r in drill.collect():
+        print(f"  differing chunk {r['chunk_id']}: {r['h_src']} != {r['h_tgt']}")
+
     try:
         res2.raise_on_diff()
     except ValueError as e:

@@ -15,7 +15,13 @@ Public API:
 """
 
 from scribedb_spark.session import get_spark, scale_conf
-from scribedb_spark.compare import CompareResult, CompareSpec, compare
+from scribedb_spark.compare import (
+    CompareResult,
+    CompareSpec,
+    compare,
+    merkle_drill,
+    merkle_levels,
+)
 from scribedb_spark.sources import (
     read_csv,
     read_json,
@@ -44,6 +50,8 @@ __all__ = [
     "fp_row_md5",
     "fp_unordered",
     "fp_chain",
+    "merkle_levels",
+    "merkle_drill",
     "read_csv",
     "read_json",
     "read_orc",

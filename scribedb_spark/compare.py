@@ -544,3 +544,101 @@ def sampled_diff(
         < F.lit(threshold)
     )
     return symmetric_diff(src.filter(pred), tgt.filter(pred), distinct)
+
+
+# ---------------------------------------------------------------------------
+# merkle fingerprint tree (log-depth chunk drill-down)
+# ---------------------------------------------------------------------------
+
+MERKLE_FANOUT = 16
+_MERSENNE61 = 2305843009213693951
+
+
+def merkle_levels(
+    df: DataFrame,
+    cols: list[str],
+    sort_keys: list[str],
+    bucket_rows: int = 1000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build a 3-level merkle tree over a frame: level 0 is the
+    per-chunk commutative fingerprint (``bucket_rows``-row chunks in
+    ``sort_keys`` order, 60-bit md5 sum mod 2^61-1 rendered as a
+    decimal string), and each parent level hashes its children's
+    strings joined by ',' in node_id order (fanout MERKLE_FANOUT).
+    Persist the three levels next to a dataset snapshot and two
+    snapshots can be compared root-first (see ``merkle_drill``).
+
+    The chunk level is the only stage that touches the raw table and
+    is reused by every consumer (parents, per-level diffs), so it is
+    localCheckpoint'd — the in-session analog of writing each level
+    to a file."""
+    from scribedb_spark.canonical import fp_unordered, global_row_number
+
+    nb = global_row_number(df.select(*cols), sort_keys)
+    chunked = nb.withColumn("chunk_id", F.expr(f"(rn - 1) div {bucket_rows}"))
+    l0 = (
+        fp_unordered(chunked, cols, group_by=["chunk_id"])
+        .select(
+            F.col("chunk_id").alias("node_id"),
+            F.pmod(F.col("fp"), F.lit(_MERSENNE61))
+            .cast("long")
+            .cast("string")
+            .alias("h"),
+        )
+        .localCheckpoint()
+    )
+
+    def up(level_df: DataFrame) -> DataFrame:
+        kids = F.array_sort(
+            F.collect_list(F.struct(F.col("node_id"), F.col("h")))
+        )
+        joined = F.concat_ws(",", F.transform(kids, lambda s: s["h"]))
+        return (
+            level_df.groupBy(
+                F.expr(f"node_id div {MERKLE_FANOUT}").alias("node_id")
+            ).agg(F.md5(joined).alias("h"))
+        )
+
+    l1 = up(l0)
+    return l0, l1, up(l1)
+
+
+def merkle_drill(
+    src: DataFrame,
+    tgt: DataFrame,
+    cols: list[str],
+    sort_keys: list[str],
+    bucket_rows: int = 1000,
+) -> DataFrame:
+    """Top-down merkle compare: build both trees, diff the roots, and
+    descend only subtrees whose hashes disagree — each level's diff is
+    an equi-join on node_id pruned by a left-semi join against the
+    PARENT level's differing set. Returns the level-0 chunks that
+    differ as (chunk_id, h_src, h_tgt): O(diff_chunks * fanout *
+    depth) probes where a flat chunk compare touches every chunk."""
+    s0, s1, s2 = merkle_levels(src, cols, sort_keys, bucket_rows)
+    t0, t1, t2 = merkle_levels(tgt, cols, sort_keys, bucket_rows)
+
+    def diff(sd: DataFrame, td: DataFrame) -> DataFrame:
+        return (
+            sd.alias("s")
+            .join(td.alias("t"), "node_id")
+            .filter(F.col("s.h") != F.col("t.h"))
+            .select(
+                "node_id",
+                F.col("s.h").alias("h_src"),
+                F.col("t.h").alias("h_tgt"),
+            )
+        )
+
+    def descend(child_diff: DataFrame, parent_diff: DataFrame) -> DataFrame:
+        parents = parent_diff.select(F.col("node_id").alias("p"))
+        return child_diff.join(
+            parents,
+            F.expr(f"node_id div {MERKLE_FANOUT}") == F.col("p"),
+            "left_semi",
+        )
+
+    d1 = descend(diff(s1, t1), diff(s2, t2))
+    d0 = descend(diff(s0, t0), d1)
+    return d0.select(F.col("node_id").alias("chunk_id"), "h_src", "h_tgt")

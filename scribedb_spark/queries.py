@@ -2405,6 +2405,8 @@ def fp_merkle(spark, sf_dir):
     16x. The tree build shuffles only (node_id, hash) pairs —
     building the whole tree costs a fraction of level 0, and level 0
     is one pass (see fp_chunk_hashes)."""
+    from scribedb_spark.compare import merkle_levels
+
     l0, l1, l2 = merkle_levels(
         table(spark, "orders", sf_dir),
         ["o_orderkey", "o_orderstatus", "o_orderpriority"],
@@ -2414,46 +2416,6 @@ def fp_merkle(spark, sf_dir):
         F.lit(i).alias("level"), "node_id", "h"
     )
     return lvl(l0, 0).unionByName(lvl(l1, 1)).unionByName(lvl(l2, 2))
-
-
-def merkle_levels(df: DataFrame, cols: list[str], sort_keys: list[str]):
-    """Build the 3-level merkle tree of a frame: level-0 chunk
-    fingerprints (1000-row chunks in sort_keys order, commutative
-    60-bit md5 sum rendered as a decimal string) and two md5 parent
-    levels with fanout 16. Shared by fp_merkle (the tree itself) and
-    compare_merkle_drill (two trees diffed top-down)."""
-    from scribedb_spark.canonical import fp_unordered, global_row_number
-
-    nb = global_row_number(df.select(*cols), sort_keys)
-    chunked = nb.withColumn("chunk_id", F.expr("(rn - 1) div 1000"))
-    l0 = (
-        fp_unordered(chunked, cols, group_by=["chunk_id"])
-        .select(
-            F.col("chunk_id").alias("node_id"),
-            F.pmod(F.col("fp"), F.lit(2305843009213693951))
-            .cast("long")
-            .cast("string")
-            .alias("h"),
-        )
-        # the chunk level is the ONLY stage that touches the raw
-        # table; everything above reuses it 2-4x (parents + diffs),
-        # so materialize it once (a production build persists each
-        # level as a file anyway — this is the in-session analog)
-        .localCheckpoint()
-    )
-
-    def up(level_df: DataFrame) -> DataFrame:
-        kids = F.array_sort(
-            F.collect_list(F.struct(F.col("node_id"), F.col("h")))
-        )
-        joined = F.concat_ws(",", F.transform(kids, lambda s: s["h"]))
-        return (
-            level_df.groupBy(F.expr("node_id div 16").alias("node_id"))
-            .agg(F.md5(joined).alias("h"))
-        )
-
-    l1 = up(l0)
-    return l0, l1, up(l1)
 
 
 def _merkle_tree_sql(src_expr: str) -> str:
@@ -2523,6 +2485,8 @@ def compare_merkle_drill(spark, sf_dir):
     PARENT level's differing set (left-semi on parent id) — so the
     descent itself is expressed as joins that prune, mirroring how a
     persisted tree would be probed by file path at 100 TB."""
+    from scribedb_spark.compare import merkle_drill
+
     cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
     src = table(spark, "orders", sf_dir).select(*cols)
     tgt = src.withColumn(
@@ -2531,30 +2495,4 @@ def compare_merkle_drill(spark, sf_dir):
             F.col("o_orderstatus")
         ),
     )
-    s0, s1, s2 = merkle_levels(src, cols, ["o_orderkey"])
-    t0, t1, t2 = merkle_levels(tgt, cols, ["o_orderkey"])
-
-    def diff(sd: DataFrame, td: DataFrame) -> DataFrame:
-        return (
-            sd.alias("s")
-            .join(td.alias("t"), "node_id")
-            .filter(F.col("s.h") != F.col("t.h"))
-            .select(
-                "node_id",
-                F.col("s.h").alias("h_src"),
-                F.col("t.h").alias("h_tgt"),
-            )
-        )
-
-    def descend(child_diff: DataFrame, parent_diff: DataFrame) -> DataFrame:
-        # keep only differing children whose PARENT also differs —
-        # the pruning step of the top-down probe
-        parents = parent_diff.select(F.col("node_id").alias("p"))
-        return child_diff.join(
-            parents, F.expr("node_id div 16") == F.col("p"), "left_semi"
-        )
-
-    d2 = diff(s2, t2)
-    d1 = descend(diff(s1, t1), d2)
-    d0 = descend(diff(s0, t0), d1)
-    return d0.select(F.col("node_id").alias("chunk_id"), "h_src", "h_tgt")
+    return merkle_drill(src, tgt, cols, ["o_orderkey"])
