@@ -22,12 +22,14 @@ def parse_args(argv=None):
     p.add_argument("-f", "--file", required=True, help="YAML compare spec")
     p.add_argument(
         "--mode",
-        choices=["hash", "full", "remote-hybrid"],
+        choices=["hash", "full", "remote-hybrid", "merkle"],
         default="full",
         help="hash: verdict+chunk report only; full: also materialize "
         "diff rows; remote-hybrid: one side is a `type: dbapi` source "
         "hashed inside the remote database (32 hex chars per chunk "
-        "over the wire), compared to the Spark side's fp_chain",
+        "over the wire), compared to the Spark side's fp_chain; "
+        "merkle: root-first tree compare printing only differing "
+        "chunks (sparse-diff fast path)",
     )
     p.add_argument(
         "-s",
@@ -84,6 +86,20 @@ def main(argv=None) -> int:
             print("Datasets are identicals")  # the reference's wording
             return 0
         print("Datasets are different.")
+        return 1
+    if args.mode == "merkle":
+        from scribedb_spark.config import run_merkle_config
+
+        drill = run_merkle_config(spark, cfg)
+        rows = drill.collect()
+        for r in rows:
+            print(
+                f"chunk {r['chunk_id']} NOK {r['h_src']}!={r['h_tgt']}"
+            )
+        if not rows:
+            print("Datasets are identicals")  # the reference's wording
+            return 0
+        print(f"Datasets are different. ({len(rows)} chunks)")
         return 1
     res = run_compare_config(spark, cfg, with_chunks=(args.mode == "hash"))
     if res.chunk_status is not None:

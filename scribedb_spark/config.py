@@ -202,3 +202,21 @@ def run_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
         )
     finally:
         conn.close()
+
+
+def run_merkle_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
+    """``--mode merkle``: compare the two sides by merkle roots and
+    return only the level-0 chunks that differ (compare.merkle_drill)
+    — the log-depth alternative to the full chunk report when the
+    expected diff is sparse. ``sort_keys`` are required (chunking
+    needs a deterministic global order); ``bucket_rows`` sets the
+    chunk size."""
+    from scribedb_spark.compare import merkle_drill
+
+    c = cfg.compare
+    if not c.sort_keys:
+        raise ValueError("merkle mode requires sort_keys (chunk order)")
+    src = build_dataframe(spark, c.source)
+    tgt = build_dataframe(spark, c.target)
+    cols = src.columns
+    return merkle_drill(src, tgt, cols, c.sort_keys, c.bucket_rows)

@@ -359,3 +359,40 @@ def test_dbapi_source_rejected_outside_hybrid(spark, sf_dir, tmp_path):
     p.write_text(yaml.safe_dump(_hybrid_cfg(sf_dir, _HYBRID_QRY)))
     with pytest.raises(ValueError, match="remote-hybrid"):
         main(["-f", str(p), "--mode", "full"])
+
+
+def test_cli_merkle_mode_locates_chunk(spark, sf_dir, tmp_path, capsys):
+    """--mode merkle: identical sides print the identical verdict
+    (rc 0); one mutated row prints exactly its own chunk as NOK
+    (rc 1) — the sparse-diff fast path end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribedb_spark.cli import main
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir)
+        + "  sort_keys: [o_orderkey]\n  bucket_rows: 500\n"
+    )
+    rc = main(["-f", str(p), "--mode", "merkle"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    df = t.to_pandas()
+    df.loc[df["o_orderkey"] == 7, "o_totalprice"] += 1
+    mut = tmp_path / "orders_mut.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(mut))
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir).replace(
+            f"{sf_dir}/orders.parquet\"}}\n    name: tgt",
+            f"{mut}\"}}\n    name: tgt",
+        )
+        + "  sort_keys: [o_orderkey]\n  bucket_rows: 500\n"
+    )
+    rc = main(["-f", str(p), "--mode", "merkle"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    nok = [l for l in out.splitlines() if l.startswith("chunk ")]
+    assert len(nok) == 1 and "chunk 0 NOK" in nok[0] and "!=" in nok[0]
