@@ -1569,6 +1569,21 @@ _FRESH_KEYS = frozenset(
         "join_interval_overlap",
         "compare_sampled",
         "pipeline_incremental",
+        # fourth wave (same round, after the above were queued)
+        "graph_pagerank",
+        "rollup_gapfill",
+        "rollup_path_ngrams",
+        "rollup_journey_pattern",
+        "agg_mode",
+        "agg_zscore_outliers",
+        "profile_key_skew",
+        "vec_l2_topk",
+        "join_asof_nearest",
+        "dedup_survivor_pick",
+        "compare_col_drift",
+        "window_running_distinct",
+        "fp_merkle",
+        "compare_merkle_drill",
     }
 )
 
