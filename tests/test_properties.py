@@ -255,3 +255,40 @@ def test_fp_typed_canonicalization_partition_invariant(spark, rows, parts):
     df2 = spark.createDataFrame(bumped, schema)
     c = fp_unordered(df2).collect()[0]
     assert c["fp"] != a["fp"]
+
+
+@given(
+    mutated=st.sets(
+        st.integers(min_value=1, max_value=2000), min_size=1, max_size=8
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merkle_drill_locates_exactly_mutated_chunks(spark, mutated):
+    """merkle_drill soundness + completeness: mutating an arbitrary
+    key set must surface EXACTLY the chunks containing those keys —
+    the descent prunes nothing it shouldn't (no false negatives from
+    a parent hash collision path) and flags nothing clean."""
+    from scribedb_spark.compare import merkle_drill
+
+    base = spark.range(1, 2001).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 3).cast("long").alias("v"),
+    )
+    tgt = base.withColumn(
+        "v",
+        F.when(
+            F.col("k").isin(*mutated), F.col("v") + 1
+        ).otherwise(F.col("v")),
+    )
+    got = {
+        r["chunk_id"]
+        for r in merkle_drill(base, tgt, ["k", "v"], ["k"], bucket_rows=100).collect()
+    }
+    # k is 1..2000 dense, sorted by k: row number rn == k, chunk =
+    # (rn-1) div 100
+    want = {(k - 1) // 100 for k in mutated}
+    assert got == want
