@@ -100,6 +100,8 @@ BENCH_KEYS = [
     "window_running_distinct",
     "fp_merkle",
     "compare_merkle_drill",
+    "merge_upsert",
+    "scd2_history",
 ]
 
 

@@ -1134,3 +1134,129 @@ def window_running_distinct(spark, sf_dir) -> DataFrame:
         "user_id",
         F.sum("first_seen").over(w_cum).cast("long").alias("n_types_so_far"),
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 50 <> 0),
+    delta AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice + 10 AS o_totalprice
+      FROM orders WHERE o_orderkey % 40 = 0)
+    SELECT COALESCE(d.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(d.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+           COALESCE(d.o_totalprice, s.o_totalprice) AS o_totalprice,
+           CASE WHEN d.o_orderkey IS NULL THEN 'kept'
+                WHEN s.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM snap s FULL OUTER JOIN delta d ON s.o_orderkey = d.o_orderkey
+    """,
+)
+def merge_upsert(spark, sf_dir) -> DataFrame:
+    """Keyed upsert MERGE (SCD type 1): a change batch merged into a
+    snapshot — delta rows win on matching keys (update), unmatched
+    delta rows insert, untouched snapshot rows carry over — each
+    output row tagged with its merge action. This is the lakehouse
+    MERGE INTO expressed as one full-outer join + coalesce
+    projection, the batch twin of foreachBatch upserts.
+
+    Scale: ONE shuffle each side on the merge key — and in a real
+    deployment the snapshot is bucketed by key (sources.
+    write_bucketed) so only the (small) delta shuffles; AQE picks a
+    broadcast when the delta is tiny. No window, no sort. The action
+    tag costs nothing extra — it falls out of the join's null
+    pattern."""
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = o.filter(F.col("o_orderkey") % 50 != 0)
+    delta = (
+        o.filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 10).alias("o_totalprice"),
+        )
+    )
+    s, d = snap.alias("s"), delta.alias("d")
+    joined = s.join(d, F.col("s.o_orderkey") == F.col("d.o_orderkey"), "full_outer")
+    action = (
+        F.when(F.col("d.o_orderkey").isNull(), "kept")
+        .when(F.col("s.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return joined.select(
+        F.coalesce(F.col("d.o_orderkey"), F.col("s.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("d.o_orderstatus"), F.col("s.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("d.o_totalprice"), F.col("s.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        action.alias("merge_action"),
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH tr AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM tr WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           valid_to,
+           CAST(valid_to IS NULL AS INT) AS is_current
+    FROM chg
+    """,
+)
+def scd2_history(spark, sf_dir) -> DataFrame:
+    """Slowly-changing-dimension type 2 history built from an event
+    stream: collapse each user's consecutive same-state runs and emit
+    one validity interval per run — valid_from = first event of the
+    run, valid_to = start of the NEXT run (NULL while current). The
+    standard gaps-and-islands construction: a lag() change detector
+    keeps run heads, then lead() over the surviving heads closes each
+    interval.
+
+    Determinism: the window order carries event_id, so same-timestamp
+    events sequence identically in both engines; interval bounds are
+    exact microsecond timestamps.
+
+    Scale: both windows partition on user_id and the SECOND operates
+    only on run heads (already reduced), reusing the same
+    partitioning — Catalyst plans one exchange. This is how
+    dimension histories are derived from CDC logs at 100 TB: per-key
+    sequence logic, no self-joins."""
+    e = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    heads = tr.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return heads.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))

@@ -1584,6 +1584,8 @@ _FRESH_KEYS = frozenset(
         "window_running_distinct",
         "fp_merkle",
         "compare_merkle_drill",
+        "merge_upsert",
+        "scd2_history",
     }
 )
 

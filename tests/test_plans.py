@@ -748,3 +748,20 @@ def test_merkle_chunk_level_materialized_once(qmod, spark, sf_dir):
         p = plan(qmod, spark, sf_dir, key)
         assert p.count("orders.parquet") == 0, key
         assert "ExistingRDD" in p, key
+
+
+def test_merge_upsert_single_keyed_join(qmod, spark, sf_dir):
+    """merge_upsert: one full-outer join on the merge key, no window,
+    no sort beyond the join's own; the action tag is a projection."""
+    p = plan(qmod, spark, sf_dir, "merge_upsert")
+    assert "FullOuter" in p
+    assert "Window" not in p
+
+
+def test_scd2_one_exchange_two_windows(qmod, spark, sf_dir):
+    """scd2_history: both windows share the user_id partitioning —
+    exactly one exchange in the plan; the second window's input is
+    the reduced run-head set."""
+    p = plan(qmod, spark, sf_dir, "scd2_history")
+    assert p.count("Exchange (") == 1
+    assert p.count("Window") >= 2
