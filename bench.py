@@ -102,6 +102,7 @@ BENCH_KEYS = [
     "compare_merkle_drill",
     "merge_upsert",
     "scd2_history",
+    "sample_split_entity",
 ]
 
 

@@ -438,3 +438,63 @@ def sample_temperature(spark, sf_dir) -> DataFrame:
         .filter(u < rate)
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "sample_split_entity",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM (SELECT DISTINCT user_id FROM events)),
+    lbl AS (
+      SELECT user_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u)
+    SELECT l.split,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN lbl l ON e.user_id = l.user_id
+    GROUP BY l.split
+    """,
+)
+def sample_split_entity(spark, sf_dir) -> DataFrame:
+    """Leakage-safe train/val/test split at ENTITY grain: the split
+    label is a pure function of the user's id hash (md5-prefix mod
+    100 -> 80/10/10), so every event of a user lands in the same
+    split — row-level hash splits leak entities across train and
+    eval, the classic contamination bug this operator exists to
+    prevent. Returns the per-split user/event rollup; the same
+    label expression applied as a projection materializes the
+    assignment.
+
+    Exactness: md5 over the decimal-rendered id, first 8 hex chars
+    to BIGINT, mod 100 — identical string/integer ops both engines;
+    counts only downstream.
+
+    Scale: the label is computable per ROW (map-only, no entity
+    table needed at assignment time — the distinct user list here
+    exists only to mirror the rollup); the verification rollup is
+    one partial-agg shuffle on the 3-value split key after a
+    per-row label projection."""
+    e = table(spark, "events", sf_dir)
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        e.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1586,6 +1586,7 @@ _FRESH_KEYS = frozenset(
         "compare_merkle_drill",
         "merge_upsert",
         "scd2_history",
+        "sample_split_entity",
     }
 )
 

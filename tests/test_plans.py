@@ -765,3 +765,13 @@ def test_scd2_one_exchange_two_windows(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "scd2_history")
     assert p.count("Exchange (") == 1
     assert p.count("Window") >= 2
+
+
+def test_split_entity_label_is_map_only_projection(qmod, spark, sf_dir):
+    """sample_split_entity: the split label computes per row (no
+    entity-table join, no window) — one scan, one partial-agg
+    exchange on the 3-value split key."""
+    p = plan(qmod, spark, sf_dir, "sample_split_entity")
+    assert p.count("events.parquet") == 1
+    assert "Window" not in p
+    assert "partial_count" in p
