@@ -110,7 +110,59 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
-@register("ann_lsh_topk")  # no oracle: hyperplane LSH is not reasonably SQL-twinned
+def _lsh_oracle(dim: int = 64) -> str:
+    """DuckDB twin of ann_lsh_topk, planes embedded as literals.
+
+    The hyperplanes are deterministic md5-derived constants (exact
+    binary fractions: int/2^31 - 1, so their repr round-trips to the
+    identical double), which makes the whole LSH pipeline
+    SQL-expressible after all: per-(table, plane) dot products,
+    sign-bit bucket assembly, same-bucket candidate join, cosine
+    re-rank. ``dim`` is pinned to the test corpus width (the Spark
+    side derives it from the data; a different-width corpus needs the
+    oracle regenerated). Sign-flip risk from summation-order ulp
+    drift (numpy matmul vs sequential list_dot_product) needs
+    |dot| ~ 1e-15 — vanishingly unlikely at 64 dims with O(1)
+    projections."""
+    rows = []
+    for t in range(N_TABLES):
+        planes = _hyperplanes(dim, t)
+        for p, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {p}, {arr}::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes(tbl, p, arr) AS (VALUES
+      {values}),
+    proj AS (
+      SELECT v.vec_id, pl.tbl,
+             CAST(SUM(CASE WHEN list_dot_product(v.e, pl.arr) > 0
+                           THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM v CROSS JOIN planes pl
+      GROUP BY v.vec_id, pl.tbl),
+    q AS (SELECT * FROM proj WHERE vec_id < 10),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM q JOIN proj c
+        ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT p.q_id, p.c_id,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+      FROM pairs p
+      JOIN v a ON a.vec_id = p.q_id
+      JOIN v b ON b.vec_id = p.c_id),
+    r AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rk
+      FROM scored)
+    SELECT q_id, c_id, score, rk FROM r WHERE rk <= 5
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk(spark, sf_dir) -> DataFrame:
     """ANN top-5 per query via sign-random-projection LSH.
 
@@ -120,8 +172,11 @@ def ann_lsh_topk(spark, sf_dir) -> DataFrame:
     Compared to brute force this scans |bucket| instead of n per
     query; recall is tunable via N_PLANES / multi-probe.
 
-    Driver records a rows-only check for this key (the LSH structure
-    itself is validated in tests against brute force)."""
+    Oracle-backed since round 5: the md5-derived hyperplanes are
+    exact binary fractions, so the DuckDB twin embeds them as
+    literals and replicates bucketing + re-rank in SQL (_lsh_oracle);
+    the numpy brute-force recall test remains as the structural
+    check."""
     e = table(spark, "embeddings", sf_dir)
     # derive dim from the data (one-row head, not a hard-coded 64 —
     # any other embedding width would fail or mis-project at the

@@ -1587,6 +1587,7 @@ _FRESH_KEYS = frozenset(
         "merge_upsert",
         "scd2_history",
         "sample_split_entity",
+        "ann_lsh_topk",
     }
 )
 
