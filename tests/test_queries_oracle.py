@@ -160,3 +160,30 @@ def test_agg_approx_distinct_tolerance(spark, sf_dir):
         assert abs(a["nd_partkey"] - e["nd_partkey"]) <= max(3, 0.06 * e["nd_partkey"])
         assert abs(a["nd_suppkey"] - e["nd_suppkey"]) <= max(3, 0.06 * e["nd_suppkey"])
         assert abs(a["p50_price_approx"] - e["p50"]) <= 0.05 * e["p50"] + 1
+
+
+def test_script_key_lists_exist_in_registry(qmod):
+    """bench.py / scripts/dump_plans.py / scripts/scale_smoke.py name
+    registry keys by string — a rename or typo would crash the
+    driver's bench run at round end, the most expensive place to
+    find out."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def keys_of(path, attr):
+        spec = importlib.util.spec_from_file_location("m_" + attr, path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return getattr(m, attr)
+
+    for path, attr in [
+        (os.path.join(root, "bench.py"), "BENCH_KEYS"),
+        (os.path.join(root, "scripts", "dump_plans.py"), "KEYS"),
+        (os.path.join(root, "scripts", "scale_smoke.py"), "KEYS"),
+    ]:
+        missing = [k for k in keys_of(path, attr) if k not in qmod.REGISTRY]
+        assert not missing, f"{path}: {missing}"
+    fresh_missing = [k for k in qmod._FRESH_KEYS if k not in qmod.REGISTRY]
+    assert not fresh_missing, fresh_missing
