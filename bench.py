@@ -103,6 +103,7 @@ BENCH_KEYS = [
     "merge_upsert",
     "scd2_history",
     "sample_split_entity",
+    "rollup_pareto_abc",
 ]
 
 

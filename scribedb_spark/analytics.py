@@ -1260,3 +1260,81 @@ def scd2_history(spark, sf_dir) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+
+@register(
+    "rollup_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_nationkey, o_custkey, r,
+             SUM(r) OVER (PARTITION BY c_nationkey
+                          ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER (PARTITION BY c_nationkey) AS tot
+      FROM rev),
+    labeled AS (
+      SELECT c_nationkey,
+             CASE WHEN cum * 2 <= tot THEN 'A'
+                  WHEN cum * 5 <= tot * 4 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM ranked)
+    SELECT c_nationkey, abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def rollup_pareto_abc(spark, sf_dir) -> DataFrame:
+    """Pareto / ABC analysis per nation: customers ranked by revenue,
+    classed A while their cumulative share stays <= 50%, B to 80%,
+    C beyond — the concentration profile behind "which 20% of keys
+    carry 80% of the volume" (and, for a shuffle planner, which keys
+    deserve salting — see profile_key_skew for the count-side twin).
+
+    Exactness: revenue, the running cumulative, and the partition
+    total are all exact decimals; the class boundaries compare
+    cum*2 <= tot and cum*5 <= tot*4 in INTEGER-exact decimal
+    arithmetic (no 0.5/0.8 double factors), and the rank order
+    carries the custkey tiebreaker — so class assignment cannot flip
+    between engines even when a customer lands exactly on a
+    boundary.
+
+    Scale: the raw table collapses in the first aggregation; the
+    cumsum window partitions by nation (per-nation frames). A key
+    space where single partitions are still huge would range-chunk
+    the cumsum exactly like canonical.global_row_number."""
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(d2("o_totalprice")).alias("r"))
+    )
+    w_cum = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("r"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("c_nationkey")
+    ranked = rev.withColumn("cum", F.sum("r").over(w_cum)).withColumn(
+        "tot", F.sum("r").over(w_tot)
+    )
+    abc = (
+        F.when(F.col("cum") * 2 <= F.col("tot"), "A")
+        .when(F.col("cum") * 5 <= F.col("tot") * 4, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", abc)
+        .groupBy("c_nationkey", "abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+    )

@@ -1588,6 +1588,7 @@ _FRESH_KEYS = frozenset(
         "scd2_history",
         "sample_split_entity",
         "ann_lsh_topk",
+        "rollup_pareto_abc",
     }
 )
 

@@ -775,3 +775,13 @@ def test_split_entity_label_is_map_only_projection(qmod, spark, sf_dir):
     assert p.count("events.parquet") == 1
     assert "Window" not in p
     assert "partial_count" in p
+
+
+def test_pareto_collapses_before_cumsum(qmod, spark, sf_dir):
+    """rollup_pareto_abc: the per-customer revenue aggregate (map-side
+    partials) runs BEFORE the cumsum window, which partitions by
+    nation — no unpartitioned window, one orders scan."""
+    p = plan(qmod, spark, sf_dir, "rollup_pareto_abc")
+    assert "partial_sum" in p
+    assert p.count("orders.parquet") == 1
+    assert "hashpartitioning(c_nationkey" in p
