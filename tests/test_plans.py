@@ -310,7 +310,11 @@ spark.sparkContext.setLogLevel("ERROR")
 for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
     Q.REGISTRY[key].fn(spark, {sf_dir!r}).count()
 jmap = spark.sparkContext._jsc.getPersistentRDDs
-for _ in range(60):
+# 240 x 0.5 s: the ContextCleaner is ASYNC and slows arbitrarily when
+# the host is oversubscribed (another JVM shutting down, a parallel
+# suite) — the property under test is "unreferenced", not "reclaimed
+# within 30 s"
+for _ in range(240):
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     if jmap().size() == 0:
@@ -326,7 +330,7 @@ sys.exit(1 if left else 0)
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=540,
         # a small JVM: the parent suite's 32-thread session is still
         # resident, and CPU oversubscription slows the async cleaner
         env={**_os.environ, "SPARK_GRAFT_CPUS": "8"},
