@@ -104,6 +104,9 @@ BENCH_KEYS = [
     "scd2_history",
     "sample_split_entity",
     "rollup_pareto_abc",
+    "dedup_bloom_prefilter",
+    "dedup_url_canonical",
+    "text_tfidf_topterms",
 ]
 
 

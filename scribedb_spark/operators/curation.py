@@ -498,3 +498,68 @@ def sample_split_entity(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS dft FROM w GROUP BY term),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM w WHERE doc_id < 50 GROUP BY doc_id, term),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (n.n_docs / dft.dft) AS score
+      FROM tf CROSS JOIN n JOIN dft ON tf.term = dft.term),
+    r AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM s)
+    SELECT doc_id, term, ROUND(score, 6) AS score, rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir) -> DataFrame:
+    """Keyword extraction: top-5 terms per document by TF-IDF with a
+    RATIONAL idf (tf * N/df, not tf * ln(N/df)) — ln() is a libm call
+    whose low bits differ across engines, while integer-input IEEE
+    divide and multiply are exactly rounded everywhere, so the score
+    is bit-identical in Spark and DuckDB and the ranking needs no
+    tolerance. Monotonicity in df is all a top-k ranking uses; the
+    log only compresses the range.
+
+    Plan: one explode feeds BOTH aggregations (per-(doc,term) tf for
+    the query docs, per-term df over the full corpus); the df table
+    is vocabulary-sized, so its join is left to AQE — forcing a
+    broadcast of a token-frequency table is the round-4 scale
+    anti-pattern (at 100 TB, shingle/term vocabularies grow with the
+    corpus). The per-doc top-5 compiles to a WindowGroupLimit, frames
+    are doc-sized.
+
+    Scale: two shuffles (term df, doc-term tf) with map-side
+    partials, then a key-local window — the canonical TF-IDF
+    dataflow."""
+    d = table(spark, "documents", sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    n_docs = d.count()  # scalar, embedded as a literal (one job, O(1) result)
+    dft = w.groupBy("term").agg(F.countDistinct("doc_id").alias("dft"))
+    tf = (
+        w.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s = tf.join(dft, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("dft"))).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        s.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rk")
+    )

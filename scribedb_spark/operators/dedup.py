@@ -934,3 +934,240 @@ def dedup_survivor_pick(spark, sf_dir) -> DataFrame:
         "survivor_id",
         (F.col("doc_id") == F.col("survivor_id")).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered incremental exact dedup — the fixed-size-state path
+# ---------------------------------------------------------------------------
+
+#: bloom geometry: 2^20 bits as 2^14 64-bit words, 3 probes per key.
+#: The WORD TABLE is the bloom filter — 16384 (word_idx, mask) rows,
+#: ~128 KB serialized, a constant regardless of corpus size.
+_BLOOM_BITS = 1 << 20
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3
+
+
+def _bloom_positions(ck: Column) -> Column:
+    """K probe bit-positions for a content-key string, by standard
+    double hashing (pos_i = h1 + i*h2 mod m): h1/h2 are disjoint
+    56-bit md5 slices — the same split _MINHASH_CTES uses, portable
+    to any engine with md5."""
+    h1 = F.conv(F.substring(F.md5(ck), 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(ck), 18, 14), 16, 10).cast("long")
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_BITS)) for i in range(_BLOOM_K)]
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS ck
+      FROM documents),
+    b AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
+    i AS (SELECT * FROM keyed WHERE doc_id % 10 <> 0),
+    m AS (SELECT b.doc_id, MIN(i.doc_id) AS dup_of
+          FROM b JOIN i ON b.ck = i.ck GROUP BY b.doc_id)
+    SELECT b.doc_id,
+           COALESCE(m.dup_of, -1) AS dup_of,
+           CASE WHEN m.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup
+    FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+    """,
+)
+def dedup_bloom_prefilter(spark, sf_dir) -> DataFrame:
+    """Incoming-batch exact dedup against an indexed corpus with a
+    BLOOM prefilter built entirely from built-in aggregations — the
+    fixed-size-state sibling of dedup_incremental (which moves the
+    index's LSH signature table, O(index) rows; here the index side
+    compresses to a 128 KB bitmap no matter how big it is).
+
+    Build: every index doc contributes K=3 bit positions (double
+    hashing over md5 slices of the dedup_exact content key);
+    ``groupBy(pos div 64).agg(bit_or(1 << pos%64))`` folds them into
+    a <=16384-row (word_idx, mask) table — THE bloom filter as a
+    DataFrame, built map-side-partial with no driver state and no
+    Python. Probe: incoming positions broadcast-join that table
+    (forced broadcast is CORRECT here, unlike a shingle-frequency
+    table: the word table is bounded by construction at 2^14 rows),
+    keep docs whose 3 probes all hit -> candidates. Verify: exact
+    semi-grain join of candidates to the index on the full content
+    key — bloom false positives die here, false negatives cannot
+    exist, so the result is EXACT and the oracle is plain SQL with
+    no bloom at all.
+
+    Scale: only bloom-positive incoming rows (true dups + ~0.1% FP
+    at this geometry) reach the verify shuffle; the index's text
+    never moves — its keyed projection streams once through the
+    word-table aggregation, and the verify join touches only the
+    candidate key set. Reference analog: chunked recheck
+    (/root/reference/scribedb/base.py hash(start, stop)) — re-verify
+    only what a cheap signal flags."""
+    d = table(spark, "documents", sf_dir)
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(tokens_distinct(F.col("text"))), " ")
+        ).alias("ck"),
+    )
+    incoming = F.col("doc_id") % 10 == 0
+    batch = keyed.filter(incoming)
+    index = keyed.filter(~incoming).localCheckpoint()
+
+    pos = index.select(F.explode(_bloom_positions(F.col("ck"))).alias("pos"))
+    # shiftleft/shiftright take a Column shift only through the SQL
+    # surface (the Python wrappers require a literal int)
+    words = pos.groupBy(F.expr("pos div 64").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("mask")
+    )
+
+    probes = batch.select(
+        "doc_id", "ck", F.explode(_bloom_positions(F.col("ck"))).alias("pos")
+    )
+    hits = (
+        probes.join(F.broadcast(words), F.expr("pos div 64") == F.col("w"))
+        .filter(F.expr("shiftright(mask, cast(pos % 64 as int)) % 2 != 0"))
+        .groupBy("doc_id", "ck")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") == _BLOOM_K)
+        .select("doc_id", "ck")
+    )
+    verified = (
+        hits.join(
+            index.select(F.col("ck").alias("ick"), F.col("doc_id").alias("idx_id")),
+            F.col("ck") == F.col("ick"),
+        )
+        .groupBy(F.col("doc_id"))
+        .agg(F.min("idx_id").alias("dup_of"))
+    )
+    return batch.select("doc_id").join(verified, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonical dedup — the web-pipeline staple
+# ---------------------------------------------------------------------------
+
+
+def _url_variants() -> Column:
+    """Deterministic messy-URL synthesis from documents columns (the
+    scalar_url_parse idiom: build the fixture from table values so the
+    check covers real diversity). Four variants per id-group — three
+    collapse under canonicalization, one (a real pagination param)
+    survives as its own canonical URL."""
+    g = F.expr("doc_id div 4").cast("string")
+    v = F.col("doc_id") % 4
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/docs/"),
+                g,
+                F.lit("/?utm_source=feed&utm_campaign=x#top"),
+            ),
+        )
+        .when(v == 1, F.concat(F.lit("https://www.example.com/docs/"), g, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://example.com/docs/"), g))
+        .otherwise(
+            F.concat(F.lit("https://Example.com/docs/"), g, F.lit("?page=2"))
+        )
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/' || (doc_id // 4)
+                           || '/?utm_source=feed&utm_campaign=x#top'
+               WHEN 1 THEN 'https://www.example.com/docs/' || (doc_id // 4) || '/'
+               WHEN 2 THEN 'https://example.com/docs/' || (doc_id // 4)
+               ELSE 'https://Example.com/docs/' || (doc_id // 4) || '?page=2'
+             END AS url
+      FROM documents),
+    nofrag AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(
+               regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                              '^www\\.', ''),
+               ':(80|443)$', '') AS host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(.*)$', 1),
+                                '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                 '[?&]+$', ''),
+               '/+$', '') AS rest
+      FROM nofrag),
+    canon AS (
+      SELECT doc_id, scheme || '://' || host || rest AS canonical_url
+      FROM parts)
+    SELECT canonical_url,
+           COUNT(*) AS n_variants,
+           MIN(doc_id) AS survivor_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark, sf_dir) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every
+    web-crawl training pipeline: fold scheme/host case, www. prefix,
+    default ports, fragments, tracking parameters (utm_*/ref) and
+    trailing slashes away, then group by the canonical URL and keep
+    one survivor per group. Real query parameters (?page=2) survive —
+    canonicalization must never merge genuinely different resources.
+
+    Every step is a codegen'd regexp over one row (map-only until the
+    single canonical-key groupBy with map-side partials — the same
+    one-shuffle shape as dedup_exact); patterns avoid lookaround so
+    the DuckDB (RE2) twin is literally the same regex.
+
+    Scale: canonical keys are near-uniform (URL hash), no skew; at
+    100 TB this is a scan + one hash aggregation, the cheapest
+    possible dedup."""
+    d = table(spark, "documents", sf_dir).select(
+        "doc_id", _url_variants().alias("url")
+    )
+    nofrag = F.regexp_replace(F.col("url"), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+            "^www\\.",
+            "",
+        ),
+        ":(80|443)$",
+        "",
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]+(.*)$", 1),
+                "(utm_[a-z]+|ref)=[^&]*&?",
+                "",
+            ),
+            "[?&]+$",
+            "",
+        ),
+        "/+$",
+        "",
+    )
+    canon = F.concat(scheme, F.lit("://"), host, rest)
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )

@@ -1589,6 +1589,10 @@ _FRESH_KEYS = frozenset(
         "sample_split_entity",
         "ann_lsh_topk",
         "rollup_pareto_abc",
+        # fifth wave (round 5)
+        "dedup_bloom_prefilter",
+        "dedup_url_canonical",
+        "text_tfidf_topterms",
     }
 )
 

@@ -789,3 +789,32 @@ def test_pareto_collapses_before_cumsum(qmod, spark, sf_dir):
     assert "partial_sum" in p
     assert p.count("orders.parquet") == 1
     assert "hashpartitioning(c_nationkey" in p
+
+def test_bloom_prefilter_word_table_broadcast(qmod, spark, sf_dir):
+    """The bloom word table is bounded by construction (<=2^14 rows,
+    ~128 KB) — its probe join MUST be a broadcast hash join (the
+    forced hint is correct here, unlike data-sized frequency tables),
+    and the bitmap build must aggregate partially map-side."""
+    p = plan(qmod, spark, sf_dir, "dedup_bloom_prefilter")
+    assert "BroadcastHashJoin" in p
+    assert "partial_bit_or" in p or "partial_first" in p or "bit_or" in p
+
+
+def test_url_canonical_single_shuffle(qmod, spark, sf_dir):
+    """URL-canonical dedup is scan -> map-only canonicalization ->
+    one hash aggregation: exactly one Exchange, with a map-side
+    partial aggregate."""
+    p = plan(qmod, spark, sf_dir, "dedup_url_canonical")
+    assert p.count("Exchange") - p.count("ExchangeQueryStageInput") <= 2
+    assert "partial_count" in p or "partial_min" in p
+
+
+def test_tfidf_no_forced_vocab_broadcast(qmod, spark, sf_dir):
+    """The per-term df table grows with corpus vocabulary — no
+    broadcast hint may appear (AQE decides at runtime); the top-5
+    ranking must compile to a WindowGroupLimit."""
+    df = qmod.REGISTRY["text_tfidf_topterms"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "text_tfidf_topterms")
+    assert "WindowGroupLimit" in p
