@@ -107,6 +107,7 @@ BENCH_KEYS = [
     "dedup_bloom_prefilter",
     "dedup_url_canonical",
     "text_tfidf_topterms",
+    "layout_zorder",
 ]
 
 

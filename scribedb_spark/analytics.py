@@ -1338,3 +1338,92 @@ def rollup_pareto_abc(spark, sf_dir) -> DataFrame:
             F.sum("r").cast("double").alias("class_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z-order layout bucketing — the lakehouse OPTIMIZE ZORDER analog
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_terms(xcol: str, ycol: str, spark_side: bool) -> str:
+    """Unrolled 2x16-bit Morton interleave as a SQL expression string
+    (z = sum_i x_bit_i<<2i | y_bit_i<<2i+1). Generated once for both
+    engines from the same loop — only the bit-op spelling differs
+    (Spark: shiftright()/& functions; DuckDB: >>/& operators) — so
+    the integer result is identical by construction."""
+    terms = []
+    for i in range(_Z_BITS):
+        if spark_side:
+            terms.append(f"(shiftright({xcol}, {i}) & 1) * {1 << (2 * i)}")
+            terms.append(f"(shiftright({ycol}, {i}) & 1) * {1 << (2 * i + 1)}")
+        else:
+            terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+            terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id,
+             CAST(user_id AS BIGINT) & 65535 AS ux,
+             CAST(epoch_us(ts) // 60000000 AS BIGINT) & 65535 AS uy
+      FROM events),
+    z AS (
+      SELECT event_id, ux, uy,
+             CAST({_z_terms('ux', 'uy', spark_side=False)} AS BIGINT) AS zval
+      FROM b)
+    SELECT zval // {1 << 22} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(ux) AS min_user, MAX(ux) AS max_user,
+           MIN(uy) AS min_minute, MAX(uy) AS max_minute
+    FROM z
+    GROUP BY z_bucket
+    """,
+)
+def layout_zorder(spark, sf_dir) -> DataFrame:
+    """Z-order (Morton-curve) layout bucketing over (user, minute) —
+    the data-layout operator behind lakehouse OPTIMIZE ZORDER: rows
+    whose keys are close in BOTH dimensions land in the same z-bucket,
+    so a file written per bucket carries tight min/max ranges for both
+    columns and point/range scans on either dimension prune files.
+    The per-bucket (min, max) spans this returns ARE the would-be
+    parquet footer stats — the oracle-checked evidence of locality.
+
+    Exactness: pure integer bit arithmetic (unrolled 16-bit
+    interleave, identical term-by-term in both engines — _z_terms);
+    minute index from epoch microseconds by integer division (the
+    ns->us rule, sources.table()).
+
+    Scale: map-only z-value projection + one hash aggregation with
+    map-side partials. The real write path is
+    ``df.repartitionByRange(n, 'zval').write`` — range partitioning by
+    z-value is what turns the bucket stats into physical file
+    pruning; the rollup here validates the curve, not the sink."""
+    e = table(spark, "events", sf_dir)
+    b = e.select(
+        "event_id",
+        (F.col("user_id").cast("long").bitwiseAND(65535)).alias("ux"),
+        (
+            F.expr("unix_micros(ts) div 60000000").cast("long").bitwiseAND(65535)
+        ).alias("uy"),
+    )
+    z = b.select(
+        "event_id",
+        "ux",
+        "uy",
+        F.expr(_z_terms("ux", "uy", spark_side=True)).cast("long").alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr(f"zval div {1 << 22}").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ux").alias("min_user"),
+            F.max("ux").alias("max_user"),
+            F.min("uy").alias("min_minute"),
+            F.max("uy").alias("max_minute"),
+        )
+    )

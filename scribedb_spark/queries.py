@@ -1593,6 +1593,7 @@ _FRESH_KEYS = frozenset(
         "dedup_bloom_prefilter",
         "dedup_url_canonical",
         "text_tfidf_topterms",
+        "layout_zorder",
     }
 )
 

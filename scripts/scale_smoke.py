@@ -43,6 +43,9 @@ KEYS = [
     "ann_pq_topk",
     "graph_pagerank",
     "rollup_gapfill",
+    "dedup_bloom_prefilter",
+    "dedup_url_canonical",
+    "text_tfidf_topterms",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;

@@ -818,3 +818,13 @@ def test_tfidf_no_forced_vocab_broadcast(qmod, spark, sf_dir):
     assert "ResolvedHint" not in logical
     p = plan(qmod, spark, sf_dir, "text_tfidf_topterms")
     assert "WindowGroupLimit" in p
+
+
+def test_layout_zorder_map_only_plus_one_agg(qmod, spark, sf_dir):
+    """Z-value projection must stay map-side (pure bit arithmetic in
+    codegen, no Python) with a single partial-agg hash aggregation —
+    and the events scan must read only the three needed columns."""
+    p = plan(qmod, spark, sf_dir, "layout_zorder")
+    assert "partial_count" in p or "partial_min" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "value" not in p.split("ReadSchema")[1].split("\n")[0]
