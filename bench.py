@@ -108,6 +108,7 @@ BENCH_KEYS = [
     "dedup_url_canonical",
     "text_tfidf_topterms",
     "layout_zorder",
+    "join_temporal_dim",
 ]
 
 

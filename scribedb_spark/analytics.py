@@ -1427,3 +1427,92 @@ def layout_zorder(spark, sf_dir) -> DataFrame:
             F.max("uy").alias("max_minute"),
         )
     )
+
+
+@register(
+    "join_temporal_dim",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'),
+    tr AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM tr WHERE prev_type IS NULL OR prev_type <> event_type),
+    fact AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts,
+           COALESCE(d.state, 'none') AS state_at_purchase
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_temporal_dim(spark, sf_dir) -> DataFrame:
+    """Point-in-time dimension lookup — the standard star-schema
+    temporal join: each purchase event fetches the dimension row
+    (here: the user's browsing-state SCD2 history derived from the
+    non-purchase stream, the scd2_history construction) whose
+    validity interval contains the event timestamp. Purchases before
+    any browsing activity resolve to 'none' (left join), and because
+    per-user intervals tile the timeline (valid_to = next
+    valid_from), every event matches at most one row — no fanout.
+
+    Scale: user_id is a true equi-key, so this is a plain hash/SMJ
+    shuffle join with the interval predicates as join filters —
+    NEVER a BroadcastNestedLoopJoin (the trap with interval joins
+    that lack an equi-key; cf. join_interval_overlap's epoch-binning
+    for that case). The dimension side is run-head-compressed before
+    the join (intervals, not raw events), and both windows in its
+    derivation share one user_id exchange.
+
+    Determinism: interval bounds and probes are exact microsecond
+    instants; windows tie-break on event_id; boundary semantics are
+    pure (<=, <) comparisons identical in both engines."""
+    e = table(spark, "events", sf_dir)
+    src = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    heads = (
+        src.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    dim = heads.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = fact.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("state"), F.lit("none")).alias("state_at_purchase"),
+    )

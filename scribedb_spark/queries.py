@@ -1594,6 +1594,7 @@ _FRESH_KEYS = frozenset(
         "dedup_url_canonical",
         "text_tfidf_topterms",
         "layout_zorder",
+        "join_temporal_dim",
     }
 )
 

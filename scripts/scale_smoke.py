@@ -46,6 +46,7 @@ KEYS = [
     "dedup_bloom_prefilter",
     "dedup_url_canonical",
     "text_tfidf_topterms",
+    "join_temporal_dim",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;

@@ -828,3 +828,15 @@ def test_layout_zorder_map_only_plus_one_agg(qmod, spark, sf_dir):
     assert "partial_count" in p or "partial_min" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "value" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_temporal_dim_join_is_hash_partitioned(qmod, spark, sf_dir):
+    """The point-in-time lookup must join on the user_id equi-key
+    with interval predicates as join filters — never degrade to a
+    BroadcastNestedLoopJoin — and the dim derivation's two windows
+    must share one user_id exchange."""
+    p = plan(qmod, spark, sf_dir, "join_temporal_dim")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
