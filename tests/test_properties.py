@@ -292,3 +292,26 @@ def test_merkle_drill_locates_exactly_mutated_chunks(spark, mutated):
     # (rn-1) div 100
     want = {(k - 1) // 100 for k in mutated}
     assert got == want
+
+
+def test_bloom_prefilter_exact_even_when_bloom_saturated(spark, sf_dir):
+    """The bloom is an OPTIMIZATION, not a semantic: shrink it to 256
+    bits so nearly every probe is a false positive — the verify join
+    must still produce the exact answer (and false negatives are
+    impossible by construction)."""
+    from scribedb_spark.operators import dedup as D
+
+    baseline = {
+        (r["doc_id"], r["dup_of"], r["is_dup"])
+        for r in D.dedup_bloom_prefilter(spark, sf_dir).collect()
+    }
+    orig_bits = D._BLOOM_BITS
+    try:
+        D._BLOOM_BITS = 256  # ~every slot set -> all-candidates regime
+        saturated = {
+            (r["doc_id"], r["dup_of"], r["is_dup"])
+            for r in D.dedup_bloom_prefilter(spark, sf_dir).collect()
+        }
+    finally:
+        D._BLOOM_BITS = orig_bits
+    assert saturated == baseline
