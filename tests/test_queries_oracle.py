@@ -193,3 +193,17 @@ def test_script_key_lists_exist_in_registry(qmod):
         assert not missing, f"{path}: {missing}"
     fresh_missing = [k for k in qmod._FRESH_KEYS if k not in qmod.REGISTRY]
     assert not fresh_missing, fresh_missing
+
+
+def test_oracle_word_cap_holds_for_corpus(sf_dir):
+    """Several oracles unroll word positions only up to 5000
+    (SQL_SHINGLES, text_rare_bigrams, frame oracles) while the Spark
+    side is uncapped — a longer document would silently diverge the
+    mirror. Pin the assumption against the actual corpus."""
+    import duckdb
+
+    (max_words,) = duckdb.sql(
+        f"SELECT MAX(len(string_split(text, ' ')))"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    assert max_words < 4998, f"corpus breaks the 5000-word oracle cap: {max_words}"
