@@ -109,6 +109,7 @@ BENCH_KEYS = [
     "text_tfidf_topterms",
     "layout_zorder",
     "join_temporal_dim",
+    "rollup_wau_sliding",
 ]
 
 

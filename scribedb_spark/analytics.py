@@ -1516,3 +1516,53 @@ def join_temporal_dim(spark, sf_dir) -> DataFrame:
         "ts",
         F.coalesce(F.col("state"), F.lit("none")).alias("state_at_purchase"),
     )
+
+
+@register(
+    "rollup_wau_sliding",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    spine AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(s.day AS VARCHAR) AS day,
+           COUNT(DISTINCT u.user_id) AS wau
+    FROM spine s
+    JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day
+    """,
+)
+def rollup_wau_sliding(spark, sf_dir) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve) — the
+    canonical sliding-window DISTINCT, which no SQL window frame can
+    express (DISTINCT isn't frame-able) and a naive
+    size(collect_set() OVER range-frame) would carry a growing set
+    per row. Exact scalable rewrite: collapse to distinct (user, day)
+    FIRST (map-side partial distinct — the only corpus-sized stage),
+    then each user-day contributes to the 7 calendar days it keeps
+    the user active in (a bounded 7-row date explode, not a range
+    join), then one (day, user) distinct count.
+
+    Observation-day spine: days with no events produce no row (the
+    oracle joins the same spine); feed a calendar table for a gapless
+    curve — the gap-filling variant is rollup_gapfill's job.
+
+    Exactness: DATE truncation of exact microsecond instants and
+    integer date arithmetic both engines share; counts only.
+
+    Scale: shuffle volume is |distinct user-days| * 7 slim rows; the
+    final distinct-count aggregates map-side. Skew: a viral day is
+    bounded by |users|, and AQE splits oversized day partitions."""
+    e = table(spark, "events", sf_dir)
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("obs_day"),
+    )
+    spine = ud.select(F.col("day").alias("obs_day")).distinct()
+    return (
+        fan.join(spine, "obs_day")
+        .groupBy(F.col("obs_day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -1595,6 +1595,7 @@ _FRESH_KEYS = frozenset(
         "text_tfidf_topterms",
         "layout_zorder",
         "join_temporal_dim",
+        "rollup_wau_sliding",
     }
 )
 

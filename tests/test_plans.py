@@ -840,3 +840,12 @@ def test_temporal_dim_join_is_hash_partitioned(qmod, spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_wau_sliding_partial_distinct_bounded_fanout(qmod, spark, sf_dir):
+    """Sliding distinct must collapse (user, day) map-side BEFORE the
+    7-day fanout (partial aggregation present) and never plan a
+    nested-loop range join — the explode keeps it hash-partitioned."""
+    p = plan(qmod, spark, sf_dir, "rollup_wau_sliding")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count(distinct" in p or "partial_count" in p
