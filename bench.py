@@ -110,6 +110,7 @@ BENCH_KEYS = [
     "layout_zorder",
     "join_temporal_dim",
     "rollup_wau_sliding",
+    "fp_incremental_update",
 ]
 
 

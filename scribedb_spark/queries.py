@@ -974,6 +974,106 @@ def fp_chunk_hashes(spark, sf_dir):
 
 
 @register(
+    "fp_incremental_update",
+    oracle="""
+    WITH mut AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 1000 = 0
+                  THEN 'X-' || o_orderpriority
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 3000 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 5000 = 0)
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                AS BIGINT) % 64 AS chunk_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(
+                 md5(concat('(', concat_ws(',',
+                     CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                     o_orderpriority), ')')), 1, 15)) AS BIGINT))
+             % 2305843009213693951 AS BIGINT) AS fp
+    FROM mut GROUP BY 1
+    """,
+)
+def fp_incremental_update(spark, sf_dir):
+    """Incremental maintenance of a persisted keyed-chunk fingerprint
+    table — the payoff of choosing a COMMUTATIVE fingerprint (SUM of
+    row hashes) over the reference's order-chained MD5 (reference
+    scribedb/postgres.py:47: any row change forces a full re-chain of
+    its window): because SUM is a group, a delta batch updates each
+    chunk as fp' = fp - sum(old row terms) + sum(new row terms), in
+    O(|delta|) with a chunk-grain merge — never an O(corpus) rescan.
+
+    Chunks are keyed (hash of the key mod 64), NOT row-numbered:
+    row-number chunking shifts every downstream chunk's membership on
+    insert/delete, destroying incrementality; keyed chunking pins a
+    row to its chunk for life (fp_chunk_hashes is the row-numbered
+    LIMIT/OFFSET twin for reference parity).
+
+    The fixture applies deletes (key % 3000 = 0), updates
+    (key % 1000 = 0 among survivors), and inserts (key % 5000 = 0
+    copies at key + 1e8), derives the per-chunk delta from ONLY those
+    rows, merges it with the base fingerprint table, and the oracle
+    recomputes every fingerprint from scratch on the mutated table —
+    proving the algebra exact: same n_rows, same fp mod 2^61-1.
+
+    Scale: base fps aggregate once (in production: the persisted
+    table, zero cost at update time); the delta side scans only
+    changed rows; the merge is a 64-row-grain aggregation. Exact
+    DECIMAL(38,0) sums throughout — no float drift, no overflow below
+    2^53 rows * 2^60 terms."""
+    from scribedb_spark.canonical import _fp_term, fp_row_md5
+
+    p = 2305843009213693951
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    base = table(spark, "orders", sf_dir).select(*cols)
+
+    def chunk(df):
+        return df.withColumn(
+            "chunk_id",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(64),
+            ),
+        )
+
+    def chunk_terms(df, sign):
+        h = chunk(fp_row_md5(df, cols))
+        return h.groupBy("chunk_id").agg(
+            (F.count(F.lit(1)) * sign).alias("n"),
+            (F.sum(_fp_term(F.col("row_md5"))) * sign).alias("t"),
+        )
+
+    is_del = F.col("o_orderkey") % 3000 == 0
+    is_upd = (F.col("o_orderkey") % 1000 == 0) & ~is_del
+    old_changed = base.filter(is_del | is_upd)
+    new_upd = base.filter(is_upd).withColumn(
+        "o_orderpriority", F.concat(F.lit("X-"), F.col("o_orderpriority"))
+    )
+    inserts = base.filter(F.col("o_orderkey") % 5000 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    merged = (
+        chunk_terms(base, F.lit(1))
+        .unionByName(chunk_terms(old_changed, F.lit(-1)))
+        .unionByName(chunk_terms(new_upd.unionByName(inserts), F.lit(1)))
+        .groupBy("chunk_id")
+        .agg(F.sum("n").alias("n_rows"), F.sum("t").alias("fp_sum"))
+    )
+    return merged.select(
+        "chunk_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.pmod(F.col("fp_sum"), F.lit(p)).cast("long").alias("fp"),
+    )
+
+
+@register(
     "compare_tolerance",
     oracle="""
     WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
@@ -1596,6 +1696,7 @@ _FRESH_KEYS = frozenset(
         "layout_zorder",
         "join_temporal_dim",
         "rollup_wau_sliding",
+        "fp_incremental_update",
     }
 )
 

@@ -849,3 +849,12 @@ def test_wau_sliding_partial_distinct_bounded_fanout(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "rollup_wau_sliding")
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count(distinct" in p or "partial_count" in p
+
+
+def test_fp_incremental_update_delta_grain(qmod, spark, sf_dir):
+    """The delta sides must aggregate with map-side partials and the
+    final merge must be a chunk-grain aggregation; no Python eval
+    anywhere (pure codegen hash arithmetic)."""
+    p = plan(qmod, spark, sf_dir, "fp_incremental_update")
+    assert "partial_sum" in p or "partial_count" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
