@@ -37,6 +37,10 @@ from scribedb_spark.canonical import (
     fp_row_md5,
     fp_unordered,
     fp_chain,
+    fp_keyed_chunks,
+    fp_delta_update,
+    keyed_chunk_id,
+    FP_MOD,
 )
 
 __version__ = "0.1.0"
@@ -50,6 +54,10 @@ __all__ = [
     "fp_row_md5",
     "fp_unordered",
     "fp_chain",
+    "fp_keyed_chunks",
+    "fp_delta_update",
+    "keyed_chunk_id",
+    "FP_MOD",
     "merkle_levels",
     "merkle_drill",
     "read_csv",

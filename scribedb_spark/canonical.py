@@ -337,3 +337,89 @@ def pg_composite_text(df: DataFrame, cols: list[str] | None = None) -> Column:
     joined = F.concat_ws(",", *cells)
     quoted = F.regexp_replace(joined, r"(\w*\s[^,)]*)", '"$1"')
     return F.concat(F.lit("("), quoted, F.lit(")"))
+
+
+# ---------------------------------------------------------------------------
+# keyed-chunk fingerprints + incremental delta maintenance
+# ---------------------------------------------------------------------------
+
+FP_MOD = 2305843009213693951  # 2^61 - 1: BIGINT-safe, cross-engine exact
+
+
+def keyed_chunk_id(key: Column, n_chunks: int = 64) -> Column:
+    """Stable chunk assignment as a pure function of the KEY (60-bit
+    md5 slice mod n_chunks): a row keeps its chunk for life, so chunk
+    fingerprints are incrementally maintainable — row-number chunking
+    (global_row_number) shifts every downstream chunk on insert or
+    delete and forces a full recompute."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_chunks),
+    )
+
+
+def fp_keyed_chunks(
+    df: DataFrame,
+    key: str,
+    cols: list[str] | None = None,
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Per-keyed-chunk commutative fingerprints: (chunk_id, n_rows,
+    fp_sum DECIMAL(38,0)). Persist this table (parquet) and maintain
+    it with fp_delta_update — sums stay UNREDUCED so deltas add
+    exactly; reduce with ``pmod(fp_sum, FP_MOD)`` only at compare
+    time."""
+    h = fp_row_md5(df, cols).withColumn(
+        "chunk_id", keyed_chunk_id(F.col(key), n_chunks)
+    )
+    return h.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_fp_term(F.col("row_md5"))).alias("fp_sum"),
+    )
+
+
+def fp_delta_update(
+    base_fps: DataFrame,
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    key: str,
+    cols: list[str] | None = None,
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Apply a change batch to a persisted keyed-chunk fingerprint
+    table in O(|delta|): because the fingerprint is a SUM of row
+    hashes (a group, unlike the reference's order-chained MD5 —
+    scribedb/postgres.py:47 — which re-chains a whole window on any
+    change), each chunk updates as
+
+        fp' = fp - sum(terms of rows leaving) + sum(terms of rows arriving)
+
+    ``old_rows``: prior images of updated/deleted rows (rows leaving);
+    ``new_rows``: new images of updated rows plus inserts (rows
+    arriving). Chunks untouched by the delta pass through unchanged;
+    chunks emptied by deletes keep an n_rows=0 row. Returns the same
+    (chunk_id, n_rows, fp_sum) shape as fp_keyed_chunks — exact
+    DECIMAL(38,0) algebra, so iterating updates composes without
+    drift."""
+
+    def signed(df: DataFrame, sign: int) -> DataFrame:
+        h = fp_row_md5(df, cols).withColumn(
+            "chunk_id", keyed_chunk_id(F.col(key), n_chunks)
+        )
+        return h.groupBy("chunk_id").agg(
+            (F.count(F.lit(1)) * sign).cast("long").alias("n_rows"),
+            (F.sum(_fp_term(F.col("row_md5"))) * sign).alias("fp_sum"),
+        )
+
+    return (
+        base_fps.select("chunk_id", "n_rows", "fp_sum")
+        .unionByName(signed(old_rows, -1))
+        .unionByName(signed(new_rows, 1))
+        .groupBy("chunk_id")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("fp_sum").alias("fp_sum"),
+        )
+    )

@@ -1024,52 +1024,30 @@ def fp_incremental_update(spark, sf_dir):
     changed rows; the merge is a 64-row-grain aggregation. Exact
     DECIMAL(38,0) sums throughout — no float drift, no overflow below
     2^53 rows * 2^60 terms."""
-    from scribedb_spark.canonical import _fp_term, fp_row_md5
+    from scribedb_spark.canonical import (
+        FP_MOD,
+        fp_delta_update,
+        fp_keyed_chunks,
+    )
 
-    p = 2305843009213693951
     cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
     base = table(spark, "orders", sf_dir).select(*cols)
-
-    def chunk(df):
-        return df.withColumn(
-            "chunk_id",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(64),
-            ),
-        )
-
-    def chunk_terms(df, sign):
-        h = chunk(fp_row_md5(df, cols))
-        return h.groupBy("chunk_id").agg(
-            (F.count(F.lit(1)) * sign).alias("n"),
-            (F.sum(_fp_term(F.col("row_md5"))) * sign).alias("t"),
-        )
-
     is_del = F.col("o_orderkey") % 3000 == 0
     is_upd = (F.col("o_orderkey") % 1000 == 0) & ~is_del
-    old_changed = base.filter(is_del | is_upd)
-    new_upd = base.filter(is_upd).withColumn(
+    old_rows = base.filter(is_del | is_upd)
+    new_rows = base.filter(is_upd).withColumn(
         "o_orderpriority", F.concat(F.lit("X-"), F.col("o_orderpriority"))
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 5000 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+        )
     )
-    inserts = base.filter(F.col("o_orderkey") % 5000 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
-    )
-    merged = (
-        chunk_terms(base, F.lit(1))
-        .unionByName(chunk_terms(old_changed, F.lit(-1)))
-        .unionByName(chunk_terms(new_upd.unionByName(inserts), F.lit(1)))
-        .groupBy("chunk_id")
-        .agg(F.sum("n").alias("n_rows"), F.sum("t").alias("fp_sum"))
-    )
+    base_fps = fp_keyed_chunks(base, "o_orderkey", cols)
+    merged = fp_delta_update(base_fps, old_rows, new_rows, "o_orderkey", cols)
     return merged.select(
         "chunk_id",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.pmod(F.col("fp_sum"), F.lit(p)).cast("long").alias("fp"),
+        "n_rows",
+        F.pmod(F.col("fp_sum"), F.lit(FP_MOD)).cast("long").alias("fp"),
     )
 
 

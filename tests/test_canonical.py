@@ -161,3 +161,62 @@ def test_global_row_number_empty_input(spark):
     empty = spark.range(0).select(F.col("id").alias("a"))
     assert global_row_number(empty, ["a"]).count() == 0
     assert fp_chain(empty, ["a"]).count() == 0
+
+
+def test_fp_delta_update_composes_exactly(spark):
+    """Two successive delta batches applied to a keyed-chunk
+    fingerprint table must land bit-identical to a from-scratch
+    recompute of the final state — the DECIMAL algebra admits no
+    drift, chunks emptied by deletes carry n_rows=0."""
+    from scribedb_spark.canonical import fp_delta_update, fp_keyed_chunks
+
+    rows = [(i, f"v{i % 7}", f"p{i % 3}") for i in range(200)]
+    base = spark.createDataFrame(rows, "k long, a string, b string")
+
+    # batch 1: update k%10==0, delete k%37==0, insert 200..219
+    upd1 = base.filter("k % 10 = 0 and k % 37 != 0").withColumn(
+        "a", F.concat(F.lit("U1-"), F.col("a"))
+    )
+    dele1 = base.filter("k % 37 = 0")
+    ins1 = spark.createDataFrame(
+        [(200 + i, "new", "p9") for i in range(20)], "k long, a string, b string"
+    )
+    state1 = (
+        base.join(upd1.select("k"), "k", "left_anti")
+        .join(dele1.select("k"), "k", "left_anti")
+        .unionByName(upd1)
+        .unionByName(ins1)
+    )
+    fps1 = fp_delta_update(
+        fp_keyed_chunks(base, "k", n_chunks=16),
+        old_rows=upd1.select("k").join(base, "k").select("k", "a", "b")
+        .unionByName(dele1),
+        new_rows=upd1.unionByName(ins1),
+        key="k",
+        n_chunks=16,
+    )
+    # batch 2: delete all the batch-1 inserts, update k%55==0 survivors
+    upd2 = state1.filter("k % 55 = 0 and k < 200").withColumn(
+        "b", F.lit("p-final")
+    )
+    dele2 = state1.filter("k >= 200")
+    state2 = (
+        state1.join(upd2.select("k"), "k", "left_anti")
+        .join(dele2.select("k"), "k", "left_anti")
+        .unionByName(upd2)
+    )
+    fps2 = fp_delta_update(
+        fps1, old_rows=upd2.select("k").join(state1, "k")
+        .select("k", "a", "b").unionByName(dele2),
+        new_rows=upd2, key="k", n_chunks=16,
+    )
+    scratch = fp_keyed_chunks(state2, "k", n_chunks=16)
+
+    def snap(df):
+        return {
+            r["chunk_id"]: (r["n_rows"], r["fp_sum"])
+            for r in df.collect()
+            if r["n_rows"] != 0
+        }
+
+    assert snap(fps2) == snap(scratch)
