@@ -1,7 +1,7 @@
 """CLI (reference scribedb/command_line.py surface, made functional).
 
     python -m scribedb_spark.cli -f compare.yaml
-                                 [--mode hash|full|remote-hybrid]
+                                 [--mode hash|full|remote-hybrid|remote-keyed|merkle]
                                  [--search-diff] [-l LOGLEVEL]
 
 The reference parsed ``--search_diff`` and never used it (reference
@@ -22,7 +22,7 @@ def parse_args(argv=None):
     p.add_argument("-f", "--file", required=True, help="YAML compare spec")
     p.add_argument(
         "--mode",
-        choices=["hash", "full", "remote-hybrid", "merkle"],
+        choices=["hash", "full", "remote-hybrid", "remote-keyed", "merkle"],
         default="full",
         help="hash: verdict+chunk report only; full: also materialize "
         "diff rows; remote-hybrid: one side is a `type: dbapi` source "
@@ -73,6 +73,26 @@ def main(argv=None) -> int:
         from scribedb_spark.config import run_hybrid_config
 
         report = run_hybrid_config(spark, cfg)
+        n = len(report)
+        for i, r in enumerate(report, 1):
+            ms = int((time.monotonic() - t0) * 1000)
+            fp = (
+                r["remote_fp"]
+                if r["status"] == "OK"
+                else f"{r['remote_fp']}!={r['local_fp']}"
+            )
+            print(f"{i}/{n} {r['status']} {fp} ({ms} ms) {100 * i // n}%")
+        if all(r["status"] == "OK" for r in report):
+            print("Datasets are identicals")  # the reference's wording
+            return 0
+        print("Datasets are different.")
+        return 1
+    if args.mode == "remote-keyed":
+        # order-free twin of remote-hybrid: one remote aggregation,
+        # chunking by key hash — no ORDER BY, no count preflight
+        from scribedb_spark.config import run_keyed_hybrid_config
+
+        report = run_keyed_hybrid_config(spark, cfg)
         n = len(report)
         for i, r in enumerate(report, 1):
             ms = int((time.monotonic() - t0) * 1000)

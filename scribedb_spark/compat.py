@@ -395,3 +395,145 @@ def hybrid_compare(
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# keyed-chunk remote hashing — commutative, order-free, one round trip
+# ---------------------------------------------------------------------------
+
+#: 2^61 - 1, matching canonical.FP_MOD (kept literal here so generated
+#: SQL is self-contained)
+_FP_MOD = 2305843009213693951
+
+
+def keyed_remote_hash(
+    kind: str, query: str, view_name: str, n_chunks: int = 64
+) -> RemoteHashSQL:
+    """Statement bundle computing the KEYED-CHUNK commutative
+    fingerprint table remotely: one aggregation query returning
+    (chunk_id, n_rows, fp) rows — the remote twin of
+    canonical.fp_keyed_chunks.
+
+    ``query`` must project TWO columns: ``k`` (the chunking key) and
+    ``v`` (the canonical ``(a,b,...)`` row text). Contrast with the
+    chained-MD5 bundles above, which mirror the reference's scheme and
+    inherit its costs: a total ORDER BY on the remote side, a
+    count-first round trip, and one view rebuild + query per chunk
+    (reference scribedb/base.py:156-170). The commutative sum needs
+    NONE of that — unordered scan, single round trip, and chunk
+    membership is a pure key function so both sides bucket identically
+    without coordinating row numbers. This is the mode to prefer when
+    both sides are under this engine's control; the chained bundles
+    remain for reference parity.
+    """
+    p = _FP_MOD
+    if kind == "duckdb":
+        hq = (
+            f"select cast(('0x' || substr(md5(cast(k as varchar)), 1, 15))"
+            f" as bigint) % {n_chunks} as chunk_id,"
+            f" count(*) as n_rows,"
+            f" cast(sum(cast(('0x' || substr(md5(v), 1, 15)) as bigint))"
+            f" % {p} as bigint) as fp"
+            f" from {view_name} group by 1 order by 1"
+        )
+    elif kind == "postgres":
+        hq = (
+            f"select (('x' || substr(md5(k::text), 1, 15))::bit(60)::bigint)"
+            f" % {n_chunks} as chunk_id,"
+            f" count(*) as n_rows,"
+            f" mod(sum((('x' || substr(md5(v), 1, 15))::bit(60)::bigint)"
+            f"::numeric), {p})::bigint as fp"
+            f" from {view_name} group by 1 order by 1"
+        )
+    elif kind == "oracle":
+        hq = (
+            f"select mod(to_number(substr(standard_hash(to_char(k), 'MD5'),"
+            f" 1, 15), 'xxxxxxxxxxxxxxx'), {n_chunks}) as chunk_id,"
+            f" count(*) as n_rows,"
+            f" mod(sum(to_number(substr(standard_hash(v, 'MD5'), 1, 15),"
+            f" 'xxxxxxxxxxxxxxx')), {p}) as fp"
+            f" from {view_name}"
+            f" group by mod(to_number(substr(standard_hash(to_char(k), 'MD5'),"
+            f" 1, 15), 'xxxxxxxxxxxxxxx'), {n_chunks}) order by 1"
+        )
+    else:
+        raise ValueError(f"unknown remote-hash dialect: {kind!r}")
+    return RemoteHashSQL(
+        install=[],
+        create_view=f"create or replace view {view_name} as {query}",
+        hash_query=hq,
+        drop=[f"drop view if exists {view_name}"],
+    )
+
+
+def run_remote_keyed_hash(conn, bundle: RemoteHashSQL) -> dict[int, tuple[int, int]]:
+    """Execute a keyed-chunk bundle; returns {chunk_id: (n_rows, fp)}."""
+    cur = conn.cursor()
+    try:
+        for stmt in bundle.install:
+            cur.execute(stmt)
+        cur.execute(bundle.create_view)
+        cur.execute(bundle.hash_query)
+        return {int(c): (int(n), int(f)) for c, n, f in cur.fetchall()}
+    finally:
+        for stmt in bundle.drop:
+            cur.execute(stmt)
+        cur.close()
+
+
+def keyed_hybrid_compare(
+    conn,
+    kind: str,
+    remote_query: str,
+    df,
+    key: str,
+    cols: list[str] | None = None,
+    n_chunks: int = 64,
+    view_name: str = "scdb_keyed",
+) -> list[dict]:
+    """Order-free hybrid compare: remote side computes its keyed-chunk
+    fingerprint table in ONE aggregation round trip
+    (keyed_remote_hash); local side is canonical.fp_keyed_chunks over
+    a Spark DataFrame. Chunks compare by id across the UNION of both
+    sides, so extra rows on EITHER side surface as NOK — no
+    count-first preflight, no ORDER BY calibration, no per-chunk view
+    loop (the three costs hybrid_compare inherits from the
+    reference's chained scheme). The local table can equally come
+    from a PERSISTED fp_keyed_chunks artifact maintained by
+    fp_delta_update — a re-check then moves |delta| hashing locally
+    and one aggregate remotely.
+
+    Returns [{chunk_id, remote_n, local_n, remote_fp, local_fp,
+    status}] sorted by chunk_id."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.canonical import FP_MOD, fp_keyed_chunks
+
+    local = {
+        r["chunk_id"]: (r["n_rows"], r["fp"])
+        for r in fp_keyed_chunks(df, key, cols, n_chunks)
+        .select(
+            "chunk_id",
+            "n_rows",
+            F.pmod(F.col("fp_sum"), F.lit(FP_MOD)).cast("long").alias("fp"),
+        )
+        .collect()
+    }
+    remote = run_remote_keyed_hash(
+        conn, keyed_remote_hash(kind, remote_query, view_name, n_chunks)
+    )
+    out = []
+    for cid in sorted(set(local) | set(remote)):
+        ln, lf = local.get(cid, (0, None))
+        rn, rf = remote.get(cid, (0, None))
+        out.append(
+            {
+                "chunk_id": cid,
+                "remote_n": rn,
+                "local_n": ln,
+                "remote_fp": rf,
+                "local_fp": lf,
+                "status": "OK" if ln == rn and lf == rf and lf is not None else "NOK",
+            }
+        )
+    return out

@@ -92,6 +92,8 @@ class CompareConfig(BaseModel):
     #: (reference main.py:153); here it works.
     max_delta: int = 0
     row_limit: int = 50
+    #: keyed-chunk count for --mode remote-keyed (hash(key) mod n)
+    n_chunks: int = 64
     #: require matching column names/types, not just arity (the
     #: reference checks arity only, reference main.py:157-168)
     strict_schema: bool = False
@@ -199,6 +201,53 @@ def run_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
             c.sort_keys,
             bucket_rows=c.bucket_rows,
             cols=db.cols,
+        )
+    finally:
+        conn.close()
+
+
+def run_keyed_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
+    """``--mode remote-keyed``: the ORDER-FREE hybrid compare. The
+    ``dbapi`` side's ``qry`` projects TWO columns — ``k`` (the chunk
+    key) and ``v`` (the canonical row text), NO ORDER BY needed — and
+    the remote database computes its whole keyed-chunk fingerprint
+    table in one aggregation round trip (compat.keyed_remote_hash);
+    the Spark side is canonical.fp_keyed_chunks keyed on
+    ``compare.keys[0]``. Extra rows on either side surface as NOK
+    without a count preflight. Prefer this over remote-hybrid when
+    both sides speak this engine's md5 scheme; remote-hybrid remains
+    for reference chained-MD5 parity."""
+    from scribedb_spark.compat import connect_dbapi, keyed_hybrid_compare
+
+    c = cfg.compare
+    sides = {"source": c.source, "target": c.target}
+    remote = {k: s for k, s in sides.items() if isinstance(s.db, DbapiSource)}
+    if len(remote) != 1:
+        raise ValueError(
+            "remote-keyed needs exactly one side with type: dbapi "
+            f"(got {len(remote)})"
+        )
+    ((_, rside),) = remote.items()
+    (lside,) = [s for s in sides.values() if s is not rside]
+    if not c.keys:
+        raise ValueError("remote-keyed requires keys (chunking key)")
+    db = rside.db
+    conn = connect_dbapi(
+        db.kind,
+        db.database,
+        user=db.user,
+        password_env=db.password_env,
+        init=db.init,
+    )
+    try:
+        return keyed_hybrid_compare(
+            conn,
+            db.kind,
+            db.qry,
+            build_dataframe(spark, lside),
+            c.keys[0],
+            cols=db.cols,
+            n_chunks=c.n_chunks,
         )
     finally:
         conn.close()

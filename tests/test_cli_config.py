@@ -120,6 +120,7 @@ compare:
             "distinct": False,
             "max_delta": 3,
             "row_limit": 50,
+            "n_chunks": 64,
             "strict_schema": False,
         }
     }
@@ -396,3 +397,41 @@ def test_cli_merkle_mode_locates_chunk(spark, sf_dir, tmp_path, capsys):
     assert rc == 1
     nok = [l for l in out.splitlines() if l.startswith("chunk ")]
     assert len(nok) == 1 and "chunk 0 NOK" in nok[0] and "!=" in nok[0]
+
+
+_KEYED_QRY = (
+    "select n_nationkey as k, "
+    "'(' || concat_ws(',', cast(n_nationkey as varchar), n_name) || ')' as v "
+    "from nation"
+)
+
+
+def test_cli_remote_keyed_ok_and_nok(spark, sf_dir, tmp_path, capsys):
+    """--mode remote-keyed drives compat.keyed_hybrid_compare from
+    YAML: one unordered remote aggregation, per-keyed-chunk report,
+    exit 0 on equal; a remote mutation exits 1. No sort_keys needed —
+    the config only names the chunking key."""
+    import yaml
+
+    from scribedb_spark.cli import main
+
+    cfg = _hybrid_cfg(sf_dir, _KEYED_QRY)
+    cfg["compare"]["keys"] = ["n_nationkey"]
+    cfg["compare"]["n_chunks"] = 8
+    del cfg["compare"]["sort_keys"]
+    p = tmp_path / "keyed.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = main(["-f", str(p), "--mode", "remote-keyed"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out and "OK" in out
+
+    mut = _KEYED_QRY.replace(
+        "n_name)", "case when n_nationkey = 3 then 'XX' else n_name end)"
+    )
+    cfg = _hybrid_cfg(sf_dir, mut)
+    cfg["compare"]["keys"] = ["n_nationkey"]
+    cfg["compare"]["n_chunks"] = 8
+    p.write_text(yaml.safe_dump(cfg))
+    rc = main(["-f", str(p), "--mode", "remote-keyed"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "different" in out and "NOK" in out

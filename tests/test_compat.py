@@ -205,3 +205,52 @@ def test_hybrid_compare_remote_extra_rows_flagged(spark, sf_dir):
     )
     report2 = hybrid_compare(con, "duckdb", q_short, n, ["n_nationkey"], bucket_rows=10)
     assert any(r["status"] == "NOK" for r in report2)
+
+
+def test_keyed_hybrid_compare_order_free(spark, sf_dir):
+    """keyed_hybrid_compare: one unordered remote aggregation vs Spark
+    fp_keyed_chunks. Equal data -> all OK even though the remote query
+    carries NO ORDER BY; a one-row mutation flips exactly the mutated
+    key's chunk; extra rows on the remote side surface as NOK without
+    any count preflight."""
+    import duckdb as _duckdb
+
+    from scribedb_spark.compat import keyed_hybrid_compare
+
+    con = _duckdb.connect()
+    con.execute(
+        f"create view nation as select * from read_parquet('{sf_dir}/nation.parquet')"
+    )
+    q = (
+        "select n_nationkey as k, "
+        "'(' || concat_ws(',', cast(n_nationkey as varchar), n_name) || ')' as v "
+        "from nation"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    report = keyed_hybrid_compare(
+        con, "duckdb", q, n, "n_nationkey", n_chunks=8
+    )
+    assert report and all(r["status"] == "OK" for r in report)
+    assert sum(r["local_n"] for r in report) == n.count()
+
+    q_mut = q.replace(
+        "n_name)", "case when n_nationkey = 3 then 'XX' else n_name end)"
+    )
+    report2 = keyed_hybrid_compare(
+        con, "duckdb", q_mut, n, "n_nationkey", n_chunks=8
+    )
+    bad = [r for r in report2 if r["status"] == "NOK"]
+    assert len(bad) == 1
+    assert bad[0]["remote_n"] == bad[0]["local_n"]  # value drift, not count
+
+    q_extra = q + (
+        " union all select 999 as k, '(999,ZZ)' as v"
+    )
+    report3 = keyed_hybrid_compare(
+        con, "duckdb", q_extra, n, "n_nationkey", n_chunks=8
+    )
+    bad3 = [r for r in report3 if r["status"] == "NOK"]
+    assert len(bad3) == 1
+    assert bad3[0]["remote_n"] == bad3[0]["local_n"] + 1
