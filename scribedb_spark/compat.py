@@ -490,6 +490,7 @@ def keyed_hybrid_compare(
     cols: list[str] | None = None,
     n_chunks: int = 64,
     view_name: str = "scdb_keyed",
+    local_fps=None,
 ) -> list[dict]:
     """Order-free hybrid compare: remote side computes its keyed-chunk
     fingerprint table in ONE aggregation round trip
@@ -498,10 +499,11 @@ def keyed_hybrid_compare(
     sides, so extra rows on EITHER side surface as NOK — no
     count-first preflight, no ORDER BY calibration, no per-chunk view
     loop (the three costs hybrid_compare inherits from the
-    reference's chained scheme). The local table can equally come
-    from a PERSISTED fp_keyed_chunks artifact maintained by
-    fp_delta_update — a re-check then moves |delta| hashing locally
-    and one aggregate remotely.
+    reference's chained scheme). Pass ``local_fps`` (a DataFrame in
+    fp_keyed_chunks shape — e.g. a PERSISTED artifact maintained by
+    fp_delta_update; ``df`` is then ignored) and a re-check moves
+    |delta| hashing locally and one aggregate remotely; chunks
+    emptied by deletes (n_rows=0) count as absent.
 
     Returns [{chunk_id, remote_n, local_n, remote_fp, local_fp,
     status}] sorted by chunk_id."""
@@ -509,14 +511,19 @@ def keyed_hybrid_compare(
 
     from scribedb_spark.canonical import FP_MOD, fp_keyed_chunks
 
+    fps = (
+        local_fps
+        if local_fps is not None
+        else fp_keyed_chunks(df, key, cols, n_chunks)
+    )
     local = {
         r["chunk_id"]: (r["n_rows"], r["fp"])
-        for r in fp_keyed_chunks(df, key, cols, n_chunks)
-        .select(
+        for r in fps.select(
             "chunk_id",
             "n_rows",
             F.pmod(F.col("fp_sum"), F.lit(FP_MOD)).cast("long").alias("fp"),
         )
+        .filter(F.col("n_rows") != 0)
         .collect()
     }
     remote = run_remote_keyed_hash(

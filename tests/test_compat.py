@@ -254,3 +254,52 @@ def test_keyed_hybrid_compare_order_free(spark, sf_dir):
     bad3 = [r for r in report3 if r["status"] == "NOK"]
     assert len(bad3) == 1
     assert bad3[0]["remote_n"] == bad3[0]["local_n"] + 1
+
+
+def test_keyed_hybrid_incremental_recheck(spark, sf_dir):
+    """The incremental WAN recheck end to end: fingerprint the base
+    once (the 'persisted' artifact), apply a local delta with
+    fp_delta_update — NO rescan of unchanged rows — and compare the
+    maintained table against a remote side carrying the same change:
+    all chunks OK. Against a remote missing the change: exactly the
+    owning chunk NOK."""
+    import duckdb as _duckdb
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.canonical import fp_delta_update, fp_keyed_chunks
+    from scribedb_spark.compat import keyed_hybrid_compare
+
+    cols = ["n_nationkey", "n_name"]
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(*cols)
+    base_fps = fp_keyed_chunks(n, "n_nationkey", cols, n_chunks=8)
+    old = n.filter("n_nationkey = 3")
+    new = old.withColumn("n_name", F.lit("RENAMED"))
+    maintained = fp_delta_update(
+        base_fps, old, new, "n_nationkey", cols, n_chunks=8
+    )
+
+    con = _duckdb.connect()
+    con.execute(
+        f"create view nation as select * from read_parquet('{sf_dir}/nation.parquet')"
+    )
+    q_changed = (
+        "select n_nationkey as k, '(' || concat_ws(',', "
+        "cast(n_nationkey as varchar), "
+        "case when n_nationkey = 3 then 'RENAMED' else n_name end) || ')' as v "
+        "from nation"
+    )
+    report = keyed_hybrid_compare(
+        con, "duckdb", q_changed, None, "n_nationkey",
+        n_chunks=8, local_fps=maintained,
+    )
+    assert report and all(r["status"] == "OK" for r in report)
+
+    q_stale = (
+        "select n_nationkey as k, '(' || concat_ws(',', "
+        "cast(n_nationkey as varchar), n_name) || ')' as v from nation"
+    )
+    report2 = keyed_hybrid_compare(
+        con, "duckdb", q_stale, None, "n_nationkey",
+        n_chunks=8, local_fps=maintained,
+    )
+    assert [r["status"] for r in report2].count("NOK") == 1
