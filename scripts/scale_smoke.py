@@ -47,6 +47,8 @@ KEYS = [
     "dedup_url_canonical",
     "text_tfidf_topterms",
     "join_temporal_dim",
+    "rollup_wau_sliding",
+    "fp_incremental_update",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;
