@@ -69,3 +69,51 @@ def stream_compare(
         .start()
     )
     return q, acc
+
+
+def stream_fp_maintain(
+    stream_df: DataFrame,
+    base_fps: DataFrame,
+    key: str,
+    cols: list[str] | None = None,
+    n_chunks: int = 64,
+    query_name: str = "stream_fp",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS a keyed-chunk
+    fingerprint table from an INSERT stream: every micro-batch folds
+    into the running table via canonical.fp_delta_update (old_rows
+    empty — append-only ingest), so after any prefix of batches the
+    table equals a from-scratch fp_keyed_chunks over base + all rows
+    seen, at O(|batch|) per batch. This is the streaming half of the
+    incremental-recheck story: a CDC/ingest stream keeps the local
+    fingerprint artifact current, and keyed_hybrid_compare(local_fps=…)
+    verifies it against the remote side in one aggregation round trip
+    whenever a check is due.
+
+    Returns (query, holder) where ``holder.fps`` is the maintained
+    DataFrame (localCheckpoint'd per batch so the lineage stays flat
+    across many batches instead of growing one union per batch).
+    """
+    from scribedb_spark.canonical import fp_delta_update
+
+    class _Holder:
+        fps = base_fps.localCheckpoint()
+
+    holder = _Holder()
+    empty = stream_df.sparkSession.createDataFrame([], stream_df.schema)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        holder.fps = fp_delta_update(
+            holder.fps, empty, rows, key, cols, n_chunks
+        ).localCheckpoint()
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

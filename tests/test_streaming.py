@@ -255,3 +255,38 @@ def test_stream_stream_attribution_equals_batch(spark, events_batch, events_stre
     want = view_click_attribution(bv, bc, watermark=None)
     cols = ["v_user", "view_id", "click_id", "v_ts", "c_ts"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_fp_maintain_equals_batch_recompute(
+    spark, events_batch, events_stream_dir
+):
+    """Streamed keyed-chunk fingerprint maintenance: after draining
+    the ingest stream on top of an empty base, the maintained table
+    must equal a from-scratch fp_keyed_chunks over the whole dataset
+    — the batch twin — bit-for-bit (exact DECIMAL algebra across
+    micro-batch folds)."""
+    from scribedb_spark.canonical import fp_keyed_chunks
+    from scribedb_spark.streaming.diff import stream_fp_maintain
+
+    cols = ["event_id", "event_type", "user_id"]
+    base = events_batch.select(*cols).limit(0)
+    base_fps = fp_keyed_chunks(base, "event_id", cols, n_chunks=16)
+    stream = read_events_stream(
+        spark, events_stream_dir, schema=events_batch.schema
+    ).select(*cols)
+    q, holder = stream_fp_maintain(
+        stream, base_fps, "event_id", cols, n_chunks=16
+    )
+    q.awaitTermination(120)
+    got = {
+        r["chunk_id"]: (r["n_rows"], r["fp_sum"])
+        for r in holder.fps.collect()
+        if r["n_rows"] != 0
+    }
+    want = {
+        r["chunk_id"]: (r["n_rows"], r["fp_sum"])
+        for r in fp_keyed_chunks(
+            events_batch.select(*cols), "event_id", cols, n_chunks=16
+        ).collect()
+    }
+    assert got == want
