@@ -111,6 +111,7 @@ BENCH_KEYS = [
     "join_temporal_dim",
     "rollup_wau_sliding",
     "fp_incremental_update",
+    "ann_ivf_sq_topk",
 ]
 
 

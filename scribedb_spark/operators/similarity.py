@@ -849,3 +849,133 @@ def vec_l2_topk(spark, sf_dir) -> DataFrame:
         )
     )
     return scored.orderBy("dist", "vec_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# SQ-IVF: scalar-quantized seeded coarse quantizer — the oracle-exact
+# cell-probe ANN (trained k-means stays in ann_ivf_topk)
+# ---------------------------------------------------------------------------
+
+_SQ_CELLS = 16
+_SQ_PROBE = 4
+
+
+@register(
+    "ann_ivf_sq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(floor(
+               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+             ) AS BIGINT)) AS q
+      FROM v),
+    cent AS (SELECT vec_id AS cell, q FROM q8 WHERE vec_id < {_SQ_CELLS}),
+    scored_cells AS (
+      SELECT a.vec_id, c.cell,
+             CAST(list_dot_product(a.q, c.q) AS BIGINT) AS idot
+      FROM q8 a CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY idot DESC, cell) AS rn
+        FROM scored_cells) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY idot DESC, cell) AS rn
+        FROM scored_cells WHERE vec_id < 10) WHERE rn <= {_SQ_PROBE}),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS c_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.q_id),
+    rer AS (
+      SELECT c.q_id, c.c_id,
+             ROUND(list_cosine_similarity(qa.e, ca.e), 6) AS score
+      FROM cand c
+      JOIN v qa ON qa.vec_id = c.q_id
+      JOIN v ca ON ca.vec_id = c.c_id),
+    r AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rk
+      FROM rer)
+    SELECT q_id, c_id, score, rk FROM r WHERE rk <= 5
+    """,
+)
+def ann_ivf_sq_topk(spark, sf_dir) -> DataFrame:
+    """IVF cell-probe ANN with a SCALAR-QUANTIZED seeded coarse
+    quantizer — the oracle-exact member of the IVF family: cells are
+    the first {16} vectors int8-quantized (max-abs scalar
+    quantization, the same element-wise exact formula as
+    vec_quantize_int8), every vector assigns to the cell maximizing
+    the INTEGER dot product of quantized codes, queries probe their 4
+    best cells, and exact float cosine re-ranks candidates. Integer
+    cell scores make assignment bit-identical in any engine — no
+    float summation-order ties — which is what lets this variant
+    carry a full DuckDB oracle where trained k-means (ann_ivf_topk,
+    the recall-tuned production path: Lloyd iterations compound ulp
+    drift) cannot.
+
+    Plan: the 16 quantized seeds broadcast (bounded by construction);
+    assignment is a map-only fold per (vector, cell) pair; cells
+    become the shuffle key for the probe join; re-rank touches only
+    probed-cell candidates (never all pairs). At 100 TB the
+    assignment is the standard quantized scan and the cell key is the
+    partition/bucket key, so each query moves only its probed cells.
+
+    Exactness: quantization is element-wise (no sums); integer dots
+    are order-free; rerank cosine uses the shared sequential-fold
+    ``cosine`` (engine-identical), ROUND 6 + id tie-breaks."""
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    from scribedb_spark.functions.vector import quantize_int8
+
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    q8 = v.select(
+        "vec_id",
+        "e",
+        F.transform(
+            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+        ).alias("q"),
+    )
+    cent = q8.filter(F.col("vec_id") < _SQ_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q8.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "q", "cell", idot.alias("idot")
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), "cell"
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= _SQ_PROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "cell")
+    )
+    rer = (
+        probes.join(assign, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "score", "rk")
+    )

@@ -1675,6 +1675,7 @@ _FRESH_KEYS = frozenset(
         "join_temporal_dim",
         "rollup_wau_sliding",
         "fp_incremental_update",
+        "ann_ivf_sq_topk",
     }
 )
 
