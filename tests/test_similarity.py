@@ -192,3 +192,24 @@ def test_ann_pq_recall_and_determinism(spark, sf_dir, emb):
         if S[qi, idx[c_id]] >= np.quantile(row, 0.9):
             ok += 1
     assert ok >= max(1, int(0.7 * len(tops)))
+
+
+def test_ann_ivf_sq_recall_vs_bruteforce(spark, sf_dir, emb):
+    """The scalar-quantized seeded quantizer must still route queries
+    to useful cells: each query's top-1 at or above the 90th
+    percentile of its true cosine row for >= 70% of queries (the
+    LSH/IVF/PQ bar)."""
+    from scribedb_spark.operators.similarity import ann_ivf_sq_topk
+
+    ids, V = emb
+    S = _cosine_matrix(V)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    rows = [r for r in ann_ivf_sq_topk(spark, sf_dir).collect() if r["rk"] == 1]
+    assert rows
+    ok = 0
+    for r in rows:
+        qi = idx[r["q_id"]]
+        row = np.delete(S[qi], qi)
+        if S[qi, idx[r["c_id"]]] >= np.quantile(row, 0.9):
+            ok += 1
+    assert ok >= max(1, int(0.7 * len(rows)))
