@@ -85,6 +85,26 @@ def main() -> None:
     for r in drill.collect():
         print(f"  differing chunk {r['chunk_id']}: {r['h_src']} != {r['h_tgt']}")
 
+    # incremental recheck (beyond the reference): keyed-chunk
+    # fingerprints maintained in O(delta), no rescan of unchanged rows
+    t0 = time.perf_counter()
+    base_fps = ssp.fp_keyed_chunks(t_test, "a", n_chunks=32)
+    old_img = t_test.filter(F.col("a") == 50)
+    new_img = mutated.filter(F.col("a") == 50)
+    maintained = ssp.fp_delta_update(base_fps, old_img, new_img, "a", n_chunks=32)
+    scratch = ssp.fp_keyed_chunks(mutated, "a", n_chunks=32)
+    drift = (
+        maintained.alias("m")
+        .join(scratch.alias("s"), "chunk_id")
+        .filter(F.col("m.fp_sum") != F.col("s.fp_sum"))
+        .count()
+    )
+    print(
+        f"incremental fp maintenance: 1-row delta folded, "
+        f"{drift} chunks drift vs from-scratch (expect 0) "
+        f"in {time.perf_counter()-t0:.2f}s"
+    )
+
     try:
         res2.raise_on_diff()
     except ValueError as e:
