@@ -49,6 +49,7 @@ KEYS = [
     "join_temporal_dim",
     "rollup_wau_sliding",
     "fp_incremental_update",
+    "ann_ivf_sq_topk",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;
