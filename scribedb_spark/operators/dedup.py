@@ -17,6 +17,12 @@ agree bit-for-bit):
                  index move, never its text)
 - semantic       SemDeDup-style ledger: embedding-cosine pairs ->
                  connected components -> one survivor per cluster
+- bloom          incoming-batch exact dedup where the index corpus
+                 compresses to a fixed 128 KB bloom word table
+                 (bounded broadcast; exact verify of positives)
+- url            canonical-URL dedup (case/port/fragment/tracking
+                 normalization, the first pass of a web-crawl
+                 pipeline) — map-only + one hash aggregation
 
 Scale design: every operator is explode -> groupBy -> self-join on a
 *bucket key* (band signature / simhash / shingle), never an O(n^2)

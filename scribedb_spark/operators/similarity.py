@@ -14,6 +14,9 @@ Main tiers:
   each vector its cell, queries probe their nearest cells. At scale
   the cell is the partition key — probed cells are the only data a
   query touches.
+- ``ann_ivf_sq_topk``  the oracle-exact IVF member: seeded cells,
+  int8-scalar-quantized codes, INTEGER dot-product assignment (no
+  float summation-order ties), exact cosine re-rank.
 - ``join_similarity``  token-set jaccard join with *prefix filtering*
   (PPJoin-style, see /root/repo/PAPERS.md): tokens ordered by global
   frequency, only the first |r| - ceil(t*|r|) + 1 tokens of each set
