@@ -112,6 +112,7 @@ BENCH_KEYS = [
     "rollup_wau_sliding",
     "fp_incremental_update",
     "ann_ivf_sq_topk",
+    "rollup_cohort_ltv",
 ]
 
 

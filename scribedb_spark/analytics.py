@@ -1566,3 +1566,58 @@ def rollup_wau_sliding(spark, sf_dir) -> DataFrame:
         .groupBy(F.col("obs_day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "rollup_cohort_ltv",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, day, value,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM p)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST((day - cohort_day) // 7 AS BIGINT) AS age_week,
+           COUNT(DISTINCT user_id) AS n_buyers,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM c
+    GROUP BY cohort_day, (day - cohort_day) // 7
+    """,
+)
+def rollup_cohort_ltv(spark, sf_dir) -> DataFrame:
+    """Cohort lifetime-value triangle: buyers grouped by their FIRST
+    purchase day, revenue accumulated per week-of-age — the revenue
+    sibling of rollup_retention's activity counts and the standard
+    LTV-curve input (cohort rows, age columns, money cells).
+
+    Exactness: cohort assignment is a date MIN (no float); age is
+    integer day arithmetic div 7; revenue sums in DECIMAL(18,2)
+    before the final double cast (the module's money rule).
+
+    Scale: one user_id-partitioned window computes each purchase's
+    cohort day (single exchange of purchase rows only — the
+    event-type filter pushes to the scan), then a (cohort, age)
+    hash aggregation with map-side partials. No self-joins; the
+    window frame is per-user purchase history."""
+    e = table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    w = Window.partitionBy("user_id")
+    c = p.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        c.groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            (F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1676,6 +1676,7 @@ _FRESH_KEYS = frozenset(
         "rollup_wau_sliding",
         "fp_incremental_update",
         "ann_ivf_sq_topk",
+        "rollup_cohort_ltv",
     }
 )
 
