@@ -113,6 +113,7 @@ BENCH_KEYS = [
     "fp_incremental_update",
     "ann_ivf_sq_topk",
     "rollup_cohort_ltv",
+    "rollup_trend_slope",
 ]
 
 

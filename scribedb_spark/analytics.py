@@ -1621,3 +1621,72 @@ def rollup_cohort_ltv(spark, sf_dir) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "rollup_trend_slope",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM p GROUP BY user_id)
+    SELECT user_id, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_cents_per_day
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def rollup_trend_slope(spark, sf_dir) -> DataFrame:
+    """Per-user purchase-value trend: the least-squares slope of
+    (day, value) — the drift-detection primitive behind "is this
+    account's spend rising" (compare_col_drift's per-entity sibling).
+
+    Exactness: the classic slope formula
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is evaluated over INTEGERS ONLY
+    — x = day offset from a fixed epoch, y = value in cents via
+    floor(v*100 + 0.5) (floor, not ROUND: half-rounding conventions
+    diverge across engines for negatives, floor never does). Integer
+    sums are order-free, both cross-products stay far below 2^53, and
+    the single double division is exactly rounded — so the slope is
+    bit-identical with no tolerance.
+
+    Scale: one hash aggregation over purchase rows with map-side
+    partials (five integer partial sums per user), then a map-only
+    projection. Degenerate users (one purchase, or all purchases the
+    same day) are excluded — zero denominator."""
+    e = table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )

@@ -1677,6 +1677,7 @@ _FRESH_KEYS = frozenset(
         "fp_incremental_update",
         "ann_ivf_sq_topk",
         "rollup_cohort_ltv",
+        "rollup_trend_slope",
     }
 )
 
