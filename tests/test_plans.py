@@ -858,3 +858,22 @@ def test_fp_incremental_update_delta_grain(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "fp_incremental_update")
     assert "partial_sum" in p or "partial_count" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_cohort_ltv_pushdown_and_partials(qmod, spark, sf_dir):
+    """The purchase filter must push to the events scan and the
+    (cohort, age) rollup must partial-aggregate map-side; no Python
+    eval anywhere."""
+    p = plan(qmod, spark, sf_dir, "rollup_cohort_ltv")
+    assert "PushedFilters" in p and "purchase" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_trend_slope_single_shuffle(qmod, spark, sf_dir):
+    """Integer least-squares is ONE hash aggregation over filtered
+    purchase rows (five partial sums) plus a map-only projection —
+    a single Exchange in the plan."""
+    p = plan(qmod, spark, sf_dir, "rollup_trend_slope")
+    assert "partial_sum" in p
+    assert p.count("Exchange") <= 2  # agg shuffle (+AQE read stage)
