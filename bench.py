@@ -159,8 +159,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
+    # stop the JVM before the interpreter exits so no late Spark log
+    # line can land after (and corrupt) the one-line JSON contract
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -1610,9 +1610,7 @@ def rollup_cohort_ltv(spark, sf_dir) -> DataFrame:
     return (
         c.groupBy(
             F.col("cohort_day").cast("string").alias("cohort_day"),
-            (F.datediff(F.col("day"), F.col("cohort_day")) / 7)
-            .cast("long")
-            .alias("age_week"),
+            F.expr("datediff(day, cohort_day) div 7").alias("age_week"),
         )
         .agg(
             F.countDistinct("user_id").alias("n_buyers"),

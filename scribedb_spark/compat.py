@@ -458,11 +458,19 @@ def keyed_remote_hash(
         )
     else:
         raise ValueError(f"unknown remote-hash dialect: {kind!r}")
+    # Oracle (pre-23c) has no DROP VIEW IF EXISTS — use the plain form,
+    # matching oracle_remote_hash; run_remote_keyed_hash tolerates drop
+    # failures so cleanup can't mask the compare outcome either way.
+    drop = (
+        [f"drop view {view_name}"]
+        if kind == "oracle"
+        else [f"drop view if exists {view_name}"]
+    )
     return RemoteHashSQL(
         install=[],
         create_view=f"create or replace view {view_name} as {query}",
         hash_query=hq,
-        drop=[f"drop view if exists {view_name}"],
+        drop=drop,
     )
 
 
@@ -477,7 +485,13 @@ def run_remote_keyed_hash(conn, bundle: RemoteHashSQL) -> dict[int, tuple[int, i
         return {int(c): (int(n), int(f)) for c, n, f in cur.fetchall()}
     finally:
         for stmt in bundle.drop:
-            cur.execute(stmt)
+            # best-effort cleanup: a failed drop (e.g. the view was
+            # never created because create_view itself raised) must not
+            # shadow the hash result or the original exception
+            try:
+                cur.execute(stmt)
+            except Exception:
+                pass
         cur.close()
 
 

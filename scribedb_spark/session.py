@@ -60,6 +60,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # stage-progress bars interleave with stdout when the driver
+        # captures a merged stream — they drowned the one-line bench
+        # JSON in round 5 (BENCH_r05 parsed=null); keep them off
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
