@@ -114,6 +114,9 @@ BENCH_KEYS = [
     "ann_ivf_sq_topk",
     "rollup_cohort_ltv",
     "rollup_trend_slope",
+    "dedup_lsh_star",
+    "dedup_semantic_ann",
+    "vec_knn_graph_ann",
 ]
 
 

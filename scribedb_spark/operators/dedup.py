@@ -234,6 +234,66 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     )
 
 
+_LSH_STAR_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    roots AS (SELECT band, s, MIN(doc_id) AS root FROM sig GROUP BY band, s),
+    star AS (
+      SELECT DISTINCT r.root AS doc_id1, g.doc_id AS doc_id2
+      FROM sig g JOIN roots r ON g.band = r.band AND g.s = r.s
+      WHERE g.doc_id <> r.root)
+    SELECT doc_id1, doc_id2 FROM star
+    """
+
+
+def lsh_star_pairs(sig: DataFrame) -> DataFrame:
+    """Skew-bounded LSH candidate edges: per (band, s) bucket emit the
+    STAR (bucket-min doc_id, member) instead of the full clique.
+
+    A boilerplate-heavy corpus puts a large fraction of documents
+    into ONE band bucket; the clique self-join of dedup_minhash_lsh
+    then emits O(n_bucket^2) pairs — quadratic work and shuffle out
+    of a single skewed key. The star emits n_bucket - 1 edges and is
+    *exact for grouping*: a bucket's star spans the same connected
+    component as its clique, so downstream component-based dedup
+    (dedup_components' large/small-star contraction) produces
+    identical duplicate groups. Only pairwise-verification flows
+    (which re-check each candidate edge anyway) see fewer candidate
+    edges per bucket.
+
+    Plan shape: bucket roots via groupBy(band, s).min — map-side
+    partial aggregation, so the hot bucket's rows combine locally
+    before one tiny record per bucket shuffles; then a 1:n equi-join
+    of signatures to roots — linear output, AQE-skew-splittable.
+    Nothing in the plan is quadratic in bucket size.
+    """
+    roots = sig.groupBy("band", "s").agg(F.min("doc_id").alias("root"))
+    return (
+        sig.join(roots, on=["band", "s"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(
+            F.col("root").alias("doc_id1"), F.col("doc_id").alias("doc_id2")
+        )
+        .distinct()
+    )
+
+
+@register("dedup_lsh_star", oracle=_LSH_STAR_ORACLE)
+def dedup_lsh_star(spark, sf_dir) -> DataFrame:
+    """MinHash LSH dedup candidates, star-per-bucket emission — the
+    100 TB-safe twin of dedup_minhash_lsh (see lsh_star_pairs for why
+    hot band buckets make the clique join quadratic and how the star
+    bounds it while preserving connected components)."""
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    # signatures feed BOTH the roots aggregation and the join probe
+    # side: materialize the scan+shingle+minhash stage once (same
+    # idiom as dedup_incremental) instead of recomputing it per branch
+    return lsh_star_pairs(band_signatures(d).localCheckpoint())
+
+
 _INCREMENTAL_ORACLE = f"""
     WITH {_MINHASH_CTES},
     matches AS (
@@ -826,6 +886,92 @@ def dedup_semantic_clusters(spark, sf_dir) -> DataFrame:
         cluster.alias("cluster"),
         (cluster == F.col("vec_id")).cast("int").alias("keep"),
     )
+
+
+_SEMANTIC_ANN_ORACLE = """
+    WITH RECURSIVE
+    {ctes},
+    asg AS (SELECT vec_id, cell FROM ranked WHERE rn <= {breadth}),
+    cellpairs AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT p.id1, p.id2 FROM cellpairs p
+      JOIN v va ON va.vec_id = p.id1
+      JOIN v vb ON vb.vec_id = p.id2
+      WHERE list_cosine_similarity(va.e, vb.e) >= 0.42),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e2.a, w.lbl FROM edges e2 JOIN walk w ON e2.b = w.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id)
+    SELECT em.vec_id,
+           COALESCE(comp.c, em.vec_id) AS cluster,
+           CAST(COALESCE(comp.c, em.vec_id) = em.vec_id AS INT) AS keep
+    FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.id
+    """
+
+
+def _semantic_ann_oracle() -> str:
+    from scribedb_spark.operators.similarity import SQ_RANKED_CTES, _SQ_ASSIGN_A
+
+    return _SEMANTIC_ANN_ORACLE.format(ctes=SQ_RANKED_CTES, breadth=_SQ_ASSIGN_A)
+
+
+def _register_semantic_ann():
+    """Deferred registration: the oracle embeds similarity.py's shared
+    IVF-SQ CTEs, and dedup.py loads before similarity.py in
+    load_extensions — resolve at import completion instead."""
+    from scribedb_spark.functions.vector import cosine, to_double_array
+    from scribedb_spark.operators.similarity import (
+        sq_cell_candidates,
+        sq_ranked_cells,
+    )
+
+    @register("dedup_semantic_ann", oracle=_semantic_ann_oracle())
+    def dedup_semantic_ann(spark, sf_dir) -> DataFrame:
+        """SemDeDup ledger with ANN candidate generation — the 100 TB
+        twin of ``dedup_semantic_clusters``: candidate pairs come from
+        IVF-SQ cell co-residence (top-2 cells per vector,
+        similarity.sq_cell_candidates) instead of the exact O(n^2)
+        blocked kernel; exact cosine >= 0.42 verifies candidates;
+        components + keep-ledger stages are identical. Same output
+        schema (vec_id, cluster, keep), so recall against the exact
+        ledger is directly measurable (tests/test_similarity.py).
+
+        Scale: pair generation is sum(cell_size^2), not n^2 — with
+        corpus-scaled cell counts this is the SemDeDup paper's actual
+        recipe (cluster, then dedup within clusters). The verify join
+        moves embeddings only for candidate pairs; components run on
+        the verified pair graph; the corpus-sized final join carries
+        ids only (same plan property asserted for
+        dedup_semantic_clusters)."""
+        e = table(spark, "embeddings", sf_dir)
+        v = e.select("vec_id", to_double_array("embedding").alias("e"))
+        # ranked cells feed both sides of the candidate self-join
+        ranked = (
+            sq_ranked_cells(v).select("vec_id", "cell", "rn").localCheckpoint()
+        )
+        cand = sq_cell_candidates(ranked)
+        va = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"))
+        vb = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"))
+        pairs = (
+            cand.join(va, "id1")
+            .join(vb, "id2")
+            .filter(cosine(F.col("e1"), F.col("e2")) >= 0.42)
+            .select("id1", "id2")
+        )
+        comp = connected_components(pairs, id1="id1", id2="id2", out_id="vec_id")
+        ids = e.select("vec_id")
+        cluster = F.coalesce(F.col("component"), F.col("vec_id"))
+        return ids.join(comp, "vec_id", "left").select(
+            "vec_id",
+            cluster.alias("cluster"),
+            (cluster == F.col("vec_id")).cast("int").alias("keep"),
+        )
 
 
 @register(

@@ -861,6 +861,82 @@ def vec_l2_topk(spark, sf_dir) -> DataFrame:
 
 _SQ_CELLS = 16
 _SQ_PROBE = 4
+#: multi-assignment breadth for cell-blocked candidate generation
+#: (dedup_semantic_ann / vec_knn_graph_ann): each vector belongs to
+#: its top-A cells, pairs must co-reside in at least one. 4-of-16
+#: measures ~0.91 pair recall vs the exact kernels at sf0.01 (the
+#: seeded 16-cell quantizer is the oracle-exactness compromise; a
+#: production corpus scales the cell count, not the breadth)
+_SQ_ASSIGN_A = 4
+
+
+def sq_ranked_cells(v: DataFrame) -> DataFrame:
+    """(vec_id, e, cell, idot, rn) — every vector scored against the
+    ``_SQ_CELLS`` seeded int8-quantized centroids, rn = preference
+    rank of the cell (1 = assigned cell). The shared coarse-quantizer
+    stage of the oracle-exact IVF family: ``ann_ivf_sq_topk`` (rn=1
+    assignment + rn<=probe query probing), ``dedup_semantic_ann`` and
+    ``vec_knn_graph_ann`` (rn<=A multi-assignment blocking).
+
+    Integer dot products of element-wise-quantized codes make the
+    ranking bit-identical in any engine — no float summation-order
+    ties — which is what lets the downstream keys carry full DuckDB
+    oracles. ``v`` must be (vec_id, e double-array).
+
+    Scale: the quantized seed table is bounded (16 rows) and
+    broadcast; scoring is map-only; the only shuffle is the
+    per-vector rank window, keyed by vec_id (uniform)."""
+    from pyspark.sql import Window
+
+    from scribedb_spark.functions.vector import quantize_int8
+
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    q8 = v.select(
+        "vec_id",
+        "e",
+        F.transform(
+            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+        ).alias("q"),
+    )
+    cent = q8.filter(F.col("vec_id") < _SQ_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q8.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "q", "cell", idot.alias("idot")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
+    return scored.withColumn("rn", F.row_number().over(w_assign))
+
+
+#: DuckDB twin of sq_ranked_cells — CTEs v/q8/cent/scored_cells/ranked
+#: (ranked = per-vector cell preference order). Kept textually in sync
+#: with the inline CTEs of ann_ivf_sq_topk's oracle.
+SQ_RANKED_CTES = f"""
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(floor(
+               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+             ) AS BIGINT)) AS q
+      FROM v),
+    cent AS (SELECT vec_id AS cell, q FROM q8 WHERE vec_id < {_SQ_CELLS}),
+    scored_cells AS (
+      SELECT a.vec_id, c.cell,
+             CAST(list_dot_product(a.q, c.q) AS BIGINT) AS idot
+      FROM q8 a CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY idot DESC, cell) AS rn
+      FROM scored_cells)
+"""
+
 
 
 @register(
@@ -933,33 +1009,11 @@ def ann_ivf_sq_topk(spark, sf_dir) -> DataFrame:
     Exactness: quantization is element-wise (no sums); integer dots
     are order-free; rerank cosine uses the shared sequential-fold
     ``cosine`` (engine-identical), ROUND 6 + id tie-breaks."""
-    e = table(spark, "embeddings", sf_dir)
-    v = e.select("vec_id", to_double_array("embedding").alias("e"))
-    from scribedb_spark.functions.vector import quantize_int8
-
-    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
-    q8 = v.select(
-        "vec_id",
-        "e",
-        F.transform(
-            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
-        ).alias("q"),
-    )
-    cent = q8.filter(F.col("vec_id") < _SQ_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = q8.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "e", "q", "cell", idot.alias("idot")
-    )
     from pyspark.sql import Window
 
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    ranked = sq_ranked_cells(v)
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), "cell"
     )
@@ -982,3 +1036,117 @@ def ann_ivf_sq_topk(spark, sf_dir) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "score", "rk")
     )
+
+
+def sq_cell_candidates(ranked: DataFrame, breadth: int = _SQ_ASSIGN_A) -> DataFrame:
+    """Undirected candidate pairs (id1 < id2) from IVF-SQ cell
+    co-residence: each vector belongs to its top-``breadth`` cells
+    (sq_ranked_cells rank), a pair is a candidate iff the two vectors
+    share at least one assigned cell. The ANN candidate generator
+    that replaces the O(n^2) exact pair kernels at scale — per-cell
+    work is O(cell_size^2) and the cell count grows with the corpus
+    (16 seeded cells here keep the oracle twin exact; production
+    sizing is ~sqrt(n) trained cells, see ann_ivf_topk).
+
+    Exact-by-construction in SQL: integer cell ranks, no floats.
+    """
+    asg = ranked.filter(F.col("rn") <= breadth).select("vec_id", "cell")
+    a = asg.select(F.col("vec_id").alias("id1"), "cell")
+    b = asg.select(F.col("vec_id").alias("id2"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+_KNN_ANN_ORACLE = f"""
+    WITH {SQ_RANKED_CTES},
+    asg AS (SELECT vec_id, cell FROM ranked WHERE rn <= {_SQ_ASSIGN_A}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    s AS (
+      SELECT c.src, c.nbr,
+             ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+      FROM cand c
+      JOIN v va ON va.vec_id = c.src
+      JOIN v vb ON vb.vec_id = c.nbr),
+    r AS (
+      SELECT src, nbr,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY score DESC, nbr) AS rk
+      FROM s)
+    SELECT src AS vec_id,
+           string_agg(CAST(nbr AS VARCHAR), ',' ORDER BY nbr) AS neighbors
+    FROM r WHERE rk <= {{k}} GROUP BY src
+    """.replace("{k}", "3")
+
+
+@register("vec_knn_graph_ann", oracle=_KNN_ANN_ORACLE)
+def vec_knn_graph_ann(spark, sf_dir) -> DataFrame:
+    """Approximate kNN graph (k=3) — the IVF-SQ-blocked twin of
+    ``vec_knn_graph``: candidate neighbors come from top-2 cell
+    co-residence (sq_cell_candidates) instead of all pairs, exact
+    cosine re-scores candidates, and the same rounded-score window
+    picks each vector's top-k. Output schema matches vec_knn_graph
+    (vec_id, ascending comma-joined neighbor ids) so the two can be
+    diffed directly; tests/test_similarity.py pins edge recall
+    against the exact graph.
+
+    Scale: this is the shape that survives 100 TB — compute is
+    sum(cell_size^2) not n^2, the self-join shuffles (vec_id, cell)
+    pairs only, and embeddings move once per candidate edge side in
+    the re-score joins. Cell count scales with the corpus; vectors
+    whose true neighbors all live in unshared cells are the recall
+    loss, bounded by the multi-assignment breadth.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    # the ranked-cells stage feeds both sides of the candidate
+    # self-join: materialize once (same idiom as dedup_incremental)
+    ranked = sq_ranked_cells(v).select("vec_id", "cell", "rn").localCheckpoint()
+    und = sq_cell_candidates(ranked)
+    # directed edges: candidates are undirected, the graph wants both
+    cand = und.select(
+        F.col("id1").alias("src"), F.col("id2").alias("nbr")
+    ).unionAll(und.select(F.col("id2").alias("src"), F.col("id1").alias("nbr")))
+    va = v.select(F.col("vec_id").alias("src"), F.col("e").alias("se"))
+    vb = v.select(F.col("vec_id").alias("nbr"), F.col("e").alias("ne"))
+    scored = (
+        cand.join(va, "src")
+        .join(vb, "nbr")
+        .select(
+            "src",
+            "nbr",
+            F.round(cosine(F.col("se"), F.col("ne")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), "nbr")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy(F.col("src").alias("vec_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("nbr")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("neighbors")
+        )
+    )
+
+
+# dedup_semantic_ann's oracle embeds SQ_RANKED_CTES from this module;
+# its registration is deferred until this module exists (see
+# dedup._register_semantic_ann)
+from scribedb_spark.operators.dedup import _register_semantic_ann  # noqa: E402
+from scribedb_spark.queries import REGISTRY as _REG  # noqa: E402
+
+if "dedup_semantic_ann" not in _REG:
+    _register_semantic_ann()

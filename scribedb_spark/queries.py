@@ -1628,15 +1628,16 @@ def _enumeration_order() -> list[str]:
         seen,
         key=lambda k: (
             group(k),
-            group(k) == 0 and k in _FRESH_KEYS,
+            _FRESH_WAVES.get(k, 0) if group(k) == 0 else 0,
         ),
     )
 
 
-#: keys added in round 5 AFTER the round-4 verdict queued its slate —
-#: they drain after the keys that were already waiting (see
-#: _enumeration_order docstring)
-_FRESH_KEYS = frozenset(
+#: round in which each key was added AFTER that round's verdict queued
+#: its slate — within the unproven partition, later waves drain after
+#: earlier ones so a new key can never displace one that has been
+#: waiting since a previous round (see _enumeration_order docstring)
+_FRESH_WAVES: dict[str, int] = dict.fromkeys(
     {
         "dedup_incremental",
         "dedup_semantic_clusters",
@@ -1678,8 +1679,21 @@ _FRESH_KEYS = frozenset(
         "ann_ivf_sq_topk",
         "rollup_cohort_ltv",
         "rollup_trend_slope",
-    }
+    },
+    5,
 )
+#: sixth wave (round 6)
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "dedup_lsh_star",
+            "dedup_semantic_ann",
+            "vec_knn_graph_ann",
+        },
+        6,
+    )
+)
+_FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -877,3 +877,42 @@ def test_trend_slope_single_shuffle(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "rollup_trend_slope")
     assert "partial_sum" in p
     assert p.count("Exchange") <= 2  # agg shuffle (+AQE read stage)
+
+
+def test_lsh_star_partial_min_no_self_join(qmod, spark, sf_dir):
+    """dedup_lsh_star must compute bucket roots via a partial (map-side
+    combined) min — so the hot bucket's rows collapse locally before
+    the shuffle — and must NOT contain a signature self-join on
+    (band, s) (the clique join whose output is quadratic in bucket
+    size; the star's root join output is linear)."""
+    p = plan(qmod, spark, sf_dir, "dedup_lsh_star")
+    assert "partial_min(doc_id" in p
+    # exactly one join (sig -> bucket roots); the signature stage is
+    # checkpointed so it is computed once, not once per join branch
+    # tree + per-node detail => one join node appears twice
+    assert p.count("HashJoin") + p.count("SortMergeJoin") == 2
+    assert "Scan parquet" not in p  # both branches read the checkpoint
+
+
+def test_semantic_ann_id_only_final_join(qmod, spark, sf_dir):
+    """dedup_semantic_ann: same ledger plan property as the exact
+    twin — candidate generation + verify + components are behind the
+    checkpoint, the corpus-sized final join scans vec_id ONLY."""
+    p = plan(qmod, spark, sf_dir, "dedup_semantic_ann")
+    assert "struct<vec_id:bigint>" in p
+    assert "embedding:array" not in p
+
+
+def test_knn_graph_ann_no_cartesian_pruned_scans(qmod, spark, sf_dir):
+    """vec_knn_graph_ann: the candidate self-join is behind the
+    checkpointed (vec_id, cell) table — the visible plan must contain
+    no cartesian product and only the two embedding fetch joins, each
+    reading exactly (vec_id, embedding) from parquet."""
+    p = plan(qmod, spark, sf_dir, "vec_knn_graph_ann")
+    assert "CartesianProduct" not in p
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert schemas and all(
+        s == "struct<vec_id:bigint,embedding:array<float>>" for s in schemas
+    ), schemas

@@ -213,3 +213,65 @@ def test_ann_ivf_sq_recall_vs_bruteforce(spark, sf_dir, emb):
         if S[qi, idx[r["c_id"]]] >= np.quantile(row, 0.9):
             ok += 1
     assert ok >= max(1, int(0.7 * len(rows)))
+
+
+def test_semantic_ann_recall_vs_exact_ledger(spark, sf_dir):
+    """The ANN-fed SemDeDup ledger must closely reproduce the exact
+    O(n^2) ledger: >= 85% of exact near-dup PAIRS survive the cell
+    blocking, and >= 90% of (vec_id, cluster) ledger rows agree."""
+    from scribedb_spark import queries as Q
+
+    Q.load_extensions()
+    exact_pairs = {
+        (r["vec_id1"], r["vec_id2"])
+        for r in Q.REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    from scribedb_spark.functions.vector import to_double_array
+    from scribedb_spark.operators.similarity import (
+        sq_cell_candidates,
+        sq_ranked_cells,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    cand = {
+        (r["id1"], r["id2"])
+        for r in sq_cell_candidates(
+            sq_ranked_cells(v).select("vec_id", "cell", "rn")
+        ).collect()
+    }
+    if exact_pairs:
+        recall = len(exact_pairs & cand) / len(exact_pairs)
+        assert recall >= 0.85, f"pair recall {recall}"
+
+    exact = {
+        (r["vec_id"], r["cluster"])
+        for r in Q.REGISTRY["dedup_semantic_clusters"].fn(spark, sf_dir).collect()
+    }
+    ann = {
+        (r["vec_id"], r["cluster"])
+        for r in Q.REGISTRY["dedup_semantic_ann"].fn(spark, sf_dir).collect()
+    }
+    agreement = len(exact & ann) / len(exact)
+    assert agreement >= 0.9, f"ledger agreement {agreement}"
+
+
+def test_knn_graph_ann_edge_recall(spark, sf_dir):
+    """The cell-blocked kNN graph must recover >= 80% of the exact
+    graph's edges (k=3, sf-test corpus; candidate-stage recall is
+    ~0.92, final-edge recall is necessarily <= that)."""
+    from scribedb_spark import queries as Q
+
+    Q.load_extensions()
+
+    def edges(key):
+        out = set()
+        for r in Q.REGISTRY[key].fn(spark, sf_dir).collect():
+            for n in r["neighbors"].split(","):
+                out.add((r["vec_id"], int(n)))
+        return out
+
+    exact = edges("vec_knn_graph")
+    ann = edges("vec_knn_graph_ann")
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.8, f"edge recall {recall}"

@@ -60,3 +60,65 @@ def test_hot_keys_finds_planted_skew(skewed_events):
 def test_salted_join_rejects_unsupported_how(skewed_events, user_dim):
     with pytest.raises(ValueError):
         salted_join(skewed_events, user_dim, "user_id", "full_outer")
+
+
+# ---------------------------------------------------------------------------
+# LSH hot-band skew: star-per-bucket emission (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_band_sig(spark):
+    """Synthetic band-signature table where ONE signature is shared by
+    30% of the corpus (boilerplate-heavy corpus shape): 300 of 1000
+    docs land in band 0's bucket 'HOT'; the rest get singleton
+    buckets plus a sprinkling of honest small buckets."""
+    rows = []
+    for i in range(1000):
+        if i < 300:
+            rows.append((i, 0, "HOT"))
+        rows.append((i, 1, f"solo-{i}"))
+        if i % 100 < 3:
+            rows.append((i, 2, f"small-{i % 100}"))
+    return spark.createDataFrame(rows, "doc_id long, band int, s string")
+
+
+def test_lsh_star_bounds_hot_bucket_emission(hot_band_sig):
+    from scribedb_spark.operators.dedup import lsh_star_pairs
+
+    pairs = lsh_star_pairs(hot_band_sig)
+    n = pairs.count()
+    # hot bucket: 299 star edges (clique would emit 300*299/2 = 44850);
+    # solo buckets: 0; the 3 small buckets: (10-1) edges each, minus
+    # overlap with hot-bucket edges rooted at the same min doc
+    assert n < 350, f"emission not bounded: {n} pairs"
+    hot_edges = pairs.filter(F.col("doc_id1") == 0).count()
+    assert hot_edges >= 299  # the star spans the whole hot bucket
+
+
+def test_lsh_star_components_equal_clique_components(hot_band_sig):
+    """The star preserves grouping exactly: connected components over
+    star edges == components over the full clique edges."""
+    from scribedb_spark.operators.dedup import (
+        connected_components,
+        lsh_star_pairs,
+    )
+
+    sig = hot_band_sig.filter(F.col("doc_id") < 80)  # keep clique cheap
+    a = sig.select(F.col("doc_id").alias("doc_id1"), "band", "s")
+    b = sig.select(F.col("doc_id").alias("doc_id2"), "band", "s")
+    clique = (
+        a.join(b, on=["band", "s"])
+        .filter(F.col("doc_id1") < F.col("doc_id2"))
+        .select("doc_id1", "doc_id2")
+        .distinct()
+    )
+    star = lsh_star_pairs(sig)
+
+    def comp_map(pairs):
+        return {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+
+    assert comp_map(star) == comp_map(clique)
