@@ -117,6 +117,8 @@ BENCH_KEYS = [
     "dedup_lsh_star",
     "dedup_semantic_ann",
     "vec_knn_graph_ann",
+    "rollup_dataset_card",
+    "stream_watermark_late",
 ]
 
 

@@ -563,3 +563,64 @@ def text_tfidf_topterms(spark, sf_dir) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "term", F.round("score", 6).alias("score"), "rk")
     )
+
+
+@register(
+    "rollup_dataset_card",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ' ')))
+             AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ' ')))
+             AS BIGINT) AS n_dup_copies,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def rollup_dataset_card(spark, sf_dir) -> DataFrame:
+    """Per-source dataset card: the summary table a training-data
+    release ships (docs, exact-dup copies, language breadth, token
+    volume, mean length per source). Duplicate copies are counted as
+    n_docs - n_distinct(content_key) with the same normalized
+    content key as ``dedup_exact`` — no self-join, the multi-distinct
+    compiles to one Expand + hash aggregation pass.
+
+    Scale: single scan, one aggregation keyed by source (map-side
+    partials; the Expand multiplies rows x3 map-side but shuffles
+    only per-source partial states). avg_chars is one IEEE division
+    of exact integers (bit-identical across engines, the module's
+    exactness rule).
+    """
+    from scribedb_spark.functions.text import ws_token_count
+    from scribedb_spark.operators.dedup import tokens_distinct
+
+    d = table(spark, "documents", sf_dir)
+    key = F.md5(F.array_join(F.array_sort(tokens_distinct(F.col("text"))), " "))
+    return (
+        d.select(
+            "source",
+            "lang",
+            "n_chars",
+            key.alias("ck"),
+            ws_token_count(F.col("text")).alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ck").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("ck"))
+            .cast("long")
+            .alias("n_dup_copies"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+    )

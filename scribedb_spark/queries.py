@@ -1689,6 +1689,8 @@ _FRESH_WAVES.update(
             "dedup_lsh_star",
             "dedup_semantic_ann",
             "vec_knn_graph_ann",
+            "rollup_dataset_card",
+            "stream_watermark_late",
         },
         6,
     )

@@ -95,3 +95,67 @@ def stream_click_attribution(spark, sf_dir) -> DataFrame:
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "click"),
     )
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    w AS (
+      SELECT event_type,
+             CASE WHEN us < MAX(us) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - 600000000
+                  THEN 1 ELSE 0 END AS is_late
+      FROM e)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late
+    FROM w GROUP BY event_type
+    """,
+)
+def stream_watermark_late(spark, sf_dir) -> DataFrame:
+    """Late-data accounting under a 10-minute watermark — the batch
+    twin of Structured Streaming's ``withWatermark`` drop policy:
+    per key (user_id), events arrive in event_id order, the
+    watermark is the running max event time seen so far minus the
+    10-minute allowance, and an event is LATE (would be dropped from
+    a watermarked stateful aggregation) iff its event time is below
+    the watermark established by the events that arrived before it.
+    The first arrival per key is never late (empty frame -> NULL
+    watermark). Output: per-event-type totals and late counts — the
+    monitoring table that tells you whether an allowance is sized
+    right before you deploy it.
+
+    Scale: one shuffle keyed by user_id (per-key frames, no global
+    order — a single global watermark window would serialize; real
+    Structured Streaming also tracks the watermark per partition and
+    takes the min), then a partial-agg rollup of two integers per
+    event_type. Time arithmetic is integer microseconds
+    (``unix_micros``/``epoch_us``) — no interval types, identical
+    across engines."""
+    e = table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_late = F.coalesce(
+        F.col("us") < F.max("us").over(w) - F.lit(600_000_000),
+        F.lit(False),
+    ).cast("int")
+    return (
+        e.select("event_type", is_late.alias("is_late"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_late").alias("n_late"),
+        )
+    )

@@ -916,3 +916,26 @@ def test_knn_graph_ann_no_cartesian_pruned_scans(qmod, spark, sf_dir):
     assert schemas and all(
         s == "struct<vec_id:bigint,embedding:array<float>>" for s in schemas
     ), schemas
+
+
+def test_dataset_card_single_scan_expand_partials(qmod, spark, sf_dir):
+    """rollup_dataset_card: ONE documents scan reading only the four
+    needed columns; the two exact count-distincts compile to a single
+    Expand + two-level hash aggregation (never a self-join), with
+    map-side partial aggregation."""
+    p = plan(qmod, spark, sf_dir, "rollup_dataset_card")
+    assert p.count("Scan parquet") == 2  # tree + detail => one scan
+    assert "struct<text:string,lang:string,source:string,n_chars:bigint>" in p
+    assert "Expand" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Join" not in p
+
+
+def test_watermark_late_per_key_window_then_partial_agg(qmod, spark, sf_dir):
+    """stream_watermark_late: the watermark frame is keyed by user_id
+    (one per-key window — NO single-partition global ordering), and
+    the rollup aggregates with map-side partials."""
+    p = plan(qmod, spark, sf_dir, "stream_watermark_late")
+    assert "hashpartitioning(user_id" in p
+    assert "SinglePartition" not in p
+    assert "partial_count" in p or "partial_sum" in p
