@@ -925,44 +925,63 @@ def _register_semantic_ann():
     """Deferred registration: the oracle embeds similarity.py's shared
     IVF-SQ CTEs, and dedup.py loads before similarity.py in
     load_extensions — resolve at import completion instead."""
-    from scribedb_spark.functions.vector import cosine, to_double_array
+    from scribedb_spark.functions.vector import to_double_array
     from scribedb_spark.operators.similarity import (
-        sq_cell_candidates,
-        sq_ranked_cells,
+        scaled_cells,
+        sq_assign_cells,
     )
 
     @register("dedup_semantic_ann", oracle=_semantic_ann_oracle())
     def dedup_semantic_ann(spark, sf_dir) -> DataFrame:
         """SemDeDup ledger with ANN candidate generation — the 100 TB
-        twin of ``dedup_semantic_clusters``: candidate pairs come from
-        IVF-SQ cell co-residence (top-2 cells per vector,
-        similarity.sq_cell_candidates) instead of the exact O(n^2)
-        blocked kernel; exact cosine >= 0.42 verifies candidates;
-        components + keep-ledger stages are identical. Same output
-        schema (vec_id, cluster, keep), so recall against the exact
-        ledger is directly measurable (tests/test_similarity.py).
+        twin of ``dedup_semantic_clusters``: candidates come from
+        IVF-SQ cell co-residence (each vector in its top-{A} of
+        scaled_cells(n) seeded cells) instead of the exact O(n^2)
+        blocked kernel; within each cell ONE numpy matmul (the same
+        vectorized kernel discipline as dedup_embedding_cosine, the
+        proven numpy/DuckDB agreement baseline) emits the pairs with
+        cosine >= 0.42; components + keep-ledger stages are
+        identical. Same output schema (vec_id, cluster, keep), so
+        recall against the exact ledger is directly measurable
+        (tests/test_similarity.py).
 
-        Scale: pair generation is sum(cell_size^2), not n^2 — with
-        corpus-scaled cell counts this is the SemDeDup paper's actual
-        recipe (cluster, then dedup within clusters). The verify join
-        moves embeddings only for candidate pairs; components run on
-        the verified pair graph; the corpus-sized final join carries
-        ids only (same plan property asserted for
-        dedup_semantic_clusters)."""
+        Scale: compute is sum(cell_size^2) matmuls, not n^2 — with
+        scaled_cells keeping cells ~sqrt(n) that is ~A^2 * n^1.5;
+        this is the SemDeDup paper's actual recipe (cluster, then
+        dedup within clusters). The only wide shuffle is the
+        (cell, id, embedding) replication, n*A rows; components run
+        on the verified pair graph; the corpus-sized final join
+        carries ids only (plan-asserted, like the exact twin)."""
+        import numpy as np
+        import pandas as pd
+
         e = table(spark, "embeddings", sf_dir)
         v = e.select("vec_id", to_double_array("embedding").alias("e"))
-        # ranked cells feed both sides of the candidate self-join
-        ranked = (
-            sq_ranked_cells(v).select("vec_id", "cell", "rn").localCheckpoint()
-        )
-        cand = sq_cell_candidates(ranked)
-        va = v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1"))
-        vb = v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2"))
+        # corpus-scaled cell count (bounded scalar count, one O(1) job)
+        cells = scaled_cells(e.count())
+        asg = sq_assign_cells(v, cells).select("cell", "vec_id", "e")
+
+        def cell_pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "id1": pd.Series(dtype="int64"),
+                    "id2": pd.Series(dtype="int64"),
+                }
+            )
+            if len(pdf) < 2:
+                return empty
+            ids = pdf["vec_id"].to_numpy()
+            V = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Vn.T
+            bi, bj = np.where(S >= 0.42)
+            keep = ids[bi] < ids[bj]
+            return pd.DataFrame({"id1": ids[bi][keep], "id2": ids[bj][keep]})
+
         pairs = (
-            cand.join(va, "id1")
-            .join(vb, "id2")
-            .filter(cosine(F.col("e1"), F.col("e2")) >= 0.42)
-            .select("id1", "id2")
+            asg.groupBy("cell")
+            .applyInPandas(cell_pair_kernel, schema="id1 long, id2 long")
+            .distinct()
         )
         comp = connected_components(pairs, id1="id1", id2="id2", out_id="vec_id")
         ids = e.select("vec_id")

@@ -870,21 +870,38 @@ _SQ_PROBE = 4
 _SQ_ASSIGN_A = 4
 
 
-def sq_ranked_cells(v: DataFrame) -> DataFrame:
+def scaled_cells(n: int) -> int:
+    """Corpus-scaled coarse-quantizer size: max(16, floor(sqrt(n))).
+
+    Computed with IEEE double sqrt so DuckDB's
+    ``GREATEST(16, CAST(floor(sqrt(n * 1.0)) AS BIGINT))`` lands on
+    the identical integer. Keeps per-cell population ~sqrt(n), so
+    cell-blocked candidate generation is ~A^2 * n^1.5 pairs instead
+    of n^2 — the property that makes dedup_semantic_ann /
+    vec_knn_graph_ann actually cheaper than the exact kernels as the
+    corpus grows (a FIXED cell count degenerates to brute force once
+    n >> cells)."""
+    import math
+
+    return max(_SQ_CELLS, int(math.floor(math.sqrt(float(n)))))
+
+
+def sq_ranked_cells(v: DataFrame, n_cells: int = _SQ_CELLS) -> DataFrame:
     """(vec_id, e, cell, idot, rn) — every vector scored against the
-    ``_SQ_CELLS`` seeded int8-quantized centroids, rn = preference
+    ``n_cells`` seeded int8-quantized centroids, rn = preference
     rank of the cell (1 = assigned cell). The shared coarse-quantizer
     stage of the oracle-exact IVF family: ``ann_ivf_sq_topk`` (rn=1
-    assignment + rn<=probe query probing), ``dedup_semantic_ann`` and
-    ``vec_knn_graph_ann`` (rn<=A multi-assignment blocking).
+    assignment + rn<=probe query probing, fixed 16 cells) and
+    ``dedup_semantic_ann`` / ``vec_knn_graph_ann`` (rn<=A
+    multi-assignment blocking over ``scaled_cells(n)``).
 
     Integer dot products of element-wise-quantized codes make the
     ranking bit-identical in any engine — no float summation-order
     ties — which is what lets the downstream keys carry full DuckDB
     oracles. ``v`` must be (vec_id, e double-array).
 
-    Scale: the quantized seed table is bounded (16 rows) and
-    broadcast; scoring is map-only; the only shuffle is the
+    Scale: the quantized seed table is bounded (<= sqrt(n) short int8
+    rows) and broadcast; scoring is map-only; the only shuffle is the
     per-vector rank window, keyed by vec_id (uniform)."""
     from pyspark.sql import Window
 
@@ -898,7 +915,7 @@ def sq_ranked_cells(v: DataFrame) -> DataFrame:
             quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
         ).alias("q"),
     )
-    cent = q8.filter(F.col("vec_id") < _SQ_CELLS).select(
+    cent = q8.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("q").alias("cq")
     )
     idot = F.aggregate(
@@ -913,10 +930,22 @@ def sq_ranked_cells(v: DataFrame) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w_assign))
 
 
-#: DuckDB twin of sq_ranked_cells — CTEs v/q8/cent/scored_cells/ranked
-#: (ranked = per-vector cell preference order). Kept textually in sync
-#: with the inline CTEs of ann_ivf_sq_topk's oracle.
-SQ_RANKED_CTES = f"""
+#: DuckDB cells expression matching scaled_cells(count(embeddings))
+SQ_SCALED_CELLS_SQL = (
+    f"(SELECT GREATEST({_SQ_CELLS}, "
+    "CAST(floor(sqrt(COUNT(*) * 1.0)) AS BIGINT)) FROM embeddings)"
+)
+
+
+def sq_ranked_ctes(cells_sql: str = str(_SQ_CELLS)) -> str:
+    """DuckDB twin of sq_ranked_cells — CTEs
+    v/q8/cent/scored_cells/ranked (ranked = per-vector cell
+    preference order), parameterized by the cell-count SQL expression
+    (a literal for the fixed-16 ann_ivf_sq_topk shape,
+    SQ_SCALED_CELLS_SQL for the corpus-scaled blocking keys). Kept
+    textually in sync with the inline CTEs of ann_ivf_sq_topk's
+    oracle."""
+    return f"""
     v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     q8 AS (
@@ -925,7 +954,7 @@ SQ_RANKED_CTES = f"""
                x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
              ) AS BIGINT)) AS q
       FROM v),
-    cent AS (SELECT vec_id AS cell, q FROM q8 WHERE vec_id < {_SQ_CELLS}),
+    cent AS (SELECT vec_id AS cell, q FROM q8 WHERE vec_id < {cells_sql}),
     scored_cells AS (
       SELECT a.vec_id, c.cell,
              CAST(list_dot_product(a.q, c.q) AS BIGINT) AS idot
@@ -936,6 +965,9 @@ SQ_RANKED_CTES = f"""
                                 ORDER BY idot DESC, cell) AS rn
       FROM scored_cells)
 """
+
+
+SQ_RANKED_CTES = sq_ranked_ctes(SQ_SCALED_CELLS_SQL)
 
 
 
@@ -1038,6 +1070,69 @@ def ann_ivf_sq_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+def sq_assign_cells(
+    v: DataFrame, n_cells: int, breadth: int = _SQ_ASSIGN_A
+) -> DataFrame:
+    """(cell, vec_id, e, rn) top-``breadth`` cell assignments — the
+    vectorized fast path of ``sq_ranked_cells``: the quantized seed
+    codebook (<= ~sqrt(n) short int8 rows) is collected once
+    (bounded driver state, the same discipline as ann_ivf_topk's
+    capped training sample) and every batch scores against it with
+    ONE numpy integer matmul inside ``mapInPandas`` — no
+    (vector x cell) crossJoin row explosion, no interpreted
+    higher-order folds, no rank-window shuffle.
+
+    Bit-identical to sq_ranked_cells' rn <= breadth slice: the
+    quantization (floor(x / max_abs * 127 + 0.5)) is element-wise
+    IEEE double arithmetic (numpy == codegen == DuckDB), dots are
+    exact int64, and stable argsort of -idot reproduces the
+    (idot DESC, cell ASC) tie order because the codebook is scored
+    in ascending cell order. tests/test_similarity.py asserts
+    equality against sq_ranked_cells."""
+    import numpy as np
+    import pandas as pd
+
+    from scribedb_spark.functions.vector import quantize_int8
+
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    seed_rows = sorted(
+        v.filter(F.col("vec_id") < n_cells)
+        .select(
+            "vec_id",
+            F.transform(
+                quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+            ).alias("q"),
+        )
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cell_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    codebook_t = np.array([r["q"] for r in seed_rows], dtype=np.int64).T
+
+    def assign_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            maxabs = np.max(np.abs(V), axis=1, keepdims=True)
+            q = np.floor(V / maxabs * 127 + 0.5).astype(np.int64)
+            idots = q @ codebook_t
+            order = np.argsort(-idots, axis=1, kind="stable")[:, :breadth]
+            a = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "cell": cell_ids[order.ravel()],
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), a),
+                    "e": np.repeat(pdf["e"].to_numpy(), a),
+                    "rn": np.tile(np.arange(1, a + 1), len(pdf)),
+                }
+            )
+
+    return v.mapInPandas(
+        assign_batches, schema="cell long, vec_id long, e array<double>, rn int"
+    )
+
+
 def sq_cell_candidates(ranked: DataFrame, breadth: int = _SQ_ASSIGN_A) -> DataFrame:
     """Undirected candidate pairs (id1 < id2) from IVF-SQ cell
     co-residence: each vector belongs to its top-``breadth`` cells
@@ -1087,47 +1182,73 @@ _KNN_ANN_ORACLE = f"""
 @register("vec_knn_graph_ann", oracle=_KNN_ANN_ORACLE)
 def vec_knn_graph_ann(spark, sf_dir) -> DataFrame:
     """Approximate kNN graph (k=3) — the IVF-SQ-blocked twin of
-    ``vec_knn_graph``: candidate neighbors come from top-2 cell
-    co-residence (sq_cell_candidates) instead of all pairs, exact
-    cosine re-scores candidates, and the same rounded-score window
-    picks each vector's top-k. Output schema matches vec_knn_graph
-    (vec_id, ascending comma-joined neighbor ids) so the two can be
-    diffed directly; tests/test_similarity.py pins edge recall
-    against the exact graph.
+    ``vec_knn_graph``: candidate neighbors come from cell
+    co-residence (each vector in its top-{A} of scaled_cells(n)
+    seeded cells) instead of all pairs. Scoring runs as ONE numpy
+    matmul per cell inside ``applyInPandas`` — the same vectorized
+    kernel discipline as the exact graph (whose block-pair kernel is
+    the proven numpy/DuckDB agreement baseline), emitting each
+    source's per-cell top-(k+8) (the margin that makes local pruning
+    safe under the global rounded-score order); a global window over
+    ROUND(score, 6) with neighbor-id tiebreak picks the final top-k.
+    Output schema matches vec_knn_graph (vec_id, ascending
+    comma-joined neighbor ids); tests/test_similarity.py pins edge
+    recall against the exact graph.
 
-    Scale: this is the shape that survives 100 TB — compute is
-    sum(cell_size^2) not n^2, the self-join shuffles (vec_id, cell)
-    pairs only, and embeddings move once per candidate edge side in
-    the re-score joins. Cell count scales with the corpus; vectors
-    whose true neighbors all live in unshared cells are the recall
-    loss, bounded by the multi-assignment breadth.
+    Scale: compute is sum(cell_size^2) matmuls, not n^2 — with
+    scaled_cells keeping cells ~sqrt(n) that is ~A^2 * n^1.5; the
+    only wide shuffle is the (cell, id, embedding) replication, n*A
+    rows. A pair sharing several cells scores identically in each
+    (same floats), so the duplicate drop is exact. Vectors whose
+    true neighbors live in unshared cells are the recall loss,
+    bounded by the multi-assignment breadth.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     e = table(spark, "embeddings", sf_dir)
     v = e.select("vec_id", to_double_array("embedding").alias("e"))
-    # the ranked-cells stage feeds both sides of the candidate
-    # self-join: materialize once (same idiom as dedup_incremental)
-    ranked = sq_ranked_cells(v).select("vec_id", "cell", "rn").localCheckpoint()
-    und = sq_cell_candidates(ranked)
-    # directed edges: candidates are undirected, the graph wants both
-    cand = und.select(
-        F.col("id1").alias("src"), F.col("id2").alias("nbr")
-    ).unionAll(und.select(F.col("id2").alias("src"), F.col("id1").alias("nbr")))
-    va = v.select(F.col("vec_id").alias("src"), F.col("e").alias("se"))
-    vb = v.select(F.col("vec_id").alias("nbr"), F.col("e").alias("ne"))
-    scored = (
-        cand.join(va, "src")
-        .join(vb, "nbr")
-        .select(
-            "src",
-            "nbr",
-            F.round(cosine(F.col("se"), F.col("ne")), 6).alias("score"),
+    # corpus-scaled cell count (bounded scalar count — one O(1) job)
+    cells = scaled_cells(e.count())
+    asg = sq_assign_cells(v, cells).select("cell", "vec_id", "e")
+    m = _KNN_K + 8
+
+    def cell_knn_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "nbr": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
         )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        np.fill_diagonal(S, -np.inf)
+        k = min(m, S.shape[1] - 1)
+        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        rows = np.repeat(ids, k)
+        cols = ids[part.ravel()]
+        scores = np.take_along_axis(S, part, axis=1).ravel()
+        keep = np.isfinite(scores)
+        return pd.DataFrame(
+            {"src": rows[keep], "nbr": cols[keep], "score": scores[keep]}
+        )
+
+    cand = (
+        asg.groupBy("cell")
+        .applyInPandas(cell_knn_kernel, schema="src long, nbr long, score double")
+        .dropDuplicates(["src", "nbr"])
     )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), "nbr")
+    w = Window.partitionBy("src").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.col("nbr")
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KNN_K)
         .groupBy(F.col("src").alias("vec_id"))
         .agg(

@@ -904,10 +904,10 @@ def test_semantic_ann_id_only_final_join(qmod, spark, sf_dir):
 
 
 def test_knn_graph_ann_no_cartesian_pruned_scans(qmod, spark, sf_dir):
-    """vec_knn_graph_ann: the candidate self-join is behind the
-    checkpointed (vec_id, cell) table — the visible plan must contain
-    no cartesian product and only the two embedding fetch joins, each
-    reading exactly (vec_id, embedding) from parquet."""
+    """vec_knn_graph_ann: candidate generation + scoring is one
+    mapInPandas assignment + per-cell numpy kernel — the plan must
+    contain no cartesian product, and every parquet scan reads
+    exactly (vec_id, embedding)."""
     p = plan(qmod, spark, sf_dir, "vec_knn_graph_ann")
     assert "CartesianProduct" not in p
     import re

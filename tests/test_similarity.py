@@ -275,3 +275,34 @@ def test_knn_graph_ann_edge_recall(spark, sf_dir):
     ann = edges("vec_knn_graph_ann")
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.8, f"edge recall {recall}"
+
+
+def test_sq_assign_cells_equals_ranked_slice(spark, sf_dir):
+    """The vectorized mapInPandas assignment (numpy integer matmul
+    against the collected codebook) must be BIT-identical to the
+    expression-based sq_ranked_cells rn <= A slice — quantization is
+    element-wise IEEE doubles, dots exact int64, stable argsort
+    reproduces the (idot DESC, cell ASC) tie order."""
+    from scribedb_spark.functions.vector import to_double_array
+    from scribedb_spark.operators.similarity import (
+        _SQ_ASSIGN_A,
+        scaled_cells,
+        sq_assign_cells,
+        sq_ranked_cells,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    cells = scaled_cells(e.count())
+    fast = {
+        (r["vec_id"], r["cell"], r["rn"])
+        for r in sq_assign_cells(v, cells).collect()
+    }
+    slow = {
+        (r["vec_id"], r["cell"], r["rn"])
+        for r in sq_ranked_cells(v, cells)
+        .filter(F.col("rn") <= _SQ_ASSIGN_A)
+        .select("vec_id", "cell", "rn")
+        .collect()
+    }
+    assert fast == slow
