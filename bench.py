@@ -119,6 +119,7 @@ BENCH_KEYS = [
     "vec_knn_graph_ann",
     "rollup_dataset_card",
     "stream_watermark_late",
+    "compare_col_fingerprint",
 ]
 
 

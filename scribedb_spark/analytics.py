@@ -1688,3 +1688,125 @@ def rollup_trend_slope(spark, sf_dir) -> DataFrame:
             ),
         )
     )
+
+
+_COLFP_MOD = 2305843009213693951  # 2^61 - 1 (canonical.FP_MOD)
+
+_COLFP_CELLS = {
+    "o_custkey": "CAST(o_custkey AS VARCHAR)",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+    "o_orderpriority": "o_orderpriority",
+}
+
+
+def _colfp_oracle() -> str:
+    def side(alias):
+        branches = " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, CAST(SUM(CAST(('0x' || substr("
+            f"md5(CAST(o_orderkey AS VARCHAR) || ':' || COALESCE({expr}, chr(1))),"
+            f" 1, 15)) AS BIGINT)) % {_COLFP_MOD} AS BIGINT) AS fp FROM {alias}"
+            for c, expr in _COLFP_CELLS.items()
+        )
+        return branches
+
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority FROM orders),
+    tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 1500 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 2000 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders),
+    sfp AS ({side('src')}),
+    tfp AS ({side('tgt')})
+    SELECT s.col_name, s.fp AS src_fp, t.fp AS tgt_fp,
+           CAST(s.fp = t.fp AS INT) AS equal
+    FROM sfp s JOIN tfp t ON s.col_name = t.col_name
+    """
+
+
+@register("compare_col_fingerprint", oracle=_colfp_oracle())
+def compare_col_fingerprint(spark, sf_dir) -> DataFrame:
+    """Column-level fingerprint drill: WHICH column diverged. The
+    row/chunk fingerprints (fp_unordered / fp_chunk_hashes /
+    fp_merkle) localize differences to chunks; this key localizes
+    them to COLUMNS — per column, a commutative 60-bit md5 sum over
+    '(key):(cell)' pairs, so the report pinpoints the divergent
+    attribute without fetching a single row. Scenario: the target
+    mutates o_orderstatus on key % 1500 and o_totalprice on key %
+    2000 — exactly those two columns flag unequal.
+
+    Exactness: cells render as VARCHAR/ BIGINT-cents (floor(x*100 +
+    0.5), the module's money idiom — no %f formatting, whose rounding
+    mode differs between JVM and C). Hash terms sum as DECIMAL(38,0)
+    (HUGEINT in DuckDB) then reduce mod 2^61-1.
+
+    Scale: ONE aggregation pass per side computes every column's fp
+    (map-side partials, one scalar row out); the unpivot + join touch
+    |columns| rows. Against a remote side, the same per-column sums
+    push down as one SQL aggregate (keyed_remote_hash's shape, one
+    round trip)."""
+    cols = list(_COLFP_CELLS)
+    o = table(spark, "orders", sf_dir).select("o_orderkey", *cols)
+    tgt = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 1500 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 2000 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def cell(c):
+        if c == "o_totalprice":
+            return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")
+        return F.col(c).cast("string")
+
+    def fps(df, out):
+        aggs = [
+            F.pmod(
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("o_orderkey").cast("string"),
+                                    F.lit(":"),
+                                    F.coalesce(cell(c), F.lit("\x01")),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(_COLFP_MOD),
+            )
+            .cast("long")
+            .alias(c)
+            for c in cols
+        ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+        return wide.select(
+            F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, {out})")
+        )
+
+    s = fps(o, "src_fp")
+    t = fps(tgt, "tgt_fp")
+    return s.join(t, "col_name").select(
+        "col_name",
+        "src_fp",
+        "tgt_fp",
+        (F.col("src_fp") == F.col("tgt_fp")).cast("int").alias("equal"),
+    )

@@ -1691,6 +1691,7 @@ _FRESH_WAVES.update(
             "vec_knn_graph_ann",
             "rollup_dataset_card",
             "stream_watermark_late",
+            "compare_col_fingerprint",
         },
         6,
     )

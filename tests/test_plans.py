@@ -939,3 +939,16 @@ def test_watermark_late_per_key_window_then_partial_agg(qmod, spark, sf_dir):
     assert "hashpartitioning(user_id" in p
     assert "SinglePartition" not in p
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_col_fingerprint_one_agg_pass_per_side(qmod, spark, sf_dir):
+    """compare_col_fingerprint: every column's fp computes in ONE
+    aggregation pass per side (two scans total, each with map-side
+    partial sums producing a single scalar row); the unpivot + join
+    stage touches |columns| rows only."""
+    p = plan(qmod, spark, sf_dir, "compare_col_fingerprint")
+    assert p.count("Scan parquet") == 4  # 2 sides x (tree + detail)
+    assert "partial_sum" in p
+    # the per-column sums aggregate to ONE row per side before the
+    # stack/unpivot — no per-column rescans
+    assert p.count("Generate") <= 4
