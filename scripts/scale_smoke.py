@@ -50,6 +50,12 @@ KEYS = [
     "rollup_wau_sliding",
     "fp_incremental_update",
     "ann_ivf_sq_topk",
+    "dedup_lsh_star",
+    "dedup_semantic_ann",
+    "vec_knn_graph_ann",
+    "rollup_dataset_card",
+    "stream_watermark_late",
+    "compare_col_fingerprint",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;
