@@ -18,6 +18,7 @@ from scribedb_spark.session import get_spark, scale_conf
 from scribedb_spark.compare import (
     CompareResult,
     CompareSpec,
+    column_fingerprints,
     compare,
     merkle_drill,
     merkle_levels,
@@ -60,6 +61,7 @@ __all__ = [
     "FP_MOD",
     "merkle_levels",
     "merkle_drill",
+    "column_fingerprints",
     "read_csv",
     "read_json",
     "read_orc",

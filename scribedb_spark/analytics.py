@@ -1765,48 +1765,18 @@ def compare_col_fingerprint(spark, sf_dir) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
 
+    from scribedb_spark.compare import column_fingerprints
+
     def cell(c):
         if c == "o_totalprice":
             return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")
         return F.col(c).cast("string")
 
-    def fps(df, out):
-        aggs = [
-            F.pmod(
-                F.sum(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.col("o_orderkey").cast("string"),
-                                    F.lit(":"),
-                                    F.coalesce(cell(c), F.lit("\x01")),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("decimal(38,0)")
-                ),
-                F.lit(_COLFP_MOD),
-            )
-            .cast("long")
-            .alias(c)
-            for c in cols
-        ]
-        wide = df.agg(*aggs)
-        stack_args = ", ".join(f"'{c}', {c}" for c in cols)
-        return wide.select(
-            F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, {out})")
-        )
-
-    s = fps(o, "src_fp")
-    t = fps(tgt, "tgt_fp")
-    return s.join(t, "col_name").select(
+    return column_fingerprints(
+        o, tgt, ["o_orderkey"], cols=cols, cell_exprs={c: cell(c) for c in cols}
+    ).select(
         "col_name",
         "src_fp",
         "tgt_fp",
-        (F.col("src_fp") == F.col("tgt_fp")).cast("int").alias("equal"),
+        F.col("equal").cast("int").alias("equal"),
     )

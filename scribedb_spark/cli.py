@@ -22,14 +22,15 @@ def parse_args(argv=None):
     p.add_argument("-f", "--file", required=True, help="YAML compare spec")
     p.add_argument(
         "--mode",
-        choices=["hash", "full", "remote-hybrid", "remote-keyed", "merkle"],
+        choices=["hash", "full", "remote-hybrid", "remote-keyed", "merkle", "colfp"],
         default="full",
         help="hash: verdict+chunk report only; full: also materialize "
         "diff rows; remote-hybrid: one side is a `type: dbapi` source "
         "hashed inside the remote database (32 hex chars per chunk "
         "over the wire), compared to the Spark side's fp_chain; "
         "merkle: root-first tree compare printing only differing "
-        "chunks (sparse-diff fast path)",
+        "chunks (sparse-diff fast path); colfp: per-column "
+        "fingerprints — report WHICH attributes diverge, no row fetch",
     )
     p.add_argument(
         "-s",
@@ -106,6 +107,19 @@ def main(argv=None) -> int:
             print("Datasets are identicals")  # the reference's wording
             return 0
         print("Datasets are different.")
+        return 1
+    if args.mode == "colfp":
+        from scribedb_spark.config import run_colfp_config
+
+        rows = run_colfp_config(spark, cfg).collect()
+        bad = [r for r in rows if not r["equal"]]
+        for r in rows:
+            mark = "OK" if r["equal"] else f"NOK {r['src_fp']}!={r['tgt_fp']}"
+            print(f"col {r['col_name']} {mark}")
+        if not bad:
+            print("Datasets are identicals")  # the reference's wording
+            return 0
+        print(f"Datasets are different. ({len(bad)} columns)")
         return 1
     if args.mode == "merkle":
         from scribedb_spark.config import run_merkle_config

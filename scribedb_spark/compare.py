@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scribedb_spark.canonical import fp_chain, fp_unordered
@@ -642,3 +642,73 @@ def merkle_drill(
     d1 = descend(diff(s1, t1), diff(s2, t2))
     d0 = descend(diff(s0, t0), d1)
     return d0.select(F.col("node_id").alias("chunk_id"), "h_src", "h_tgt")
+
+
+def column_fingerprints(
+    src: DataFrame,
+    tgt: DataFrame,
+    keys: list[str],
+    cols: list[str] | None = None,
+    cell_exprs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Column-level fingerprint drill: WHICH columns differ between
+    two keyed datasets, without fetching a row. Per column, a
+    commutative 60-bit md5 sum mod 2^61-1 over '(key):(cell)' texts —
+    key-paired, so swapping two rows' values in one column flags that
+    column even though its value multiset is unchanged. Returns
+    (col_name, src_fp, tgt_fp, equal), one row per compared column.
+
+    The chunk axis (chunk_fingerprints / merkle_drill) answers
+    "WHERE in the table"; this answers "WHICH attribute" — together
+    they bound a re-fetch to (chunk x column). Cells render through
+    canonical_cell (engine-deterministic); pass ``cell_exprs`` to
+    override the rendering per column (e.g. integer-cents money for
+    cross-engine twins, the compare_col_fingerprint registry key).
+
+    Scale: ONE aggregation pass per side computes every column's fp
+    (map-side partial sums, a single scalar row out); the unpivot +
+    join stage touches |cols| rows. Like the keyed-chunk remote mode,
+    the same per-column sums push down to a remote SQL side in one
+    aggregate round trip."""
+    from pyspark.sql import types as T
+
+    from scribedb_spark.canonical import canonical_cell
+
+    cols = cols or [c for c in src.columns if c not in keys]
+    key_txt = F.concat_ws("\x02", *[F.col(k).cast("string") for k in keys])
+
+    def fps(df: DataFrame, out: str) -> DataFrame:
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        aggs = []
+        for c in cols:
+            cell = (
+                cell_exprs[c]
+                if cell_exprs and c in cell_exprs
+                else canonical_cell(F.col(c), fields.get(c, T.StringType()))
+            )
+            term = F.conv(
+                F.substring(
+                    F.md5(F.concat(key_txt, F.lit(":"), F.coalesce(cell, F.lit("\x01")))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+            aggs.append(
+                F.pmod(F.sum(term), F.lit(_MERSENNE61)).cast("long").alias(c)
+            )
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
+        return wide.select(
+            F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, {out})")
+        )
+
+    s = fps(src, "src_fp")
+    t = fps(tgt, "tgt_fp")
+    return s.join(t, "col_name").select(
+        "col_name",
+        "src_fp",
+        "tgt_fp",
+        (F.col("src_fp") == F.col("tgt_fp")).alias("equal"),
+    )

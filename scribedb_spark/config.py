@@ -269,3 +269,18 @@ def run_merkle_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
     tgt = build_dataframe(spark, c.target)
     cols = src.columns
     return merkle_drill(src, tgt, cols, c.sort_keys, c.bucket_rows)
+
+
+def run_colfp_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
+    """``--mode colfp``: per-column fingerprint report
+    (compare.column_fingerprints) — which ATTRIBUTES diverge, one
+    aggregate pass per side and no row fetch. ``keys`` are required
+    (cells hash key-paired so value swaps between rows are caught)."""
+    from scribedb_spark.compare import column_fingerprints
+
+    c = cfg.compare
+    if not c.keys:
+        raise ValueError("colfp mode requires keys (key-paired cell hashes)")
+    src = build_dataframe(spark, c.source)
+    tgt = build_dataframe(spark, c.target)
+    return column_fingerprints(src, tgt, c.keys)

@@ -435,3 +435,47 @@ def test_cli_remote_keyed_ok_and_nok(spark, sf_dir, tmp_path, capsys):
     rc = main(["-f", str(p), "--mode", "remote-keyed"])
     out = capsys.readouterr().out
     assert rc == 1 and "different" in out and "NOK" in out
+
+
+def test_cli_colfp_mode_locates_column(spark, sf_dir, tmp_path, capsys):
+    """--mode colfp: identical sides report every column OK (rc 0);
+    mutating ONE column flags exactly that column NOK (rc 1) — the
+    which-attribute drill end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribedb_spark.cli import main
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(GOOD_YAML.format(sf=sf_dir))
+    rc = main(["-f", str(p), "--mode", "colfp"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out
+    assert all(l.endswith("OK") for l in out.splitlines() if l.startswith("col "))
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    df = t.to_pandas()
+    df.loc[df["o_orderkey"] == 7, "o_orderpriority"] = "9-MUTATED"
+    mut = tmp_path / "orders_mut.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(mut))
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir).replace(
+            f"{sf_dir}/orders.parquet\"}}\n    name: tgt",
+            f"{mut}\"}}\n    name: tgt",
+        )
+    )
+    rc = main(["-f", str(p), "--mode", "colfp"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    nok = [l for l in out.splitlines() if " NOK " in l]
+    assert len(nok) == 1 and nok[0].startswith("col o_orderpriority")
+    assert "(1 columns)" in out
+
+
+def test_colfp_requires_keys(spark, sf_dir, tmp_path):
+    from scribedb_spark.config import load_config, run_colfp_config
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(GOOD_YAML.format(sf=sf_dir).replace("  keys: [o_orderkey]\n", ""))
+    with pytest.raises(ValueError, match="keys"):
+        run_colfp_config(spark, load_config(str(p)))

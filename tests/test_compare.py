@@ -300,3 +300,33 @@ def test_sampled_diff_deterministic_and_complete_at_full_fraction(spark):
     half2 = {tuple(r) for r in sampled_diff(src, tgt, ["k"], 0.5).collect()}
     assert half1 == half2  # deterministic, not rand()-based
     assert half1 <= full and len(half1) > 0
+
+
+def test_column_fingerprints_catches_value_swap(spark, sf_dir):
+    """column_fingerprints hashes key-paired cells: swapping one
+    column's values between two rows leaves the column's value
+    multiset unchanged but MUST still flag the column (a plain
+    per-column multiset hash would miss it); untouched columns stay
+    equal."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.compare import column_fingerprints
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # swap o_orderpriority between keys 1 and 7
+    a = src.filter(F.col("o_orderkey") == 1).head()["o_orderpriority"]
+    b = src.filter(F.col("o_orderkey") == 7).head()["o_orderpriority"]
+    if a == b:  # ensure the swap is observable
+        b = a + "-X"
+    tgt = src.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == 1, F.lit(b))
+        .when(F.col("o_orderkey") == 7, F.lit(a))
+        .otherwise(F.col("o_orderpriority")),
+    )
+    rows = {
+        r["col_name"]: r["equal"]
+        for r in column_fingerprints(src, tgt, ["o_orderkey"]).collect()
+    }
+    assert rows.pop("o_orderpriority") is False
+    assert all(rows.values()), rows
