@@ -120,6 +120,7 @@ BENCH_KEYS = [
     "rollup_dataset_card",
     "stream_watermark_late",
     "compare_col_fingerprint",
+    "dedup_containment",
 ]
 
 

@@ -1342,3 +1342,124 @@ def dedup_url_canonical(spark, sf_dir) -> DataFrame:
             F.min("doc_id").alias("survivor_doc_id"),
         )
     )
+
+
+_CONTAIN_T = 0.9
+
+_CONTAIN_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS inter
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.doc_id <> b.doc_id AND a.source = b.source
+      WHERE a.doc_id % 20 = 0
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_id1, doc_id2, ROUND(inter * 1.0 / sa.n, 6) AS containment
+      FROM pairs JOIN sz sa ON sa.doc_id = doc_id1
+      WHERE inter * 1.0 / sa.n >= {_CONTAIN_T}),
+    best AS (
+      SELECT doc_id1, doc_id2, containment,
+             row_number() OVER (PARTITION BY doc_id1
+                                ORDER BY containment DESC, doc_id2) AS rk
+      FROM scored)
+    SELECT doc_id1, doc_id2, containment FROM best WHERE rk = 1
+    """
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark, sf_dir) -> DataFrame:
+    """ASYMMETRIC near-dup detection: token-set containment
+    C(A in B) = |tok(A) & tok(B)| / |tok(A)| >= 0.9 within a source
+    block — catches sub-document duplication (quotes, boilerplate
+    wrapping, page-of-a-larger-page crawls) that symmetric jaccard
+    misses, the third member of the RefinedWeb-style text-dedup trio
+    (exact / jaccard / containment). Shaped as the incremental-batch
+    check (the steady-state ingest form, like dedup_incremental):
+    each INCOMING doc (doc_id % 20 == 0 stands in for the delta)
+    reports its single BEST container (highest containment, smallest
+    id tiebreak) — output bounded by the batch, not by the corpus's
+    pair count.
+
+    The prefix filter is the containment variant of
+    dedup_ngram_jaccard's PPJoin bound: a >= t pair must share a
+    token among A's |A| - ceil(t|A|) + 1 globally-RAREST tokens, so
+    only that prefix joins — but against ALL of B's tokens (the
+    bound is one-sided; B has no prefix), plus the size bound
+    |B| >= ceil(t|A|) (the intersection can't exceed |B|). Exact, no
+    false negatives — the DuckDB oracle brute-forces all same-source
+    pairs and the results hash-match.
+
+    Scale: the same explode -> frequency -> per-doc rarity-window
+    motif as the jaccard key (no broadcast hints — token vocabulary
+    grows with the corpus, AQE picks the strategy); the asymmetric
+    join is prefix x full-token, candidate-bounded by token rarity;
+    verification counts intersections on exploded flat rows (no
+    arrays in shuffle, map-side partial count)."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    toks = tokens_distinct(F.col("text"))
+    g = d.select(
+        "doc_id", "source", toks.alias("tk"), F.size(toks).alias("n")
+    ).localCheckpoint()
+    ex = g.select(
+        "doc_id", "source", "n", F.explode("tk").alias("tok")
+    ).localCheckpoint()
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    incoming = F.col("doc_id") % 20 == 0
+    pref = (
+        ex.filter(incoming)
+        .join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
+        )
+        .select("doc_id", "source", "tok", "n")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(_CONTAIN_T))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .distinct()
+    )
+    exg = ex.select("doc_id", "tok")
+    inter = (
+        cand.join(exg.withColumnRenamed("doc_id", "doc_id1"), "doc_id1")
+        .join(
+            exg.select(F.col("doc_id").alias("doc_id2"), "tok"),
+            on=["doc_id2", "tok"],
+        )
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = g.select("doc_id", "n")
+    c = F.col("inter") / F.col("na")
+    scored = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_id1"), F.col("n").alias("na")),
+            "doc_id1",
+        )
+        .filter(c >= _CONTAIN_T)
+        .select("doc_id1", "doc_id2", F.round(c, 6).alias("containment"))
+    )
+    wb = Window.partitionBy("doc_id1").orderBy(
+        F.desc("containment"), "doc_id2"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("doc_id1", "doc_id2", "containment")
+    )

@@ -1692,6 +1692,7 @@ _FRESH_WAVES.update(
             "rollup_dataset_card",
             "stream_watermark_late",
             "compare_col_fingerprint",
+            "dedup_containment",
         },
         6,
     )

@@ -56,6 +56,7 @@ KEYS = [
     "rollup_dataset_card",
     "stream_watermark_late",
     "compare_col_fingerprint",
+    "dedup_containment",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;

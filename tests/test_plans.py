@@ -952,3 +952,16 @@ def test_col_fingerprint_one_agg_pass_per_side(qmod, spark, sf_dir):
     # the per-column sums aggregate to ONE row per side before the
     # stack/unpivot — no per-column rescans
     assert p.count("Generate") <= 4
+
+
+def test_containment_no_hints_batch_filtered_prefix(qmod, spark, sf_dir):
+    """dedup_containment: no forced broadcasts anywhere (token
+    frequency tables grow with the corpus — the round-4 rule), and
+    the incoming-batch predicate restricts the prefix side before
+    the asymmetric join."""
+    df = qmod.REGISTRY["dedup_containment"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "dedup_containment")
+    assert "partial_count" in p  # map-side intersection counting
+    assert "(doc_id" in p and "% 20)" in p  # batch predicate present
