@@ -121,6 +121,7 @@ BENCH_KEYS = [
     "stream_watermark_late",
     "compare_col_fingerprint",
     "dedup_containment",
+    "profile_pk_violations",
 ]
 
 

@@ -1780,3 +1780,31 @@ def compare_col_fingerprint(spark, sf_dir) -> DataFrame:
         "tgt_fp",
         F.col("equal").cast("int").alias("equal"),
     )
+
+
+@register(
+    "profile_pk_violations",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    HAVING COUNT(*) > 1
+    """,
+)
+def profile_pk_violations(spark, sf_dir) -> DataFrame:
+    """Primary-key violation report — the PREFLIGHT for every keyed
+    compare path: keyed_diff/keyed-chunk modes require unique keys
+    (compare.keyed_diff raises on duplicates), and this report is
+    the actionable list of offending key tuples. Run on the driver
+    corpus's known-non-unique pair (l_orderkey, l_linenumber) —
+    the synthetic lineitem violates it by construction.
+
+    Scale: one hash aggregation with map-side partials (HAVING is a
+    post-agg filter on the combined counts); output is bounded by
+    the number of VIOLATING keys, not table rows."""
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )

@@ -720,9 +720,10 @@ def vec_knn_graph(spark, sf_dir) -> DataFrame:
     (driver-sortable scalar).
 
     Scale: exact kNN is inherently O(n^2) compute; B parallelizes
-    it. At 100 TB run ``ann_ivf_topk``/``ann_pq_topk`` to restrict
-    candidate generation to probed cells and keep this kernel as the
-    in-cell exact scorer.
+    it. At 100 TB use ``vec_knn_graph_ann`` — the shipped cell-blocked
+    twin of this key (>=0.8 edge recall, sum(cell^2) compute); this
+    exact kernel remains the recall baseline and the in-cell scorer
+    pattern.
     """
     import numpy as np
     import pandas as pd

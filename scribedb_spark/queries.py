@@ -1693,6 +1693,7 @@ _FRESH_WAVES.update(
             "stream_watermark_late",
             "compare_col_fingerprint",
             "dedup_containment",
+            "profile_pk_violations",
         },
         6,
     )

@@ -965,3 +965,13 @@ def test_containment_no_hints_batch_filtered_prefix(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "dedup_containment")
     assert "partial_count" in p  # map-side intersection counting
     assert "(doc_id" in p and "% 20)" in p  # batch predicate present
+
+
+def test_pk_violations_partial_agg_having_after_final(qmod, spark, sf_dir):
+    """profile_pk_violations: one hash aggregation with map-side
+    partial counts; the HAVING filter applies after the final
+    aggregate (never pushed below it), and nothing else shuffles."""
+    p = plan(qmod, spark, sf_dir, "profile_pk_violations")
+    assert "partial_count" in p
+    assert p.count("Exchange (") == 1
+    assert "Join" not in p
