@@ -122,6 +122,7 @@ BENCH_KEYS = [
     "compare_col_fingerprint",
     "dedup_containment",
     "profile_pk_violations",
+    "pipeline_semantic",
 ]
 
 

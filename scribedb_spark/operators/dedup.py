@@ -889,9 +889,10 @@ def dedup_semantic_clusters(spark, sf_dir) -> DataFrame:
     )
 
 
-_SEMANTIC_ANN_ORACLE = """
-    WITH RECURSIVE
-    {ctes},
+#: cell-blocked semantic-dedup CTE chain through `comp` (component
+#: labels). Prepend `WITH RECURSIVE {SQ_RANKED_CTES},` — shared by
+#: dedup_semantic_ann's ledger and pipeline_semantic's composition.
+_SEMANTIC_ANN_CTES = """
     asg AS (SELECT vec_id, cell FROM ranked WHERE rn <= {breadth}),
     cellpairs AS (
       SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -909,17 +910,32 @@ _SEMANTIC_ANN_ORACLE = """
         SELECT e2.a, w.lbl FROM edges e2 JOIN walk w ON e2.b = w.id
     ),
     comp AS (SELECT id, MIN(lbl) AS c FROM walk GROUP BY id)
+"""
+
+
+def semantic_ann_ctes() -> str:
+    """`WITH RECURSIVE <...>` CTE prefix ending at `comp` for oracle
+    composition (resolves similarity.py's shared quantizer CTEs)."""
+    from scribedb_spark.operators.similarity import SQ_RANKED_CTES, _SQ_ASSIGN_A
+
+    return (
+        "WITH RECURSIVE\n    "
+        + SQ_RANKED_CTES
+        + ",\n"
+        + _SEMANTIC_ANN_CTES.format(breadth=_SQ_ASSIGN_A)
+    )
+
+
+def _semantic_ann_oracle() -> str:
+    return (
+        semantic_ann_ctes()
+        + """
     SELECT em.vec_id,
            COALESCE(comp.c, em.vec_id) AS cluster,
            CAST(COALESCE(comp.c, em.vec_id) = em.vec_id AS INT) AS keep
     FROM embeddings em LEFT JOIN comp ON em.vec_id = comp.id
     """
-
-
-def _semantic_ann_oracle() -> str:
-    from scribedb_spark.operators.similarity import SQ_RANKED_CTES, _SQ_ASSIGN_A
-
-    return _SEMANTIC_ANN_ORACLE.format(ctes=SQ_RANKED_CTES, breadth=_SQ_ASSIGN_A)
+    )
 
 
 def _register_semantic_ann():

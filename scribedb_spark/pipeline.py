@@ -263,3 +263,79 @@ def pipeline_incremental(spark, sf_dir) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+def _pipeline_semantic_oracle() -> str:
+    from scribedb_spark.operators.dedup import semantic_ann_ctes
+
+    return (
+        semantic_ann_ctes()
+        + f""",
+    keepids AS (
+      SELECT em.vec_id FROM embeddings em
+      LEFT JOIN comp ON em.vec_id = comp.id
+      WHERE COALESCE(comp.c, em.vec_id) = em.vec_id),
+    scored AS (
+      SELECT doc_id, source, text,
+             {SQL_NTOK} AS n_tokens,
+             CAST(least({SQL_NTOK}, 100) AS DOUBLE) / 100 * 0.5
+               + 0.5 * CAST({sql_occ('the')} AS DOUBLE) / {SQL_NTOK} AS quality
+      FROM documents
+      WHERE {sql_occ('the')} + {sql_occ('a')} >= 1
+    ),
+    kept AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))), ' '))
+               ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE quality >= {MIN_QUALITY}
+    ),
+    fin AS (
+      SELECT k.source, k.n_tokens, k.doc_id
+      FROM kept k JOIN keepids s ON k.doc_id = s.vec_id
+      WHERE k.rn = 1)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM fin GROUP BY source
+    """
+    )
+
+
+@register("pipeline_semantic", oracle=_pipeline_semantic_oracle())
+def pipeline_semantic(spark, sf_dir) -> DataFrame:
+    """Flagship composition #4: heuristic curation AND semantic dedup
+    in one program — curate() survivors (marker + quality + exact
+    dedup) intersect the keep side of the ANN semantic ledger
+    (dedup_semantic_ann: each embedding cluster keeps its min id),
+    then the per-source token ledger. This is the full SemDeDup-style
+    recipe a training corpus actually ships through: cheap text
+    filters first, embedding-level dedup on what survives, ledger
+    out.
+
+    Scale: curation is two shuffles (pipeline_curation); the
+    semantic ledger side is cell-bounded (dedup_semantic_ann) and
+    joins by ID only — text and embeddings never meet in a shuffle.
+    The keep-id join is AQE-sized; at 100 TB both sides are id
+    columns."""
+    from scribedb_spark.queries import REGISTRY
+
+    kept = curate(table(spark, "documents", sf_dir)).select(
+        "doc_id", "source", "n_tokens"
+    )
+    ledger = REGISTRY["dedup_semantic_ann"].fn(spark, sf_dir)
+    keep_ids = ledger.filter(F.col("keep") == 1).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        kept.join(keep_ids, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -1694,6 +1694,7 @@ _FRESH_WAVES.update(
             "compare_col_fingerprint",
             "dedup_containment",
             "profile_pk_violations",
+            "pipeline_semantic",
         },
         6,
     )

@@ -975,3 +975,13 @@ def test_pk_violations_partial_agg_having_after_final(qmod, spark, sf_dir):
     assert "partial_count" in p
     assert p.count("Exchange (") == 1
     assert "Join" not in p
+
+
+def test_pipeline_semantic_id_only_intersection(qmod, spark, sf_dir):
+    """pipeline_semantic: the curation side and the semantic-ledger
+    side meet on an ID-ONLY join — no text column and no embedding
+    array in the final plan's join stage (the ledger is behind its
+    checkpoint; curation carries (doc_id, source, n_tokens))."""
+    p = plan(qmod, spark, sf_dir, "pipeline_semantic")
+    assert "embedding:array" not in p
+    assert "partial_sum" in p  # final ledger aggregates map-side
