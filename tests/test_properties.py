@@ -315,3 +315,87 @@ def test_bloom_prefilter_exact_even_when_bloom_saturated(spark, sf_dir):
     finally:
         D._BLOOM_BITS = orig_bits
     assert saturated == baseline
+
+
+SIG_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # doc_id (collisions fine)
+        st.integers(min_value=0, max_value=3),  # band
+        st.integers(min_value=0, max_value=6),  # bucket signature id
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=SIG_ROWS)
+@_settings
+def test_lsh_star_components_equal_clique_property(spark, rows):
+    """For ANY band-signature table (including hot buckets and
+    repeated rows), star edges span exactly the same connected
+    components as the full clique edges."""
+    from scribedb_spark.operators.dedup import (
+        connected_components,
+        lsh_star_pairs,
+    )
+
+    sig = spark.createDataFrame(
+        [(d, b, f"s{s}") for d, b, s in rows], "doc_id long, band int, s string"
+    ).distinct()
+    a = sig.select(F.col("doc_id").alias("doc_id1"), "band", "s")
+    b = sig.select(F.col("doc_id").alias("doc_id2"), "band", "s")
+    clique = (
+        a.join(b, on=["band", "s"])
+        .filter(F.col("doc_id1") < F.col("doc_id2"))
+        .select("doc_id1", "doc_id2")
+        .distinct()
+    )
+    star = lsh_star_pairs(sig)
+
+    def comp(pairs):
+        return {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+
+    assert comp(star) == comp(clique)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-100, max_value=100),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+                ),
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    swap=st.booleans(),
+)
+@_settings
+def test_column_fingerprints_localize_exactly(spark, rows, swap):
+    """Mutating (or key-swapping) ONE column flags that column and
+    only that column; identical frames flag nothing."""
+    from scribedb_spark.compare import column_fingerprints
+
+    src = spark.createDataFrame(rows, "k long, num int, txt string")
+    same = {
+        r["col_name"]: r["equal"]
+        for r in column_fingerprints(src, src, ["k"]).collect()
+    }
+    assert same == {"num": True, "txt": True}
+    tgt = src.withColumn(
+        "num", F.when(F.col("k") == rows[0][0], F.col("num") + 1).otherwise(F.col("num"))
+    )
+    flags = {
+        r["col_name"]: r["equal"]
+        for r in column_fingerprints(src, tgt, ["k"]).collect()
+    }
+    assert flags == {"num": False, "txt": True}
