@@ -19,6 +19,7 @@ from scribedb_spark.compare import (
     CompareResult,
     CompareSpec,
     column_fingerprints,
+    column_fp_table,
     compare,
     merkle_drill,
     merkle_levels,
@@ -62,6 +63,7 @@ __all__ = [
     "merkle_levels",
     "merkle_drill",
     "column_fingerprints",
+    "column_fp_table",
     "read_csv",
     "read_json",
     "read_orc",

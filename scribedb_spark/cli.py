@@ -22,7 +22,15 @@ def parse_args(argv=None):
     p.add_argument("-f", "--file", required=True, help="YAML compare spec")
     p.add_argument(
         "--mode",
-        choices=["hash", "full", "remote-hybrid", "remote-keyed", "merkle", "colfp"],
+        choices=[
+            "hash",
+            "full",
+            "remote-hybrid",
+            "remote-keyed",
+            "remote-colfp",
+            "merkle",
+            "colfp",
+        ],
         default="full",
         help="hash: verdict+chunk report only; full: also materialize "
         "diff rows; remote-hybrid: one side is a `type: dbapi` source "
@@ -107,6 +115,25 @@ def main(argv=None) -> int:
             print("Datasets are identicals")  # the reference's wording
             return 0
         print("Datasets are different.")
+        return 1
+    if args.mode == "remote-colfp":
+        # WAN column drill: |cols| * 8 bytes over the wire, one
+        # remote aggregation round trip
+        from scribedb_spark.config import run_colfp_hybrid_config
+
+        report = run_colfp_hybrid_config(spark, cfg)
+        bad = [r for r in report if r["status"] != "OK"]
+        for r in report:
+            mark = (
+                "OK"
+                if r["status"] == "OK"
+                else f"NOK {r['remote_fp']}!={r['local_fp']}"
+            )
+            print(f"col {r['col_name']} {mark}")
+        if not bad:
+            print("Datasets are identicals")  # the reference's wording
+            return 0
+        print(f"Datasets are different. ({len(bad)} columns)")
         return 1
     if args.mode == "colfp":
         from scribedb_spark.config import run_colfp_config

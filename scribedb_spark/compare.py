@@ -644,6 +644,50 @@ def merkle_drill(
     return d0.select(F.col("node_id").alias("chunk_id"), "h_src", "h_tgt")
 
 
+def column_fp_table(
+    df: DataFrame,
+    keys: list[str],
+    cols: list[str] | None = None,
+    cell_exprs: dict[str, Column] | None = None,
+    out: str = "fp",
+) -> DataFrame:
+    """(col_name, fp) — one side of ``column_fingerprints``: every
+    column's commutative key-paired cell fingerprint in ONE
+    aggregation pass (map-side partial sums, one scalar row, then an
+    |cols|-row unpivot). The local twin of the remote one-round-trip
+    aggregate (compat.colfp_remote_hash) — persist this next to a
+    snapshot and later compares skip the scan entirely."""
+    from pyspark.sql import types as T
+
+    from scribedb_spark.canonical import canonical_cell
+
+    cols = cols or [c for c in df.columns if c not in keys]
+    key_txt = F.concat_ws("\x02", *[F.col(k).cast("string") for k in keys])
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = []
+    for c in cols:
+        cell = (
+            cell_exprs[c]
+            if cell_exprs and c in cell_exprs
+            else canonical_cell(F.col(c), fields.get(c, T.StringType()))
+        )
+        term = F.conv(
+            F.substring(
+                F.md5(F.concat(key_txt, F.lit(":"), F.coalesce(cell, F.lit("\x01")))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        aggs.append(F.pmod(F.sum(term), F.lit(_MERSENNE61)).cast("long").alias(c))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, {out})")
+    )
+
+
 def column_fingerprints(
     src: DataFrame,
     tgt: DataFrame,
@@ -669,43 +713,10 @@ def column_fingerprints(
     (map-side partial sums, a single scalar row out); the unpivot +
     join stage touches |cols| rows. Like the keyed-chunk remote mode,
     the same per-column sums push down to a remote SQL side in one
-    aggregate round trip."""
-    from pyspark.sql import types as T
-
-    from scribedb_spark.canonical import canonical_cell
-
+    aggregate round trip (compat.colfp_remote_hash)."""
     cols = cols or [c for c in src.columns if c not in keys]
-    key_txt = F.concat_ws("\x02", *[F.col(k).cast("string") for k in keys])
-
-    def fps(df: DataFrame, out: str) -> DataFrame:
-        fields = {f.name: f.dataType for f in df.schema.fields}
-        aggs = []
-        for c in cols:
-            cell = (
-                cell_exprs[c]
-                if cell_exprs and c in cell_exprs
-                else canonical_cell(F.col(c), fields.get(c, T.StringType()))
-            )
-            term = F.conv(
-                F.substring(
-                    F.md5(F.concat(key_txt, F.lit(":"), F.coalesce(cell, F.lit("\x01")))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("decimal(38,0)")
-            aggs.append(
-                F.pmod(F.sum(term), F.lit(_MERSENNE61)).cast("long").alias(c)
-            )
-        wide = df.agg(*aggs)
-        stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
-        return wide.select(
-            F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, {out})")
-        )
-
-    s = fps(src, "src_fp")
-    t = fps(tgt, "tgt_fp")
+    s = column_fp_table(src, keys, cols, cell_exprs, out="src_fp")
+    t = column_fp_table(tgt, keys, cols, cell_exprs, out="tgt_fp")
     return s.join(t, "col_name").select(
         "col_name",
         "src_fp",

@@ -558,3 +558,125 @@ def keyed_hybrid_compare(
             }
         )
     return out
+
+
+def colfp_remote_hash(
+    kind: str,
+    query: str,
+    view_name: str,
+    key: str,
+    cols: list[str],
+    n_cols_mod: int = _FP_MOD,
+) -> RemoteHashSQL:
+    """Per-COLUMN fingerprint bundle: ONE remote aggregation round
+    trip returns (col_name, fp) for every compared column — the WAN
+    form of compare.column_fp_table. Each column's fp is the 60-bit
+    md5 slice of '(key):(cell)' summed and reduced mod 2^61-1, the
+    same recurrence as the Spark side, so a local column_fp_table
+    over the engine's copy and this remote aggregate agree
+    bit-for-bit on int/varchar cells (other types need an explicit
+    cast in ``query`` matching canonical_cell's rendering).
+
+    ``cols`` are column names exposed by ``query``; ``key`` is the
+    pairing key column. NULL cells hash as chr(1), matching the
+    Spark side's coalesce marker.
+    """
+    p = n_cols_mod
+
+    def branch(c: str) -> str:
+        if kind == "duckdb":
+            return (
+                f"select '{c}' as col_name,"
+                f" cast(sum(cast(('0x' || substr(md5(cast({key} as varchar)"
+                f" || ':' || coalesce(cast({c} as varchar), chr(1))), 1, 15))"
+                f" as bigint)) % {p} as bigint) as fp"
+                f" from {view_name}"
+            )
+        if kind == "postgres":
+            return (
+                f"select '{c}' as col_name,"
+                f" mod(sum((('x' || substr(md5({key}::text"
+                f" || ':' || coalesce({c}::text, chr(1))), 1, 15))"
+                f"::bit(60)::bigint)::numeric), {p})::bigint as fp"
+                f" from {view_name}"
+            )
+        if kind == "oracle":
+            return (
+                f"select '{c}' as col_name,"
+                f" mod(sum(to_number(substr(standard_hash(to_char({key})"
+                f" || ':' || nvl(to_char({c}), chr(1)), 'MD5'), 1, 15),"
+                f" 'xxxxxxxxxxxxxxx')), {p}) as fp"
+                f" from {view_name}"
+            )
+        raise ValueError(f"unknown remote-hash dialect: {kind!r}")
+
+    hq = " union all ".join(branch(c) for c in cols)
+    drop = (
+        [f"drop view {view_name}"]
+        if kind == "oracle"
+        else [f"drop view if exists {view_name}"]
+    )
+    return RemoteHashSQL(
+        install=[],
+        create_view=f"create or replace view {view_name} as {query}",
+        hash_query=hq,
+        drop=drop,
+    )
+
+
+def run_remote_colfp(conn, bundle: RemoteHashSQL) -> dict[str, int]:
+    """Execute a per-column fingerprint bundle; returns {col: fp}."""
+    cur = conn.cursor()
+    try:
+        for stmt in bundle.install:
+            cur.execute(stmt)
+        cur.execute(bundle.create_view)
+        cur.execute(bundle.hash_query)
+        return {str(c): int(f) for c, f in cur.fetchall()}
+    finally:
+        for stmt in bundle.drop:
+            try:
+                cur.execute(stmt)
+            except Exception:
+                pass
+        cur.close()
+
+
+def colfp_hybrid_compare(
+    conn,
+    kind: str,
+    remote_query: str,
+    df,
+    key: str,
+    cols: list[str],
+    view_name: str = "scdb_colfp",
+) -> list[dict]:
+    """WAN column drill: remote side computes every column's
+    fingerprint in ONE aggregation round trip (|cols| * 8 bytes over
+    the wire); local side is compare.column_fp_table with matching
+    cast-to-string cells. Returns
+    [{col_name, remote_fp, local_fp, status}] sorted by col_name."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.compare import column_fp_table
+
+    remote = run_remote_colfp(
+        conn, colfp_remote_hash(kind, remote_query, view_name, key, cols)
+    )
+    cells = {c: F.col(c).cast("string") for c in cols}
+    local = {
+        r["col_name"]: r["fp"]
+        for r in column_fp_table(df, [key], cols, cells).collect()
+    }
+    out = []
+    for c in sorted(cols):
+        rf, lf = remote.get(c), local.get(c)
+        out.append(
+            {
+                "col_name": c,
+                "remote_fp": rf,
+                "local_fp": lf,
+                "status": "OK" if rf == lf and rf is not None else "NOK",
+            }
+        )
+    return out

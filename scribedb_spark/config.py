@@ -284,3 +284,48 @@ def run_colfp_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
     src = build_dataframe(spark, c.source)
     tgt = build_dataframe(spark, c.target)
     return column_fingerprints(src, tgt, c.keys)
+
+
+def run_colfp_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
+    """``--mode remote-colfp``: the WAN column drill. The ``dbapi``
+    side's ``qry`` projects the key column (``compare.keys[0]``) plus
+    the compared columns named in ``cols``; the remote database
+    computes every column's key-paired fingerprint in ONE aggregation
+    round trip (compat.colfp_remote_hash), the Spark side is
+    compare.column_fp_table with matching cast-to-string cells.
+    Returns [{col_name, remote_fp, local_fp, status}]."""
+    from scribedb_spark.compat import colfp_hybrid_compare, connect_dbapi
+
+    c = cfg.compare
+    sides = {"source": c.source, "target": c.target}
+    remote = {k: s for k, s in sides.items() if isinstance(s.db, DbapiSource)}
+    if len(remote) != 1:
+        raise ValueError(
+            "remote-colfp needs exactly one side with type: dbapi "
+            f"(got {len(remote)})"
+        )
+    ((_, rside),) = remote.items()
+    (lside,) = [s for s in sides.values() if s is not rside]
+    if not c.keys:
+        raise ValueError("remote-colfp requires keys (cell pairing key)")
+    db = rside.db
+    if not db.cols:
+        raise ValueError("remote-colfp requires dbapi cols (compared columns)")
+    conn = connect_dbapi(
+        db.kind,
+        db.database,
+        user=db.user,
+        password_env=db.password_env,
+        init=db.init,
+    )
+    try:
+        return colfp_hybrid_compare(
+            conn,
+            db.kind,
+            db.qry,
+            build_dataframe(spark, lside),
+            c.keys[0],
+            db.cols,
+        )
+    finally:
+        conn.close()

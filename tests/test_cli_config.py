@@ -479,3 +479,43 @@ def test_colfp_requires_keys(spark, sf_dir, tmp_path):
     p.write_text(GOOD_YAML.format(sf=sf_dir).replace("  keys: [o_orderkey]\n", ""))
     with pytest.raises(ValueError, match="keys"):
         run_colfp_config(spark, load_config(str(p)))
+
+
+def test_cli_remote_colfp_ok_and_nok(spark, sf_dir, tmp_path, capsys):
+    """--mode remote-colfp: the WAN column drill from YAML — one
+    remote aggregation returns every column's fingerprint; equal
+    sides exit 0, a remote one-cell mutation flags exactly its
+    column and exits 1."""
+    import yaml
+
+    from scribedb_spark.cli import main
+
+    def cfg(qry):
+        c = _hybrid_cfg(sf_dir, qry)
+        c["compare"]["source"]["db"]["cols"] = ["n_name", "n_regionkey"]
+        c["compare"]["target"]["db"]["columns"] = [
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+        ]
+        c["compare"]["keys"] = ["n_nationkey"]
+        del c["compare"]["sort_keys"]
+        return c
+
+    q = "select n_nationkey, n_name, n_regionkey from nation"
+    p = tmp_path / "colfp.yaml"
+    p.write_text(yaml.safe_dump(cfg(q)))
+    rc = main(["-f", str(p), "--mode", "remote-colfp"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out
+    assert out.count("col ") == 2
+
+    mut = q.replace(
+        "n_name,", "case when n_nationkey = 3 then 'XX' else n_name end as n_name,"
+    )
+    p.write_text(yaml.safe_dump(cfg(mut)))
+    rc = main(["-f", str(p), "--mode", "remote-colfp"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "different. (1 columns)" in out
+    nok = [l for l in out.splitlines() if " NOK " in l]
+    assert len(nok) == 1 and nok[0].startswith("col n_name")

@@ -303,3 +303,37 @@ def test_keyed_hybrid_incremental_recheck(spark, sf_dir):
         n_chunks=8, local_fps=maintained,
     )
     assert [r["status"] for r in report2].count("NOK") == 1
+
+
+def test_colfp_hybrid_compare_localizes_column(spark, sf_dir):
+    """Remote per-column fingerprints vs the local column_fp_table:
+    identical relations agree on every column; a one-cell mutation on
+    the remote side flags exactly its column."""
+    import duckdb
+
+    from scribedb_spark.compat import colfp_hybrid_compare
+
+    conn = duckdb.connect()
+    conn.execute(
+        "create table t as select o_orderkey as k, o_custkey, o_orderstatus,"
+        f" o_orderpriority from read_parquet('{sf_dir}/orders.parquet')"
+    )
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderkey as k", "o_custkey", "o_orderstatus", "o_orderpriority"
+        )
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    rep = colfp_hybrid_compare(conn, "duckdb", "select * from t", df, "k", cols)
+    assert [r["status"] for r in rep] == ["OK", "OK", "OK"]
+
+    conn.execute("update t set o_orderstatus = 'Z' where k = 7")
+    rep = colfp_hybrid_compare(conn, "duckdb", "select * from t", df, "k", cols)
+    by = {r["col_name"]: r["status"] for r in rep}
+    assert by == {
+        "o_custkey": "OK",
+        "o_orderstatus": "NOK",
+        "o_orderpriority": "OK",
+    }
+    conn.close()

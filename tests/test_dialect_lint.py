@@ -26,6 +26,7 @@ import pytest
 
 from scribedb_spark.compat import (
     chunked_bundles,
+    colfp_remote_hash,
     keyed_remote_hash,
     oracle_remote_hash,
     postgres_remote_hash,
@@ -53,6 +54,11 @@ def _bundles():
             keyed_remote_hash(
                 kind, QRY, view_name="sdbs_k", n_chunks=64
             ),
+        )
+    for kind in ("postgres", "oracle", "duckdb"):
+        add(
+            kind,
+            colfp_remote_hash(kind, QRY, "sdbs_cf", "k", ["v", "w"]),
         )
     for kind in ("postgres", "oracle", "duckdb"):
         for b in chunked_bundles(
