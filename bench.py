@@ -123,6 +123,7 @@ BENCH_KEYS = [
     "dedup_containment",
     "profile_pk_violations",
     "pipeline_semantic",
+    "compare_cell_drill",
 ]
 
 

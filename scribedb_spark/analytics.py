@@ -1808,3 +1808,115 @@ def profile_pk_violations(spark, sf_dir) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > 1)
     )
+
+
+def _cell_drill_oracle() -> str:
+    chunk = (
+        "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 16"
+    )
+
+    def side(alias):
+        return " UNION ALL ".join(
+            f"SELECT {chunk} AS chunk_id, '{c}' AS col_name,"
+            f" CAST(SUM(CAST(('0x' || substr("
+            f"md5(CAST(o_orderkey AS VARCHAR) || ':' || COALESCE({expr}, chr(1))),"
+            f" 1, 15)) AS BIGINT)) % {_COLFP_MOD} AS BIGINT) AS fp"
+            f" FROM {alias} GROUP BY 1"
+            for c, expr in _COLFP_CELLS.items()
+        )
+
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority FROM orders),
+    tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 1500 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 2000 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders),
+    sfp AS ({side('src')}),
+    tfp AS ({side('tgt')})
+    SELECT s.chunk_id, s.col_name, s.fp AS src_fp, t.fp AS tgt_fp
+    FROM sfp s JOIN tfp t
+      ON s.chunk_id = t.chunk_id AND s.col_name = t.col_name
+    WHERE s.fp <> t.fp
+    """
+
+
+@register("compare_cell_drill", oracle=_cell_drill_oracle())
+def compare_cell_drill(spark, sf_dir) -> DataFrame:
+    """The full drill MATRIX: (keyed chunk x column) fingerprints,
+    reporting only the mismatched CELLS of the grid — fp_chunk_hashes
+    answers "where in the table", compare_col_fingerprint answers
+    "which attribute"; this intersects both, so the row re-fetch
+    that follows is bounded to |hot chunks| x |hot columns| instead
+    of either margin alone. Chunks are KEYED (hash(key) mod 16, the
+    fp_keyed_chunks idiom) so the grid is incrementally maintainable.
+
+    Scale: one aggregation pass per side grouped by chunk_id (16
+    groups x |cols| sums, map-side partials), a |grid|-row unpivot
+    and join. In the mutation scenario only (chunk, o_orderstatus)
+    and (chunk, o_totalprice) cells containing mutated keys
+    surface."""
+    from scribedb_spark.canonical import keyed_chunk_id
+
+    cols = list(_COLFP_CELLS)
+    o = table(spark, "orders", sf_dir).select("o_orderkey", *cols)
+    tgt = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 1500 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 2000 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def cell(c):
+        if c == "o_totalprice":
+            return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")
+        return F.col(c).cast("string")
+
+    def cellfps(df, out):
+        aggs = []
+        for c in cols:
+            term = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.coalesce(cell(c), F.lit("\x01")),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+            aggs.append(
+                F.pmod(F.sum(term), F.lit(_COLFP_MOD)).cast("long").alias(c)
+            )
+        wide = df.withColumn(
+            "chunk_id", keyed_chunk_id(F.col("o_orderkey"), 16)
+        ).groupBy("chunk_id").agg(*aggs)
+        stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+        return wide.select(
+            "chunk_id",
+            F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, {out})"),
+        )
+
+    s = cellfps(o, "src_fp")
+    t = cellfps(tgt, "tgt_fp")
+    return (
+        s.join(t, ["chunk_id", "col_name"])
+        .filter(F.col("src_fp") != F.col("tgt_fp"))
+        .select("chunk_id", "col_name", "src_fp", "tgt_fp")
+    )

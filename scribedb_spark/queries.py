@@ -1695,6 +1695,7 @@ _FRESH_WAVES.update(
             "dedup_containment",
             "profile_pk_violations",
             "pipeline_semantic",
+            "compare_cell_drill",
         },
         6,
     )

@@ -985,3 +985,13 @@ def test_pipeline_semantic_id_only_intersection(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "pipeline_semantic")
     assert "embedding:array" not in p
     assert "partial_sum" in p  # final ledger aggregates map-side
+
+
+def test_cell_drill_one_grouped_pass_per_side(qmod, spark, sf_dir):
+    """compare_cell_drill: each side is ONE aggregation pass grouped
+    by the keyed chunk id (all columns' sums together, map-side
+    partials); no per-column rescans, no window."""
+    p = plan(qmod, spark, sf_dir, "compare_cell_drill")
+    assert p.count("Scan parquet") == 4  # 2 sides x (tree + detail)
+    assert "partial_sum" in p
+    assert "Window" not in p
