@@ -55,6 +55,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     n_keep = keep.count()
 
     emb_pairs = Q.REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).count()
+    sem = Q.REGISTRY["dedup_semantic_ann"].fn(spark, sf_dir)
+    sem_dropped = sem.filter(F.col("keep") == 0).count()
+    contained = Q.REGISTRY["dedup_containment"].fn(spark, sf_dir).count()
     ann = Q.REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).count()
     ann_pq = Q.REGISTRY["ann_pq_topk"].fn(spark, sf_dir).count()
     mm = Q.REGISTRY["multimodal_features"].fn(spark, sf_dir).count()
@@ -92,6 +95,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"near-dup losers pruned: {n_docs - n_keep}")
     print(f"kept after dedup:       {n_keep}")
     print(f"embedding near-dup pairs: {emb_pairs}")
+    print(f"semantic dups dropped (ANN cells): {sem_dropped}")
+    print(f"batch docs contained in corpus:    {contained}")
     print(f"ANN results (10 queries x top-5): {ann}")
     print(f"PQ/ADC results (4-bit codes):     {ann_pq}")
     print(f"multimodal feature rows:  {mm}")
