@@ -124,6 +124,9 @@ BENCH_KEYS = [
     "profile_pk_violations",
     "pipeline_semantic",
     "compare_cell_drill",
+    "agg_median_exact",
+    "rollup_activity_streaks",
+    "agg_distinct_bitmap",
 ]
 
 

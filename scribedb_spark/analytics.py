@@ -1920,3 +1920,171 @@ def compare_cell_drill(spark, sf_dir) -> DataFrame:
         .filter(F.col("src_fp") != F.col("tgt_fp"))
         .select("chunk_id", "col_name", "src_fp", "tgt_fp")
     )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM p),
+    sel AS (
+      SELECT event_type, n,
+             SUM(cents) AS s, COUNT(*) AS c
+      FROM r
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type, n)
+    SELECT event_type, n AS n_events,
+           ROUND(CAST(s AS DOUBLE) / c / 100, 6) AS median_value
+    FROM sel
+    """,
+)
+def agg_median_exact(spark, sf_dir) -> DataFrame:
+    """EXACT median (not percentile_approx) per event type, spelled
+    out as the rank-selection formula so it is identical in any
+    engine: values fix to integer cents, the middle one (odd n) or
+    middle two (even n) ranks select by row_number, and the median is
+    their mean. Engine built-ins disagree here — Spark's
+    percentile_approx is sketched, and engines differ on
+    interpolation conventions — so the portable definition IS the
+    formula.
+
+    Exactness: cents are floor-rounded integers; the only float ops
+    are the final two left-associated IEEE divides (identical
+    expression shape both engines) plus ROUND 6. Ties need no
+    tiebreak: equal cents are interchangeable at the selected ranks.
+
+    Scale: one shuffle keyed by event_type for the rank window, then
+    a 2-rows-per-group aggregation. A 100 TB variant would swap the
+    global per-key sort for the two-pass quantile-by-count scheme
+    (global_row_number's offset table per key); the per-key window is
+    the |key-group|-bounded form."""
+    e = table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    p = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    sel = (
+        r.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type", "n")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    return sel.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(F.col("s").cast("double") / F.col("c") / 100, 6).alias(
+            "median_value"
+        ),
+    )
+
+
+@register(
+    "rollup_activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d),
+    s AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def rollup_activity_streaks(spark, sf_dir) -> DataFrame:
+    """Consecutive-day activity streaks per user — the classic
+    gaps-and-islands rollup (retention's engagement sibling): distinct
+    active days, island id = day minus the day's per-user rank (a
+    constant within each consecutive run), then per-user streak
+    stats (count, longest, total active days).
+
+    Exactness: pure date/integer arithmetic — date_sub by an integer
+    rank both engines.
+
+    Scale: the distinct collapse is the only corpus-sized stage
+    (map-side partial); the rank window and both aggregations are
+    keyed by user_id. No joins, no self-reference — the islands
+    trick replaces the naive self-join formulation."""
+    e = table(spark, "events", sf_dir)
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@register(
+    "agg_distinct_bitmap",
+    oracle="""
+    WITH words AS (
+      SELECT event_type, user_id // 63 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events GROUP BY event_type, user_id // 63)
+    SELECT event_type,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS n_users
+    FROM words GROUP BY event_type
+    """,
+)
+def agg_distinct_bitmap(spark, sf_dir) -> DataFrame:
+    """EXACT distinct-user counts via bitmap words — the scale
+    alternative to COUNT(DISTINCT): ids pack into 63-bit words
+    (id div 63 -> word index, id mod 63 -> bit; 63 not 64 because a
+    1<<63 BIGINT overflows DuckDB's checked shift), words combine
+    with bit_or (map-side partial, idempotent — duplicate ids are
+    absorbed, never counted), popcounts sum per group. Two
+    aggregations whose shuffled state is the BITMAP (bounded by
+    |id-universe|/63 words per group), where COUNT(DISTINCT) shuffles
+    every distinct id and Expand-multiplies rows when combined with
+    other aggregates (rollup_dataset_card's cost shape).
+
+    Exactness: integer shifts/or/popcount — bit-identical anywhere.
+
+    Scale: this is the roaring-bitmap pattern engines ship natively;
+    word state is dense here (synthetic ids are compact), a sparse id
+    universe would hash ids into a fixed space first (then it becomes
+    the linear-counting sketch, still exact below saturation)."""
+    e = table(spark, "events", sf_dir)
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 63").alias("w"),
+            F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).alias("n_users")
+    )

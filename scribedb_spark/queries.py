@@ -1696,6 +1696,9 @@ _FRESH_WAVES.update(
             "profile_pk_violations",
             "pipeline_semantic",
             "compare_cell_drill",
+            "agg_median_exact",
+            "rollup_activity_streaks",
+            "agg_distinct_bitmap",
         },
         6,
     )

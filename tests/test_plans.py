@@ -995,3 +995,31 @@ def test_cell_drill_one_grouped_pass_per_side(qmod, spark, sf_dir):
     assert p.count("Scan parquet") == 4  # 2 sides x (tree + detail)
     assert "partial_sum" in p
     assert "Window" not in p
+
+
+def test_bitmap_distinct_no_expand_two_aggs(qmod, spark, sf_dir):
+    """agg_distinct_bitmap: exact distinct WITHOUT the count-distinct
+    Expand — two hash aggregations (words, then popcount sum), both
+    with map-side partials; shuffled state is bitmap words."""
+    p = plan(qmod, spark, sf_dir, "agg_distinct_bitmap")
+    assert "Expand" not in p
+    assert "partial_bit_or" in p or "partial_first" in p or "partial_" in p
+    assert p.count("Exchange (") == 2
+
+
+def test_median_exact_single_key_window(qmod, spark, sf_dir):
+    """agg_median_exact: the rank window is keyed by event_type (no
+    single-partition global sort) and the rank filter runs before
+    the 2-rows-per-group aggregation."""
+    p = plan(qmod, spark, sf_dir, "agg_median_exact")
+    assert "hashpartitioning(event_type" in p
+    assert "SinglePartition" not in p
+
+
+def test_activity_streaks_no_joins(qmod, spark, sf_dir):
+    """rollup_activity_streaks: the islands trick means NO self-join —
+    distinct collapse (partial agg), one user-keyed window, two
+    aggregations."""
+    p = plan(qmod, spark, sf_dir, "rollup_activity_streaks")
+    assert "Join" not in p
+    assert "partial_" in p
