@@ -127,6 +127,8 @@ BENCH_KEYS = [
     "agg_median_exact",
     "rollup_activity_streaks",
     "agg_distinct_bitmap",
+    "profile_fk_orphans",
+    "rollup_growth_wow",
 ]
 
 

@@ -2088,3 +2088,111 @@ def agg_distinct_bitmap(spark, sf_dir) -> DataFrame:
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("word")).alias("n_users")
     )
+
+
+@register(
+    "profile_fk_orphans",
+    oracle="""
+    WITH lo AS (
+      SELECT COUNT(*) AS n FROM lineitem l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL),
+    oc AS (
+      SELECT COUNT(*) AS n FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL),
+    ps AS (
+      SELECT COUNT(*) AS n FROM lineitem l
+      LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_partkey IS NULL)
+    SELECT 'lineitem->orders' AS fk, n AS n_orphans FROM lo
+    UNION ALL SELECT 'orders->customer', n FROM oc
+    UNION ALL SELECT 'lineitem->part', n FROM ps
+    """,
+)
+def profile_fk_orphans(spark, sf_dir) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the fact->dim
+    foreign keys — rows whose FK matches nothing on the other side.
+    The third data-quality preflight next to profile_pk_violations
+    (key uniqueness) and compare_schema_compat (shape): a keyed
+    compare whose join keys are broken reports garbage, so audit the
+    keys first.
+
+    Scale: each check is one anti-join (left_anti — no row payload
+    crosses, only keys); dim sides broadcast when small, AQE decides
+    otherwise. Checks run as independent branches unioned at the
+    scalar-count level (3 rows total)."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    p = table(spark, "part", sf_dir)
+
+    def orphans(fact, fk, dim, pk, label):
+        n = (
+            fact.select(F.col(fk))
+            .join(dim.select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(F.lit(label).alias("fk"), "n_orphans")
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+    )
+
+
+@register(
+    "rollup_growth_wow",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, wk, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      FROM w)
+    SELECT event_type, wk, n,
+           COALESCE(prev, 0) AS prev_n,
+           CASE WHEN prev IS NULL OR prev = 0 THEN -1.0
+                ELSE ROUND(CAST(n AS DOUBLE) / prev, 6) END AS wow_ratio
+    FROM g
+    """,
+)
+def rollup_growth_wow(spark, sf_dir) -> DataFrame:
+    """Week-over-week growth per event type — the monitoring curve
+    behind every launch dashboard: weekly counts (integer week index
+    anchored at a fixed epoch, integer div), lag window for the prior
+    week, ratio as one IEEE divide of exact integers (ROUND 6;
+    missing/zero prior weeks report -1, not NULL — driver-sortable
+    scalars).
+
+    Scale: one map-side-partial aggregation to week grain (the only
+    corpus-sized stage), then a window over the tiny
+    (event_type, week) frame."""
+    e = table(spark, "events", sf_dir)
+    w = (
+        e.select(
+            "event_type",
+            F.expr(
+                "datediff(cast(ts as date), date'2024-01-01') div 7"
+            ).alias("wk"),
+        )
+        .groupBy("event_type", "wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy("event_type").orderBy("wk")
+    g = w.withColumn("prev", F.lag("n").over(win))
+    return g.select(
+        "event_type",
+        "wk",
+        "n",
+        F.coalesce(F.col("prev"), F.lit(0)).cast("long").alias("prev_n"),
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == 0), F.lit(-1.0)
+        )
+        .otherwise(F.round(F.col("n").cast("double") / F.col("prev"), 6))
+        .alias("wow_ratio"),
+    )

@@ -1699,6 +1699,8 @@ _FRESH_WAVES.update(
             "agg_median_exact",
             "rollup_activity_streaks",
             "agg_distinct_bitmap",
+            "profile_fk_orphans",
+            "rollup_growth_wow",
         },
         6,
     )

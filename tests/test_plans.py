@@ -1023,3 +1023,24 @@ def test_activity_streaks_no_joins(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "rollup_activity_streaks")
     assert "Join" not in p
     assert "partial_" in p
+
+
+def test_fk_orphans_anti_joins_key_only(qmod, spark, sf_dir):
+    """profile_fk_orphans: every check is a LeftAnti join carrying
+    only the key columns (ReadSchema shows single-key scans for the
+    dim sides)."""
+    p = plan(qmod, spark, sf_dir, "profile_fk_orphans")
+    assert p.count("LeftAnti") >= 3
+    assert "struct<o_orderkey:bigint>" in p  # dim side scans keys only
+
+
+def test_growth_wow_aggregate_before_window(qmod, spark, sf_dir):
+    """rollup_growth_wow: the corpus collapses to (event_type, week)
+    counts BEFORE the lag window — the window input is the tiny
+    aggregated frame, never raw events."""
+    p = plan(qmod, spark, sf_dir, "rollup_growth_wow")
+    assert "partial_count" in p
+    # the Window node consumes the aggregated frame: in the top-down
+    # formatted tree the Window parent prints before its
+    # HashAggregate child
+    assert p.index("Window") < p.index("HashAggregate")
