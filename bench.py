@@ -129,6 +129,7 @@ BENCH_KEYS = [
     "agg_distinct_bitmap",
     "profile_fk_orphans",
     "rollup_growth_wow",
+    "graph_triangle_count",
 ]
 
 

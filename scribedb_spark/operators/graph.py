@@ -148,3 +148,55 @@ def graph_pagerank(spark, sf_dir) -> DataFrame:
     return ranks.select(
         F.col("node").alias("event_type"), F.col("r").alias("rank_micro")
     )
+
+
+def _triangle_oracle() -> str:
+    from scribedb_spark.operators.dedup import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    tri AS (
+      SELECT e1.doc_id1 AS a, e1.doc_id2 AS b, e2.doc_id2 AS c
+      FROM lsh_cand e1
+      JOIN lsh_cand e2 ON e1.doc_id2 = e2.doc_id1
+      JOIN lsh_cand e3 ON e3.doc_id1 = e1.doc_id1
+                      AND e3.doc_id2 = e2.doc_id2),
+    pern AS (
+      SELECT unnest([a, b, c]) AS doc_id FROM tri)
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM pern GROUP BY doc_id
+    """
+
+
+@register("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark, sf_dir) -> DataFrame:
+    """Per-node triangle counts over the near-dup candidate graph
+    (dedup_minhash_lsh edges) — the local-clustering signal that
+    separates genuine duplicate CLUSTERS (dense, triangle-rich) from
+    chains of borderline pairs (sparse): a curation pass can demand
+    triangle support before collapsing a group.
+
+    The edge list is oriented (doc_id1 < doc_id2 by construction), so
+    the wedge join e1(a,b) x e2(b,c) enumerates each candidate wedge
+    a<b<c exactly once and the closing edge check e3(a,c) counts each
+    triangle once — the classic ordered node-iterator algorithm. At
+    scale the orientation is by DEGREE (low-degree vertex first),
+    which bounds wedge count by sum(deg^2) over low-degree
+    endpoints; id order stands in here because the synthetic graph is
+    degree-uniform.
+
+    Scale: three shuffle joins on edge keys, each carrying two longs;
+    the edge list is checkpointed so the LSH stage runs once, not
+    three times. Output is bounded by triangle-participating nodes.
+    """
+    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+
+    e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    x = e.select(F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b"))
+    y = e.select(F.col("doc_id1").alias("b"), F.col("doc_id2").alias("c"))
+    z = e.select(F.col("doc_id1").alias("a"), F.col("doc_id2").alias("c"))
+    tri = x.join(y, "b").join(z, ["a", "c"])
+    pern = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+    )
+    return pern.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -1701,6 +1701,7 @@ _FRESH_WAVES.update(
             "agg_distinct_bitmap",
             "profile_fk_orphans",
             "rollup_growth_wow",
+            "graph_triangle_count",
         },
         6,
     )

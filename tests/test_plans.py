@@ -1044,3 +1044,12 @@ def test_growth_wow_aggregate_before_window(qmod, spark, sf_dir):
     # formatted tree the Window parent prints before its
     # HashAggregate child
     assert p.index("Window") < p.index("HashAggregate")
+
+
+def test_triangle_count_edges_checkpointed_once(qmod, spark, sf_dir):
+    """graph_triangle_count: the LSH edge stage is checkpointed — the
+    triangle plan reads the edge RDD three times but scans NO parquet
+    and contains no cartesian product."""
+    p = plan(qmod, spark, sf_dir, "graph_triangle_count")
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
