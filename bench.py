@@ -130,6 +130,7 @@ BENCH_KEYS = [
     "profile_fk_orphans",
     "rollup_growth_wow",
     "graph_triangle_count",
+    "multimodal_resize",
 ]
 
 

@@ -180,3 +180,66 @@ def multimodal_frame_dedup(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+RESIZE_STRIDE = 4
+
+RESIZE_SCHEMA = "doc_id long, orig_bytes int, new_bytes int, resized_md5 string"
+
+
+def fake_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake "resize": byte-stride downsampling (keep
+    every RESIZE_STRIDE-th byte) — the honest stand-in for
+    nearest-neighbor image downsampling (a real PIL ``resize`` slots
+    into the same batch body; the Spark plumbing — binary in, binary
+    transform, typed metadata out — is what this verifies)."""
+    import hashlib
+
+    for pdf in batches:
+        blobs = pdf["blob"]
+        resized = blobs.map(lambda b: bytes(b)[::RESIZE_STRIDE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": blobs.map(len).astype("int32"),
+                "new_bytes": resized.map(len).astype("int32"),
+                "resized_md5": resized.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '(.)(.{0,3})', '\1', 'g') AS small
+      FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+           CAST(octet_length(encode(small)) AS INT) AS new_bytes,
+           md5(small) AS resized_md5
+    FROM r
+    """,
+)
+def multimodal_resize(spark, sf_dir) -> DataFrame:
+    """Binary resize plumbing end-to-end: blob -> mapInPandas
+    downsample kernel -> (sizes, content hash of the resized blob).
+    Completes the prompt's multimodal op set (decode /
+    feature-extract / RESIZE / frame-sample): the kernel is the
+    deterministic byte-stride stand-in (fake_resize_batches); a real
+    decoder+resize drops into the same batch body with the schema,
+    partitioning and Arrow batch shape unchanged.
+
+    Oracle: every-4th-byte of ascii text == every-4th-char, which
+    DuckDB reproduces with a greedy keep-first-of-4 regexp (no
+    lookaround, RE2-safe).
+
+    Scale: map-only — no shuffle at all; blobs stream through Arrow
+    batches, only scalar metadata comes back."""
+    d = table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return d.mapInPandas(fake_resize_batches, schema=RESIZE_SCHEMA)

@@ -1702,6 +1702,7 @@ _FRESH_WAVES.update(
             "profile_fk_orphans",
             "rollup_growth_wow",
             "graph_triangle_count",
+            "multimodal_resize",
         },
         6,
     )

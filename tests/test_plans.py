@@ -1053,3 +1053,11 @@ def test_triangle_count_edges_checkpointed_once(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "graph_triangle_count")
     assert "Scan parquet" not in p
     assert "CartesianProduct" not in p
+
+
+def test_multimodal_resize_map_only(qmod, spark, sf_dir):
+    """multimodal_resize: pure map plan — one scan, the Arrow-batched
+    python kernel, zero Exchange."""
+    p = plan(qmod, spark, sf_dir, "multimodal_resize")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
