@@ -131,6 +131,7 @@ BENCH_KEYS = [
     "rollup_growth_wow",
     "graph_triangle_count",
     "multimodal_resize",
+    "stream_stateful_stats",
 ]
 
 

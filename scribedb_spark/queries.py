@@ -1507,6 +1507,7 @@ def load_extensions() -> None:
     import scribedb_spark.operators.rollup  # noqa: F401
     import scribedb_spark.pipeline  # noqa: F401
     import scribedb_spark.streaming.joins  # noqa: F401
+    import scribedb_spark.streaming.stateful  # noqa: F401
     import scribedb_spark.functions.vector  # noqa: F401
     import scribedb_spark.operators.skew  # noqa: F401
     import scribedb_spark.operators.packing  # noqa: F401
@@ -1703,6 +1704,7 @@ _FRESH_WAVES.update(
             "rollup_growth_wow",
             "graph_triangle_count",
             "multimodal_resize",
+            "stream_stateful_stats",
         },
         6,
     )

@@ -70,3 +70,46 @@ def batch_user_stats(events: DataFrame) -> DataFrame:
         F.sum("value").alias("sum_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def _register_key():
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.queries import register
+    from scribedb_spark.sources import table
+
+    @register(
+        "stream_stateful_stats",
+        oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id
+        """,
+    )
+    def stream_stateful_stats(spark, sf_dir) -> DataFrame:
+        """Driver-provable surface of the applyInPandasWithState
+        operator: the FINAL state of ``running_user_stats`` per user
+        (count / sum / max), expressed as the batch twin the
+        streaming equality test converges to
+        (tests/test_streaming.py::test_stateful_running_stats_converges_to_batch).
+        Money sums go through floor-rounded integer cents (the float
+        sum the stateful kernel carries is order-dependent and not
+        hash-portable); max is order-free and stays a raw double.
+
+        Scale: one hash aggregation keyed like the state store
+        (map-side partials); the streaming form touches only the
+        groups present in each micro-batch."""
+        e = table(spark, "events", sf_dir)
+        return e.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+            F.max("value").alias("max_value"),
+        )
+
+
+_register_key()
