@@ -38,6 +38,20 @@ Spark and DuckDB agree bit-for-bit):
   returns int, DuckDB bigint).
 - Timestamps: events.ts is floored to microseconds identically on
   both sides (see sources.table); the Spark session runs in UTC.
+- Never render doubles with %f across engines (JVM format_string
+  rounds HALF_UP, C printf half-even): money renders as
+  floor(x*100 + 0.5) BIGINT cents (compare_col_fingerprint).
+- Integer `div` (Spark) vs `//` (DuckDB) agree only for
+  NON-NEGATIVE operands (div truncates, // floors) — anchor date
+  offsets at/below the data's minimum (rollup_growth_wow,
+  rollup_cohort_ltv).
+- Bit shifts stay within 62 bits: DuckDB's checked `<<` raises on
+  1<<63 — bitmap words use 63-bit packing (agg_distinct_bitmap).
+- Element-wise IEEE chains and exact integer dots are portable
+  across codegen, numpy and DuckDB — numpy mapInPandas fast paths
+  can be bit-identical to expression plans (sq_assign_cells);
+  data-dependent integer parameters stay portable via IEEE sqrt
+  (scaled_cells).
 
 Scale notes are attached per query where the plan shape matters
 (broadcast dims, pre-aggregation before joins, single-partition

@@ -57,6 +57,13 @@ KEYS = [
     "stream_watermark_late",
     "compare_col_fingerprint",
     "dedup_containment",
+    "agg_median_exact",
+    "rollup_activity_streaks",
+    "agg_distinct_bitmap",
+    "graph_triangle_count",
+    "multimodal_resize",
+    "stream_stateful_stats",
+    "profile_fk_orphans",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;
