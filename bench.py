@@ -132,6 +132,7 @@ BENCH_KEYS = [
     "graph_triangle_count",
     "multimodal_resize",
     "stream_stateful_stats",
+    "setop_except_all",
 ]
 
 

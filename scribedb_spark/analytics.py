@@ -2196,3 +2196,32 @@ def rollup_growth_wow(spark, sf_dir) -> DataFrame:
         .otherwise(F.round(F.col("n").cast("double") / F.col("prev"), 6))
         .alias("wow_ratio"),
     )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def setop_except_all(spark, sf_dir) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-preserving difference)
+    — the setop the reference's Python set()-of-tuples diff CANNOT
+    express (reference main.py:126-129 collapses duplicates; SURVEY
+    §1.1): a customer with three 'F' orders and one large order keeps
+    TWO rows here. Completes the setop family next to except_sym /
+    except_distinct / intersect / intersect_all / union.
+
+    Scale: Spark plans exceptAll as one union + per-side multiplicity
+    counts + sequence re-expansion — a single shuffle, the same motif
+    as the engine's symmetric diff."""
+    o = table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)

@@ -1719,6 +1719,7 @@ _FRESH_WAVES.update(
             "graph_triangle_count",
             "multimodal_resize",
             "stream_stateful_stats",
+            "setop_except_all",
         },
         6,
     )
