@@ -85,6 +85,12 @@ def main() -> None:
     for r in drill.collect():
         print(f"  differing chunk {r['chunk_id']}: {r['h_src']} != {r['h_tgt']}")
 
+    # column drill: WHICH attribute carries the mutation — one
+    # aggregate pass per side, no row fetch (CLI: --mode colfp)
+    colfp = ssp.column_fingerprints(t_test, mutated, ["a"])
+    bad_cols = [r["col_name"] for r in colfp.collect() if not r["equal"]]
+    print(f"column drill: mutated column(s) = {bad_cols}")
+
     # incremental recheck (beyond the reference): keyed-chunk
     # fingerprints maintained in O(delta), no rescan of unchanged rows
     t0 = time.perf_counter()
