@@ -223,7 +223,11 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
         .select("doc_id", "text")
         .filter(min_tokens_filter())
     )
-    sig = band_signatures(d)
+    # both sides of the bucket self-join read the signature table:
+    # materialize the scan+shingle+minhash stage once (the broadcast
+    # and shuffle exchanges differ, so ReuseExchange can't dedupe it;
+    # same idiom as dedup_incremental / dedup_lsh_star)
+    sig = band_signatures(d).localCheckpoint()
     a = sig.select(F.col("doc_id").alias("doc_id1"), "band", "s")
     b = sig.select(F.col("doc_id").alias("doc_id2"), "band", "s")
     return (
