@@ -337,3 +337,75 @@ def test_colfp_hybrid_compare_localizes_column(spark, sf_dir):
         "o_orderpriority": "OK",
     }
     conn.close()
+
+
+def test_keyed_drop_failure_does_not_mask_result():
+    """Round-6 ADVICE regression: run_remote_keyed_hash's cleanup is
+    best-effort — a failing drop (e.g. Oracle's no-IF-EXISTS plain
+    drop when the view was never created) must neither mask the hash
+    result nor shadow the original exception."""
+    import pytest
+
+    from scribedb_spark.compat import keyed_remote_hash, run_remote_keyed_hash
+
+    class Cursor:
+        def __init__(self, fail_on):
+            self.fail_on = fail_on
+            self.rows = [(0, 2, 123), (1, 1, 456)]
+
+        def execute(self, stmt):
+            s = stmt.lower()
+            for frag in self.fail_on:
+                if frag in s:
+                    raise RuntimeError(f"boom: {stmt}")
+
+        def fetchall(self):
+            return self.rows
+
+        def close(self):
+            pass
+
+    class Conn:
+        def __init__(self, fail_on):
+            self._c = Cursor(fail_on)
+
+        def cursor(self):
+            return self._c
+
+    bundle = keyed_remote_hash("oracle", "select 1 k, '1' v from dual", view_name="v")
+    assert bundle.drop == ["drop view v"]  # plain drop for Oracle
+
+    # drop raises -> result still returned
+    out = run_remote_keyed_hash(Conn(["drop view"]), bundle)
+    assert out == {0: (2, 123), 1: (1, 456)}
+
+    # create_view raises -> ORIGINAL error surfaces even though the
+    # cleanup drop also fails
+    with pytest.raises(RuntimeError, match="create or replace view"):
+        run_remote_keyed_hash(Conn(["create or replace view", "drop view"]), bundle)
+
+
+def test_colfp_drop_failure_does_not_mask_result():
+    """Same contract for the per-column bundle executor."""
+    from scribedb_spark.compat import colfp_remote_hash, run_remote_colfp
+
+    class Cursor:
+        def execute(self, stmt):
+            if "drop view" in stmt.lower():
+                raise RuntimeError("boom")
+
+        def fetchall(self):
+            return [("c1", 11), ("c2", 22)]
+
+        def close(self):
+            pass
+
+    class Conn:
+        def cursor(self):
+            return Cursor()
+
+    bundle = colfp_remote_hash(
+        "oracle", "select k, c1, c2 from t", "v", "k", ["c1", "c2"]
+    )
+    assert bundle.drop == ["drop view v"]
+    assert run_remote_colfp(Conn(), bundle) == {"c1": 11, "c2": 22}
