@@ -399,3 +399,65 @@ def test_column_fingerprints_localize_exactly(spark, rows, swap):
         for r in column_fingerprints(src, tgt, ["k"]).collect()
     }
     assert flags == {"num": False, "txt": True}
+
+
+DOC_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # doc_id
+        st.lists(
+            st.sampled_from(["spark", "row", "key", "agg", "scan", "hash",
+                             "table", "value", "sort", "merge"]),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=2,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=DOC_ROWS)
+@_settings
+def test_containment_prefix_filter_is_exact(spark, rows):
+    """The containment PPJoin-style prefix bound must lose NO true
+    pair: on arbitrary small corpora, the filtered pipeline's
+    (batch-doc, best-container) results equal brute force computed in
+    Python."""
+    import math
+
+    from scribedb_spark.operators import dedup as D
+
+    docs = [(i, "s0", " ".join(words)) for i, words in rows]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+
+    import scribedb_spark.queries as Q
+
+    # run the registered pipeline against a temp parquet dir
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r["doc_id1"], r["doc_id2"], r["containment"])
+            for r in D.dedup_containment(spark, tmp).collect()
+        }
+
+    # brute force in Python
+    toks = {i: set(t.split(" ")) for i, _, t in docs}
+    best = {}
+    for a in toks:
+        if a % 20 != 0:
+            continue
+        for b in toks:
+            if a == b:
+                continue
+            inter = len(toks[a] & toks[b])
+            c = inter / len(toks[a])
+            if c >= D._CONTAIN_T:
+                cr = round(c, 6)
+                cur = best.get(a)
+                if cur is None or (-cr, b) < (-cur[1], cur[0]):
+                    best[a] = (b, cr)
+    want = {(a, b, c) for a, (b, c) in best.items()}
+    assert got == want
