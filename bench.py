@@ -2,8 +2,16 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+compact JSON line as the LAST stdout line:
+    {"metric": "headline_total", "value": N, "unit": "sec", "sf": ...,
+     "n_keys": K, "detail": "BENCH_DETAIL.json"}
+
+The driver records only the last ~2000 chars of stdout, so the final
+line MUST stay well under that bound regardless of registry growth
+(rounds 5-6 lost their bench records because the per-key dict grew
+past the window).  Per-key timings therefore go to the
+``BENCH_DETAIL.json`` sidecar (and stderr) instead of the headline
+line; ``headline_line()`` is unit-tested to stay < 1900 chars.
 
 Headline set: the flagship aggregation, a join-heavy query, the
 compare core (the reference's own capability — this is the number to
@@ -136,6 +144,26 @@ BENCH_KEYS = [
 ]
 
 
+def headline_line(total: float, sf: object, n_keys: int) -> str:
+    """The compact final-stdout-line contract (< 1900 chars, always).
+
+    Kept as a pure function so tests can assert the bound without
+    running Spark.  Per-key timings deliberately excluded: with 100+
+    registry keys they pushed the line past the driver's 2000-char
+    stdout tail window and made BENCH_r05/r06 unparseable.
+    """
+    return json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_keys": n_keys,
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+
+
 def main() -> None:
     from scribedb_spark.session import get_spark
     from scribedb_spark import queries as Q
@@ -168,22 +196,28 @@ def main() -> None:
         timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
+    sf_raw = SF_DIR.rstrip("/").split("sf")[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    detail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # full per-key record: sidecar file (committed, judge-readable) +
+    # stderr (survives even if the sidecar write fails)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    # stop the JVM before the interpreter exits so no late Spark log
-    # line can land after (and corrupt) the one-line JSON contract
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+    # stop the JVM BEFORE the final stdout line so no late Spark log
+    # line can land after (and corrupt) the compact-line contract
     spark.stop()
+    print(headline_line(total, sf, len(timings)), flush=True)
 
 
 if __name__ == "__main__":

@@ -195,6 +195,32 @@ def test_script_key_lists_exist_in_registry(qmod):
     assert not fresh_missing, fresh_missing
 
 
+def test_bench_headline_line_fits_driver_tail_window():
+    """The driver records only the last ~2000 chars of bench stdout.
+    Rounds 5-6 lost their BENCH records because the per-key dict in
+    the final JSON line outgrew that window (3071 chars at 108 keys).
+    The compact-line contract must stay well under the bound no matter
+    how many keys the registry grows."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    # worst plausible values: huge total, long sf string, 5-digit key count
+    line = bench.headline_line(99999.999, "0.001", 99999)
+    assert len(line) < 1900, len(line)
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total"
+    assert parsed["unit"] == "sec"
+    assert parsed["n_keys"] == 99999
+
+
 def test_oracle_word_cap_holds_for_corpus(sf_dir):
     """Several oracles unroll word positions only up to 5000
     (SQL_SHINGLES, text_rare_bigrams, frame oracles) while the Spark
