@@ -168,35 +168,79 @@ def _triangle_oracle() -> str:
     """
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list
+    ``(doc_id1, doc_id2)`` with ``doc_id1 < doc_id2`` and no
+    duplicate rows, via the degree-ordered node-iterator algorithm.
+
+    Each undirected edge is re-oriented from its LOWER-DEGREE
+    endpoint (id tie-break), then the wedge join pairs the two
+    out-edges of a common anchor ``a`` with ``b`` strictly before
+    ``c`` in the (degree, id) total order, and the closing-edge join
+    checks ``b -> c``. Orientation by degree bounds the wedge count
+    by O(m^1.5) / arboricity (Chiba-Nishizeki) regardless of skew: a
+    boilerplate hub with 30% of all edges anchors NO wedges, because
+    every incident edge points INTO it. Id-orientation (used before
+    round 7) lets exactly that hub anchor O(deg^2) wedges — fine on
+    the degree-uniform synthetic graph, quadratic on the skewed
+    corpora this operator exists to audit. Triangle counts are
+    identical under any acyclic orientation (property-tested, incl. a
+    30%-hub fixture).
+
+    Scale: one groupBy for degrees, two degree-attach joins (node-id
+    keyed, partial-agg), then three equi-joins carrying two longs +
+    one int each. Output is bounded by triangle-participating nodes.
+    """
+    deg = (
+        edges.select(F.col("doc_id1").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_id2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("doc_id").alias("doc_id1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("doc_id").alias("doc_id2"), F.col("deg").alias("deg2"))
+    # doc_id1 < doc_id2 already, so the id tie-break keeps doc_id1 first
+    low_first = F.col("deg1") < F.col("deg2")
+    tie = F.col("deg1") == F.col("deg2")
+    keep = low_first | tie
+    oe = (
+        edges.join(d1, "doc_id1")
+        .join(d2, "doc_id2")
+        .select(
+            F.when(keep, F.col("doc_id1")).otherwise(F.col("doc_id2")).alias("s"),
+            F.when(keep, F.col("doc_id2")).otherwise(F.col("doc_id1")).alias("d"),
+            F.when(keep, F.col("deg2")).otherwise(F.col("deg1")).alias("d_deg"),
+        )
+    )
+    x = oe.select(
+        F.col("s").alias("a"), F.col("d").alias("b"), F.col("d_deg").alias("b_deg")
+    )
+    y = oe.select(
+        F.col("s").alias("a"), F.col("d").alias("c"), F.col("d_deg").alias("c_deg")
+    )
+    b_before_c = (F.col("b_deg") < F.col("c_deg")) | (
+        (F.col("b_deg") == F.col("c_deg")) & (F.col("b") < F.col("c"))
+    )
+    z = oe.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tri = x.join(y, "a").where(b_before_c).join(z, ["b", "c"])
+    pern = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+    )
+    return pern.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 @register("graph_triangle_count", oracle=_triangle_oracle())
 def graph_triangle_count(spark, sf_dir) -> DataFrame:
     """Per-node triangle counts over the near-dup candidate graph
     (dedup_minhash_lsh edges) — the local-clustering signal that
     separates genuine duplicate CLUSTERS (dense, triangle-rich) from
     chains of borderline pairs (sparse): a curation pass can demand
-    triangle support before collapsing a group.
-
-    The edge list is oriented (doc_id1 < doc_id2 by construction), so
-    the wedge join e1(a,b) x e2(b,c) enumerates each candidate wedge
-    a<b<c exactly once and the closing edge check e3(a,c) counts each
-    triangle once — the classic ordered node-iterator algorithm. At
-    scale the orientation is by DEGREE (low-degree vertex first),
-    which bounds wedge count by sum(deg^2) over low-degree
-    endpoints; id order stands in here because the synthetic graph is
-    degree-uniform.
-
-    Scale: three shuffle joins on edge keys, each carrying two longs;
-    the edge list is checkpointed so the LSH stage runs once, not
-    three times. Output is bounded by triangle-participating nodes.
+    triangle support before collapsing a group. Degree-ordered wedge
+    enumeration (see :func:`triangle_counts`) keeps the plan
+    skew-safe; the edge list is checkpointed so the LSH stage runs
+    once, not five times.
     """
     from scribedb_spark.operators.dedup import dedup_minhash_lsh
 
     e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
-    x = e.select(F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b"))
-    y = e.select(F.col("doc_id1").alias("b"), F.col("doc_id2").alias("c"))
-    z = e.select(F.col("doc_id1").alias("a"), F.col("doc_id2").alias("c"))
-    tri = x.join(y, "b").join(z, ["a", "c"])
-    pern = tri.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
-    )
-    return pern.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return triangle_counts(e)

@@ -1053,6 +1053,9 @@ def test_triangle_count_edges_checkpointed_once(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "graph_triangle_count")
     assert "Scan parquet" not in p
     assert "CartesianProduct" not in p
+    # degree-ordered orientation (round 7): the degree groupBy is
+    # map-side partial, so skewed hubs never ship raw incidence rows
+    assert "partial_count" in p
 
 
 def test_multimodal_resize_map_only(qmod, spark, sf_dir):

@@ -461,3 +461,79 @@ def test_containment_prefix_filter_is_exact(spark, rows):
                     best[a] = (b, cr)
     want = {(a, b, c) for a, (b, c) in best.items()}
     assert got == want
+
+
+def _id_oriented_triangles(spark, edges):
+    """Round-6 id-oriented wedge join — kept as the reference twin for
+    the degree-ordered rewrite (counts must be identical under any
+    acyclic orientation)."""
+    x = edges.select(F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b"))
+    y = edges.select(F.col("doc_id1").alias("b"), F.col("doc_id2").alias("c"))
+    z = edges.select(F.col("doc_id1").alias("a"), F.col("doc_id2").alias("c"))
+    tri = x.join(y, "b").join(z, ["a", "c"])
+    pern = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+    )
+    return pern.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_triangle_counts_orientation_invariant(spark, pairs):
+    """Degree-ordered orientation (round 7) must produce the same
+    per-node triangle counts as the id-ordered twin on arbitrary
+    graphs — orientation changes the wedge enumeration order, never
+    the triangle set."""
+    from scribedb_spark.operators.graph import triangle_counts
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_id1 long, doc_id2 long").coalesce(2)
+    got = {
+        (r.doc_id, r.n_triangles) for r in triangle_counts(df).collect()
+    }
+    want = {
+        (r.doc_id, r.n_triangles)
+        for r in _id_oriented_triangles(spark, df).collect()
+    }
+    assert got == want
+
+
+def test_triangle_counts_skewed_hub(spark):
+    """A hub holding ~30% of all edges — the boilerplate-cluster shape
+    that motivates degree orientation. Counts must match the id-ordered
+    twin, and the hub must anchor zero wedges (every incident edge
+    points INTO the higher-degree hub)."""
+    from scribedb_spark.operators.graph import triangle_counts
+
+    hub = 0
+    spokes = list(range(1, 31))  # hub degree 30
+    edges = {(hub, s) for s in spokes}
+    # ring among spokes -> hub-spoke-spoke triangles
+    for i in range(len(spokes)):
+        a, b = spokes[i], spokes[(i + 1) % len(spokes)]
+        edges.add((min(a, b), max(a, b)))
+    # a few spoke-spoke chords for asymmetry
+    edges |= {(1, 9), (2, 17), (5, 23), (11, 29)}
+    df = spark.createDataFrame(sorted(edges), "doc_id1 long, doc_id2 long")
+    got = {(r.doc_id, r.n_triangles) for r in triangle_counts(df).collect()}
+    want = {
+        (r.doc_id, r.n_triangles)
+        for r in _id_oriented_triangles(spark, df).collect()
+    }
+    assert got == want
+    # hub participates in 30 ring triangles + 4 chord triangles
+    assert dict(got)[hub] == 34
