@@ -549,21 +549,30 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
 PQ_M = 8          # subspaces
 PQ_K = 16         # centroids per subspace (4-bit codes)
 _PQ_SAMPLE = 2048
-_PQ_ITERS = 10
+_PQ_ITERS = 2     # integer Lloyd rounds (unrolled in the SQL oracle)
+_PQ_SHORTLIST = 32
 
 
-def _pq_codebooks(V, m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS):
-    """Deterministic per-subspace k-means (plain Lloyd, L2): init =
-    first k rows of the vec_id-sorted sample, empty clusters re-seeded
-    from the worst-assigned point. Returns an (m, k, dim/m) codebook
-    tensor. No RNG anywhere — training is reproducible bit for bit."""
+def _pq_codebooks_int(Q, m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS):
+    """Deterministic INTEGER per-subspace Lloyd k-means on
+    int8-quantized codes: init = first k rows of the vec_id-sorted
+    sample, assignment by exact integer squared-L2 argmin (ties ->
+    smallest centroid index, numpy argmin's first-occurrence rule),
+    update = round-half-away-from-zero integer mean
+    (sign(s) * ((2|s| + n) // (2n))), empty clusters keep their
+    previous centroid. Every operation is int64 arithmetic — sums are
+    associative, so the identical codebook falls out of numpy here
+    and of unrolled GROUP BY CTEs in the DuckDB oracle, which is what
+    lets ann_pq_topk carry a full value-hash oracle where float Lloyd
+    (per-iteration summation-order ulp drift flipping argmins)
+    cannot. Returns an (m, k, dim/m) int64 codebook tensor."""
     import numpy as np
 
-    n, d = V.shape
+    n, d = Q.shape
     sub = d // m
-    books = np.empty((m, k, sub), dtype=np.float64)
+    books = np.empty((m, k, sub), dtype=np.int64)
     for j in range(m):
-        X = V[:, j * sub : (j + 1) * sub]
+        X = Q[:, j * sub : (j + 1) * sub]
         C = X[:k].copy()
         for _ in range(iters):
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -571,60 +580,167 @@ def _pq_codebooks(V, m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS):
             for c in range(k):
                 members = X[assign == c]
                 if len(members):
-                    C[c] = members.mean(axis=0)
-                else:
-                    C[c] = X[d2.min(axis=1).argmax()]
+                    s = members.sum(axis=0)
+                    cnt = len(members)
+                    C[c] = np.sign(s) * ((2 * np.abs(s) + cnt) // (2 * cnt))
+                # else: keep previous centroid (SQL LEFT JOIN COALESCE)
         books[j] = C
     return books
 
 
-@register("ann_pq_topk")  # no oracle: PQ codes are not reasonably SQL-twinned
+def _pq_oracle(m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS) -> str:
+    """DuckDB twin of ann_pq_topk: the same int8 quantization,
+    integer Lloyd training (iterations unrolled as CTE pairs),
+    integer ADC shortlist and exact-cosine rerank. Generated
+    programmatically so the per-dimension SUM unrolls and the
+    iteration count stay in lockstep with the Spark constants."""
+    sub = 64 // m
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_dot_product({a}, {a}) AS BIGINT)"
+            f" - 2 * CAST(list_dot_product({a}, {b}) AS BIGINT)"
+            f" + CAST(list_dot_product({b}, {b}) AS BIGINT)"
+        )
+
+    def rhz(s: str, n: str) -> str:
+        return (
+            f"CAST((CASE WHEN {s} >= 0 THEN 1 ELSE -1 END)"
+            f" * ((2 * abs({s}) + {n}) // (2 * {n})) AS BIGINT)"
+        )
+
+    mean_list = ", ".join(rhz(f"SUM(s.sq[{d+1}])", "COUNT(*)") for d in range(sub))
+    train = ""
+    for t in range(iters):
+        train += f"""
+    a{t} AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT s.vec_id, s.j, c.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2("s.sq", "c.cv")} ASC, c.c ASC) AS rn
+        FROM samp s JOIN c{t} c ON c.j = s.j) WHERE rn = 1),
+    m{t} AS (
+      SELECT a.j, a.code AS c, COUNT(*) AS n, [{mean_list}] AS mv
+      FROM a{t} a JOIN samp s ON s.vec_id = a.vec_id AND s.j = a.j
+      GROUP BY a.j, a.code),
+    c{t + 1} AS (
+      SELECT c.j, c.c, COALESCE(m.mv, c.cv) AS cv
+      FROM c{t} c LEFT JOIN m{t} m ON m.j = c.j AND m.c = c.c),"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q8 AS (
+      SELECT vec_id, e,
+             list_transform(e, x -> CAST(floor(
+               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+             ) AS BIGINT)) AS q
+      FROM v),
+    sub AS (
+      SELECT vec_id, j, list_slice(q, j * {sub} + 1, j * {sub} + {sub}) AS sq
+      FROM q8 CROSS JOIN (SELECT unnest(range({m})) AS j)),
+    samp AS (
+      SELECT s.* FROM sub s
+      JOIN (SELECT vec_id FROM q8 ORDER BY vec_id LIMIT {_PQ_SAMPLE}) t
+        USING (vec_id)),
+    c0 AS (
+      SELECT j, rn - 1 AS c, sq AS cv FROM (
+        SELECT j, sq, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM samp) WHERE rn <= {k}),{train}
+    enc AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT s.vec_id, s.j, c.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2("s.sq", "c.cv")} ASC, c.c ASC) AS rn
+        FROM sub s JOIN c{iters} c ON c.j = s.j) WHERE rn = 1),
+    tabq AS (
+      SELECT s.vec_id AS q_id, s.j, c.c, {d2("s.sq", "c.cv")} AS d2
+      FROM sub s JOIN c{iters} c ON c.j = s.j WHERE s.vec_id < 10),
+    adc AS (
+      SELECT t.q_id, e2.vec_id AS c_id, SUM(t.d2) AS adc
+      FROM enc e2 JOIN tabq t ON t.j = e2.j AND t.c = e2.code
+      WHERE e2.vec_id <> t.q_id
+      GROUP BY t.q_id, e2.vec_id),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc ASC, c_id ASC) AS srn
+        FROM adc) WHERE srn <= {_PQ_SHORTLIST}),
+    rer AS (
+      SELECT s.q_id, s.c_id,
+             ROUND(list_cosine_similarity(qa.e, ca.e), 6) AS score
+      FROM short s
+      JOIN v qa ON qa.vec_id = s.q_id
+      JOIN v ca ON ca.vec_id = s.c_id),
+    r AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rk
+      FROM rer)
+    SELECT q_id, c_id, score, rk FROM r WHERE rk <= 5
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
 def ann_pq_topk(spark, sf_dir) -> DataFrame:
     """ANN top-5 per query via product quantization with asymmetric
     distance (ADC) — the memory lever for billion-vector search: each
-    64-dim float vector compresses to 8 4-bit codes (64x smaller), and
-    scoring reads ONLY the codes plus a per-query (8 x 16) distance
-    table, never the full vectors.
+    64-dim vector compresses to 8 4-bit codes (64x smaller), and
+    candidate scoring reads ONLY the codes plus a per-query (8 x 16)
+    distance table, never the full vectors.
 
-    Train: deterministic per-subspace k-means on a vec_id-sorted
-    driver sample (O(sample), not O(n)). Encode: one Arrow/numpy pass
-    writes the code columns — at 100 TB this is the stored index.
-    Search: queries (vec_id < 10) broadcast their subspace distance
-    tables; each partition scores its codes locally and emits a local
-    top-5 per query (numpy table lookups, bandwidth = codes only);
-    a final tiny window merges partition winners — the same
-    partition-local top-k + small shuffle shape as
-    cosine_topk_blocked.
+    Train: deterministic INTEGER Lloyd k-means per subspace on the
+    int8-quantized vec_id-sorted driver sample (O(sample), not O(n);
+    see :func:`_pq_codebooks_int` for why integer training is what
+    makes the key oracle-exact — float Lloyd compounds
+    summation-order ulp drift and cannot be SQL-twinned). Encode: one
+    Arrow/numpy pass per batch — at 100 TB the codes are the stored
+    index. Search: queries (vec_id < 10) broadcast their integer ADC
+    tables; each partition scores its codes locally (one numpy
+    gather + int sum per batch, bandwidth = codes only) and emits a
+    partition-local (adc ASC, c_id) shortlist; a tiny window merges
+    partition winners into the global {32}-candidate shortlist and
+    exact float cosine re-ranks it — so emitted scores stay directly
+    comparable with the exact/LSH/IVF keys, and quantization error
+    only ever costs recall, never score fidelity.
 
-    Vectors are L2-normalized before quantization, so ADC squared-L2
-    approximates 2 - 2*cosine and the emitted score ~ cosine, making
-    recall directly comparable with the exact/LSH/IVF keys
-    (tests/test_similarity.py checks recall vs numpy brute force;
-    driver records a rows-only check)."""
+    Exactness: quantization is element-wise IEEE (engine-identical),
+    training/encode/ADC are pure int64, the shortlist is an order
+    ideal under the strict (adc, c_id) total order, and the rerank
+    reuses the shared sequential-fold cosine with ROUND 6 + id
+    tie-breaks. Recall floor vs numpy brute force pinned by
+    tests/test_similarity.py."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, "embeddings", sf_dir)
-    v = e.select("vec_id", to_double_array("embedding").alias("v"))
+    from scribedb_spark.functions.vector import quantize_int8
 
-    sample = np.stack(
-        [r["v"] for r in v.orderBy("vec_id").limit(_PQ_SAMPLE).collect()]
-    ).astype(np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    books = _pq_codebooks(sample)
+    e = table(spark, "embeddings", sf_dir)
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    vq = v.select(
+        "vec_id",
+        "e",
+        F.transform(
+            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+        ).alias("q"),
+    )
+
+    srows = vq.select("vec_id", "q").orderBy("vec_id").limit(_PQ_SAMPLE).collect()
+    sample = np.array([r["q"] for r in srows], dtype=np.int64)
+    books = _pq_codebooks_int(sample)
     bc_books = spark.sparkContext.broadcast(books)
 
-    # queries ride a tiny driver-side collect (10 rows) -> their ADC
-    # distance tables broadcast to every executor
-    qrows = v.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
-    Q = np.stack([r["v"] for r in qrows]).astype(np.float64)
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    q_ids = np.array([r["vec_id"] for r in qrows])
-    sub = Q.shape[1] // PQ_M
-    # tables[q, j, c] = ||Q[q, subspace j] - codebook[j][c]||^2
+    # queries sit inside the vec_id-sorted sample (vec_id < 10), so
+    # their integer ADC tables need no second collect
+    sub = sample.shape[1] // PQ_M
+    q_ids = np.array([r["vec_id"] for r in srows if r["vec_id"] < 10])
+    Qm = np.array([r["q"] for r in srows if r["vec_id"] < 10], dtype=np.int64)
+    # tables[q, j, c] = integer ||Q[q, subspace j] - codebook[j][c]||^2
     tables = np.stack(
         [
-            ((Q[:, j * sub : (j + 1) * sub][:, None, :] - bc_books.value[j][None]) ** 2).sum(
+            ((Qm[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None]) ** 2).sum(
                 axis=2
             )
             for j in range(PQ_M)
@@ -639,42 +755,53 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
-            n, d = V.shape
+            Vq = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n, d = Vq.shape
             s = d // PQ_M
-            # encode: per-subspace nearest codebook entry
             codes = np.empty((n, PQ_M), dtype=np.int64)
             for j in range(PQ_M):
                 d2 = (
-                    (V[:, j * s : (j + 1) * s][:, None, :] - books_[j][None]) ** 2
+                    (Vq[:, j * s : (j + 1) * s][:, None, :] - books_[j][None]) ** 2
                 ).sum(axis=2)
                 codes[:, j] = d2.argmin(axis=1)
-            out_q, out_c, out_s = [], [], []
             ids = pdf["vec_id"].to_numpy()
+            out_q, out_c, out_a = [], [], []
             for qi, qid in enumerate(q_ids_):
-                # ADC: sum the per-subspace table entries at each code
                 adc = tables_[qi, np.arange(PQ_M)[None, :], codes].sum(axis=1)
-                score = 1.0 - adc / 2.0  # ~cosine on unit vectors
                 mask = ids != qid
                 cand_ids = ids[mask]
-                cand_scores = score[mask]
-                top = np.argsort(-cand_scores, kind="stable")[:5]
+                cand_adc = adc[mask]
+                top = np.lexsort((cand_ids, cand_adc))[:_PQ_SHORTLIST]
                 out_q.extend([qid] * len(top))
                 out_c.extend(cand_ids[top])
-                out_s.extend(cand_scores[top])
-            yield pd.DataFrame(
-                {"q_id": out_q, "c_id": out_c, "score": np.round(out_s, 6)}
-            )
+                out_a.extend(cand_adc[top])
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "adc": out_a})
 
-    local_tops = v.mapInPandas(
-        score_batches, schema="q_id long, c_id long, score double"
+    local_short = vq.select("vec_id", "q").mapInPandas(
+        score_batches, schema="q_id long, c_id long, adc long"
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    w_short = Window.partitionBy("q_id").orderBy("adc", "c_id")
+    short = (
+        local_short.withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    qe = v.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+    ce = v.select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
+    rer = (
+        qe.join(F.broadcast(short), "q_id")
+        .join(ce, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
     return (
-        local_tops.withColumn("rk", F.row_number().over(w))
+        rer.withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "score", "rk")
     )

@@ -1615,7 +1615,9 @@ def _enumeration_order() -> list[str]:
        degenerates to the original contract-first order and the driver
        budget becomes a standing re-verification sweep.
     3. UNPROVEN keys WITHOUT a DuckDB oracle (``agg_approx_distinct``,
-       ``ann_ivf/pq``): the driver's check for them is rows-only
+       ``ann_ivf_topk``; ``ann_pq_topk`` graduated to oracle-backed in
+       round 7 via integer Lloyd training): the driver's check for
+       them is rows-only
        (err="no_oracle"), they can never satisfy the fully-green bar,
        so they must yield every budget slot or they would pin
        themselves ahead of provable keys forever.
@@ -1722,6 +1724,16 @@ _FRESH_WAVES.update(
             "setop_except_all",
         },
         6,
+    )
+)
+#: seventh wave (round 7) — ann_pq_topk is not new but its oracle is:
+#: freshly provable keys queue behind every earlier wave's backlog
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "ann_pq_topk",
+        },
+        7,
     )
 )
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
