@@ -635,6 +635,11 @@ def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
     # count() over parquet resolves from footer metadata — one cheap
     # job that sizes the block grid to the data
     n = e.count()
+    from scribedb_spark.operators.similarity import guard_exact_pairwise
+
+    guard_exact_pairwise(
+        "dedup_embedding_cosine", n, "dedup_semantic_ann (cell-blocked twin)"
+    )
     nblocks = int(min(64, max(4, -(-n // 1024))))
     blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nblocks)).cast("int")
     pair_keys = F.array(
@@ -878,7 +883,10 @@ def dedup_semantic_clusters(spark, sf_dir) -> DataFrame:
     it carries ids, never embeddings. At that scale use
     ``dedup_semantic_ann`` — the shipped twin of this key on IVF-SQ
     cell-blocked candidates (~0.91 pair recall, faster already at
-    sf0.1); this exact kernel remains the oracle/recall baseline.
+    sf0.1); this exact kernel remains the oracle/recall baseline —
+    do not run it on full corpora: the underlying pair kernel
+    refuses above $SPARK_GRAFT_EXACT_PAIRWISE_MAX vectors (see
+    ``similarity.guard_exact_pairwise``).
     """
     pairs = dedup_embedding_cosine(spark, sf_dir)
     comp = connected_components(

@@ -40,6 +40,37 @@ from scribedb_spark.queries import register
 from scribedb_spark.sources import table
 from scribedb_spark.functions.vector import cosine, l2_distance, to_double_array
 
+#: default ceiling for the exact O(n^2) pairwise kernels (they remain
+#: registered as recall baselines for their `_ann` twins); override
+#: with $SPARK_GRAFT_EXACT_PAIRWISE_MAX to force a bigger run
+_EXACT_PAIRWISE_MAX_DEFAULT = 250_000
+
+
+def guard_exact_pairwise(op: str, n: int, twin: str) -> None:
+    """Refuse to launch an exact all-pairs kernel on a corpus-sized
+    input. The exact kernels (``vec_knn_graph``,
+    ``dedup_embedding_cosine`` and its ``dedup_semantic_clusters``
+    ledger) are recall BASELINES for their cell-blocked ``_ann``
+    twins: correct at any size, but O(n^2) compute — pointing one at
+    a real corpus is always a mistake, so fail loudly with the twin's
+    name instead of burning a cluster. The cap is read per-call from
+    ``$SPARK_GRAFT_EXACT_PAIRWISE_MAX`` (default 250k vectors ~ 31e9
+    pair-dots, an hour-scale single-node job) so an operator who
+    really wants the exact answer can raise it explicitly."""
+    import os
+
+    cap = int(
+        os.environ.get(
+            "SPARK_GRAFT_EXACT_PAIRWISE_MAX", str(_EXACT_PAIRWISE_MAX_DEFAULT)
+        )
+    )
+    if n > cap:
+        raise ValueError(
+            f"{op}: exact O(n^2) recall baseline refused at n={n} vectors "
+            f"(> SPARK_GRAFT_EXACT_PAIRWISE_MAX={cap}). Use {twin} at corpus "
+            "scale, or raise the env cap to force the exact baseline."
+        )
+
 
 @register(
     "vec_cosine_topk",
@@ -850,13 +881,15 @@ def vec_knn_graph(spark, sf_dir) -> DataFrame:
     it. At 100 TB use ``vec_knn_graph_ann`` — the shipped cell-blocked
     twin of this key (>=0.8 edge recall, sum(cell^2) compute); this
     exact kernel remains the recall baseline and the in-cell scorer
-    pattern.
+    pattern — do not run it on full corpora: it refuses above
+    $SPARK_GRAFT_EXACT_PAIRWISE_MAX vectors (guard_exact_pairwise).
     """
     import numpy as np
     import pandas as pd
 
     e = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     n = e.count()
+    guard_exact_pairwise("vec_knn_graph", n, "vec_knn_graph_ann")
     nblocks = int(min(64, max(4, -(-n // 1024))))
     blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nblocks)).cast("int")
     pair_keys = F.array(

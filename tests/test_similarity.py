@@ -306,3 +306,30 @@ def test_sq_assign_cells_equals_ranked_slice(spark, sf_dir):
         .collect()
     }
     assert fast == slow
+
+
+def test_exact_pairwise_guard_refuses_corpus_scale(spark, sf_dir, monkeypatch):
+    """The exact O(n^2) kernels are recall baselines for their _ann
+    twins — above $SPARK_GRAFT_EXACT_PAIRWISE_MAX they must refuse
+    with the twin's name rather than launch a quadratic job."""
+    import pytest
+
+    from scribedb_spark.operators.dedup import dedup_semantic_clusters
+    from scribedb_spark.operators.similarity import vec_knn_graph
+
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRWISE_MAX", "10")
+    with pytest.raises(ValueError, match="vec_knn_graph_ann"):
+        vec_knn_graph(spark, sf_dir)
+    with pytest.raises(ValueError, match="dedup_semantic_ann"):
+        dedup_semantic_clusters(spark, sf_dir)
+
+
+def test_exact_pairwise_guard_default_cap_allows_test_corpora(
+    spark, sf_dir, monkeypatch
+):
+    """The default cap (250k vectors) must never trip at the driver's
+    correctness scales — the baselines stay proven oracle keys."""
+    from scribedb_spark.operators.similarity import vec_knn_graph
+
+    monkeypatch.delenv("SPARK_GRAFT_EXACT_PAIRWISE_MAX", raising=False)
+    assert vec_knn_graph(spark, sf_dir).count() > 0
