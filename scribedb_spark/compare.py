@@ -609,15 +609,22 @@ def merkle_drill(
     cols: list[str],
     sort_keys: list[str],
     bucket_rows: int = 1000,
+    src_levels: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    tgt_levels: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-down merkle compare: build both trees, diff the roots, and
     descend only subtrees whose hashes disagree — each level's diff is
     an equi-join on node_id pruned by a left-semi join against the
     PARENT level's differing set. Returns the level-0 chunks that
     differ as (chunk_id, h_src, h_tgt): O(diff_chunks * fanout *
-    depth) probes where a flat chunk compare touches every chunk."""
-    s0, s1, s2 = merkle_levels(src, cols, sort_keys, bucket_rows)
-    t0, t1, t2 = merkle_levels(tgt, cols, sort_keys, bucket_rows)
+    depth) probes where a flat chunk compare touches every chunk.
+
+    ``src_levels`` / ``tgt_levels`` accept trees already built by
+    ``merkle_levels`` — the persisted-tree usage pattern: a snapshot's
+    tree is written once and every later compare probes it without
+    rescanning the table."""
+    s0, s1, s2 = src_levels or merkle_levels(src, cols, sort_keys, bucket_rows)
+    t0, t1, t2 = tgt_levels or merkle_levels(tgt, cols, sort_keys, bucket_rows)
 
     def diff(sd: DataFrame, td: DataFrame) -> DataFrame:
         return (
