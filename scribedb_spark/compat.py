@@ -564,7 +564,7 @@ def colfp_remote_hash(
     kind: str,
     query: str,
     view_name: str,
-    key: str,
+    key: str | list[str],
     cols: list[str],
     n_cols_mod: int = _FP_MOD,
 ) -> RemoteHashSQL:
@@ -578,16 +578,34 @@ def colfp_remote_hash(
     cast in ``query`` matching canonical_cell's rendering).
 
     ``cols`` are column names exposed by ``query``; ``key`` is the
-    pairing key column. NULL cells hash as chr(1), matching the
-    Spark side's coalesce marker.
+    pairing key column (or a composite key list, joined with chr(2)
+    exactly like compare.column_fp_table's concat_ws('\\x02', keys)
+    so a value swap between rows sharing a key prefix still flips
+    the fingerprint). NULL cells hash as chr(1), matching the Spark
+    side's coalesce marker.
     """
     p = n_cols_mod
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def key_expr() -> str:
+        if kind == "duckdb":
+            parts = ", ".join(f"cast({k} as varchar)" for k in keys)
+            return parts if len(keys) == 1 else f"concat_ws(chr(2), {parts})"
+        if kind == "postgres":
+            parts = ", ".join(f"{k}::text" for k in keys)
+            return parts if len(keys) == 1 else f"concat_ws(chr(2), {parts})"
+        if kind == "oracle":
+            # no concat_ws before 23c; keys are non-null by contract
+            return " || chr(2) || ".join(f"to_char({k})" for k in keys)
+        raise ValueError(f"unknown remote-hash dialect: {kind!r}")
+
+    kx = key_expr()
 
     def branch(c: str) -> str:
         if kind == "duckdb":
             return (
                 f"select '{c}' as col_name,"
-                f" cast(sum(cast(('0x' || substr(md5(cast({key} as varchar)"
+                f" cast(sum(cast(('0x' || substr(md5({kx}"
                 f" || ':' || coalesce(cast({c} as varchar), chr(1))), 1, 15))"
                 f" as bigint)) % {p} as bigint) as fp"
                 f" from {view_name}"
@@ -595,7 +613,7 @@ def colfp_remote_hash(
         if kind == "postgres":
             return (
                 f"select '{c}' as col_name,"
-                f" mod(sum((('x' || substr(md5({key}::text"
+                f" mod(sum((('x' || substr(md5({kx}"
                 f" || ':' || coalesce({c}::text, chr(1))), 1, 15))"
                 f"::bit(60)::bigint)::numeric), {p})::bigint as fp"
                 f" from {view_name}"
@@ -603,7 +621,7 @@ def colfp_remote_hash(
         if kind == "oracle":
             return (
                 f"select '{c}' as col_name,"
-                f" mod(sum(to_number(substr(standard_hash(to_char({key})"
+                f" mod(sum(to_number(substr(standard_hash({kx}"
                 f" || ':' || nvl(to_char({c}), chr(1)), 'MD5'), 1, 15),"
                 f" 'xxxxxxxxxxxxxxx')), {p}) as fp"
                 f" from {view_name}"
@@ -647,26 +665,28 @@ def colfp_hybrid_compare(
     kind: str,
     remote_query: str,
     df,
-    key: str,
+    key: str | list[str],
     cols: list[str],
     view_name: str = "scdb_colfp",
 ) -> list[dict]:
     """WAN column drill: remote side computes every column's
     fingerprint in ONE aggregation round trip (|cols| * 8 bytes over
     the wire); local side is compare.column_fp_table with matching
-    cast-to-string cells. Returns
+    cast-to-string cells. ``key`` may be a composite list — both
+    sides pair cells against the full chr(2)-joined key. Returns
     [{col_name, remote_fp, local_fp, status}] sorted by col_name."""
     from pyspark.sql import functions as F
 
     from scribedb_spark.compare import column_fp_table
 
+    keys = [key] if isinstance(key, str) else list(key)
     remote = run_remote_colfp(
-        conn, colfp_remote_hash(kind, remote_query, view_name, key, cols)
+        conn, colfp_remote_hash(kind, remote_query, view_name, keys, cols)
     )
     cells = {c: F.col(c).cast("string") for c in cols}
     local = {
         r["col_name"]: r["fp"]
-        for r in column_fp_table(df, [key], cols, cells).collect()
+        for r in column_fp_table(df, keys, cols, cells).collect()
     }
     out = []
     for c in sorted(cols):

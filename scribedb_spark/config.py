@@ -288,7 +288,8 @@ def run_colfp_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
 
 def run_colfp_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
     """``--mode remote-colfp``: the WAN column drill. The ``dbapi``
-    side's ``qry`` projects the key column (``compare.keys[0]``) plus
+    side's ``qry`` projects the key column(s) (``compare.keys``,
+    composite keys chr(2)-joined on both sides) plus
     the compared columns named in ``cols``; the remote database
     computes every column's key-paired fingerprint in ONE aggregation
     round trip (compat.colfp_remote_hash), the Spark side is
@@ -324,7 +325,7 @@ def run_colfp_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
             db.kind,
             db.qry,
             build_dataframe(spark, lside),
-            c.keys[0],
+            c.keys,
             db.cols,
         )
     finally:

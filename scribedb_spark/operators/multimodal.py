@@ -203,8 +203,13 @@ def fake_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "doc_id": pdf["doc_id"],
                 "orig_bytes": blobs.map(len).astype("int32"),
                 "new_bytes": resized.map(len).astype("int32"),
+                # hash the lowercase-hex rendering of the bytes, not
+                # the raw bytes: engine-portable (DuckDB's md5 only
+                # accepts VARCHAR) and byte-faithful for ANY payload
+                # (raw-md5-of-text oracles silently required
+                # newline-free ASCII corpora)
                 "resized_md5": resized.map(
-                    lambda b: hashlib.md5(b).hexdigest()
+                    lambda b: hashlib.md5(b.hex().encode()).hexdigest()
                 ),
             }
         )
@@ -214,13 +219,14 @@ def fake_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     "multimodal_resize",
     oracle=r"""
     WITH r AS (
-      SELECT doc_id, text,
-             regexp_replace(text, '(.)(.{0,3})', '\1', 'g') AS small
+      SELECT doc_id, encode(text) AS b,
+             unhex(regexp_replace(hex(encode(text)),
+                                  '(..)(.{0,6})', '\1', 'g')) AS small
       FROM documents)
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
-           CAST(octet_length(encode(small)) AS INT) AS new_bytes,
-           md5(small) AS resized_md5
+           CAST(octet_length(b) AS INT) AS orig_bytes,
+           CAST(octet_length(small) AS INT) AS new_bytes,
+           md5(lower(hex(small))) AS resized_md5
     FROM r
     """,
 )
@@ -233,9 +239,11 @@ def multimodal_resize(spark, sf_dir) -> DataFrame:
     decoder+resize drops into the same batch body with the schema,
     partitioning and Arrow batch shape unchanged.
 
-    Oracle: every-4th-byte of ascii text == every-4th-char, which
-    DuckDB reproduces with a greedy keep-first-of-4 regexp (no
-    lookaround, RE2-safe).
+    Oracle: byte-based — DuckDB strides hex pairs of encode(text)
+    with a greedy keep-first-of-4-pairs regexp (no lookaround,
+    RE2-safe; hex chars never include newlines, so the stride is
+    exact for ANY payload, not just newline-free ASCII), and both
+    engines hash the lowercase-hex rendering of the resized bytes.
 
     Scale: map-only — no shuffle at all; blobs stream through Arrow
     batches, only scalar metadata comes back."""

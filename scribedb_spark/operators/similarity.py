@@ -1276,6 +1276,11 @@ def sq_assign_cells(
                 continue
             V = np.stack(pdf["e"].to_numpy()).astype(np.float64)
             maxabs = np.max(np.abs(V), axis=1, keepdims=True)
+            # all-zero vector: 0/0 would be NaN and floor(NaN)->int64
+            # is undefined; dividing by 1 instead quantizes it to the
+            # all-zero code deterministically (idot 0 with every cell,
+            # so it ranks cells purely by the ascending-cell tiebreak)
+            maxabs = np.where(maxabs == 0, 1.0, maxabs)
             q = np.floor(V / maxabs * 127 + 0.5).astype(np.int64)
             idots = q @ codebook_t
             order = np.argsort(-idots, axis=1, kind="stable")[:, :breadth]
@@ -1337,7 +1342,7 @@ _KNN_ANN_ORACLE = f"""
     SELECT src AS vec_id,
            string_agg(CAST(nbr AS VARCHAR), ',' ORDER BY nbr) AS neighbors
     FROM r WHERE rk <= {{k}} GROUP BY src
-    """.replace("{k}", "3")
+    """.replace("{k}", str(_KNN_K))
 
 
 @register("vec_knn_graph_ann", oracle=_KNN_ANN_ORACLE)
@@ -1349,8 +1354,9 @@ def vec_knn_graph_ann(spark, sf_dir) -> DataFrame:
     matmul per cell inside ``applyInPandas`` — the same vectorized
     kernel discipline as the exact graph (whose block-pair kernel is
     the proven numpy/DuckDB agreement baseline), emitting each
-    source's per-cell top-(k+8) (the margin that makes local pruning
-    safe under the global rounded-score order); a global window over
+    source's per-cell candidates at or ABOVE the (k+8)-th raw score —
+    a threshold, not a fixed-count slice, so rounded-score ties at
+    the boundary can never be arbitrarily dropped; a global window over
     ROUND(score, 6) with neighbor-id tiebreak picks the final top-k.
     Output schema matches vec_knn_graph (vec_id, ascending
     comma-joined neighbor ids); tests/test_similarity.py pins edge
@@ -1392,12 +1398,15 @@ def vec_knn_graph_ann(spark, sf_dir) -> DataFrame:
         np.fill_diagonal(S, -np.inf)
         k = min(m, S.shape[1] - 1)
         part = np.argpartition(-S, k - 1, axis=1)[:, :k]
-        rows = np.repeat(ids, k)
-        cols = ids[part.ravel()]
-        scores = np.take_along_axis(S, part, axis=1).ravel()
-        keep = np.isfinite(scores)
+        # keep EVERYTHING at or above the k-th raw score, not a fixed
+        # k-count slice: if >k co-residents tie at the boundary after
+        # ROUND 6, an argpartition slice picks an arbitrary subset and
+        # can drop a neighbor the global rounded-score order keeps
+        kth = np.take_along_axis(S, part, axis=1).min(axis=1, keepdims=True)
+        keep = (S >= kth) & np.isfinite(S)
+        src_i, nbr_i = np.nonzero(keep)
         return pd.DataFrame(
-            {"src": rows[keep], "nbr": cols[keep], "score": scores[keep]}
+            {"src": ids[src_i], "nbr": ids[nbr_i], "score": S[src_i, nbr_i]}
         )
 
     cand = (

@@ -339,6 +339,41 @@ def test_colfp_hybrid_compare_localizes_column(spark, sf_dir):
     conn.close()
 
 
+def test_colfp_hybrid_composite_key_detects_swap(spark, sf_dir):
+    """Composite keys pair cells against the FULL chr(2)-joined key:
+    a value swap between two rows sharing the first key component
+    (invisible to a keys[0]-only pairing — the round-7 advice bug)
+    must flag the column."""
+    import duckdb
+
+    from scribedb_spark.compat import colfp_hybrid_compare
+
+    conn = duckdb.connect()
+    # two lineitem-shaped rows sharing k1, distinguished only by k2
+    conn.execute(
+        "create table t(k1 bigint, k2 bigint, v varchar);"
+        "insert into t values (1, 1, 'a'), (1, 2, 'b'), (2, 1, 'c')"
+    )
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "k1 long, k2 long, v string"
+    )
+    rep = colfp_hybrid_compare(
+        conn, "duckdb", "select * from t", df, ["k1", "k2"], ["v"]
+    )
+    assert [r["status"] for r in rep] == ["OK"]
+
+    # swap v between the two k1=1 rows: the multiset of (k1, cell)
+    # pairs is unchanged — only the full composite key sees it
+    conn.execute(
+        "update t set v = CASE WHEN k2 = 1 THEN 'b' ELSE 'a' END WHERE k1 = 1"
+    )
+    rep = colfp_hybrid_compare(
+        conn, "duckdb", "select * from t", df, ["k1", "k2"], ["v"]
+    )
+    assert [r["status"] for r in rep] == ["NOK"]
+    conn.close()
+
+
 def test_keyed_drop_failure_does_not_mask_result():
     """Round-6 ADVICE regression: run_remote_keyed_hash's cleanup is
     best-effort — a failing drop (e.g. Oracle's no-IF-EXISTS plain

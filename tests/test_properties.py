@@ -537,3 +537,43 @@ def test_triangle_counts_skewed_hub(spark):
     assert got == want
     # hub participates in 30 ring triangles + 4 chord triangles
     assert dict(got)[hub] == 34
+
+
+def test_resize_kernel_oracle_agree_on_non_ascii_newlines(spark):
+    """The byte-based resize oracle (hex-pair stride) must agree with
+    the Spark kernel on payloads the old char-based oracle silently
+    broke on: newlines (RE2 '.' skips them) and multi-byte UTF-8
+    (chars != bytes)."""
+    import duckdb
+
+    from scribedb_spark.operators.multimodal import (
+        RESIZE_SCHEMA,
+        fake_resize_batches,
+    )
+
+    texts = [
+        (0, "plain ascii"),
+        (1, "line one\nline two\nline three"),
+        (2, "héllo wörld ™ — naïve façade"),
+        (3, "mix\nof ünicode\nand\nnewlines ✓"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    got = {
+        r["doc_id"]: (r["orig_bytes"], r["new_bytes"], r["resized_md5"])
+        for r in df.mapInPandas(fake_resize_batches, schema=RESIZE_SCHEMA).collect()
+    }
+    conn = duckdb.connect()
+    conn.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    conn.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in conn.execute(REGISTRY["multimodal_resize"].oracle).fetchall()
+    }
+    conn.close()
+    assert got == want
