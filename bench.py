@@ -141,6 +141,8 @@ BENCH_KEYS = [
     "multimodal_resize",
     "stream_stateful_stats",
     "setop_except_all",
+    "dedup_containment_corpus",
+    "dedup_containment_salted",
 ]
 
 

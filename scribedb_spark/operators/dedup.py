@@ -1375,7 +1375,18 @@ def dedup_url_canonical(spark, sf_dir) -> DataFrame:
 
 _CONTAIN_T = 0.9
 
-_CONTAIN_ORACLE = f"""
+#: salt fan-out for the skew-safe containment variant: the full-token
+#: side splits into this many sub-keys per token, the (small, rarest-
+#: tokens-only) prefix side replicates to match
+_CONTAIN_SALT = 8
+
+
+def _contain_oracle(incoming_sql: str) -> str:
+    """Brute-force all same-source ordered pairs, keep each left
+    doc's best container — parameterized by the left-side predicate
+    ('' = corpus mode; the plan under test changes, the truth
+    does not)."""
+    return f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
       FROM documents),
@@ -1384,7 +1395,7 @@ _CONTAIN_ORACLE = f"""
       SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS inter
       FROM tok a JOIN tok b
         ON a.tok = b.tok AND a.doc_id <> b.doc_id AND a.source = b.source
-      WHERE a.doc_id % 20 = 0
+      {incoming_sql}
       GROUP BY 1, 2),
     scored AS (
       SELECT doc_id1, doc_id2, ROUND(inter * 1.0 / sa.n, 6) AS containment
@@ -1399,38 +1410,25 @@ _CONTAIN_ORACLE = f"""
     """
 
 
-@register("dedup_containment", oracle=_CONTAIN_ORACLE)
-def dedup_containment(spark, sf_dir) -> DataFrame:
-    """ASYMMETRIC near-dup detection: token-set containment
-    C(A in B) = |tok(A) & tok(B)| / |tok(A)| >= 0.9 within a source
-    block — catches sub-document duplication (quotes, boilerplate
-    wrapping, page-of-a-larger-page crawls) that symmetric jaccard
-    misses, the third member of the RefinedWeb-style text-dedup trio
-    (exact / jaccard / containment). Shaped as the incremental-batch
-    check (the steady-state ingest form, like dedup_incremental):
-    each INCOMING doc (doc_id % 20 == 0 stands in for the delta)
-    reports its single BEST container (highest containment, smallest
-    id tiebreak) — output bounded by the batch, not by the corpus's
-    pair count.
+_CONTAIN_ORACLE = _contain_oracle("WHERE a.doc_id % 20 = 0")
+_CONTAIN_CORPUS_ORACLE = _contain_oracle("")
 
-    The prefix filter is the containment variant of
-    dedup_ngram_jaccard's PPJoin bound: a >= t pair must share a
-    token among A's |A| - ceil(t|A|) + 1 globally-RAREST tokens, so
-    only that prefix joins — but against ALL of B's tokens (the
-    bound is one-sided; B has no prefix), plus the size bound
-    |B| >= ceil(t|A|) (the intersection can't exceed |B|). Exact, no
-    false negatives — the DuckDB oracle brute-forces all same-source
-    pairs and the results hash-match.
 
-    Scale: the same explode -> frequency -> per-doc rarity-window
-    motif as the jaccard key (no broadcast hints — token vocabulary
-    grows with the corpus, AQE picks the strategy); the asymmetric
-    join is prefix x full-token, candidate-bounded by token rarity;
-    verification counts intersections on exploded flat rows (no
-    arrays in shuffle, map-side partial count)."""
-    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+def containment_best(docs: DataFrame, incoming=None, salt: int | None = None):
+    """Best-container search over a (doc_id, source, text) frame —
+    the engine behind the three containment keys. ``incoming``
+    optionally restricts the LEFT (contained) side; ``salt`` > 1
+    splits the candidate join's token key into ``salt`` sub-keys:
+    the corpus-sized full-token side routes by
+    pmod(xxhash64(doc_id), salt) while only the prefix side (already
+    pruned to each doc's rarest tokens) replicates salt-fold — the
+    same hot-key treatment as join_skew_salted, aimed at stop-word-
+    grade tokens whose single (tok) reduce partition would otherwise
+    receive a constant fraction of the corpus. Salting relocates
+    rows, never drops them, so results are identical (pinned by a
+    hot-token fixture test)."""
     toks = tokens_distinct(F.col("text"))
-    g = d.select(
+    g = docs.select(
         "doc_id", "source", toks.alias("tk"), F.size(toks).alias("n")
     ).localCheckpoint()
     ex = g.select(
@@ -1438,10 +1436,9 @@ def dedup_containment(spark, sf_dir) -> DataFrame:
     ).localCheckpoint()
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     w = Window.partitionBy("doc_id").orderBy("tf", "tok")
-    incoming = F.col("doc_id") % 20 == 0
+    left = ex.filter(incoming) if incoming is not None else ex
     pref = (
-        ex.filter(incoming)
-        .join(freq, "tok")
+        left.join(freq, "tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
@@ -1449,15 +1446,25 @@ def dedup_containment(spark, sf_dir) -> DataFrame:
         )
         .select("doc_id", "source", "tok", "n")
     )
+    right = ex
+    if salt and salt > 1:
+        pref = pref.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        right = ex.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int")
+        )
+    join_cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(_CONTAIN_T)))
+    )
+    if salt and salt > 1:
+        join_cond = join_cond & (F.col("a.salt") == F.col("b.salt"))
     cand = (
         pref.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(_CONTAIN_T))),
-        )
+        .join(right.alias("b"), join_cond)
         .select(
             F.col("a.doc_id").alias("doc_id1"),
             F.col("b.doc_id").alias("doc_id2"),
@@ -1492,3 +1499,75 @@ def dedup_containment(spark, sf_dir) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id1", "doc_id2", "containment")
     )
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark, sf_dir) -> DataFrame:
+    """ASYMMETRIC near-dup detection: token-set containment
+    C(A in B) = |tok(A) & tok(B)| / |tok(A)| >= 0.9 within a source
+    block — catches sub-document duplication (quotes, boilerplate
+    wrapping, page-of-a-larger-page crawls) that symmetric jaccard
+    misses, the third member of the RefinedWeb-style text-dedup trio
+    (exact / jaccard / containment). Shaped as the incremental-batch
+    check (the steady-state ingest form, like dedup_incremental):
+    each INCOMING doc (doc_id % 20 == 0 stands in for the delta)
+    reports its single BEST container (highest containment, smallest
+    id tiebreak) — output bounded by the batch, not by the corpus's
+    pair count.
+
+    The prefix filter is the containment variant of
+    dedup_ngram_jaccard's PPJoin bound: a >= t pair must share a
+    token among A's |A| - ceil(t|A|) + 1 globally-RAREST tokens, so
+    only that prefix joins — but against ALL of B's tokens (the
+    bound is one-sided; B has no prefix), plus the size bound
+    |B| >= ceil(t|A|) (the intersection can't exceed |B|). Exact, no
+    false negatives — the DuckDB oracle brute-forces all same-source
+    pairs and the results hash-match.
+
+    Scale: the same explode -> frequency -> per-doc rarity-window
+    motif as the jaccard key (no broadcast hints — token vocabulary
+    grows with the corpus, AQE picks the strategy); the asymmetric
+    join is prefix x full-token, candidate-bounded by token rarity;
+    verification counts intersections on exploded flat rows (no
+    arrays in shuffle, map-side partial count)."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    return containment_best(d, incoming=F.col("doc_id") % 20 == 0)
+
+
+@register("dedup_containment_corpus", oracle=_CONTAIN_CORPUS_ORACLE)
+def dedup_containment_corpus(spark, sf_dir) -> DataFrame:
+    """Corpus-mode containment sweep: EVERY document reports its best
+    container (not just an incoming batch) — the bootstrap form of
+    ``dedup_containment``, run once over a crawl to strip
+    sub-document duplication before training. Exercises the
+    one-sided prefix bound at symmetric scale: all n docs emit a
+    rarest-token prefix, the candidate join stays prefix x
+    full-token, and the output is exactly one row per contained doc.
+
+    Scale: identical motif to the batch key; total candidate volume
+    grows with corpus rarity structure, not n^2 (the prefix bound is
+    lossless — property-tested in tests/test_properties.py for the
+    batch form, same code path). The per-doc best-container window
+    keys on doc_id1 (uniform)."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    return containment_best(d)
+
+
+@register("dedup_containment_salted", oracle=_CONTAIN_CORPUS_ORACLE)
+def dedup_containment_salted(spark, sf_dir) -> DataFrame:
+    """Skew-safe corpus-mode containment: same result as
+    ``dedup_containment_corpus`` (same oracle — salting relocates
+    rows, never drops them), but the candidate join's token key is
+    salted {8} ways: the corpus-sized full-token side routes by
+    pmod(xxhash64(doc_id), 8) and only the rarest-token prefix side
+    replicates — the ``join_skew_salted`` treatment applied to the
+    containment prefix join. On a real crawl the token frequency
+    distribution is zipfian: one stop-word-grade token can put a
+    constant fraction of all (tok, doc) rows on a single reduce
+    partition, and the unsalted join stalls on that straggler; with
+    the salt, each hot token spreads over 8 partitions at the cost
+    of replicating the (already rarity-pruned) prefix rows.
+    Equality with the unsalted plan is pinned by a hot-token fixture
+    (one token in 30% of docs) in tests/test_skew.py."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    return containment_best(d, salt=_CONTAIN_SALT)

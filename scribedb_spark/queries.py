@@ -1732,6 +1732,8 @@ _FRESH_WAVES.update(
     dict.fromkeys(
         {
             "ann_pq_topk",
+            "dedup_containment_corpus",
+            "dedup_containment_salted",
         },
         7,
     )

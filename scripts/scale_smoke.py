@@ -64,6 +64,7 @@ KEYS = [
     "multimodal_resize",
     "stream_stateful_stats",
     "profile_fk_orphans",
+    "dedup_containment_salted",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;

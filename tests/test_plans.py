@@ -967,6 +967,32 @@ def test_containment_no_hints_batch_filtered_prefix(qmod, spark, sf_dir):
     assert "(doc_id" in p and "% 20)" in p  # batch predicate present
 
 
+def test_containment_corpus_no_hints_no_batch_filter(qmod, spark, sf_dir):
+    """dedup_containment_corpus: the corpus sweep keeps the
+    no-forced-broadcast rule and has NO batch predicate — every doc's
+    prefix participates."""
+    df = qmod.REGISTRY["dedup_containment_corpus"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "dedup_containment_corpus")
+    assert "partial_count" in p
+    assert "% 20)" not in p
+
+
+def test_containment_salted_join_carries_salt_key(qmod, spark, sf_dir):
+    """dedup_containment_salted: the candidate join's condition must
+    include the salt equality (hot tokens spread over _CONTAIN_SALT
+    sub-keys) and the corpus-sized full-token side must compute its
+    salt from xxhash64(doc_id) — while keeping the no-forced-
+    broadcast rule."""
+    df = qmod.REGISTRY["dedup_containment_salted"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "dedup_containment_salted")
+    assert "salt" in p
+    assert "xxhash64" in p
+
+
 def test_pk_violations_partial_agg_having_after_final(qmod, spark, sf_dir):
     """profile_pk_violations: one hash aggregation with map-side
     partial counts; the HAVING filter applies after the final

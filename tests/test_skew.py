@@ -122,3 +122,39 @@ def test_lsh_star_components_equal_clique_components(hot_band_sig):
         }
 
     assert comp_map(star) == comp_map(clique)
+
+
+def test_containment_salted_equals_unsalted_on_hot_token(spark):
+    """dedup_containment_salted: salting the candidate join's token
+    key must relocate rows, never drop them — equality pinned on a
+    fixture where one token ('the') appears in 30% of docs (the
+    zipfian hot key the salt exists for), including near-containment
+    pairs that only survive via the hot token's bucket."""
+    from scribedb_spark.operators.dedup import _CONTAIN_SALT, containment_best
+
+    rows = []
+    for i in range(60):
+        base = [f"w{i}_{j}" for j in range(8)]
+        if i % 10 < 3:
+            base[0] = "the"  # hot token in 30% of docs
+        rows.append((i, "s", " ".join(base)))
+    # planted containments: doc 100 contained in 101, both with 'the'
+    rows.append((100, "s", "the alpha beta gamma delta epsilon zeta eta"))
+    rows.append(
+        (101, "s", "the alpha beta gamma delta epsilon zeta eta theta iota")
+    )
+    # and one without the hot token
+    rows.append((102, "s", "kappa lam mu nu xi omicron pi rho"))
+    rows.append((103, "s", "kappa lam mu nu xi omicron pi rho sigma tau"))
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plain = {
+        (r.doc_id1, r.doc_id2, r.containment)
+        for r in containment_best(d).collect()
+    }
+    salted = {
+        (r.doc_id1, r.doc_id2, r.containment)
+        for r in containment_best(d, salt=_CONTAIN_SALT).collect()
+    }
+    assert plain == salted
+    assert (100, 101, 1.0) in salted
+    assert (102, 103, 1.0) in salted
