@@ -143,6 +143,13 @@ BENCH_KEYS = [
     "setop_except_all",
     "dedup_containment_corpus",
     "dedup_containment_salted",
+    "agg_quantile_grid",
+    "ann_prefix_topk",
+    "layout_bucket_advisor",
+    "profile_vec_dims",
+    "rollup_decayed_popularity",
+    "compare_cell_incremental",
+    "pipeline_quality_gate",
 ]
 
 

@@ -1430,6 +1430,212 @@ def layout_zorder(spark, sf_dir) -> DataFrame:
 
 
 @register(
+    "profile_vec_dims",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    x AS (
+      SELECT CAST(i AS BIGINT) AS dim,
+             CAST(floor(e[CAST(i AS INT) + 1] * 1000000 + 0.5) AS BIGINT)
+               AS micro
+      FROM d CROSS JOIN range(64) t(i))
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(micro) AS min_micro,
+           MAX(micro) AS max_micro,
+           CAST(SUM(CASE WHEN micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead,
+           ROUND(CAST(SUM(micro) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS avg_value
+    FROM x GROUP BY dim
+    """,
+)
+def profile_vec_dims(spark, sf_dir) -> DataFrame:
+    """Per-dimension embedding QA profile — the preflight an ANN
+    index build runs before trusting a new embedding batch: for each
+    of the 64 dimensions, the value range, mean and dead-at-zero
+    count in integer micro-units. Catches the failure modes that
+    silently wreck vector search at scale (a dimension stuck at zero
+    after a model change, per-dimension scale drift between batches
+    making old and new vectors incomparable) while they are still
+    one cheap aggregate away.
+
+    Exactness: values fix to integer micro-units (floor(x*1e6+0.5),
+    the quantize idiom — element-wise IEEE, engine-identical), so
+    min/max/sums are exact integers; the mean is the two-divide
+    left-associated chain + ROUND 6, the agg_median_exact pattern.
+
+    Scale: one projection explodes n x 64 (dim, micro) pairs
+    (codegen posexplode — no Python), one hash aggregation with
+    map-side partials keyed by the 64 dims; output is 64 rows
+    regardless of corpus size."""
+    from scribedb_spark.functions.vector import to_double_array
+
+    e = table(spark, "embeddings", sf_dir)
+    x = e.select(
+        F.posexplode(to_double_array("embedding")).alias("dim", "xv")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("xv") * 1000000 + F.lit(0.5)).cast("long").alias("micro"),
+    )
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("micro").alias("min_micro"),
+        F.max("micro").alias("max_micro"),
+        F.sum(F.when(F.col("micro") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dead"),
+        F.round(
+            F.sum("micro").cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("avg_value"),
+    )
+
+
+@register(
+    "rollup_decayed_popularity",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    w AS (
+      SELECT event_type,
+             1000000 // (1 + date_diff('day', CAST(e.ts AS DATE),
+                                       CAST(mx.max_ts AS DATE))) AS wt
+      FROM events e CROSS JOIN mx)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(wt) AS BIGINT) AS decayed_score
+    FROM w GROUP BY event_type
+    """,
+)
+def rollup_decayed_popularity(spark, sf_dir) -> DataFrame:
+    """Freshness-weighted popularity — the recency signal data
+    curation and recsys features both need: each event contributes
+    1e6/(1+age_days) integer micro-units of score relative to the
+    corpus's newest event, so yesterday's activity outweighs last
+    month's without any exponential. The hyperbolic kernel is chosen
+    for PORTABILITY, not convenience: exp()-decay needs libm (whose
+    results differ across engines — the no-ln rule), while
+    1000000 div (1+age) is pure integer arithmetic, and integer sums
+    are associative — so the whole rollup is bit-exact everywhere.
+
+    Scale: the max-ts anchor is a 1-row aggregate broadcast into a
+    map-only weight projection (the tpch.py global-aggregate
+    crossJoin motif); one hash aggregation with map-side partials
+    keyed by event_type finishes. Nothing shuffles but partial
+    sums."""
+    e = table(spark, "events", sf_dir)
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.expr(
+            "1000000L div (1 + datediff(cast(max_ts as date), cast(ts as date)))"
+        ).alias("wt"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("wt").cast("long").alias("decayed_score"),
+    )
+
+
+_BUCKET_TARGET_ROWS = 4096
+
+_BUCKET_ADVISOR_TABLES = [
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def _bucket_advisor_oracle() -> str:
+    mets = "\n      UNION ALL ".join(
+        f"""SELECT '{t}' AS table_name, '{k}' AS key_name,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_key_rows
+      FROM (SELECT {k}, COUNT(*) AS cnt FROM {t} GROUP BY 1)"""
+        for t, k in _BUCKET_ADVISOR_TABLES
+    )
+    return f"""
+    WITH powers AS (
+      SELECT (CAST(1 AS BIGINT) << CAST(i AS INT)) AS p FROM range(31) t(i)),
+    met AS (
+      {mets})
+    SELECT table_name, key_name, n_rows, n_keys, max_key_rows,
+           max_key_rows * 1000000 // n_rows AS hot_key_ppm,
+           (SELECT MIN(p) FROM powers
+            WHERE p >= (n_rows + {_BUCKET_TARGET_ROWS - 1})
+                       // {_BUCKET_TARGET_ROWS}) AS rec_buckets
+    FROM met
+    """
+
+
+@register("layout_bucket_advisor", oracle=_bucket_advisor_oracle())
+def layout_bucket_advisor(spark, sf_dir) -> DataFrame:
+    """Physical-design advisor for bucketed tables: for each
+    prospective (table, join key), the exact key-cardinality metrics
+    a layout decision needs — row/key counts, the hottest key's row
+    count and its parts-per-million share (salting trigger), and a
+    recommended bucket count (smallest power of two whose buckets
+    average <= {4096} rows at test scale; production swaps the
+    target for ~128 MB of rows). Powers of two keep bucket counts
+    mutually divisible, so differently-sized tables can still
+    co-locate (Spark requires compatible bucket counts to elide the
+    shuffle — the zero-Exchange join that tests/test_plans.py pins
+    for the bucketed-join key).
+
+    Exactness: COUNT-derived integers end to end — the hot share is
+    integer ppm (max*1000000 div n), the power-of-two ceiling comes
+    from a 31-row shift-left table (no log2: libm differs across
+    engines), min-joined per metrics row.
+
+    Scale: one map-side-partial groupBy per analyzed key (the
+    second-stage aggregate input is one row per key, already tiny);
+    the powers table is 31 rows broadcast. At 100 TB this is the
+    cheap pre-flight before an expensive one-time bucketed rewrite."""
+    powers = spark.range(31).select(
+        F.expr("shiftleft(1L, cast(id as int))").alias("p")
+    )
+    outs = []
+    for t, k in _BUCKET_ADVISOR_TABLES:
+        pk = (
+            table(spark, t, sf_dir)
+            .groupBy(F.col(k).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        m = pk.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_key_rows"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            F.lit(k).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.expr("max_key_rows * 1000000L div n_rows").alias("hot_key_ppm"),
+            F.expr(
+                f"(n_rows + {_BUCKET_TARGET_ROWS - 1}) div {_BUCKET_TARGET_ROWS}"
+            ).alias("need"),
+        )
+        rec = (
+            m.join(F.broadcast(powers), F.col("p") >= F.col("need"))
+            .groupBy(
+                "table_name",
+                "key_name",
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "hot_key_ppm",
+            )
+            .agg(F.min("p").alias("rec_buckets"))
+        )
+        outs.append(rec)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
     "join_temporal_dim",
     oracle="""
     WITH src AS (
@@ -1922,6 +2128,114 @@ def compare_cell_drill(spark, sf_dir) -> DataFrame:
     )
 
 
+def _cell_incr_oracle() -> str:
+    chunk = (
+        "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 16"
+    )
+    grid = " UNION ALL ".join(
+        f"SELECT {chunk} AS chunk_id, '{c}' AS col_name,"
+        f" CAST(SUM(CAST(('0x' || substr("
+        f"md5(CAST(o_orderkey AS VARCHAR) || ':' || COALESCE({expr}, chr(1))),"
+        f" 1, 15)) AS BIGINT)) % {_COLFP_MOD} AS BIGINT) AS fp"
+        f" FROM tgt GROUP BY 1"
+        for c, expr in _COLFP_CELLS.items()
+    )
+    return f"""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 2000 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders)
+    {grid}
+    """
+
+
+@register("compare_cell_incremental", oracle=_cell_incr_oracle())
+def compare_cell_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental MAINTENANCE of the (keyed chunk x column)
+    fingerprint grid — the follow-through on compare_cell_drill's
+    "keyed chunks keep the grid incrementally maintainable" claim,
+    and the grid form of fp_incremental_update's delta algebra:
+    because every cell is a SUM of per-row md5 terms, an update batch
+    patches the persisted grid as
+
+        cell' = cell - terms(old row images) + terms(new row images)
+
+    touching O(|delta|) rows instead of rescanning the table. The
+    key emits the MAINTAINED grid after applying a price mutation to
+    every 2000th order; the DuckDB oracle recomputes the grid FROM
+    SCRATCH on the mutated table — hash equality of the two IS the
+    proof that the algebra composes exactly (sums stay unreduced
+    DECIMAL(38,0); the 2^61-1 reduction happens only at emit).
+
+    Scale: the base grid is one aggregation pass (16 chunks x |cols|
+    map-side partial sums); each delta branch aggregates only delta
+    rows; the merge is a 64-row-per-branch union groupBy. At 100 TB
+    the base grid is a persisted 64-row table and only the delta
+    branches run per batch."""
+    from scribedb_spark.canonical import keyed_chunk_id
+
+    cols = list(_COLFP_CELLS)
+    o = table(spark, "orders", sf_dir).select("o_orderkey", *cols)
+
+    def cell(c):
+        if c == "o_totalprice":
+            return (
+                F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")
+            )
+        return F.col(c).cast("string")
+
+    def grid_terms(df, sign):
+        aggs = []
+        for c in cols:
+            term = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.coalesce(cell(c), F.lit("\x01")),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("decimal(38,0)")
+            aggs.append((F.sum(term) * sign).alias(c))
+        wide = (
+            df.withColumn("chunk_id", keyed_chunk_id(F.col("o_orderkey"), 16))
+            .groupBy("chunk_id")
+            .agg(*aggs)
+        )
+        stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+        return wide.select(
+            "chunk_id",
+            F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, fp_sum)"),
+        )
+
+    base = grid_terms(o, 1)  # the persisted grid at 100 TB
+    delta_keys = F.col("o_orderkey") % 2000 == 0
+    old_rows = o.filter(delta_keys)
+    new_rows = old_rows.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    maintained = (
+        base.unionByName(grid_terms(old_rows, -1))
+        .unionByName(grid_terms(new_rows, 1))
+        .groupBy("chunk_id", "col_name")
+        .agg(F.sum("fp_sum").alias("fp_sum"))
+    )
+    return maintained.select(
+        "chunk_id",
+        "col_name",
+        F.pmod(F.col("fp_sum"), F.lit(_COLFP_MOD)).cast("long").alias("fp"),
+    )
+
+
 @register(
     "agg_median_exact",
     oracle="""
@@ -1994,6 +2308,93 @@ def agg_median_exact(spark, sf_dir) -> DataFrame:
         F.round(F.col("s").cast("double") / F.col("c") / 100, 6).alias(
             "median_value"
         ),
+    )
+
+
+_QUANTILE_GRID = (25, 50, 75, 95)
+
+
+@register(
+    "agg_quantile_grid",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM p),
+    sel AS (
+      SELECT event_type, n,
+    """
+    + ",\n".join(
+        f"MAX(CASE WHEN rn = (n * {q} + 99) // 100 THEN cents END) AS c{q}"
+        for q in _QUANTILE_GRID
+    )
+    + """
+      FROM r GROUP BY event_type, n)
+    SELECT event_type, n AS n_events,
+    """
+    + ",\n".join(
+        f"CAST(c{q} AS DOUBLE) / 100 AS p{q}" for q in _QUANTILE_GRID
+    )
+    + """
+    FROM sel
+    """,
+)
+def agg_quantile_grid(spark, sf_dir) -> DataFrame:
+    """EXACT p25/p50/p75/p95 per event type in ONE rank-window pass —
+    the latency-dashboard staple, spelled as type-1 rank selection
+    (smallest value with rank >= ceil(q*n), rank computed in integer
+    arithmetic as (n*q + 99) // 100) so every engine lands on the
+    identical cents value: no interpolation convention, no sketch
+    (percentile_approx), no float sums. The whole grid rides the SAME
+    window as ``agg_median_exact`` — adding quantiles costs one CASE
+    column each, not another shuffle.
+
+    Exactness: integer ranks select integer cents; the only float op
+    is one exactly-rounded IEEE divide per output column (identical
+    expression shape both engines — no ROUND needed).
+
+    Scale: one shuffle keyed by event_type for the rank window, then
+    a |grid|-columns conditional aggregation with map-side partials.
+    The 100 TB swap is the same as the median's: two-pass
+    quantile-by-count offsets instead of a per-key global sort."""
+    e = table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    p = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    sel = r.groupBy("event_type", "n").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n * {q} + 99) div 100"),
+                    F.col("cents"),
+                )
+            ).alias(f"c{q}")
+            for q in _QUANTILE_GRID
+        ]
+    )
+    return sel.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        *[
+            (F.col(f"c{q}").cast("double") / 100).alias(f"p{q}")
+            for q in _QUANTILE_GRID
+        ],
     )
 
 

@@ -838,6 +838,139 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+_PREFIX_DIMS = 16
+_PREFIX_SHORTLIST = 32
+
+
+@register(
+    "ann_prefix_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q8 AS (
+      SELECT vec_id, e,
+             list_slice(list_transform(e, x -> CAST(floor(
+               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+             ) AS BIGINT)), 1, {_PREFIX_DIMS}) AS pq
+      FROM v),
+    qs AS (
+      SELECT vec_id AS q_id, pq AS qpq FROM q8 WHERE vec_id < 10),
+    sc AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             CAST(list_dot_product(q.qpq, c.pq) AS BIGINT) AS pdot
+      FROM qs q JOIN q8 c ON c.vec_id <> q.q_id),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY pdot DESC, c_id) AS srn
+        FROM sc) WHERE srn <= {_PREFIX_SHORTLIST}),
+    rer AS (
+      SELECT s.q_id, s.c_id,
+             ROUND(list_cosine_similarity(qa.e, ca.e), 6) AS score
+      FROM short s
+      JOIN v qa ON qa.vec_id = s.q_id
+      JOIN v ca ON ca.vec_id = s.c_id),
+    r AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rk
+      FROM rer)
+    SELECT q_id, c_id, score, rk FROM r WHERE rk <= 5
+    """,
+)
+def ann_prefix_topk(spark, sf_dir) -> DataFrame:
+    """Matryoshka-style prefix-dimension ANN cascade — the fourth
+    candidate-generation strategy next to LSH buckets, IVF cells and
+    PQ codes: score every vector against each query on only the
+    FIRST {16} of 64 dimensions (4x less compute and index bytes —
+    the premise of Matryoshka representation learning: leading
+    dimensions carry the coarse geometry), shortlist the top-{32} by
+    integer prefix dot, re-rank the shortlist with exact full-dim
+    cosine. Unlike the bucketed strategies there is no routing
+    structure to train or store — the index IS the prefix slice of
+    the int8 codes, which makes this the simplest strategy to keep
+    incrementally fresh at 100 TB (append-only, no retraining).
+
+    Exactness: the prefix dot runs on int8-quantized codes
+    (element-wise IEEE quantization, exact int64 dot — the
+    sq_ranked_cells discipline), so the shortlist is bit-identical
+    in any engine; rerank is the shared fold cosine, ROUND 6 + id
+    tiebreaks.
+
+    Scale: the 10-row quantized query table broadcasts; prefix
+    scoring is map-only against the corpus scan (no shuffle until
+    the per-query top-{32} window, which carries 3-long rows);
+    rerank touches shortlist rows only. Compute is O(n * prefix_dims)
+    per query — a constant-factor cascade, the right tool when
+    queries are few and recall must degrade gracefully rather than
+    cliff on a mis-routed bucket."""
+    from pyspark.sql import Window
+
+    from scribedb_spark.functions.vector import quantize_int8
+
+    e = table(spark, "embeddings", sf_dir)
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    # the prefix-code index is a stored artifact at scale; the
+    # checkpoint materializes it once so the shortlist, the query
+    # table and the rerank all read the index, not the parquet
+    # (without it this plan scanned embeddings 8x)
+    vq = (
+        e.select("vec_id", to_double_array("embedding").alias("e"))
+        .select(
+            "vec_id",
+            "e",
+            F.slice(
+                F.transform(
+                    quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+                ),
+                1,
+                _PREFIX_DIMS,
+            ).alias("pq"),
+        )
+        .localCheckpoint()
+    )
+    qs = vq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("pq").alias("qpq")
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("qpq"), F.col("pq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sc = (
+        vq.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), pdot.alias("pdot"))
+    )
+    w_short = Window.partitionBy("q_id").orderBy(F.desc("pdot"), "c_id")
+    short = (
+        sc.withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= _PREFIX_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    ve = vq.select("vec_id", "e")
+    rer = (
+        ve.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(short), "q_id")
+        .join(
+            ve.select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")),
+            "c_id",
+        )
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "score", "rk")
+    )
+
+
 _KNN_K = 3
 
 _KNN_ORACLE = """

@@ -339,3 +339,76 @@ def pipeline_semantic(spark, sf_dir) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "pipeline_quality_gate",
+    oracle="""
+    WITH pk AS (
+      SELECT COUNT(*) AS v FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY 1, 2 HAVING COUNT(*) > 1)),
+    fk AS (
+      SELECT COUNT(*) AS v FROM lineitem l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL),
+    nk AS (
+      SELECT COUNT(*) AS v FROM orders WHERE o_custkey IS NULL),
+    vr AS (
+      SELECT COUNT(*) AS v FROM events WHERE value < 0)
+    SELECT 'pk_lineitem' AS check_name, v AS n_violations,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) AS passed FROM pk
+    UNION ALL SELECT 'fk_lineitem_orders', v,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) FROM fk
+    UNION ALL SELECT 'null_custkey', v,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) FROM nk
+    UNION ALL SELECT 'negative_value', v,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) FROM vr
+    """,
+)
+def pipeline_quality_gate(spark, sf_dir) -> DataFrame:
+    """Promotion gate: the pass/fail report a shard-publishing
+    pipeline runs before exposing a new snapshot — key uniqueness,
+    referential integrity, null keys and value-domain checks rolled
+    into one 4-row verdict table (check_name, n_violations, passed).
+    Composes the preflight family (profile_pk_violations,
+    profile_fk_orphans) into the decision artifact: a CI step greps
+    `passed = 0` and blocks the publish, mirroring the reference's
+    exit-code verdict (ref main.py:263-267) at dataset scope.
+
+    Scale: each check is a count-shaped aggregate or key-only
+    anti-join (no row payload moves); the union is 4 scalar rows.
+    On the driver corpus the PK check FAILS by construction
+    (lineitem's (l_orderkey, l_linenumber) is non-unique — the same
+    planted violation profile_pk_violations reports), so the gate
+    demonstrably gates."""
+    li = table(spark, "lineitem", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    e = table(spark, "events", sf_dir)
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    nk = o.filter(F.col("o_custkey").isNull()).agg(F.count(F.lit(1)).alias("v"))
+    vr = e.filter(F.col("value") < 0).agg(F.count(F.lit(1)).alias("v"))
+
+    def row(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            (F.col("v") == 0).cast("int").alias("passed"),
+        )
+
+    return (
+        row("pk_lineitem", pk)
+        .unionByName(row("fk_lineitem_orders", fk))
+        .unionByName(row("null_custkey", nk))
+        .unionByName(row("negative_value", vr))
+    )

@@ -1734,6 +1734,13 @@ _FRESH_WAVES.update(
             "ann_pq_topk",
             "dedup_containment_corpus",
             "dedup_containment_salted",
+            "agg_quantile_grid",
+            "ann_prefix_topk",
+            "layout_bucket_advisor",
+            "profile_vec_dims",
+            "rollup_decayed_popularity",
+            "compare_cell_incremental",
+            "pipeline_quality_gate",
         },
         7,
     )

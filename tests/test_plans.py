@@ -1090,3 +1090,77 @@ def test_multimodal_resize_map_only(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "multimodal_resize")
     assert "Exchange" not in p
     assert "MapInPandas" in p or "mapInPandas" in p.lower()
+
+
+def test_quantile_grid_single_exchange(qmod, spark, sf_dir):
+    """agg_quantile_grid: the whole p25..p95 grid rides ONE shuffle —
+    the rank window and the conditional aggregation share the
+    event_type partitioning; adding a quantile adds a CASE column,
+    never an Exchange."""
+    p = plan(qmod, spark, sf_dir, "agg_quantile_grid")
+    assert p.count("Exchange (") == 1
+    assert "Window" in p
+    assert "partial_" in p
+
+
+def test_ann_prefix_index_checkpointed_queries_broadcast(qmod, spark, sf_dir):
+    """ann_prefix_topk: the quantized prefix-code index materializes
+    once (zero parquet scans in the search plan — the stored-index
+    pattern) and the 10-row query table broadcasts into map-only
+    prefix scoring."""
+    p = plan(qmod, spark, sf_dir, "ann_prefix_topk")
+    assert "Scan parquet" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_bucket_advisor_partial_agg_powers_broadcast(qmod, spark, sf_dir):
+    """layout_bucket_advisor: per-key counting partial-aggregates
+    map-side; the 31-row powers-of-two table joins via broadcast
+    (non-equi >= join on a 1-row metrics side — never a shuffle)."""
+    p = plan(qmod, spark, sf_dir, "layout_bucket_advisor")
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_vec_dims_single_exchange_generate(qmod, spark, sf_dir):
+    """profile_vec_dims: codegen posexplode (Generate) then ONE hash
+    aggregation with map-side partials — output bounded at 64 rows."""
+    p = plan(qmod, spark, sf_dir, "profile_vec_dims")
+    assert p.count("Exchange (") == 1
+    assert "Generate" in p
+    assert "partial_" in p
+    assert "InPandas" not in p  # integer micro-units are pure codegen
+
+
+def test_decayed_popularity_broadcast_anchor(qmod, spark, sf_dir):
+    """rollup_decayed_popularity: the max-ts anchor is a 1-row
+    aggregate BROADCAST into a map-only weight projection (the tpch
+    global-aggregate motif); the rollup itself partial-aggregates."""
+    p = plan(qmod, spark, sf_dir, "rollup_decayed_popularity")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "partial_sum" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cell_incremental_delta_branches_partial(qmod, spark, sf_dir):
+    """compare_cell_incremental: three grid branches (base, -old,
+    +new) all partial-aggregate map-side; sums stay unreduced
+    DECIMAL(38,0) until the final pmod; no Window, no join — the
+    merge is a union groupBy on (chunk_id, col_name)."""
+    p = plan(qmod, spark, sf_dir, "compare_cell_incremental")
+    assert "partial_sum" in p
+    assert "decimal(38,0)" in p
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "Union" in p
+
+
+def test_quality_gate_key_only_anti_join(qmod, spark, sf_dir):
+    """pipeline_quality_gate: the FK check is a key-only LeftAnti
+    join (no row payload crosses) and every check partial-aggregates
+    to a scalar before the 4-row union."""
+    p = plan(qmod, spark, sf_dir, "pipeline_quality_gate")
+    assert "LeftAnti" in p
+    assert "partial_count" in p
+    assert "Union" in p

@@ -333,3 +333,24 @@ def test_exact_pairwise_guard_default_cap_allows_test_corpora(
 
     monkeypatch.delenv("SPARK_GRAFT_EXACT_PAIRWISE_MAX", raising=False)
     assert vec_knn_graph(spark, sf_dir).count() > 0
+
+
+def test_ann_prefix_recall_vs_bruteforce(spark, sf_dir, emb):
+    """Prefix-dimension cascade: 16-of-64-dim candidate generation
+    plus exact rerank must keep each query's top-1 at or above the
+    90th percentile of its true cosine row for >= 70% of queries
+    (the LSH/IVF/PQ bar)."""
+    from scribedb_spark.operators.similarity import ann_prefix_topk
+
+    ids, V = emb
+    S = _cosine_matrix(V)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    rows = [r for r in ann_prefix_topk(spark, sf_dir).collect() if r["rk"] == 1]
+    assert rows
+    ok = 0
+    for r in rows:
+        qi = idx[r["q_id"]]
+        row = np.delete(S[qi], qi)
+        if S[qi, idx[r["c_id"]]] >= np.quantile(row, 0.9):
+            ok += 1
+    assert ok >= max(1, int(0.7 * len(rows)))
