@@ -150,6 +150,9 @@ BENCH_KEYS = [
     "rollup_decayed_popularity",
     "compare_cell_incremental",
     "pipeline_quality_gate",
+    "sample_dedup_weights",
+    "agg_mad_outliers",
+    "compare_drill_rows",
 ]
 
 

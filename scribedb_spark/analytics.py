@@ -2128,6 +2128,144 @@ def compare_cell_drill(spark, sf_dir) -> DataFrame:
     )
 
 
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM p),
+    m AS (
+      SELECT event_type, n, SUM(cents) AS s, COUNT(*) AS c
+      FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type, n),
+    med AS (
+      SELECT event_type, n,
+             CASE WHEN c = 1 THEN 2 * s ELSE s END AS med2x FROM m),
+    d AS (
+      SELECT r.event_type, r.n, med.med2x,
+             abs(2 * r.cents - med.med2x) AS dev2x
+      FROM r JOIN med ON med.event_type = r.event_type),
+    r2 AS (
+      SELECT event_type, n, med2x, dev2x,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev2x) AS rn2
+      FROM d),
+    m2 AS (
+      SELECT event_type, SUM(dev2x) AS s2, COUNT(*) AS c2
+      FROM r2 WHERE rn2 IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type),
+    mad AS (
+      SELECT event_type,
+             CASE WHEN c2 = 1 THEN 2 * s2 ELSE s2 END AS mad4x FROM m2),
+    fin AS (
+      SELECT d.event_type, d.n, d.med2x, mad.mad4x,
+             SUM(CASE WHEN 2 * d.dev2x > 3 * mad.mad4x
+                      THEN 1 ELSE 0 END) AS n_outliers
+      FROM d JOIN mad ON mad.event_type = d.event_type
+      GROUP BY 1, 2, 3, 4)
+    SELECT event_type, n AS n_events,
+           ROUND(CAST(med2x AS DOUBLE) / 2 / 100, 6) AS median_value,
+           ROUND(CAST(mad4x AS DOUBLE) / 4 / 100, 6) AS mad_value,
+           CAST(n_outliers AS BIGINT) AS n_outliers
+    FROM fin
+    """,
+)
+def agg_mad_outliers(spark, sf_dir) -> DataFrame:
+    """Robust outlier census per event type via median absolute
+    deviation — the heavy-tail-safe alternative to
+    ``agg_zscore_outliers`` (one planted whale corrupts a mean/std
+    fence; the MAD fence shrugs). Flags values with
+    |x - median| > 3 * MAD, all computed EXACTLY in scaled integers:
+    the median rides the agg_median_exact rank formula kept at 2x
+    scale (sum of the two middle cents, or twice the single middle),
+    deviations are |2*cents - med2x| integers, their median lands at
+    4x scale, and the fence compare is the integer inequality
+    2*dev2x > 3*mad4x — no float enters until the two display
+    columns (left-associated divide chains + ROUND 6, the median
+    pattern).
+
+    Scale: two rank windows keyed by event_type (the same shuffle
+    key twice — partitioning reuse), two tiny per-type aggregate
+    joins (AQE broadcasts them), one final count aggregation."""
+    e = table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    p = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = (F.col("rn") == F.expr("(n + 1) div 2")) | (
+        F.col("rn") == F.expr("(n + 2) div 2")
+    )
+    m = (
+        r.filter(mid)
+        .groupBy("event_type", "n")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    med = m.select(
+        "event_type",
+        "n",
+        F.when(F.col("c") == 1, 2 * F.col("s")).otherwise(F.col("s")).alias(
+            "med2x"
+        ),
+    )
+    # med/mad are bounded by the event-type DOMAIN (one row per type),
+    # not corpus size — the explicit broadcast is safe at any scale
+    d = r.join(F.broadcast(med.drop("n")), "event_type").select(
+        "event_type",
+        "n",
+        "med2x",
+        F.abs(2 * F.col("cents") - F.col("med2x")).alias("dev2x"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev2x")
+    r2 = d.withColumn("rn2", F.row_number().over(w2))
+    mid2 = (F.col("rn2") == F.expr("(n + 1) div 2")) | (
+        F.col("rn2") == F.expr("(n + 2) div 2")
+    )
+    m2 = (
+        r2.filter(mid2)
+        .groupBy("event_type")
+        .agg(F.sum("dev2x").alias("s2"), F.count(F.lit(1)).alias("c2"))
+    )
+    mad = m2.select(
+        "event_type",
+        F.when(F.col("c2") == 1, 2 * F.col("s2"))
+        .otherwise(F.col("s2"))
+        .alias("mad4x"),
+    )
+    fin = (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med2x", "mad4x")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("dev2x") > 3 * F.col("mad4x"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return fin.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(F.col("med2x").cast("double") / 2 / 100, 6).alias(
+            "median_value"
+        ),
+        F.round(F.col("mad4x").cast("double") / 4 / 100, 6).alias("mad_value"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
+
+
 def _cell_incr_oracle() -> str:
     chunk = (
         "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
@@ -2233,6 +2371,135 @@ def compare_cell_incremental(spark, sf_dir) -> DataFrame:
         "chunk_id",
         "col_name",
         F.pmod(F.col("fp_sum"), F.lit(_COLFP_MOD)).cast("long").alias("fp"),
+    )
+
+
+def _drill_rows_oracle() -> str:
+    chunk = (
+        "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 16"
+    )
+    rowtext = (
+        "CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)"
+        " || ':' || o_orderstatus || ':' || CAST(cents AS VARCHAR)"
+        " || ':' || o_orderpriority"
+    )
+    fp = (
+        f"CAST(SUM(CAST(('0x' || substr(md5({rowtext}), 1, 15)) AS BIGINT))"
+        f" % {_COLFP_MOD} AS BIGINT)"
+    )
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderpriority, {chunk} AS chunk_id
+      FROM orders),
+    tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 1500 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 2000 = 0 THEN 100 ELSE 0 END AS cents,
+             o_orderpriority, {chunk} AS chunk_id
+      FROM orders),
+    sfp AS (SELECT chunk_id, {fp} AS fp FROM src GROUP BY chunk_id),
+    tfp AS (SELECT chunk_id, {fp} AS fp FROM tgt GROUP BY chunk_id),
+    hot AS (
+      SELECT s.chunk_id FROM sfp s JOIN tfp t ON s.chunk_id = t.chunk_id
+      WHERE s.fp <> t.fp),
+    srows AS (SELECT o_orderkey, o_custkey, o_orderstatus, cents,
+                     o_orderpriority
+              FROM src WHERE chunk_id IN (SELECT chunk_id FROM hot)),
+    trows AS (SELECT o_orderkey, o_custkey, o_orderstatus, cents,
+                     o_orderpriority
+              FROM tgt WHERE chunk_id IN (SELECT chunk_id FROM hot))
+    SELECT 'src' AS side, * FROM (
+      SELECT * FROM srows EXCEPT ALL SELECT * FROM trows)
+    UNION ALL
+    SELECT 'tgt' AS side, * FROM (
+      SELECT * FROM trows EXCEPT ALL SELECT * FROM srows)
+    """
+
+
+@register("compare_drill_rows", oracle=_drill_rows_oracle())
+def compare_drill_rows(spark, sf_dir) -> DataFrame:
+    """The last mile of the drill cascade — after fp_merkle answers
+    "which subtree", compare_cell_drill answers "which (chunk,
+    column) cells", THIS key fetches the actual differing ROWS, and
+    the fetch is BOUNDED BY HOT CHUNKS: both sides' keyed-chunk row
+    fingerprints are compared first (16-row tables), only chunks
+    whose fingerprints disagree are re-read, and the symmetric
+    exceptAll diff runs on those chunks alone. The reference fetches
+    diff rows by re-querying whole chunk windows (ref
+    main.py:228-247); here the chunk restriction is a semi join
+    against the hot-chunk list, which at 100 TB is partition pruning
+    on the persisted chunk-keyed layout — the row scan touches
+    O(hot chunks / 16) of the table, not all of it.
+
+    Exactness: rows render once into the shared md5-term text (money
+    as integer cents — the no-%f rule), fingerprints are 60-bit sums
+    mod 2^61-1, and the row diff is exceptAll on scalar-rendered
+    columns — all string/integer ops, both engines identical.
+
+    Scale: two one-pass chunk-fp aggregations (map-side partials,
+    16-row outputs), one broadcast semi join per side, exceptAll on
+    the hot subset only (output bounded by actual differing rows)."""
+    from scribedb_spark.canonical import keyed_chunk_id
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents.alias("cents"),
+        "o_orderpriority",
+        keyed_chunk_id(F.col("o_orderkey"), 16).alias("chunk_id"),
+    )
+    tgt = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 1500 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 2000 == 0, F.lit(100)).otherwise(
+            F.lit(0)
+        ),
+    )
+    rowtext = F.concat_ws(
+        ":",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("cents").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    term = F.conv(F.substring(F.md5(rowtext), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+
+    def chunk_fp(df):
+        return df.groupBy("chunk_id").agg(
+            F.pmod(F.sum(term), F.lit(_COLFP_MOD)).cast("long").alias("fp")
+        )
+
+    sfp = chunk_fp(base)
+    tfp = chunk_fp(tgt)
+    hot = (
+        sfp.alias("s")
+        .join(tfp.alias("t"), "chunk_id")
+        .filter(F.col("s.fp") != F.col("t.fp"))
+        .select("chunk_id")
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "cents",
+            "o_orderpriority"]
+    srows = base.join(F.broadcast(hot), "chunk_id", "left_semi").select(*cols)
+    trows = tgt.join(F.broadcast(hot), "chunk_id", "left_semi").select(*cols)
+    return (
+        srows.exceptAll(trows).select(F.lit("src").alias("side"), *cols)
+    ).unionByName(
+        trows.exceptAll(srows).select(F.lit("tgt").alias("side"), *cols)
     )
 
 

@@ -842,6 +842,61 @@ def dedup_components(spark, sf_dir) -> DataFrame:
     return connected_components(dedup_minhash_lsh(spark, sf_dir))
 
 
+_DEDUP_WEIGHTS_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+              UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+    sz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster,
+           CAST(COALESCE(s.n, 1) AS BIGINT) AS cluster_size,
+           1000000 // COALESCE(s.n, 1) AS weight_ppm
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN sz s ON s.component = c.component
+    """
+
+
+@register("sample_dedup_weights", oracle=_DEDUP_WEIGHTS_ORACLE)
+def sample_dedup_weights(spark, sf_dir) -> DataFrame:
+    """Soft-dedup reweighting: instead of DROPPING near-duplicates,
+    give every document the weight 1/|its near-dup cluster| so each
+    duplicated piece of content contributes exactly one document's
+    worth of gradient — the "count-deduplication" alternative the
+    data-mixture literature prefers when hard dedup would throw away
+    naturally popular text. Clusters come from the shared MinHash-LSH
+    candidate graph + connected components (the dedup_components
+    stage); singletons keep weight 1. Weights emit as integer ppm
+    (1000000 div size) — exact in every engine, and directly usable
+    as sampling numerators.
+
+    Scale: components run on the near-dup-bounded pair graph; the
+    only corpus-sized stage is the final id-keyed left join of the
+    documents id column against the (component, size) table — ids
+    only, never text."""
+    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    sz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    d = table(spark, "documents", sf_dir).select("doc_id")
+    out = (
+        d.join(comp, "doc_id", "left")
+        .join(sz, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("1000000L div coalesce(n, 1L)").alias("weight_ppm"),
+        )
+    )
+    return out
+
+
 _SEMANTIC_ORACLE = """
     WITH RECURSIVE
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

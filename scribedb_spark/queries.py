@@ -1741,6 +1741,9 @@ _FRESH_WAVES.update(
             "rollup_decayed_popularity",
             "compare_cell_incremental",
             "pipeline_quality_gate",
+            "sample_dedup_weights",
+            "agg_mad_outliers",
+            "compare_drill_rows",
         },
         7,
     )

@@ -1164,3 +1164,32 @@ def test_quality_gate_key_only_anti_join(qmod, spark, sf_dir):
     assert "LeftAnti" in p
     assert "partial_count" in p
     assert "Union" in p
+
+
+def test_dedup_weights_id_only_corpus_join(qmod, spark, sf_dir):
+    """sample_dedup_weights: the only corpus-sized stage joins the
+    documents ID column (ReadSchema pruned to doc_id — text never
+    reaches the weight join); cluster sizes partial-aggregate."""
+    p = plan(qmod, spark, sf_dir, "sample_dedup_weights")
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+    assert "partial_count" in p
+
+
+def test_mad_outliers_two_windows_broadcast_stats(qmod, spark, sf_dir):
+    """agg_mad_outliers: two rank windows on the same event_type
+    shuffle key; the per-type median/MAD tables join back via
+    broadcast (tiny by construction), never a shuffle join."""
+    p = plan(qmod, spark, sf_dir, "agg_mad_outliers")
+    assert p.count(") Window") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_sum" in p
+
+
+def test_drill_rows_semi_join_bounded_fetch(qmod, spark, sf_dir):
+    """compare_drill_rows: the row re-read is gated by a broadcast
+    LEFT SEMI join against the hot-chunk list (partition pruning at
+    scale); chunk fingerprints partial-aggregate map-side."""
+    p = plan(qmod, spark, sf_dir, "compare_drill_rows")
+    assert "LeftSemi" in p
+    assert "partial_sum" in p
