@@ -354,3 +354,23 @@ def test_ann_prefix_recall_vs_bruteforce(spark, sf_dir, emb):
         if S[qi, idx[r["c_id"]]] >= np.quantile(row, 0.9):
             ok += 1
     assert ok >= max(1, int(0.7 * len(rows)))
+
+
+def test_sq_assign_cells_zero_vector_deterministic(spark):
+    """An all-zero vector must not poison the numpy fast path
+    (maxabs=0 -> NaN -> undefined int cast before the round-7 guard):
+    it quantizes to the all-zero code, ties every cell at idot 0, and
+    ranks cells purely by the ascending-cell tiebreak."""
+    from scribedb_spark.operators.similarity import sq_assign_cells
+
+    rows = [(i, [float(i + d + 1) for d in range(8)]) for i in range(4)]
+    rows.append((20, [0.0] * 8))
+    v = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = sq_assign_cells(v, n_cells=4, breadth=3).collect()
+    zero = sorted(
+        [(r["rn"], r["cell"]) for r in out if r["vec_id"] == 20]
+    )
+    # idot ties at 0 for every cell -> preference order is cell asc
+    assert zero == [(1, 0), (2, 1), (3, 2)]
+    # and normal vectors are unaffected
+    assert {r["vec_id"] for r in out} == {0, 1, 2, 3, 20}
