@@ -113,6 +113,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         f"training shards: {sh['n']} "
         f"(docs/shard {sh['lo']}-{sh['hi']})"
     )
+    # round-7 additions: soft-dedup reweighting + the promotion gate
+    w = Q.REGISTRY["sample_dedup_weights"].fn(spark, sf_dir)
+    down = w.filter(F.col("weight_ppm") < 1000000).count()
+    gate = Q.REGISTRY["pipeline_quality_gate"].fn(spark, sf_dir).collect()
+    verdict = ", ".join(
+        f"{r['check_name']}={'PASS' if r['passed'] else 'FAIL'}" for r in gate
+    )
+    print(f"soft-dedup downweighted docs: {down}")
+    print(f"quality gate: {verdict}")
     print(f"total wall time: {time.perf_counter()-t0:.1f}s")
 
 
