@@ -898,13 +898,15 @@ def ann_prefix_topk(spark, sf_dir) -> DataFrame:
     in any engine; rerank is the shared fold cosine, ROUND 6 + id
     tiebreaks.
 
-    Scale: the 10-row quantized query table broadcasts; prefix
-    scoring is map-only against the corpus scan (no shuffle until
-    the per-query top-{32} window, which carries 3-long rows);
-    rerank touches shortlist rows only. Compute is O(n * prefix_dims)
-    per query — a constant-factor cascade, the right tool when
-    queries are few and recall must degrade gracefully rather than
-    cliff on a mis-routed bucket."""
+    Scale: the 10-row quantized query table broadcasts (bounded
+    driver collect, the PQ discipline); prefix scoring is map-only —
+    one int64 numpy matmul per Arrow batch against the checkpointed
+    index, emitting partition-local shortlists (no shuffle until the
+    per-query top-{32} window, which carries 3-long rows); rerank
+    touches shortlist rows only. Compute is O(n * prefix_dims) per
+    query — a constant-factor cascade, the right tool when queries
+    are few and recall must degrade gracefully rather than cliff on
+    a mis-routed bucket."""
     from pyspark.sql import Window
 
     from scribedb_spark.functions.vector import quantize_int8
@@ -930,18 +932,43 @@ def ann_prefix_topk(spark, sf_dir) -> DataFrame:
         )
         .localCheckpoint()
     )
-    qs = vq.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("pq").alias("qpq")
+    import numpy as np
+    import pandas as pd
+
+    # 10 bounded query rows collect once; scoring is ONE int64 numpy
+    # matmul per Arrow batch (bit-identical to an integer-dot
+    # expression, the sq_assign_cells discipline) — never the
+    # interpreted per-(vector, query) higher-order fold, which costs
+    # ~100x at corpus scale
+    qrows = sorted(
+        vq.filter(F.col("vec_id") < 10).select("vec_id", "pq").collect(),
+        key=lambda r: r["vec_id"],
     )
-    pdot = F.aggregate(
-        F.zip_with(F.col("qpq"), F.col("pq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sc = (
-        vq.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("c_id"), pdot.alias("pdot"))
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Qp = np.array([r["pq"] for r in qrows], dtype=np.int64)
+    bc_q = spark.sparkContext.broadcast((q_ids, Qp))
+
+    def prefix_score(batches):
+        q_ids_, Qp_ = bc_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.stack(pdf["pq"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            pdots = P @ Qp_.T  # (batch, n_queries) exact int64
+            out_q, out_c, out_p = [], [], []
+            for qi, qid in enumerate(q_ids_):
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand_p = pdots[mask, qi]
+                top = np.lexsort((cand_ids, -cand_p))[:_PREFIX_SHORTLIST]
+                out_q.extend([qid] * len(top))
+                out_c.extend(cand_ids[top])
+                out_p.extend(cand_p[top])
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "pdot": out_p})
+
+    sc = vq.select("vec_id", "pq").mapInPandas(
+        prefix_score, schema="q_id long, c_id long, pdot long"
     )
     w_short = Window.partitionBy("q_id").orderBy(F.desc("pdot"), "c_id")
     short = (

@@ -1103,14 +1103,15 @@ def test_quantile_grid_single_exchange(qmod, spark, sf_dir):
     assert "partial_" in p
 
 
-def test_ann_prefix_index_checkpointed_queries_broadcast(qmod, spark, sf_dir):
+def test_ann_prefix_index_checkpointed_numpy_scoring(qmod, spark, sf_dir):
     """ann_prefix_topk: the quantized prefix-code index materializes
     once (zero parquet scans in the search plan — the stored-index
-    pattern) and the 10-row query table broadcasts into map-only
-    prefix scoring."""
+    pattern) and scoring is the Arrow-batched numpy matmul kernel,
+    never an interpreted per-(vector, query) fold or a join."""
     p = plan(qmod, spark, sf_dir, "ann_prefix_topk")
     assert "Scan parquet" not in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    assert "NestedLoop" not in p
 
 
 def test_bucket_advisor_partial_agg_powers_broadcast(qmod, spark, sf_dir):
