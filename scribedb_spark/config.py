@@ -213,10 +213,13 @@ def run_keyed_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
     the remote database computes its whole keyed-chunk fingerprint
     table in one aggregation round trip (compat.keyed_remote_hash);
     the Spark side is canonical.fp_keyed_chunks keyed on
-    ``compare.keys[0]``. Extra rows on either side surface as NOK
-    without a count preflight. Prefer this over remote-hybrid when
-    both sides speak this engine's md5 scheme; remote-hybrid remains
-    for reference chained-MD5 parity."""
+    ``compare.keys`` (composite keys route chunks by the
+    chr(2)-joined concat — the remote ``qry``'s ``k`` column must be
+    the matching dialect concat, exactly as in remote-colfp). Extra
+    rows on either side surface as NOK without a count preflight.
+    Prefer this over remote-hybrid when both sides speak this
+    engine's md5 scheme; remote-hybrid remains for reference
+    chained-MD5 parity."""
     from scribedb_spark.compat import connect_dbapi, keyed_hybrid_compare
 
     c = cfg.compare
@@ -240,13 +243,31 @@ def run_keyed_hybrid_config(spark: SparkSession, cfg: RootConfig) -> list[dict]:
         init=db.init,
     )
     try:
+        from pyspark.sql import functions as F
+
+        ldf = build_dataframe(spark, lside)
+        key = c.keys[0]
+        cols = db.cols
+        if len(c.keys) > 1:
+            # composite chunk key: rows sharing keys[0] must not be
+            # forced into co-routing that a remote single-column k
+            # cannot reproduce — both sides chunk on the chr(2) concat
+            key = "__scdb_ck"
+            ldf = ldf.withColumn(
+                key,
+                F.concat_ws(
+                    "\x02", *[F.col(k).cast("string") for k in c.keys]
+                ),
+            )
+            if cols is None:
+                cols = [x for x in ldf.columns if x != key]
         return keyed_hybrid_compare(
             conn,
             db.kind,
             db.qry,
-            build_dataframe(spark, lside),
-            c.keys[0],
-            cols=db.cols,
+            ldf,
+            key,
+            cols=cols,
             n_chunks=c.n_chunks,
         )
     finally:

@@ -519,3 +519,46 @@ def test_cli_remote_colfp_ok_and_nok(spark, sf_dir, tmp_path, capsys):
     assert rc == 1 and "different. (1 columns)" in out
     nok = [l for l in out.splitlines() if " NOK " in l]
     assert len(nok) == 1 and nok[0].startswith("col n_name")
+
+
+def test_cli_remote_keyed_composite_key(spark, sf_dir, tmp_path, capsys):
+    """--mode remote-keyed with a COMPOSITE key list: both sides
+    route chunks by the chr(2)-joined key concat (round-7 parity
+    with remote-colfp), so a multi-key YAML compares cleanly and a
+    remote mutation still localizes to its chunk."""
+    import yaml
+
+    from scribedb_spark.cli import main
+
+    qry = (
+        "select cast(n_nationkey as varchar) || chr(2) || "
+        "cast(n_regionkey as varchar) as k, "
+        "'(' || concat_ws(',', cast(n_nationkey as varchar), "
+        "cast(n_regionkey as varchar), n_name) || ')' as v from nation"
+    )
+    cfg = _hybrid_cfg(sf_dir, qry)
+    cfg["compare"]["target"]["db"]["columns"] = [
+        "n_nationkey", "n_regionkey", "n_name",
+    ]
+    cfg["compare"]["keys"] = ["n_nationkey", "n_regionkey"]
+    cfg["compare"]["n_chunks"] = 8
+    del cfg["compare"]["sort_keys"]
+    p = tmp_path / "keyed_comp.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = main(["-f", str(p), "--mode", "remote-keyed"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out, out
+
+    mut = qry.replace(
+        "n_name)", "case when n_nationkey = 3 then 'XX' else n_name end)"
+    )
+    cfg = _hybrid_cfg(sf_dir, mut)
+    cfg["compare"]["target"]["db"]["columns"] = [
+        "n_nationkey", "n_regionkey", "n_name",
+    ]
+    cfg["compare"]["keys"] = ["n_nationkey", "n_regionkey"]
+    cfg["compare"]["n_chunks"] = 8
+    p.write_text(yaml.safe_dump(cfg))
+    rc = main(["-f", str(p), "--mode", "remote-keyed"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "NOK" in out, out
