@@ -465,102 +465,209 @@ def cosine_topk_blocked(
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 
+def _int_d2_sql(a: str, b: str) -> str:
+    """Exact integer squared-L2 between two BIGINT lists (DuckDB)."""
+    return (
+        f"CAST(list_dot_product({a}, {a}) AS BIGINT)"
+        f" - 2 * CAST(list_dot_product({a}, {b}) AS BIGINT)"
+        f" + CAST(list_dot_product({b}, {b}) AS BIGINT)"
+    )
+
+
+def _int_lloyd_ctes(m: int, k: int, iters: int, sample: int) -> str:
+    """Shared DuckDB CTE chain for integer Lloyd k-means training —
+    the SQL twin of :func:`_pq_codebooks_int`, used by both the PQ
+    (m=8 subspaces) and IVF (m=1, full-dim) oracles: int8
+    quantization, per-(sub)space init from the first k sample rows,
+    ``iters`` unrolled assign/update CTE pairs with
+    round-half-away-from-zero integer means and empty clusters
+    keeping their previous centroid. Ends with the trained codebook
+    CTE ``c{iters}`` (columns j, c, cv)."""
+    sub = 64 // m
+
+    def rhz(s: str, n: str) -> str:
+        return (
+            f"CAST((CASE WHEN {s} >= 0 THEN 1 ELSE -1 END)"
+            f" * ((2 * abs({s}) + {n}) // (2 * {n})) AS BIGINT)"
+        )
+
+    mean_list = ", ".join(
+        rhz(f"SUM(s.sq[{d+1}])", "COUNT(*)") for d in range(sub)
+    )
+    train = ""
+    for t in range(iters):
+        train += f"""
+    a{t} AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT s.vec_id, s.j, c.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {_int_d2_sql("s.sq", "c.cv")} ASC, c.c ASC) AS rn
+        FROM samp s JOIN c{t} c ON c.j = s.j) WHERE rn = 1),
+    m{t} AS (
+      SELECT a.j, a.code AS c, COUNT(*) AS n, [{mean_list}] AS mv
+      FROM a{t} a JOIN samp s ON s.vec_id = a.vec_id AND s.j = a.j
+      GROUP BY a.j, a.code),
+    c{t + 1} AS (
+      SELECT c.j, c.c, COALESCE(m.mv, c.cv) AS cv
+      FROM c{t} c LEFT JOIN m{t} m ON m.j = c.j AND m.c = c.c),"""
+
+    return f"""v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q8 AS (
+      SELECT vec_id, e,
+             list_transform(e, x -> CAST(floor(
+               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+             ) AS BIGINT)) AS q
+      FROM v),
+    sub AS (
+      SELECT vec_id, j, list_slice(q, j * {sub} + 1, j * {sub} + {sub}) AS sq
+      FROM q8 CROSS JOIN (SELECT unnest(range({m})) AS j)),
+    samp AS (
+      SELECT s.* FROM sub s
+      JOIN (SELECT vec_id FROM q8 ORDER BY vec_id LIMIT {sample}) t
+        USING (vec_id)),
+    c0 AS (
+      SELECT j, rn - 1 AS c, sq AS cv FROM (
+        SELECT j, sq, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM samp) WHERE rn <= {k}),{train[:-1]}"""
+
+
+
 N_CELLS = 16
 N_PROBE = 4
 _IVF_SAMPLE = 2048
-_IVF_ITERS = 10
+_IVF_ITERS = 2    # integer Lloyd rounds (unrolled in the SQL oracle)
 
 
-def _ivf_centroids(V, k: int = N_CELLS, iters: int = _IVF_ITERS):
-    """Deterministic spherical k-means on a training sample: init =
-    first k rows (caller passes vec_id-sorted data — no RNG), Lloyd
-    iterations with dot-product assignment on L2-normalized vectors,
-    empty cells re-seeded from the worst-assigned point. Returns a
-    row-normalized (k, dim) centroid matrix."""
-    import numpy as np
+def _ivf_int_oracle(
+    k: int = N_CELLS, iters: int = _IVF_ITERS, probe: int = N_PROBE
+) -> str:
+    """DuckDB twin of ann_ivf_topk: full-dim (m=1) integer Lloyd
+    training via the shared :func:`_int_lloyd_ctes` chain, integer
+    nearest-cell assignment, d2-ranked query probing and exact-cosine
+    rerank."""
+    d2 = _int_d2_sql("s.sq", "c.cv")
+    return f"""
+    WITH {{lloyd}},
+    enc AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT s.vec_id, c.c,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {d2} ASC, c.c ASC) AS rn
+        FROM sub s JOIN c{iters} c ON c.j = s.j) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, c AS cell FROM (
+        SELECT s.vec_id, c.c,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {d2} ASC, c.c ASC) AS rn
+        FROM sub s JOIN c{iters} c ON c.j = s.j
+        WHERE s.vec_id < 10) WHERE rn <= {probe}),
+    cand AS (
+      SELECT p.q_id, e2.vec_id AS c_id
+      FROM probes p JOIN enc e2 ON e2.cell = p.cell
+      WHERE e2.vec_id <> p.q_id),
+    rer AS (
+      SELECT c.q_id, c.c_id,
+             ROUND(list_cosine_similarity(qa.e, ca.e), 6) AS score
+      FROM cand c
+      JOIN v qa ON qa.vec_id = c.q_id
+      JOIN v ca ON ca.vec_id = c.c_id),
+    r AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rk
+      FROM rer)
+    SELECT q_id, c_id, score, rk FROM r WHERE rk <= 5
+    """.format(lloyd=_int_lloyd_ctes(1, k, iters, _IVF_SAMPLE))
 
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    C = Vn[:k].copy()
-    for _ in range(iters):
-        sim = Vn @ C.T                      # (n, k)
-        assign = sim.argmax(axis=1)
-        for c in range(k):
-            members = Vn[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                C[c] = m / np.linalg.norm(m)
-            else:  # re-seed from the globally worst-assigned point
-                C[c] = Vn[sim.max(axis=1).argmin()]
-    return C
 
-
-@register("ann_ivf_topk")  # no oracle: IVF cells are not reasonably SQL-twinned
+@register("ann_ivf_topk", oracle=_ivf_int_oracle())
 def ann_ivf_topk(spark, sf_dir) -> DataFrame:
-    """ANN top-5 per query via an IVF coarse quantizer (the standard
-    billion-scale layout: FAISS-style cells, Spark-sized).
+    """ANN top-5 per query via a TRAINED IVF coarse quantizer (the
+    standard billion-scale layout: FAISS-style cells, Spark-sized).
 
-    Train: deterministic spherical k-means over a vec_id-sorted driver
-    sample (at 100 TB: a fixed hash-sample; training cost is O(sample),
-    not O(n)). Index: one Arrow/numpy pass assigns every vector to its
-    nearest of 16 cells — at scale this is the partition/bucket key,
-    so a cell's vectors are co-located and each query shuffles only
-    its probed cells. Search: queries (vec_id < 10) probe their 4
-    nearest cells, candidates re-rank by exact cosine, top-5.
+    Train: deterministic INTEGER Lloyd k-means on the full-dim
+    int8-quantized vec_id-sorted driver sample — the same trainer as
+    ann_pq_topk with one 64-dim "subspace" (:func:`_pq_codebooks_int`
+    with m=1). Round 7 replaced the float spherical k-means here:
+    integer training keeps the quantizer data-adaptive (unlike
+    ann_ivf_sq_topk's untrained seeds) while making every assignment
+    an exact int64 argmin, which is what lets the trained variant
+    carry a full DuckDB oracle — float Lloyd's per-iteration
+    summation-order ulp drift cannot.
 
-    Driver records a rows-only check; tests validate scores and recall
-    against numpy brute force (tests/test_similarity.py)."""
+    Index: one Arrow/numpy pass assigns every vector its nearest of
+    {16} cells — at scale the cell is the partition/bucket key, so a
+    cell's vectors are co-located and each query shuffles only its
+    probed cells. Search: queries (vec_id < 10) probe their {4}
+    nearest cells by the same integer metric (ties -> smaller cell),
+    candidates re-rank by exact float cosine (shared fold, ROUND 6 +
+    id tie-breaks), top-5. Recall floor vs numpy brute force pinned
+    in tests/test_similarity.py."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, "embeddings", sf_dir)
-    v = e.select("vec_id", to_double_array("embedding").alias("v"))
+    from scribedb_spark.functions.vector import quantize_int8
 
-    sample = np.stack(
-        [r["v"] for r in v.orderBy("vec_id").limit(_IVF_SAMPLE).collect()]
-    ).astype(np.float64)
-    C = _ivf_centroids(sample)
-    bc = spark.sparkContext.broadcast(C)
+    e = table(spark, "embeddings", sf_dir)
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    vq = e.select("vec_id", to_double_array("embedding").alias("e")).select(
+        "vec_id",
+        "e",
+        F.transform(
+            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+        ).alias("q"),
+    )
+    srows = vq.orderBy("vec_id").limit(_IVF_SAMPLE).collect()
+    sample = np.array([r["q"] for r in srows], dtype=np.int64)
+    books = _pq_codebooks_int(sample, m=1, k=N_CELLS, iters=_IVF_ITERS)[0]
+    bc = spark.sparkContext.broadcast(books)
 
     def assign_batches(batches):
-        M = bc.value
+        C = bc.value  # (cells, 64) int64
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sim = Vn @ M.T                          # (batch, cells)
-            top = np.argsort(-sim, axis=1)[:, :N_PROBE]  # probe order
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "v": pdf["v"],
-                    "cell": top[:, 0].astype(np.int32),
-                    "probes": [row.astype(np.int32) for row in top],
+                    "e": pdf["e"],
+                    # argmin first-occurrence == smallest cell on ties,
+                    # matching the oracle's (d2 ASC, cell ASC) order
+                    "cell": d2.argmin(axis=1).astype(np.int32),
                 }
             )
 
-    assigned = v.mapInPandas(
-        assign_batches,
-        schema="vec_id long, v array<double>, cell int, probes array<int>",
+    assigned = vq.select("vec_id", "e", "q").mapInPandas(
+        assign_batches, schema="vec_id long, e array<double>, cell int"
     )
-    # each vector lives in exactly ONE cell (no cross-cell duplicates,
-    # unlike LSH OR-amplification); queries fan out to N_PROBE cells
-    cands = assigned.select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "cell"
-    )
-    queries = (
-        assigned.filter(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.explode("probes").alias("cell"),
+    # queries sit inside the vec_id-sorted sample: derive their probe
+    # cells driver-side with the same integer metric (no second scan)
+    qs = [(r["vec_id"], r["q"], r["e"]) for r in srows if r["vec_id"] < 10]
+    probe_rows = []
+    for qid, qcode, qe in qs:
+        d2q = ((np.array(qcode, dtype=np.int64)[None, :] - books) ** 2).sum(
+            axis=1
         )
+        cells = np.arange(len(books), dtype=np.int64)
+        order = np.lexsort((cells, d2q))[:N_PROBE]
+        for cell in order:
+            probe_rows.append((int(qid), int(cell), list(qe)))
+    queries = spark.createDataFrame(
+        probe_rows, "q_id long, cell int, qv array<double>"
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("cv"), "cell"
     )
     scored = (
-        queries.join(cands, "cell")
+        cands.join(F.broadcast(queries), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
-            "q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score")
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
         )
     )
     from pyspark.sql import Window
@@ -625,59 +732,12 @@ def _pq_oracle(m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS) -> str:
     integer ADC shortlist and exact-cosine rerank. Generated
     programmatically so the per-dimension SUM unrolls and the
     iteration count stay in lockstep with the Spark constants."""
-    sub = 64 // m
 
     def d2(a: str, b: str) -> str:
-        return (
-            f"CAST(list_dot_product({a}, {a}) AS BIGINT)"
-            f" - 2 * CAST(list_dot_product({a}, {b}) AS BIGINT)"
-            f" + CAST(list_dot_product({b}, {b}) AS BIGINT)"
-        )
-
-    def rhz(s: str, n: str) -> str:
-        return (
-            f"CAST((CASE WHEN {s} >= 0 THEN 1 ELSE -1 END)"
-            f" * ((2 * abs({s}) + {n}) // (2 * {n})) AS BIGINT)"
-        )
-
-    mean_list = ", ".join(rhz(f"SUM(s.sq[{d+1}])", "COUNT(*)") for d in range(sub))
-    train = ""
-    for t in range(iters):
-        train += f"""
-    a{t} AS (
-      SELECT vec_id, j, c AS code FROM (
-        SELECT s.vec_id, s.j, c.c,
-               row_number() OVER (PARTITION BY s.vec_id, s.j
-                                  ORDER BY {d2("s.sq", "c.cv")} ASC, c.c ASC) AS rn
-        FROM samp s JOIN c{t} c ON c.j = s.j) WHERE rn = 1),
-    m{t} AS (
-      SELECT a.j, a.code AS c, COUNT(*) AS n, [{mean_list}] AS mv
-      FROM a{t} a JOIN samp s ON s.vec_id = a.vec_id AND s.j = a.j
-      GROUP BY a.j, a.code),
-    c{t + 1} AS (
-      SELECT c.j, c.c, COALESCE(m.mv, c.cv) AS cv
-      FROM c{t} c LEFT JOIN m{t} m ON m.j = c.j AND m.c = c.c),"""
+        return _int_d2_sql(a, b)
 
     return f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    q8 AS (
-      SELECT vec_id, e,
-             list_transform(e, x -> CAST(floor(
-               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
-             ) AS BIGINT)) AS q
-      FROM v),
-    sub AS (
-      SELECT vec_id, j, list_slice(q, j * {sub} + 1, j * {sub} + {sub}) AS sq
-      FROM q8 CROSS JOIN (SELECT unnest(range({m})) AS j)),
-    samp AS (
-      SELECT s.* FROM sub s
-      JOIN (SELECT vec_id FROM q8 ORDER BY vec_id LIMIT {_PQ_SAMPLE}) t
-        USING (vec_id)),
-    c0 AS (
-      SELECT j, rn - 1 AS c, sq AS cv FROM (
-        SELECT j, sq, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
-        FROM samp) WHERE rn <= {k}),{train}
+    WITH {_int_lloyd_ctes(m, k, iters, _PQ_SAMPLE)},
     enc AS (
       SELECT vec_id, j, c AS code FROM (
         SELECT s.vec_id, s.j, c.c,

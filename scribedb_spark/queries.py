@@ -1614,10 +1614,11 @@ def _enumeration_order() -> list[str]:
     2. PROVEN keys, contract keys first — once the backlog drains this
        degenerates to the original contract-first order and the driver
        budget becomes a standing re-verification sweep.
-    3. UNPROVEN keys WITHOUT a DuckDB oracle (``agg_approx_distinct``,
-       ``ann_ivf_topk``; ``ann_pq_topk`` graduated to oracle-backed in
-       round 7 via integer Lloyd training): the driver's check for
-       them is rows-only
+    3. UNPROVEN keys WITHOUT a DuckDB oracle (only
+       ``agg_approx_distinct`` — HLL/KLL sketches are genuinely
+       engine-specific; ``ann_pq_topk`` and ``ann_ivf_topk`` both
+       graduated to oracle-backed in round 7 via integer Lloyd
+       training): the driver's check for them is rows-only
        (err="no_oracle"), they can never satisfy the fully-green bar,
        so they must yield every budget slot or they would pin
        themselves ahead of provable keys forever.
@@ -1744,6 +1745,7 @@ _FRESH_WAVES.update(
             "sample_dedup_weights",
             "agg_mad_outliers",
             "compare_drill_rows",
+            "ann_ivf_topk",
         },
         7,
     )
