@@ -474,7 +474,9 @@ def _int_d2_sql(a: str, b: str) -> str:
     )
 
 
-def _int_lloyd_ctes(m: int, k: int, iters: int, sample: int) -> str:
+def _int_lloyd_ctes(
+    m: int, k: int, iters: int, sample: int, dim: int = 64
+) -> str:
     """Shared DuckDB CTE chain for integer Lloyd k-means training —
     the SQL twin of :func:`_pq_codebooks_int`, used by both the PQ
     (m=8 subspaces) and IVF (m=1, full-dim) oracles: int8
@@ -482,8 +484,10 @@ def _int_lloyd_ctes(m: int, k: int, iters: int, sample: int) -> str:
     ``iters`` unrolled assign/update CTE pairs with
     round-half-away-from-zero integer means and empty clusters
     keeping their previous centroid. Ends with the trained codebook
-    CTE ``c{iters}`` (columns j, c, cv)."""
-    sub = 64 // m
+    CTE ``c{iters}`` (columns j, c, cv). ``dim`` is the vector
+    dimensionality (64 for the driver corpus; tests train on smaller
+    synthetic vectors to property-check numpy/DuckDB equality)."""
+    sub = dim // m
 
     def rhz(s: str, n: str) -> str:
         return (

@@ -577,3 +577,57 @@ def test_resize_kernel_oracle_agree_on_non_ascii_newlines(spark):
     }
     conn.close()
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(st.integers(-40, 40), min_size=8, max_size=8),
+        min_size=6,
+        max_size=24,
+    )
+)
+def test_integer_lloyd_numpy_equals_duckdb(data):
+    """The integer Lloyd trainer must produce IDENTICAL codebooks in
+    numpy (_pq_codebooks_int, the Spark side) and in the generated
+    DuckDB CTE chain (_int_lloyd_ctes, the oracle side) on ARBITRARY
+    inputs — not just the driver corpus. Exercises init, integer
+    argmin ties, round-half-away-from-zero means, and the
+    empty-cluster keep-previous path. Vectors are 8-dim (m=1) with an
+    /16 exact-binary-fraction float encoding so the int8 quantization
+    is bit-identical on both sides."""
+    import duckdb
+    import numpy as np
+
+    from scribedb_spark.operators.similarity import (
+        _int_lloyd_ctes,
+        _pq_codebooks_int,
+    )
+
+    rows = []
+    for i, v in enumerate(data):
+        if all(x == 0 for x in v):
+            v = v[:-1] + [1]  # quantization divides by max_abs
+        rows.append((i, [x / 16.0 for x in v]))
+    k, iters = 4, 2
+
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    maxabs = np.max(np.abs(V), axis=1, keepdims=True)
+    Q = np.floor(V / maxabs * 127 + 0.5).astype(np.int64)
+    want = _pq_codebooks_int(Q, m=1, k=k, iters=iters)[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    ctes = _int_lloyd_ctes(1, k, iters, 2048, dim=8)
+    got = con.execute(
+        f"WITH {ctes} SELECT j, c, cv FROM c{iters} ORDER BY c"
+    ).fetchall()
+    con.close()
+    got_arr = np.array([r[2] for r in got], dtype=np.int64)
+    assert got_arr.shape == want.shape, (got_arr.shape, want.shape)
+    assert (got_arr == want).all()
