@@ -153,6 +153,7 @@ BENCH_KEYS = [
     "sample_dedup_weights",
     "agg_mad_outliers",
     "compare_drill_rows",
+    "stream_enrich_static",
 ]
 
 

@@ -1746,6 +1746,7 @@ _FRESH_WAVES.update(
             "agg_mad_outliers",
             "compare_drill_rows",
             "ann_ivf_topk",
+            "stream_enrich_static",
         },
         7,
     )

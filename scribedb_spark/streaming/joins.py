@@ -35,6 +35,39 @@ def stream_static_enrich(
     return events.join(dim, on, how)
 
 
+@register(
+    "stream_enrich_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_nationkey
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_enrich_static(spark, sf_dir) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (the same
+    ``stream_static_enrich`` body the streaming test drains against a
+    live readStream): each event row picks up its customer dimension
+    attributes. The DuckDB oracle hash-checks the join semantics; the
+    streaming-equality test (tests/test_streaming.py::
+    test_stream_static_enrich_equals_batch) checks the
+    incrementalization — stream-static joins are stateless, so each
+    micro-batch re-plans the join and Catalyst broadcasts the dim
+    exactly as in batch (no watermark, no state store).
+
+    Scale: the dim side is re-resolved per micro-batch, which is the
+    mechanism by which slowly-changing dims propagate between
+    batches; a corpus-sized dim would flip to a shuffle join under
+    AQE — no forced hint here for exactly that reason."""
+    e = table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    return stream_static_enrich(e, dim, "user_id").select(
+        "event_id", "user_id", "event_type", "c_name", "c_nationkey"
+    )
+
+
 def view_click_attribution(
     views: DataFrame,
     clicks: DataFrame,

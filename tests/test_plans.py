@@ -1194,3 +1194,14 @@ def test_drill_rows_semi_join_bounded_fetch(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "compare_drill_rows")
     assert "LeftSemi" in p
     assert "partial_sum" in p
+
+
+def test_stream_enrich_static_broadcasts_dim(qmod, spark, sf_dir):
+    """stream_enrich_static (batch twin): the customer dim broadcasts
+    at this size with no forced hint (a corpus-sized dim must be free
+    to flip to shuffle under AQE)."""
+    df = qmod.REGISTRY["stream_enrich_static"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "stream_enrich_static")
+    assert "BroadcastHashJoin" in p
