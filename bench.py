@@ -154,6 +154,7 @@ BENCH_KEYS = [
     "agg_mad_outliers",
     "compare_drill_rows",
     "stream_enrich_static",
+    "graph_common_neighbors",
 ]
 
 

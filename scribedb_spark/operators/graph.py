@@ -244,3 +244,90 @@ def graph_triangle_count(spark, sf_dir) -> DataFrame:
 
     e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
     return triangle_counts(e)
+
+
+#: witnesses above this degree are excluded from common-neighbor
+#: counting — boilerplate hubs connect to everything, so co-adjacency
+#: through them is weak evidence (the Adamic-Adar intuition made a
+#: hard cutoff), and excluding them bounds wedge cost by 32*|E|
+_CN_MAX_WITNESS_DEG = 32
+_CN_MIN_COMMON = 2
+
+
+def _common_neighbors_oracle() -> str:
+    from scribedb_spark.operators.dedup import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    und AS (
+      SELECT doc_id1 AS a, doc_id2 AS b FROM lsh_cand
+      UNION ALL SELECT doc_id2, doc_id1 FROM lsh_cand),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1),
+    wit AS (
+      SELECT u.b AS w, u.a
+      FROM und u JOIN deg ON deg.node = u.b
+      WHERE deg.d <= {_CN_MAX_WITNESS_DEG}),
+    cn AS (
+      SELECT x.a AS doc_id1, y.a AS doc_id2,
+             COUNT(DISTINCT x.w) AS n_common
+      FROM wit x JOIN wit y ON x.w = y.w AND x.a < y.a
+      GROUP BY 1, 2),
+    missed AS (
+      SELECT c.doc_id1, c.doc_id2, CAST(c.n_common AS BIGINT) AS n_common
+      FROM cn c
+      LEFT JOIN lsh_cand e
+        ON e.doc_id1 = c.doc_id1 AND e.doc_id2 = c.doc_id2
+      WHERE e.doc_id1 IS NULL AND c.n_common >= {_CN_MIN_COMMON})
+    SELECT doc_id1, doc_id2, n_common FROM missed
+    """
+
+
+@register("graph_common_neighbors", oracle=_common_neighbors_oracle())
+def graph_common_neighbors(spark, sf_dir) -> DataFrame:
+    """Missed-duplicate recovery by link prediction: NON-adjacent
+    pairs in the near-dup candidate graph sharing >= 2 common
+    neighbors — if A~B and B~C passed the LSH bands but A~C did not,
+    the shared neighborhood is strong evidence A~C was a band-miss
+    worth re-verifying. The second-pass recall knob every
+    LSH-bucketed dedup pipeline wants before collapsing clusters.
+
+    Witnesses are DEGREE-CAPPED ({32}): co-adjacency through a
+    boilerplate hub connects everything to everything and carries no
+    signal (the Adamic-Adar intuition as a hard cutoff) — and the cap
+    is also what makes the plan scale-safe: wedge enumeration is
+    bounded by cap * |E| instead of sum(deg^2), the same hub hazard
+    the degree-ordered triangle orientation dodges, handled here by
+    exclusion because counting requires enumerating every witness's
+    wedge. Existing edges drop via a key-only anti join.
+
+    Scale: one degree groupBy (map-side partial), the witness filter,
+    a self-join on witness id bounded by the cap, a count-distinct
+    per pair (bounded by cap), and the anti join carries two longs.
+    The edge list is checkpointed, so the LSH stage runs once."""
+    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+
+    e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    und = e.select(
+        F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b")
+    ).unionAll(e.select(F.col("doc_id2").alias("a"), F.col("doc_id1").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wit = (
+        und.join(deg, und.b == deg.node)
+        .filter(F.col("d") <= _CN_MAX_WITNESS_DEG)
+        .select(F.col("b").alias("w"), "a")
+    )
+    x = wit.select(F.col("w"), F.col("a").alias("doc_id1"))
+    y = wit.select(F.col("w"), F.col("a").alias("doc_id2"))
+    cn = (
+        x.join(y, "w")
+        .filter(F.col("doc_id1") < F.col("doc_id2"))
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count_distinct("w").alias("n_common"))
+    )
+    return (
+        cn.join(e, ["doc_id1", "doc_id2"], "left_anti")
+        .filter(F.col("n_common") >= _CN_MIN_COMMON)
+        .select("doc_id1", "doc_id2", F.col("n_common").cast("long").alias("n_common"))
+    )

@@ -1747,6 +1747,7 @@ _FRESH_WAVES.update(
             "compare_drill_rows",
             "ann_ivf_topk",
             "stream_enrich_static",
+            "graph_common_neighbors",
         },
         7,
     )

@@ -1205,3 +1205,14 @@ def test_stream_enrich_static_broadcasts_dim(qmod, spark, sf_dir):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     p = plan(qmod, spark, sf_dir, "stream_enrich_static")
     assert "BroadcastHashJoin" in p
+
+
+def test_common_neighbors_degree_capped_no_rescan(qmod, spark, sf_dir):
+    """graph_common_neighbors: the witness self-join is degree-capped
+    (the hub filter appears before the wedge join), the existing-edge
+    drop is a key-only LeftAnti, and the checkpointed edge list means
+    no parquet rescans."""
+    p = plan(qmod, spark, sf_dir, "graph_common_neighbors")
+    assert "Scan parquet" not in p
+    assert "LeftAnti" in p
+    assert "partial_count" in p
