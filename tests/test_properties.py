@@ -631,3 +631,108 @@ def test_integer_lloyd_numpy_equals_duckdb(data):
     got_arr = np.array([r[2] for r in got], dtype=np.int64)
     assert got_arr.shape == want.shape, (got_arr.shape, want.shape)
     assert (got_arr == want).all()
+
+
+def test_drill_rows_equals_unrestricted_diff(spark, sf_dir):
+    """compare_drill_rows: the hot-chunk restriction must be LOSSLESS
+    — the bounded row fetch equals the full unrestricted symmetric
+    exceptAll diff of the same two sides (a row can only differ if
+    its chunk fingerprint differs, because the fingerprint sums every
+    row's term)."""
+    from pyspark.sql import functions as FF
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+    from scribedb_spark.sources import table
+
+    load_extensions()
+    got = {
+        tuple(r) for r in REGISTRY["compare_drill_rows"].fn(spark, sf_dir).collect()
+    }
+    cents = FF.floor(FF.col("o_totalprice") * 100 + FF.lit(0.5)).cast("long")
+    base = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        cents.alias("cents"), "o_orderpriority",
+    )
+    tgt = base.withColumn(
+        "o_orderstatus",
+        FF.when(FF.col("o_orderkey") % 1500 == 0, FF.lit("X")).otherwise(
+            FF.col("o_orderstatus")
+        ),
+    ).withColumn(
+        "cents",
+        FF.col("cents")
+        + FF.when(FF.col("o_orderkey") % 2000 == 0, FF.lit(100)).otherwise(
+            FF.lit(0)
+        ),
+    )
+    cols = base.columns
+    want = {
+        tuple(r)
+        for r in base.exceptAll(tgt)
+        .select(FF.lit("src").alias("side"), *cols)
+        .unionByName(tgt.exceptAll(base).select(FF.lit("tgt").alias("side"), *cols))
+        .collect()
+    }
+    assert got == want and got
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=60)
+)
+def test_quantile_grid_formula_is_type1(vals):
+    """(n*q + 99) // 100 rank selection == numpy's inverted_cdf
+    (type-1) quantile on arbitrary integer data — the semantic claim
+    behind agg_quantile_grid, checked against an independent
+    implementation."""
+    import numpy as np
+
+    s = sorted(vals)
+    n = len(s)
+    for q in (25, 50, 75, 95):
+        rank = (n * q + 99) // 100  # 1-based ceil(q*n/100)
+        ours = s[max(rank, 1) - 1]
+        ref = np.quantile(np.array(s), q / 100, method="inverted_cdf")
+        assert ours == ref, (q, n, ours, ref)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=50)
+)
+def test_mad_scaled_integer_formulas(vals):
+    """The 2x/4x scaled-integer median/MAD/fence pipeline of
+    agg_mad_outliers == a plain float reference (statistics.median,
+    |x - med| > 3 * MAD) on arbitrary integers: doubling the scale at
+    each median makes the .5 cases exact, so the integer fence can
+    never disagree with the real-valued definition."""
+    import statistics
+
+    s = sorted(vals)
+    n = len(s)
+    # selection mirrors the SQL: ranks (n+1)//2 and (n+2)//2
+    sel = {(n + 1) // 2, (n + 2) // 2}
+    picked = [s[r - 1] for r in sorted(sel)]
+    med2x = 2 * picked[0] if len(picked) == 1 else picked[0] + picked[1]
+    assert med2x / 2 == statistics.median(vals)
+
+    dev2x = sorted(abs(2 * x - med2x) for x in vals)
+    sel2 = {(n + 1) // 2, (n + 2) // 2}
+    picked2 = [dev2x[r - 1] for r in sorted(sel2)]
+    mad4x = 2 * picked2[0] if len(picked2) == 1 else picked2[0] + picked2[1]
+    ref_mad = statistics.median([abs(x - med2x / 2) for x in vals])
+    assert mad4x / 4 == ref_mad
+
+    n_out = sum(1 for x in vals if 2 * abs(2 * x - med2x) > 3 * mad4x)
+    ref_out = sum(
+        1 for x in vals if abs(x - med2x / 2) > 3 * ref_mad
+    )
+    assert n_out == ref_out
