@@ -736,3 +736,40 @@ def test_mad_scaled_integer_formulas(vals):
         1 for x in vals if abs(x - med2x / 2) > 3 * ref_mad
     )
     assert n_out == ref_out
+
+
+@given(rows=DOC_ROWS)
+@_settings
+def test_containment_corpus_and_salted_exact(spark, rows):
+    """Corpus-mode containment (every doc, no batch filter) and its
+    salted twin must both equal Python brute force on arbitrary small
+    corpora — the prefix bound stays lossless without the batch
+    restriction, and salting relocates rows without dropping any."""
+    from scribedb_spark.operators import dedup as D
+
+    docs = [(i, "s0", " ".join(words)) for i, words in rows]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    plain = {
+        (r["doc_id1"], r["doc_id2"], r["containment"])
+        for r in D.containment_best(df).collect()
+    }
+    salted = {
+        (r["doc_id1"], r["doc_id2"], r["containment"])
+        for r in D.containment_best(df, salt=D._CONTAIN_SALT).collect()
+    }
+    toks = {i: set(t.split(" ")) for i, _, t in docs}
+    best = {}
+    for a in toks:
+        for b in toks:
+            if a == b:
+                continue
+            inter = len(toks[a] & toks[b])
+            c = inter / len(toks[a])
+            if c >= D._CONTAIN_T:
+                cr = round(c, 6)
+                cur = best.get(a)
+                if cur is None or (-cr, b) < (-cur[1], cur[0]):
+                    best[a] = (b, cr)
+    want = {(a, b, c) for a, (b, c) in best.items()}
+    assert plain == want
+    assert salted == want
