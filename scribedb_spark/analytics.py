@@ -2447,13 +2447,21 @@ def compare_drill_rows(spark, sf_dir) -> DataFrame:
     from scribedb_spark.canonical import keyed_chunk_id
 
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    base = table(spark, "orders", sf_dir).select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        cents.alias("cents"),
-        "o_orderpriority",
-        keyed_chunk_id(F.col("o_orderkey"), 16).alias("chunk_id"),
+    # each side feeds BOTH the fingerprint pass and the row fetch —
+    # checkpoint the rendered base once so the plan reads the scan
+    # once, not four times (at scale both sides are persisted tables
+    # and the fp pass reads a precomputed 16-row artifact)
+    base = (
+        table(spark, "orders", sf_dir)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            cents.alias("cents"),
+            "o_orderpriority",
+            keyed_chunk_id(F.col("o_orderkey"), 16).alias("chunk_id"),
+        )
+        .localCheckpoint()
     )
     tgt = base.withColumn(
         "o_orderstatus",
