@@ -2364,10 +2364,14 @@ def compare_cell_incremental(spark, sf_dir) -> DataFrame:
     # the base grid is the PERSISTED artifact at 100 TB (64 rows) —
     # build it once per session (the merkle-cache discipline) so the
     # steady-state cost is the delta branches, as the docstring claims
-    ck = (spark.sparkContext.applicationId, sf_dir)
-    if ck not in _CELL_GRID_CACHE:
-        _CELL_GRID_CACHE[ck] = grid_terms(o, 1).localCheckpoint()
-    base = _CELL_GRID_CACHE[ck]
+    from scribedb_spark.cache import session_cache
+
+    base = session_cache(
+        _CELL_GRID_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: grid_terms(o, 1).localCheckpoint(),
+    )
     delta_keys = F.col("o_orderkey") % 2000 == 0
     old_rows = o.filter(delta_keys)
     new_rows = old_rows.withColumn(

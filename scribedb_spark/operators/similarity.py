@@ -542,6 +542,47 @@ N_PROBE = 4
 _IVF_SAMPLE = 2048
 _IVF_ITERS = 2    # integer Lloyd rounds (unrolled in the SQL oracle)
 
+#: trained quantizer artifacts (collected sample rows + integer-Lloyd
+#: codebooks) keyed by (appId, kind, sf_dir, params) — the "train
+#: once, serve many" lifecycle every real ANN deployment has: at
+#: 100 TB the quantizer is trained on a bounded sample ONCE and the
+#: serving path only ever assigns/probes against the frozen codebook.
+#: Round 7 retrained per invocation (the oracle-graduation tradeoff,
+#: ann_ivf 0.81->1.68 s in bench); the session cache restores the
+#: honest lifecycle without touching the oracle contract (same
+#: deterministic training, just not repeated).
+_ANN_TRAIN_CACHE: dict = {}
+
+#: every ACTUAL training run (sample collect + Lloyd) appends
+#: (kind, sf_dir) here so tests can assert a second same-session
+#: invocation performs zero training collects
+#: (tests/test_similarity.py::test_ann_train_once_per_session)
+TRAIN_EVENTS: list = []
+
+
+def _ivf_trained(spark, sf_dir, vq):
+    """IVF training artifacts — built once per (session, sf_dir):
+    collect the vec_id-sorted driver sample (bounded: _IVF_SAMPLE
+    rows) and run full-dim integer Lloyd (m=1). Returns
+    (sample_rows, codebook)."""
+    import numpy as np
+
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        srows = vq.orderBy("vec_id").limit(_IVF_SAMPLE).collect()
+        sample = np.array([r["q"] for r in srows], dtype=np.int64)
+        books = _pq_codebooks_int(sample, m=1, k=N_CELLS, iters=_IVF_ITERS)[0]
+        TRAIN_EVENTS.append(("ivf", sf_dir))
+        return srows, books
+
+    return session_cache(
+        _ANN_TRAIN_CACHE,
+        spark,
+        ("ivf", sf_dir, _IVF_SAMPLE, N_CELLS, _IVF_ITERS),
+        build,
+    )
+
 
 def _ivf_int_oracle(
     k: int = N_CELLS, iters: int = _IVF_ITERS, probe: int = N_PROBE
@@ -622,9 +663,7 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
             quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
         ).alias("q"),
     )
-    srows = vq.orderBy("vec_id").limit(_IVF_SAMPLE).collect()
-    sample = np.array([r["q"] for r in srows], dtype=np.int64)
-    books = _pq_codebooks_int(sample, m=1, k=N_CELLS, iters=_IVF_ITERS)[0]
+    srows, books = _ivf_trained(spark, sf_dir, vq)
     bc = spark.sparkContext.broadcast(books)
 
     def assign_batches(batches):
@@ -693,6 +732,32 @@ PQ_K = 16         # centroids per subspace (4-bit codes)
 _PQ_SAMPLE = 2048
 _PQ_ITERS = 2     # integer Lloyd rounds (unrolled in the SQL oracle)
 _PQ_SHORTLIST = 32
+
+
+def _pq_trained(spark, sf_dir, vq):
+    """PQ training artifacts — built once per (session, sf_dir):
+    collect the vec_id-sorted (vec_id, q) sample and run per-subspace
+    integer Lloyd. Returns (sample_rows, codebook tensor). Same
+    train-once discipline as :func:`_ivf_trained`."""
+    import numpy as np
+
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        srows = (
+            vq.select("vec_id", "q").orderBy("vec_id").limit(_PQ_SAMPLE).collect()
+        )
+        sample = np.array([r["q"] for r in srows], dtype=np.int64)
+        books = _pq_codebooks_int(sample)
+        TRAIN_EVENTS.append(("pq", sf_dir))
+        return srows, books
+
+    return session_cache(
+        _ANN_TRAIN_CACHE,
+        spark,
+        ("pq", sf_dir, _PQ_SAMPLE, PQ_M, PQ_K, _PQ_ITERS),
+        build,
+    )
 
 
 def _pq_codebooks_int(Q, m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS):
@@ -822,14 +887,12 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
         ).alias("q"),
     )
 
-    srows = vq.select("vec_id", "q").orderBy("vec_id").limit(_PQ_SAMPLE).collect()
-    sample = np.array([r["q"] for r in srows], dtype=np.int64)
-    books = _pq_codebooks_int(sample)
+    srows, books = _pq_trained(spark, sf_dir, vq)
     bc_books = spark.sparkContext.broadcast(books)
 
     # queries sit inside the vec_id-sorted sample (vec_id < 10), so
     # their integer ADC tables need no second collect
-    sub = sample.shape[1] // PQ_M
+    sub = len(srows[0]["q"]) // PQ_M
     q_ids = np.array([r["vec_id"] for r in srows if r["vec_id"] < 10])
     Qm = np.array([r["q"] for r in srows if r["vec_id"] < 10], dtype=np.int64)
     # tables[q, j, c] = integer ||Q[q, subspace j] - codebook[j][c]||^2
@@ -973,43 +1036,54 @@ def ann_prefix_topk(spark, sf_dir) -> DataFrame:
     a mis-routed bucket."""
     from pyspark.sql import Window
 
+    from scribedb_spark.cache import session_cache
     from scribedb_spark.functions.vector import quantize_int8
 
-    e = table(spark, "embeddings", sf_dir)
-    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
-    # the prefix-code index is a stored artifact at scale; the
-    # checkpoint materializes it once so the shortlist, the query
-    # table and the rerank all read the index, not the parquet
-    # (without it this plan scanned embeddings 8x)
-    vq = (
-        e.select("vec_id", to_double_array("embedding").alias("e"))
-        .select(
-            "vec_id",
-            "e",
-            F.slice(
-                F.transform(
-                    quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
-                ),
-                1,
-                _PREFIX_DIMS,
-            ).alias("pq"),
-        )
-        .localCheckpoint()
-    )
     import numpy as np
     import pandas as pd
 
-    # 10 bounded query rows collect once; scoring is ONE int64 numpy
-    # matmul per Arrow batch (bit-identical to an integer-dot
-    # expression, the sq_assign_cells discipline) — never the
-    # interpreted per-(vector, query) higher-order fold, which costs
-    # ~100x at corpus scale
-    qrows = sorted(
-        vq.filter(F.col("vec_id") < 10).select("vec_id", "pq").collect(),
-        key=lambda r: r["vec_id"],
+    def build_index():
+        # the prefix-code index is a stored artifact at scale; the
+        # checkpoint materializes it once (per session, via the same
+        # cache discipline as the trained quantizers) so the
+        # shortlist, the query table and the rerank all read the
+        # index, not the parquet (without it this plan scanned
+        # embeddings 8x)
+        e = table(spark, "embeddings", sf_dir)
+        max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+        vq_ = (
+            e.select("vec_id", to_double_array("embedding").alias("e"))
+            .select(
+                "vec_id",
+                "e",
+                F.slice(
+                    F.transform(
+                        quantize_int8(F.col("e"), max_abs),
+                        lambda x: x.cast("long"),
+                    ),
+                    1,
+                    _PREFIX_DIMS,
+                ).alias("pq"),
+            )
+            .localCheckpoint()
+        )
+        # 10 bounded query rows collect once; scoring is ONE int64
+        # numpy matmul per Arrow batch (bit-identical to an
+        # integer-dot expression, the sq_assign_cells discipline) —
+        # never the interpreted per-(vector, query) higher-order
+        # fold, which costs ~100x at corpus scale
+        qrows = sorted(
+            vq_.filter(F.col("vec_id") < 10).select("vec_id", "pq").collect(),
+            key=lambda r: r["vec_id"],
+        )
+        q_ids_ = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        Qp_ = np.array([r["pq"] for r in qrows], dtype=np.int64)
+        TRAIN_EVENTS.append(("prefix", sf_dir))
+        return vq_, q_ids_, Qp_
+
+    vq, q_ids, Qp = session_cache(
+        _ANN_TRAIN_CACHE, spark, ("prefix", sf_dir, _PREFIX_DIMS), build_index
     )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    Qp = np.array([r["pq"] for r in qrows], dtype=np.int64)
     bc_q = spark.sparkContext.broadcast((q_ids, Qp))
 
     def prefix_score(batches):

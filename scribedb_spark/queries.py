@@ -2547,12 +2547,15 @@ _MERKLE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
 
 
 def _merkle_levels_cached(spark, sf_dir, side, df_fn):
+    from scribedb_spark.cache import session_cache
     from scribedb_spark.compare import merkle_levels
 
-    key = (spark.sparkContext.applicationId, sf_dir, side)
-    if key not in _MERKLE_CACHE:
-        _MERKLE_CACHE[key] = merkle_levels(df_fn(), _MERKLE_COLS, ["o_orderkey"])
-    return _MERKLE_CACHE[key]
+    return session_cache(
+        _MERKLE_CACHE,
+        spark,
+        (sf_dir, side),
+        lambda: merkle_levels(df_fn(), _MERKLE_COLS, ["o_orderkey"]),
+    )
 
 
 _MERKLE_L0 = """

@@ -374,3 +374,41 @@ def test_sq_assign_cells_zero_vector_deterministic(spark):
     assert zero == [(1, 0), (2, 1), (3, 2)]
     # and normal vectors are unaffected
     assert {r["vec_id"] for r in out} == {0, 1, 2, 3, 20}
+
+
+def test_ann_train_once_per_session(spark, sf_dir, monkeypatch):
+    """Index lifecycle: the FIRST invocation of each trained-index key
+    in a session trains/builds (bounded sample collect + Lloyd /
+    checkpoint); every later invocation must serve from the session
+    cache with ZERO training work. Proven two ways: the TRAIN_EVENTS
+    log must not grow, and the trainer itself is patched to raise —
+    a second call that retrained would blow up."""
+    from scribedb_spark.operators import similarity as sim
+
+    keys = [sim.ann_ivf_topk, sim.ann_pq_topk, sim.ann_prefix_topk]
+    first = [fn(spark, sf_dir).count() for fn in keys]
+    n_events = len(sim.TRAIN_EVENTS)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("retrained inside a warm session")
+
+    monkeypatch.setattr(sim, "_pq_codebooks_int", boom)
+    second = [fn(spark, sf_dir).count() for fn in keys]
+    assert len(sim.TRAIN_EVENTS) == n_events
+    assert second == first
+
+
+def test_session_cache_evicts_stale_app_entries(spark):
+    """cache.session_cache keeps at most the live session's entries:
+    artifacts keyed to a stopped SparkContext's applicationId must be
+    evicted on the next lookup (they pin dead localCheckpoint RDDs in
+    long-lived processes otherwise)."""
+    from scribedb_spark.cache import session_cache
+
+    cache = {("app-dead", "x"): "stale", ("app-dead2", "y"): "stale"}
+    got = session_cache(cache, spark, ("mine",), lambda: "fresh")
+    assert got == "fresh"
+    app = spark.sparkContext.applicationId
+    assert set(cache) == {(app, "mine")}
+    # warm hit: builder not re-run
+    assert session_cache(cache, spark, ("mine",), lambda: "rebuilt") == "fresh"
