@@ -1568,6 +1568,29 @@ def _bucket_advisor_oracle() -> str:
     """
 
 
+def bucket_recommendation(m: DataFrame, powers: DataFrame) -> DataFrame:
+    """Attach the smallest satisfying power-of-two bucket count to a
+    one-row metrics frame (columns ... , need). LEFT join: when no
+    power of two <= 2^30 satisfies the need (n_rows > target * 2^30)
+    the metrics row must still be emitted with rec_buckets NULL —
+    matching the oracle's scalar-subquery semantics; an inner join
+    would silently drop the whole row (round-8 advisor fix, unit-
+    tested in tests/test_compare.py::test_bucket_recommendation_null
+    since real test data cannot reach the overflow)."""
+    return (
+        m.join(F.broadcast(powers), F.col("p") >= F.col("need"), "left")
+        .groupBy(
+            "table_name",
+            "key_name",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            "hot_key_ppm",
+        )
+        .agg(F.min("p").alias("rec_buckets"))
+    )
+
+
 @register("layout_bucket_advisor", oracle=_bucket_advisor_oracle())
 def layout_bucket_advisor(spark, sf_dir) -> DataFrame:
     """Physical-design advisor for bucketed tables: for each
@@ -1616,19 +1639,7 @@ def layout_bucket_advisor(spark, sf_dir) -> DataFrame:
                 f"(n_rows + {_BUCKET_TARGET_ROWS - 1}) div {_BUCKET_TARGET_ROWS}"
             ).alias("need"),
         )
-        rec = (
-            m.join(F.broadcast(powers), F.col("p") >= F.col("need"))
-            .groupBy(
-                "table_name",
-                "key_name",
-                "n_rows",
-                "n_keys",
-                "max_key_rows",
-                "hot_key_ppm",
-            )
-            .agg(F.min("p").alias("rec_buckets"))
-        )
-        outs.append(rec)
+        outs.append(bucket_recommendation(m, powers))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -56,9 +56,13 @@ def quantize_int8(a: Column, scale: Column) -> Column:
     """Symmetric int8 quantization against a per-vector scale:
     q_i = floor(x_i / scale * 127 + 0.5). Element-wise doubles only —
     no sums, so (unlike norms/dots) the result is bit-exact across
-    engines with no rounding tolerance needed."""
+    engines with no rounding tolerance needed. An all-zero vector
+    (scale 0) divides by 1 instead — every engine then emits the
+    all-zero code rather than NaN (sq_assign_cells' numpy path has
+    the same guard; the DuckDB oracles mirror it with CASE WHEN)."""
+    safe = F.when(scale == F.lit(0), F.lit(1.0)).otherwise(scale)
     return F.transform(
-        a, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("int")
+        a, lambda x: F.floor(x / safe * 127 + F.lit(0.5)).cast("int")
     )
 
 
@@ -72,7 +76,9 @@ def quantize_int8(a: Column, scale: Column) -> Column:
       FROM d)
     SELECT vec_id, max_abs,
            array_to_string(
-             list_transform(e, x -> CAST(floor(x / max_abs * 127 + 0.5) AS INT)),
+             list_transform(e, x -> CAST(floor(
+               x / (CASE WHEN max_abs = 0 THEN 1 ELSE max_abs END) * 127 + 0.5
+             ) AS INT)),
              ',') AS q8
     FROM s
     """,

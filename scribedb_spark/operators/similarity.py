@@ -387,6 +387,125 @@ def join_similarity(spark, sf_dir) -> DataFrame:
     )
 
 
+_SIMTOPK_FLOOR = 0.02
+_SIMTOPK_K = 3
+
+_SIMTOPK_ORACLE = f"""
+    WITH tok AS ({{shingles}}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT doc_id1, doc_id2, i * 1.0 / (sa.n + sb.n - i) AS j
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_id1
+      JOIN sz sb ON sb.doc_id = doc_id2
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= {_SIMTOPK_FLOOR}),
+    orient AS (
+      SELECT doc_id1, doc_id2, j FROM scored
+      UNION ALL
+      SELECT doc_id2 AS doc_id1, doc_id1 AS doc_id2, j FROM scored),
+    r AS (
+      SELECT doc_id1, doc_id2, j,
+             row_number() OVER (PARTITION BY doc_id1
+                                ORDER BY j DESC, doc_id2) AS rk
+      FROM orient)
+    SELECT doc_id1, doc_id2, ROUND(j, 6) AS jaccard, rk
+    FROM r WHERE rk <= {_SIMTOPK_K}
+    """
+
+
+@register(
+    "join_similarity_topk", oracle=_SIMTOPK_ORACLE.format(shingles=SQL_SHINGLES)
+)
+def join_similarity_topk(spark, sf_dir) -> DataFrame:
+    """TOP-K similarity join — the retrieval shape: each document's
+    {3} most-similar same-source neighbors by shingle jaccard, above
+    a low relevance floor ({0.02}). Distinct from the threshold join
+    (J7/join_similarity finds near-DUPLICATE pairs at 0.9; this key
+    finds each doc's best MATCHES however weak) — the shape RAG /
+    mining pipelines actually want from a sparse index.
+
+    Plan: the classic inverted-index retrieval join — shingle
+    explode, candidates = same-source doc pairs sharing >= 1 shingle
+    (a.doc_id < b.doc_id so each unordered pair is counted once),
+    intersection counted IN the candidate join's groupBy (map-side
+    partial count on flat rows, no arrays in shuffle), jaccard from
+    the two set sizes, then both orientations union and a per-query
+    window keeps the top {3} — Spark compiles the rank filter to
+    WindowGroupLimit, so each partition retains only k rows per query
+    before the final shuffle (plan-asserted).
+
+    Exactness: i, na, nb are exact ints; j = i/(na+nb-i) is one IEEE
+    double division — bit-identical across engines, so ranking on the
+    raw double (tie-break doc_id2) is deterministic; ROUND 6 only at
+    emit. No floor-dependent prefix pruning at 0.02 (prefix length
+    would be ~n): the candidate bound here is the inverted index
+    itself — pair volume is sum over shingles of block-local df^2,
+    which token rarity keeps near-linear (the dedup_ngram_jaccard
+    measurement), never n^2.
+
+    Scale: two shuffles (pair groupBy + window); the sz join inputs
+    are one row per doc; no broadcast hints — AQE sizes them
+    (vocabulary and doc counts grow with the corpus)."""
+    from scribedb_spark.operators.dedup import min_tokens_filter, shingles3
+
+    d = (
+        table(spark, "documents", sf_dir)
+        .filter(min_tokens_filter())
+        .select("doc_id", "source", shingles3(F.col("text")).alias("toks"))
+    )
+    tok = d.select("doc_id", "source", F.explode("toks").alias("tok"))
+    sz = d.select("doc_id", F.size("toks").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    scored = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_id1"), F.col("n").alias("na")),
+            "doc_id1",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_id2"), F.col("n").alias("nb")),
+            "doc_id2",
+        )
+        .filter(j >= _SIMTOPK_FLOOR)
+        .select("doc_id1", "doc_id2", j.alias("j"))
+    )
+    both = scored.unionByName(
+        scored.select(
+            F.col("doc_id2").alias("doc_id1"),
+            F.col("doc_id1").alias("doc_id2"),
+            "j",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id1").orderBy(F.desc("j"), "doc_id2")
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SIMTOPK_K)
+        .select(
+            "doc_id1", "doc_id2", F.round(F.col("j"), 6).alias("jaccard"), "rk"
+        )
+    )
+
+
 def cosine_topk_blocked(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -520,7 +639,7 @@ def _int_lloyd_ctes(
     q8 AS (
       SELECT vec_id, e,
              list_transform(e, x -> CAST(floor(
-               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+               x / (CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0 THEN 1 ELSE list_max(list_transform(e, y -> abs(y))) END) * 127 + 0.5
              ) AS BIGINT)) AS q
       FROM v),
     sub AS (
@@ -977,7 +1096,7 @@ _PREFIX_SHORTLIST = 32
     q8 AS (
       SELECT vec_id, e,
              list_slice(list_transform(e, x -> CAST(floor(
-               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+               x / (CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0 THEN 1 ELSE list_max(list_transform(e, y -> abs(y))) END) * 127 + 0.5
              ) AS BIGINT)), 1, {_PREFIX_DIMS}) AS pq
       FROM v),
     qs AS (
@@ -1410,7 +1529,7 @@ def sq_ranked_ctes(cells_sql: str = str(_SQ_CELLS)) -> str:
     q8 AS (
       SELECT vec_id,
              list_transform(e, x -> CAST(floor(
-               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+               x / (CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0 THEN 1 ELSE list_max(list_transform(e, y -> abs(y))) END) * 127 + 0.5
              ) AS BIGINT)) AS q
       FROM v),
     cent AS (SELECT vec_id AS cell, q FROM q8 WHERE vec_id < {cells_sql}),
@@ -1438,7 +1557,7 @@ SQ_RANKED_CTES = sq_ranked_ctes(SQ_SCALED_CELLS_SQL)
     q8 AS (
       SELECT vec_id,
              list_transform(e, x -> CAST(floor(
-               x / list_max(list_transform(e, y -> abs(y))) * 127 + 0.5
+               x / (CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0 THEN 1 ELSE list_max(list_transform(e, y -> abs(y))) END) * 127 + 0.5
              ) AS BIGINT)) AS q
       FROM v),
     cent AS (SELECT vec_id AS cell, q FROM q8 WHERE vec_id < {_SQ_CELLS}),

@@ -330,3 +330,31 @@ def test_column_fingerprints_catches_value_swap(spark, sf_dir):
     }
     assert rows.pop("o_orderpriority") is False
     assert all(rows.values()), rows
+
+
+def test_bucket_recommendation_null_when_no_power_fits(spark):
+    """layout_bucket_advisor's rec join must EMIT the metrics row
+    with rec_buckets NULL when no power of two <= 2^30 covers the
+    need (the oracle's scalar subquery returns NULL there; an inner
+    join dropped the row entirely — round-8 fix). Unreachable with
+    real test data (needs n_rows > target * 2^30), so driven with a
+    fabricated metrics row."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.analytics import bucket_recommendation
+
+    powers = spark.range(31).select(
+        F.expr("shiftleft(1L, cast(id as int))").alias("p")
+    )
+    m = spark.createDataFrame(
+        [
+            ("huge", "k", 10**15, 10**9, 10**6, 1, 2**40),
+            ("ok", "k", 8192, 100, 90, 10986, 2),
+        ],
+        "table_name string, key_name string, n_rows long, n_keys long,"
+        " max_key_rows long, hot_key_ppm long, need long",
+    )
+    rows = {r["table_name"]: r for r in bucket_recommendation(m, powers).collect()}
+    assert set(rows) == {"huge", "ok"}
+    assert rows["huge"]["rec_buckets"] is None
+    assert rows["ok"]["rec_buckets"] == 2

@@ -1216,3 +1216,17 @@ def test_common_neighbors_degree_capped_no_rescan(qmod, spark, sf_dir):
     assert "Scan parquet" not in p
     assert "LeftAnti" in p
     assert "partial_count" in p
+
+
+def test_similarity_topk_window_group_limit_no_hints(qmod, spark, sf_dir):
+    """join_similarity_topk: the per-query rank filter must compile to
+    WindowGroupLimit (partitions retain only k rows per query before
+    the final window shuffle), the intersection count must be a
+    map-side partial count on flat rows, and nothing may be force-
+    broadcast (vocabulary and doc counts grow with the corpus)."""
+    df = qmod.REGISTRY["join_similarity_topk"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "join_similarity_topk")
+    assert "WindowGroupLimit" in p
+    assert "partial_count" in p

@@ -412,3 +412,41 @@ def test_session_cache_evicts_stale_app_entries(spark):
     assert set(cache) == {(app, "mine")}
     # warm hit: builder not re-run
     assert session_cache(cache, spark, ("mine",), lambda: "rebuilt") == "fresh"
+
+
+def test_quantize_int8_zero_vector_cross_engine(spark):
+    """quantize_int8 on an all-zero vector must emit the all-zero
+    code on BOTH engines (divide-by-1 guard): before round 8 the
+    Spark expression and the DuckDB q8 idiom divided by max_abs=0,
+    yielding NaN codes that diverge from the guarded numpy path."""
+    import duckdb
+
+    from scribedb_spark.functions.vector import quantize_int8
+
+    v = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5, 2.0])],
+        "vec_id long, e array<double>",
+    )
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    got = {
+        r["vec_id"]: r["q"]
+        for r in v.select(
+            "vec_id", quantize_int8(F.col("e"), max_abs).alias("q")
+        ).collect()
+    }
+    assert got[0] == [0, 0, 0, 0]
+    assert got[1] == [64, -127, 32, 127]
+    duck = duckdb.sql(
+        """
+        WITH d AS (SELECT * FROM (VALUES
+            (0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5, 2.0]))
+            t(vec_id, e)),
+        s AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS max_abs
+              FROM d)
+        SELECT vec_id, list_transform(e, x -> CAST(floor(
+          x / (CASE WHEN max_abs = 0 THEN 1 ELSE max_abs END) * 127 + 0.5
+        ) AS INT)) AS q FROM s ORDER BY vec_id
+        """
+    ).fetchall()
+    assert {r[0]: r[1] for r in duck} == got
