@@ -594,7 +594,12 @@ def _int_d2_sql(a: str, b: str) -> str:
 
 
 def _int_lloyd_ctes(
-    m: int, k: int, iters: int, sample: int, dim: int = 64
+    m: int,
+    k: int,
+    iters: int,
+    sample: int,
+    dim: int = 64,
+    sample_where: str = "",
 ) -> str:
     """Shared DuckDB CTE chain for integer Lloyd k-means training —
     the SQL twin of :func:`_pq_codebooks_int`, used by both the PQ
@@ -647,7 +652,8 @@ def _int_lloyd_ctes(
       FROM q8 CROSS JOIN (SELECT unnest(range({m})) AS j)),
     samp AS (
       SELECT s.* FROM sub s
-      JOIN (SELECT vec_id FROM q8 ORDER BY vec_id LIMIT {sample}) t
+      JOIN (SELECT vec_id FROM q8 {sample_where}
+            ORDER BY vec_id LIMIT {sample}) t
         USING (vec_id)),
     c0 AS (
       SELECT j, rn - 1 AS c, sq AS cv FROM (
@@ -839,6 +845,175 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "score", "rk")
+    )
+
+
+_APPEND_MOD = 10
+_APPEND_REM = 7  # vec_id % 10 == 7 stands in for the appended batch
+
+
+def _append_oracle() -> str:
+    """DuckDB twin of ann_index_append: train the coarse quantizer on
+    the BASE only (sample_where excludes the delta from samp), assign
+    every vector with the frozen codebook, emit the full 16-cell
+    census split base/appended."""
+    d2 = _int_d2_sql("s.sq", "c.cv")
+    delta = f"vec_id % {_APPEND_MOD} = {_APPEND_REM}"
+    return f"""
+    WITH {_int_lloyd_ctes(1, N_CELLS, _IVF_ITERS, _IVF_SAMPLE,
+                          sample_where=f"WHERE NOT ({delta})")},
+    enc AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT s.vec_id, c.c,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {d2} ASC, c.c ASC) AS rn
+        FROM sub s JOIN c{_IVF_ITERS} c ON c.j = s.j) WHERE rn = 1),
+    census AS (
+      SELECT cell,
+             COUNT(*) FILTER (WHERE NOT ({delta})) AS nb,
+             COUNT(*) FILTER (WHERE {delta}) AS na
+      FROM enc GROUP BY cell)
+    SELECT sp.cell, COALESCE(nb, 0) AS n_base, COALESCE(na, 0) AS n_appended,
+           COALESCE(nb, 0) + COALESCE(na, 0) AS n_total
+    FROM (SELECT unnest(range({N_CELLS})) AS cell) sp
+    LEFT JOIN census USING (cell)
+    """
+
+
+def _append_assign(vq, books, spark):
+    """Map (vec_id, q) rows to their nearest frozen cell — one numpy
+    argmin per Arrow batch, first-occurrence tie rule == the oracle's
+    (d2 ASC, cell ASC) row_number."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(books)
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": d2.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    return vq.select("vec_id", "q").mapInPandas(
+        assign, schema="vec_id long, cell long"
+    )
+
+
+def _append_base_index(spark, sf_dir):
+    """The FROZEN index: codebook trained on the base corpus only
+    (the appended batch is excluded from the training sample) plus
+    the base per-cell census — built once per session and persisted
+    at 100 TB (the census is N_CELLS rows)."""
+    from scribedb_spark.cache import session_cache
+    from scribedb_spark.functions.vector import quantize_int8
+
+    import numpy as np
+
+    def build():
+        e = table(spark, "embeddings", sf_dir)
+        max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+        vq = e.select(
+            "vec_id", to_double_array("embedding").alias("e")
+        ).select(
+            "vec_id",
+            F.transform(
+                quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+            ).alias("q"),
+        )
+        base = vq.filter(
+            F.col("vec_id") % _APPEND_MOD != F.lit(_APPEND_REM)
+        )
+        srows = base.orderBy("vec_id").limit(_IVF_SAMPLE).collect()
+        sample = np.array([r["q"] for r in srows], dtype=np.int64)
+        books = _pq_codebooks_int(sample, m=1, k=N_CELLS, iters=_IVF_ITERS)[0]
+        census = (
+            _append_assign(base, books, spark)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_base"))
+            .localCheckpoint()
+        )
+        TRAIN_EVENTS.append(("append", sf_dir))
+        return books, census
+
+    return session_cache(
+        _ANN_TRAIN_CACHE,
+        spark,
+        ("append", sf_dir, _IVF_SAMPLE, N_CELLS, _IVF_ITERS),
+        build,
+    )
+
+
+@register("ann_index_append", oracle=_append_oracle())
+def ann_index_append(spark, sf_dir) -> DataFrame:
+    """Incremental ANN index maintenance — the append-only story the
+    prefix-cascade docstring claims, made concrete for the trained
+    IVF layout: new vectors (vec_id % {10} == {7} stands in for the
+    appended batch) assign into the FROZEN trained cells — no
+    retraining, no corpus rescan — and the key emits the maintained
+    per-cell census (cell, n_base, n_appended, n_total), the
+    O(|delta|) grid patch that pairs with compare_cell_incremental's
+    fingerprint algebra on the compare side. This is what a real
+    100 TB deployment does between (rare) retrains: the quantizer is
+    immutable, ingest only appends codes and bumps the census the
+    routing layer uses to pick probe budgets.
+
+    Training: integer Lloyd on the BASE's vec_id-sorted sample ONLY —
+    the appended batch is excluded, because at append time the
+    quantizer predates the new data (the honest freshness tradeoff;
+    drift shows up as lopsided census growth, which is exactly what
+    this output monitors). The DuckDB oracle replicates base-only
+    training via the shared Lloyd CTEs' sample predicate and
+    recomputes everything from scratch; hash equality proves the
+    frozen-assignment algebra.
+
+    Scale: the session-cached base index (codebook + {16}-row census
+    checkpoint) is the persisted artifact; the steady-state plan
+    scans ONLY the delta (one parquet scan, plan-asserted), assigns
+    with one numpy argmin per Arrow batch against the broadcast
+    codebook (map-only), aggregates |delta| rows to <= {16} cells,
+    and merges against the census spine — cost O(|delta|), like
+    fp_delta_update."""
+    from scribedb_spark.functions.vector import quantize_int8
+
+    books, base_census = _append_base_index(spark, sf_dir)
+    e = table(spark, "embeddings", sf_dir)
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    delta = (
+        e.filter(F.col("vec_id") % _APPEND_MOD == F.lit(_APPEND_REM))
+        .select("vec_id", to_double_array("embedding").alias("e"))
+        .select(
+            "vec_id",
+            F.transform(
+                quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+            ).alias("q"),
+        )
+    )
+    appended = (
+        _append_assign(delta, books, spark)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_appended"))
+    )
+    spine = spark.range(N_CELLS).select(F.col("id").alias("cell"))
+    nb = F.coalesce(F.col("n_base"), F.lit(0))
+    na = F.coalesce(F.col("n_appended"), F.lit(0))
+    return (
+        spine.join(base_census, "cell", "left")
+        .join(appended, "cell", "left")
+        .select(
+            "cell",
+            nb.alias("n_base"),
+            na.alias("n_appended"),
+            (nb + na).alias("n_total"),
+        )
     )
 
 

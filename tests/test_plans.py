@@ -1230,3 +1230,15 @@ def test_similarity_topk_window_group_limit_no_hints(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "join_similarity_topk")
     assert "WindowGroupLimit" in p
     assert "partial_count" in p
+
+
+def test_ann_index_append_delta_only_scan(qmod, spark, sf_dir):
+    """ann_index_append: with the session-cached base index warm, the
+    served plan scans ONLY the appended delta — exactly one parquet
+    scan of embeddings; the base census enters as a checkpointed
+    (<= N_CELLS)-row RDD scan, and there is no training stage (the
+    codebook is a broadcast local value, invisible to the plan)."""
+    qmod.REGISTRY["ann_index_append"].fn(spark, sf_dir).count()  # warm
+    p = plan(qmod, spark, sf_dir, "ann_index_append")
+    assert p.count("embeddings.parquet") == 1
+    assert "Scan ExistingRDD" in p  # the persisted census artifact

@@ -385,7 +385,12 @@ def test_ann_train_once_per_session(spark, sf_dir, monkeypatch):
     a second call that retrained would blow up."""
     from scribedb_spark.operators import similarity as sim
 
-    keys = [sim.ann_ivf_topk, sim.ann_pq_topk, sim.ann_prefix_topk]
+    keys = [
+        sim.ann_ivf_topk,
+        sim.ann_pq_topk,
+        sim.ann_prefix_topk,
+        sim.ann_index_append,
+    ]
     first = [fn(spark, sf_dir).count() for fn in keys]
     n_events = len(sim.TRAIN_EVENTS)
 
