@@ -155,6 +155,9 @@ BENCH_KEYS = [
     "compare_drill_rows",
     "stream_enrich_static",
     "graph_common_neighbors",
+    "ann_index_append",
+    "dedup_paragraph",
+    "join_similarity_topk",
 ]
 
 

@@ -1680,3 +1680,98 @@ def dedup_containment_salted(spark, sf_dir) -> DataFrame:
     return containment_best(
         d, salt=_CONTAIN_SALT, spark=spark, cache_key=("documents", sf_dir)
     )
+
+
+_PARA_TOKENS = 8
+_PARA_DROP = 0.6
+_PARA_TRIM = 0.2
+
+_PARA_ORACLE = f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ch AS (
+      SELECT doc_id, i AS para_idx,
+             array_to_string(w[i*{_PARA_TOKENS}+1 : i*{_PARA_TOKENS}+{_PARA_TOKENS}], ' ')
+               AS ptxt
+      FROM s CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) ix
+      WHERE i <= (len(w) - 1) // {_PARA_TOKENS}),
+    fp AS (SELECT doc_id, para_idx, md5(ptxt) AS h FROM ch),
+    nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM fp GROUP BY h),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_paras,
+             CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paras
+      FROM fp JOIN nd USING (h) GROUP BY doc_id)
+    SELECT doc_id, n_paras, n_dup_paras,
+           ROUND(n_dup_paras * 1.0 / n_paras, 6) AS dup_ratio,
+           CASE WHEN n_dup_paras * 1.0 / n_paras >= {_PARA_DROP} THEN 'drop'
+                WHEN n_dup_paras * 1.0 / n_paras >= {_PARA_TRIM} THEN 'trim'
+                ELSE 'keep' END AS verdict
+    FROM per
+    """
+
+
+@register("dedup_paragraph", oracle=_PARA_ORACLE)
+def dedup_paragraph(spark, sf_dir) -> DataFrame:
+    """Paragraph-grain boilerplate dedup — the pass real pipelines run
+    BETWEEN exact and near dedup (CCNet/RefinedWeb line-dedup): split
+    each document into non-overlapping {8}-token paragraphs (the
+    text_chunk_split slice machinery with step == window, the
+    sub-document analog of the reference's row-level diff
+    localization, ref main.py:228-239), fingerprint each paragraph,
+    and mark an occurrence BOILERPLATE when the same paragraph
+    appears in more than one document. Verdicts roll back up to
+    documents: dup_ratio >= {0.6} -> 'drop' (the doc is mostly
+    recycled), >= {0.2} -> 'trim' (strip the shared paragraphs, keep
+    the rest), else 'keep' — the drop/trim/keep triage a curation
+    pipeline consumes.
+
+    Exactness: md5 of the identical paragraph string on both engines;
+    counts are ints; dup_ratio is one IEEE division (bit-identical),
+    ROUND 6 at emit only, and the verdict thresholds compare the raw
+    double the same way on both sides.
+
+    Scale: paragraphs explode map-only (~n_tokens/{8} rows per doc);
+    the paragraph table materializes ONCE (localCheckpoint — one
+    documents scan total, plan-asserted) and feeds both the
+    frequency aggregation and the join back; both shuffles key on
+    the content hash (uniform by construction — no skew, unlike raw
+    tokens); the final per-doc rollup is a partial-agg groupBy on
+    doc_id. At 100 TB this is exactly three hash shuffles over flat
+    rows, and the paragraph-hash frequency table is reusable as a
+    persisted boilerplate index for incremental ingest (the
+    dedup_bloom_prefilter pattern)."""
+    d = table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.size(toks) - 1) / _PARA_TOKENS).cast("int"),
+        )
+    )
+    w = d.select("doc_id", toks.alias("w"), idx.alias("para_idx"))
+    seg = F.slice("w", F.col("para_idx") * _PARA_TOKENS + 1, _PARA_TOKENS)
+    fp = w.select(
+        "doc_id", "para_idx", F.md5(F.array_join(seg, " ")).alias("h")
+    ).localCheckpoint()
+    nd = fp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    per = (
+        fp.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
+                "n_dup_paras"
+            ),
+        )
+    )
+    ratio = F.col("n_dup_paras") / F.col("n_paras")
+    return per.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.round(ratio, 6).alias("dup_ratio"),
+        F.when(ratio >= _PARA_DROP, "drop")
+        .when(ratio >= _PARA_TRIM, "trim")
+        .otherwise("keep")
+        .alias("verdict"),
+    )

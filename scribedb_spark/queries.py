@@ -1752,6 +1752,19 @@ _FRESH_WAVES.update(
         7,
     )
 )
+#: eighth wave (round 8) — the depth-round breadth slate: incremental
+#: ANN maintenance, paragraph-grain boilerplate dedup, top-k
+#: similarity retrieval
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "ann_index_append",
+            "dedup_paragraph",
+            "join_similarity_topk",
+        },
+        8,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

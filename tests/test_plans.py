@@ -1242,3 +1242,18 @@ def test_ann_index_append_delta_only_scan(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "ann_index_append")
     assert p.count("embeddings.parquet") == 1
     assert "Scan ExistingRDD" in p  # the persisted census artifact
+
+
+def test_dedup_paragraph_one_scan_hash_shuffles(qmod, spark, sf_dir):
+    """dedup_paragraph: the paragraph table materializes once (the
+    single documents scan happens inside the checkpoint build; the
+    served plan reads only the RDD), shuffles key on the uniform
+    content hash / doc_id, and the frequency agg is map-side
+    partial."""
+    df = qmod.REGISTRY["dedup_paragraph"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "dedup_paragraph")
+    assert "documents.parquet" not in p  # behind the one checkpoint
+    assert "Scan ExistingRDD" in p
+    assert "partial_count" in p
