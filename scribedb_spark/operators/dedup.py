@@ -1338,10 +1338,11 @@ def _url_variants() -> Column:
     )
 
 
-@register(
-    "dedup_url_canonical",
-    oracle="""
-    WITH u AS (
+#: DuckDB CTE chain ending in canon(doc_id, canonical_url) — the SQL
+#: twin of _url_variants() + canonical_url(); shared by the
+#: dedup_url_canonical oracle and pipeline_dedup_cascade's URL stage
+SQL_URL_CANON = """
+    u AS (
       SELECT doc_id,
              CASE doc_id % 4
                WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/' || (doc_id // 4)
@@ -1369,7 +1370,13 @@ def _url_variants() -> Column:
       FROM nofrag),
     canon AS (
       SELECT doc_id, scheme || '://' || host || rest AS canonical_url
-      FROM parts)
+      FROM parts)"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH {SQL_URL_CANON}
     SELECT canonical_url,
            COUNT(*) AS n_variants,
            MIN(doc_id) AS survivor_doc_id
@@ -1396,7 +1403,22 @@ def dedup_url_canonical(spark, sf_dir) -> DataFrame:
     d = table(spark, "documents", sf_dir).select(
         "doc_id", _url_variants().alias("url")
     )
-    nofrag = F.regexp_replace(F.col("url"), "#.*$", "")
+    return (
+        d.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonicalization expression behind dedup_url_canonical
+    (scheme/host case fold, www./default-port/fragment/tracking-param
+    /trailing-slash strip) — shared with pipeline_dedup_cascade's URL
+    stage. Codegen'd RE2-compatible regexps only."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
     host = F.regexp_replace(
         F.regexp_replace(
@@ -1420,15 +1442,7 @@ def dedup_url_canonical(spark, sf_dir) -> DataFrame:
         "/+$",
         "",
     )
-    canon = F.concat(scheme, F.lit("://"), host, rest)
-    return (
-        d.select("doc_id", canon.alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(
-            F.count(F.lit(1)).alias("n_variants"),
-            F.min("doc_id").alias("survivor_doc_id"),
-        )
-    )
+    return F.concat(scheme, F.lit("://"), host, rest)
 
 
 _CONTAIN_T = 0.9
@@ -1686,21 +1700,27 @@ _PARA_TOKENS = 8
 _PARA_DROP = 0.6
 _PARA_TRIM = 0.2
 
-_PARA_ORACLE = f"""
-    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: DuckDB CTE chain ending in per(doc_id, n_paras, n_dup_paras) — the
+#: paragraph-fingerprint rollup shared by the dedup_paragraph oracle
+#: and pipeline_dedup_cascade's paragraph stage
+SQL_PARA_PER = f"""
+    ps AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     ch AS (
       SELECT doc_id, i AS para_idx,
              array_to_string(w[i*{_PARA_TOKENS}+1 : i*{_PARA_TOKENS}+{_PARA_TOKENS}], ' ')
                AS ptxt
-      FROM s CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) ix
+      FROM ps CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) ix
       WHERE i <= (len(w) - 1) // {_PARA_TOKENS}),
-    fp AS (SELECT doc_id, para_idx, md5(ptxt) AS h FROM ch),
-    nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM fp GROUP BY h),
+    pfp AS (SELECT doc_id, para_idx, md5(ptxt) AS h FROM ch),
+    pnd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM pfp GROUP BY h),
     per AS (
       SELECT doc_id, COUNT(*) AS n_paras,
              CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_paras
-      FROM fp JOIN nd USING (h) GROUP BY doc_id)
+      FROM pfp JOIN pnd USING (h) GROUP BY doc_id)"""
+
+_PARA_ORACLE = f"""
+    WITH {SQL_PARA_PER}
     SELECT doc_id, n_paras, n_dup_paras,
            ROUND(n_dup_paras * 1.0 / n_paras, 6) AS dup_ratio,
            CASE WHEN n_dup_paras * 1.0 / n_paras >= {_PARA_DROP} THEN 'drop'

@@ -686,11 +686,15 @@ TRAIN_EVENTS: list = []
 
 
 def _ivf_trained(spark, sf_dir, vq):
-    """IVF training artifacts — built once per (session, sf_dir):
-    collect the vec_id-sorted driver sample (bounded: _IVF_SAMPLE
-    rows) and run full-dim integer Lloyd (m=1). Returns
-    (sample_rows, codebook)."""
+    """IVF index artifacts — built once per (session, sf_dir): collect
+    the vec_id-sorted driver sample (bounded: _IVF_SAMPLE rows), run
+    full-dim integer Lloyd (m=1), then assign EVERY vector its
+    nearest cell and checkpoint the result — the (vec_id, e, cell)
+    table IS the stored IVF index at 100 TB (cell-bucketed vectors);
+    serving reads the index, never the parquet. Returns
+    (sample_rows, codebook, assigned_index)."""
     import numpy as np
+    import pandas as pd
 
     from scribedb_spark.cache import session_cache
 
@@ -698,8 +702,35 @@ def _ivf_trained(spark, sf_dir, vq):
         srows = vq.orderBy("vec_id").limit(_IVF_SAMPLE).collect()
         sample = np.array([r["q"] for r in srows], dtype=np.int64)
         books = _pq_codebooks_int(sample, m=1, k=N_CELLS, iters=_IVF_ITERS)[0]
+        bc = spark.sparkContext.broadcast(books)
+
+        def assign_batches(batches):
+            C = bc.value  # (cells, 64) int64
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "e": pdf["e"],
+                        # argmin first-occurrence == smallest cell on
+                        # ties, matching the oracle's (d2 ASC, cell
+                        # ASC) row_number order
+                        "cell": d2.argmin(axis=1).astype(np.int32),
+                    }
+                )
+
+        assigned = (
+            vq.select("vec_id", "e", "q")
+            .mapInPandas(
+                assign_batches, schema="vec_id long, e array<double>, cell int"
+            )
+            .localCheckpoint()
+        )
         TRAIN_EVENTS.append(("ivf", sf_dir))
-        return srows, books
+        return srows, books, assigned
 
     return session_cache(
         _ANN_TRAIN_CACHE,
@@ -788,29 +819,7 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
             quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
         ).alias("q"),
     )
-    srows, books = _ivf_trained(spark, sf_dir, vq)
-    bc = spark.sparkContext.broadcast(books)
-
-    def assign_batches(batches):
-        C = bc.value  # (cells, 64) int64
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "e": pdf["e"],
-                    # argmin first-occurrence == smallest cell on ties,
-                    # matching the oracle's (d2 ASC, cell ASC) order
-                    "cell": d2.argmin(axis=1).astype(np.int32),
-                }
-            )
-
-    assigned = vq.select("vec_id", "e", "q").mapInPandas(
-        assign_batches, schema="vec_id long, e array<double>, cell int"
-    )
+    srows, books, assigned = _ivf_trained(spark, sf_dir, vq)
     # queries sit inside the vec_id-sorted sample: derive their probe
     # cells driver-side with the same integer metric (no second scan)
     qs = [(r["vec_id"], r["q"], r["e"]) for r in srows if r["vec_id"] < 10]
@@ -1029,11 +1038,15 @@ _PQ_SHORTLIST = 32
 
 
 def _pq_trained(spark, sf_dir, vq):
-    """PQ training artifacts — built once per (session, sf_dir):
-    collect the vec_id-sorted (vec_id, q) sample and run per-subspace
-    integer Lloyd. Returns (sample_rows, codebook tensor). Same
+    """PQ index artifacts — built once per (session, sf_dir): collect
+    the vec_id-sorted (vec_id, q) sample, run per-subspace integer
+    Lloyd, then ENCODE every vector to its 8 4-bit codes and
+    checkpoint — the codes table IS the stored PQ index at 100 TB
+    (64x smaller than the vectors); serving scans codes, never the
+    parquet. Returns (sample_rows, codebook tensor, codes_df). Same
     train-once discipline as :func:`_ivf_trained`."""
     import numpy as np
+    import pandas as pd
 
     from scribedb_spark.cache import session_cache
 
@@ -1043,8 +1056,36 @@ def _pq_trained(spark, sf_dir, vq):
         )
         sample = np.array([r["q"] for r in srows], dtype=np.int64)
         books = _pq_codebooks_int(sample)
+        bc_books = spark.sparkContext.broadcast(books)
+
+        def encode_batches(batches):
+            books_ = bc_books.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Vq = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                n, d = Vq.shape
+                s = d // PQ_M
+                codes = np.empty((n, PQ_M), dtype=np.int64)
+                for j in range(PQ_M):
+                    d2 = (
+                        (Vq[:, j * s : (j + 1) * s][:, None, :] - books_[j][None])
+                        ** 2
+                    ).sum(axis=2)
+                    codes[:, j] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "codes": list(codes)}
+                )
+
+        codes_df = (
+            vq.select("vec_id", "q")
+            .mapInPandas(
+                encode_batches, schema="vec_id long, codes array<long>"
+            )
+            .localCheckpoint()
+        )
         TRAIN_EVENTS.append(("pq", sf_dir))
-        return srows, books
+        return srows, books, codes_df
 
     return session_cache(
         _ANN_TRAIN_CACHE,
@@ -1181,8 +1222,7 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
         ).alias("q"),
     )
 
-    srows, books = _pq_trained(spark, sf_dir, vq)
-    bc_books = spark.sparkContext.broadcast(books)
+    srows, books, codes_df = _pq_trained(spark, sf_dir, vq)
 
     # queries sit inside the vec_id-sorted sample (vec_id < 10), so
     # their integer ADC tables need no second collect
@@ -1202,20 +1242,11 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
     bc_tables = spark.sparkContext.broadcast((q_ids, tables))
 
     def score_batches(batches):
-        books_ = bc_books.value
         q_ids_, tables_ = bc_tables.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            Vq = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-            n, d = Vq.shape
-            s = d // PQ_M
-            codes = np.empty((n, PQ_M), dtype=np.int64)
-            for j in range(PQ_M):
-                d2 = (
-                    (Vq[:, j * s : (j + 1) * s][:, None, :] - books_[j][None]) ** 2
-                ).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             ids = pdf["vec_id"].to_numpy()
             out_q, out_c, out_a = [], [], []
             for qi, qid in enumerate(q_ids_):
@@ -1229,7 +1260,10 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
                 out_a.extend(cand_adc[top])
             yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "adc": out_a})
 
-    local_short = vq.select("vec_id", "q").mapInPandas(
+    # scoring reads ONLY the stored codes (bandwidth = codes) plus the
+    # broadcast per-query ADC tables — the vectors reappear solely in
+    # the shortlist rerank below
+    local_short = codes_df.mapInPandas(
         score_batches, schema="q_id long, c_id long, adc long"
     )
     from pyspark.sql import Window

@@ -412,3 +412,146 @@ def pipeline_quality_gate(spark, sf_dir) -> DataFrame:
         .unionByName(row("null_custkey", nk))
         .unionByName(row("negative_value", vr))
     )
+
+
+def _dedup_cascade_oracle() -> str:
+    from scribedb_spark.operators.dedup import (
+        _MINHASH_ORACLE,
+        _PARA_DROP,
+        SQL_PARA_PER,
+        SQL_URL_CANON,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    ek AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS k
+      FROM documents),
+    e1 AS (
+      SELECT doc_id, 1 AS prio
+      FROM ek JOIN (SELECT k, MIN(doc_id) AS s FROM ek GROUP BY k) m
+        USING (k)
+      WHERE doc_id <> s),
+    {SQL_URL_CANON},
+    u1 AS (
+      SELECT doc_id, 2 AS prio
+      FROM canon JOIN (SELECT canonical_url, MIN(doc_id) AS s
+                       FROM canon GROUP BY canonical_url) m
+        USING (canonical_url)
+      WHERE doc_id <> s),
+    {SQL_PARA_PER},
+    p1 AS (
+      SELECT doc_id, 3 AS prio FROM per
+      WHERE n_dup_paras * 1.0 / n_paras >= {_PARA_DROP}),
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+              UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+    n1 AS (SELECT doc_id, 4 AS prio FROM comp WHERE doc_id <> component),
+    allc AS (
+      SELECT doc_id, MIN(prio) AS prio
+      FROM (SELECT * FROM e1 UNION ALL SELECT * FROM u1
+            UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM n1)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE allc.prio WHEN 1 THEN 'exact' WHEN 2 THEN 'url'
+                          WHEN 3 THEN 'paragraph' WHEN 4 THEN 'near'
+                          ELSE 'none' END AS caught_by,
+           CAST(allc.prio IS NULL AS INT) AS keep
+    FROM documents d LEFT JOIN allc USING (doc_id)
+    """
+
+
+@register("pipeline_dedup_cascade", oracle=_dedup_cascade_oracle())
+def pipeline_dedup_cascade(spark, sf_dir) -> DataFrame:
+    """The FULL dedup cascade a 100 TB corpus actually runs — exact
+    content key -> canonical URL -> paragraph boilerplate -> MinHash
+    near-dup — composed into one per-document triage verdict:
+    (doc_id, caught_by, keep), where caught_by names the FIRST
+    (cheapest) stage that would have caught the document and keep=1
+    means it survives all four. The stage ordering is the standard
+    cost ladder (hash groupBy < regex groupBy < paragraph index <
+    LSH); labeling by minimum priority reproduces the sequential
+    cascade's attribution while letting all four stages evaluate in
+    parallel from their own scans — at scale each stage is an
+    independent single-shuffle job over the same snapshot and the
+    verdict merge is a tiny id-keyed aggregation, so the cascade
+    costs max(stage) wall time, not sum(stage).
+
+    Every stage reuses the proven registry machinery verbatim:
+    dedup_exact's sorted-distinct-token key, dedup_url_canonical's
+    canonical_url() expression, dedup_paragraph's drop verdict, and
+    sample_dedup_weights' LSH-component clustering — and the oracle
+    composes the same four proven SQL fragments, so a hash mismatch
+    localizes to the merge logic.
+
+    Survivor semantics: each catching stage keeps its group's MIN
+    doc_id (the cross-stage convention), so a document is caught iff
+    it is a non-minimal member at that grain; paragraph 'drop' has no
+    survivor notion (the doc is mostly recycled text — it is caught
+    outright)."""
+    from scribedb_spark.operators.dedup import (
+        _url_variants,
+        canonical_url,
+        connected_components,
+        dedup_minhash_lsh,
+        dedup_paragraph,
+        tokens_distinct,
+    )
+
+    d = table(spark, "documents", sf_dir)
+    # stage 1: exact content-key non-survivors
+    key = F.md5(F.array_join(F.array_sort(tokens_distinct(F.col("text"))), " "))
+    ek = d.select("doc_id", key.alias("k"))
+    e1 = (
+        ek.join(ek.groupBy("k").agg(F.min("doc_id").alias("s")), "k")
+        .filter(F.col("doc_id") != F.col("s"))
+        .select("doc_id", F.lit(1).alias("prio"))
+    )
+    # stage 2: canonical-URL non-survivors
+    cu = d.select(
+        "doc_id", canonical_url(_url_variants()).alias("canonical_url")
+    )
+    u1 = (
+        cu.join(
+            cu.groupBy("canonical_url").agg(F.min("doc_id").alias("s")),
+            "canonical_url",
+        )
+        .filter(F.col("doc_id") != F.col("s"))
+        .select("doc_id", F.lit(2).alias("prio"))
+    )
+    # stage 3: paragraph-boilerplate drops
+    p1 = (
+        dedup_paragraph(spark, sf_dir)
+        .filter(F.col("verdict") == "drop")
+        .select("doc_id", F.lit(3).alias("prio"))
+    )
+    # stage 4: MinHash-LSH near-dup non-minimal cluster members
+    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    n1 = comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id", F.lit(4).alias("prio")
+    )
+    allc = (
+        e1.unionByName(u1)
+        .unionByName(p1)
+        .unionByName(n1)
+        .groupBy("doc_id")
+        .agg(F.min("prio").alias("prio"))
+    )
+    return d.select("doc_id").join(allc, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("prio") == 1, "exact")
+        .when(F.col("prio") == 2, "url")
+        .when(F.col("prio") == 3, "paragraph")
+        .when(F.col("prio") == 4, "near")
+        .otherwise("none")
+        .alias("caught_by"),
+        F.col("prio").isNull().cast("int").alias("keep"),
+    )

@@ -8,10 +8,14 @@ producing dedup keys scale in CANDIDATE PAIRS, which an N-fold
 duplicated corpus inflates ~N^2 inside every near-dup bucket — the
 honest stress for LSH bucket bounds.
 
-    python scripts/scale_smoke.py [mult] [base_sf_dir]
+    python scripts/scale_smoke.py [mult] [base_sf_dir] [key,key,...]
 
 Prints one JSON line per key: base seconds, scaled seconds, ratio,
-rows produced at each scale.
+rows produced at each scale (for pair-producing keys the row count IS
+the emitted-pair count — the quantity wall time must track). The
+optional third argument restricts the run to a comma-separated key
+subset (used for the 16x octave on the pair-dense keys, where the
+full list would be wastefully slow).
 """
 
 from __future__ import annotations
@@ -65,6 +69,10 @@ KEYS = [
     "stream_stateful_stats",
     "profile_fk_orphans",
     "dedup_containment_salted",
+    "dedup_containment_corpus",
+    "dedup_paragraph",
+    "join_similarity_topk",
+    "ann_index_append",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;
@@ -107,6 +115,7 @@ def build_scaled(spark, base: str, out: str, mult: int) -> None:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    keys = sys.argv[3].split(",") if len(sys.argv) > 3 else KEYS
     out = f"/tmp/scale_smoke_x{mult}"
 
     from scribedb_spark import queries as Q
@@ -117,7 +126,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, base, out, mult)
 
-    for key in KEYS:
+    for key in keys:
         fn = Q.REGISTRY[key].fn
         t0 = time.perf_counter()
         n_base = fn(spark, base).count()
