@@ -158,6 +158,7 @@ BENCH_KEYS = [
     "ann_index_append",
     "dedup_paragraph",
     "join_similarity_topk",
+    "pipeline_dedup_cascade",
 ]
 
 
@@ -230,6 +231,14 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # optional per-round stamped sidecar (BENCH_DETAIL.json is
+    # overwritten every run — round-stamped copies keep history
+    # reviewable without git churn on the canonical name)
+    stamped = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
+    if stamped:
+        with open(stamped, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     print(json.dumps(detail), file=sys.stderr, flush=True)
     # stop the JVM BEFORE the final stdout line so no late Spark log
     # line can land after (and corrupt) the compact-line contract

@@ -1761,6 +1761,7 @@ _FRESH_WAVES.update(
             "ann_index_append",
             "dedup_paragraph",
             "join_similarity_topk",
+            "pipeline_dedup_cascade",
         },
         8,
     )

@@ -1257,3 +1257,16 @@ def test_dedup_paragraph_one_scan_hash_shuffles(qmod, spark, sf_dir):
     assert "documents.parquet" not in p  # behind the one checkpoint
     assert "Scan ExistingRDD" in p
     assert "partial_count" in p
+
+
+def test_dedup_cascade_no_hints_stage_union(qmod, spark, sf_dir):
+    """pipeline_dedup_cascade: four stage verdicts union into one
+    id-keyed min-priority aggregation; no forced broadcasts anywhere
+    (every stage table grows with the corpus), and the final join
+    carries ids only."""
+    df = qmod.REGISTRY["pipeline_dedup_cascade"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "pipeline_dedup_cascade")
+    assert "partial_min" in p  # stage-priority merge is map-side partial
+    assert "Union" in p
