@@ -1497,20 +1497,27 @@ _CONTAIN_STAGE_CACHE: dict = {}
 
 def containment_stages(docs: DataFrame, checkpoint_freq: bool = False):
     """The (g, ex, freq) stage triple behind containment_best:
-    per-doc distinct token arrays + sizes, the exploded flat rows,
-    and the global token frequency table. ``checkpoint_freq``
-    materializes freq too (worth it only when the stages are shared
-    across keys via the session cache)."""
+    per-doc distinct token arrays + sizes, the exploded flat rows
+    WITH each token's per-doc global-rarity position (pos — one
+    window pass, reused by both the prefix filter and the positional
+    candidate bound), and the global token frequency table.
+    ``checkpoint_freq`` materializes freq too (worth it only when the
+    stages are shared across keys via the session cache)."""
     toks = tokens_distinct(F.col("text"))
     g = docs.select(
         "doc_id", "source", toks.alias("tk"), F.size(toks).alias("n")
     ).localCheckpoint()
-    ex = g.select(
-        "doc_id", "source", "n", F.explode("tk").alias("tok")
-    ).localCheckpoint()
-    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ex0 = g.select("doc_id", "source", "n", F.explode("tk").alias("tok"))
+    freq = ex0.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     if checkpoint_freq:
         freq = freq.localCheckpoint()
+    w = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    ex = (
+        ex0.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "source", "n", "tok", "pos")
+        .localCheckpoint()
+    )
     return g, ex, freq
 
 
@@ -1551,17 +1558,10 @@ def containment_best(
         )
     else:
         g, ex, freq = containment_stages(docs)
-    w = Window.partitionBy("doc_id").orderBy("tf", "tok")
     left = ex.filter(incoming) if incoming is not None else ex
-    pref = (
-        left.join(freq, "tok")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            <= F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
-        )
-        .select("doc_id", "source", "tok", "n")
-    )
+    pref = left.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
+    ).select("doc_id", "source", "tok", "n", "pos")
     right = ex
     if salt and salt > 1:
         pref = pref.withColumn(
@@ -1570,11 +1570,30 @@ def containment_best(
         right = ex.withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int")
         )
+    # candidate bounds, all EXACT (property-tested lossless): the
+    # one-sided rarity prefix on A, B's size floor, and the PPJoin
+    # POSITIONAL bound — the globally-first common token of a
+    # qualifying pair sits at (a.pos, b.pos) with at least
+    # ceil(t*|A|)-1 common tokens after it in BOTH lists, so any pair
+    # whose matching row fails 1+min(|A|-a.pos, |B|-b.pos) has no
+    # qualifying first-common-token row and would be a false
+    # candidate. On this corpus (tiny vocabulary, near-uniform token
+    # sharing) the positional bound is what collapses the candidate
+    # volume (~50x at sf0.1) — rarity alone cannot discriminate when
+    # every token is common.
+    alpha = F.ceil(F.col("a.n") * F.lit(_CONTAIN_T))
     join_cond = (
         (F.col("a.tok") == F.col("b.tok"))
         & (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") != F.col("b.doc_id"))
-        & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(_CONTAIN_T)))
+        & (F.col("b.n") >= alpha)
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+            )
+            >= alpha
+        )
     )
     if salt and salt > 1:
         join_cond = join_cond & (F.col("a.salt") == F.col("b.salt"))
@@ -1634,11 +1653,14 @@ def dedup_containment(spark, sf_dir) -> DataFrame:
     The prefix filter is the containment variant of
     dedup_ngram_jaccard's PPJoin bound: a >= t pair must share a
     token among A's |A| - ceil(t|A|) + 1 globally-RAREST tokens, so
-    only that prefix joins — but against ALL of B's tokens (the
-    bound is one-sided; B has no prefix), plus the size bound
-    |B| >= ceil(t|A|) (the intersection can't exceed |B|). Exact, no
-    false negatives — the DuckDB oracle brute-forces all same-source
-    pairs and the results hash-match.
+    only that prefix joins — against ALL of B's tokens (the prefix
+    is one-sided), but each B row carries its own rarity position
+    and the PPJoin POSITIONAL bound 1 + min(|A|-posA, |B|-posB) >=
+    ceil(t|A|) prunes rows whose match leaves too little list left
+    on either side, plus the size bound |B| >= ceil(t|A|). All
+    exact, no false negatives (hypothesis property test vs brute
+    force) — the DuckDB oracle brute-forces all same-source pairs
+    and the results hash-match.
 
     Scale: the same explode -> frequency -> per-doc rarity-window
     motif as the jaccard key (no broadcast hints — token vocabulary
