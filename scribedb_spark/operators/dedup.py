@@ -1447,6 +1447,10 @@ def canonical_url(url: Column) -> Column:
 
 _CONTAIN_T = 0.9
 
+#: apply the PPJoin positional bound in the containment candidate
+#: join (exact either way; a probe/tuning toggle)
+_CONTAIN_POSITIONAL = True
+
 #: salt fan-out for the skew-safe containment variant: the full-token
 #: side splits into this many sub-keys per token, the (small, rarest-
 #: tokens-only) prefix side replicates to match
@@ -1588,14 +1592,15 @@ def containment_best(
         & (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") != F.col("b.doc_id"))
         & (F.col("b.n") >= alpha)
-        & (
+    )
+    if _CONTAIN_POSITIONAL:
+        join_cond = join_cond & (
             F.lit(1)
             + F.least(
                 F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
             )
             >= alpha
         )
-    )
     if salt and salt > 1:
         join_cond = join_cond & (F.col("a.salt") == F.col("b.salt"))
     cand = (
