@@ -159,6 +159,7 @@ BENCH_KEYS = [
     "dedup_paragraph",
     "join_similarity_topk",
     "pipeline_dedup_cascade",
+    "ann_recall_report",
 ]
 
 

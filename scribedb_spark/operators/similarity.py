@@ -1026,6 +1026,101 @@ def ann_index_append(spark, sf_dir) -> DataFrame:
     )
 
 
+def _recall_oracle() -> str:
+    """DuckDB twin of ann_recall_report: the full trained-IVF oracle
+    as a CTE, the brute-force exact top-5, and the per-query
+    intersection count in integer ppm."""
+    return f"""
+    WITH ann AS ({_ivf_int_oracle()}),
+    ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sc AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             ROUND(list_cosine_similarity(q.e, c.e), 6) AS score
+      FROM ve q JOIN ve c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, c_id) AS rk
+        FROM sc) WHERE rk <= 5),
+    hits AS (
+      SELECT e.q_id, COUNT(*) AS n_hits
+      FROM ex e JOIN ann a ON a.q_id = e.q_id AND a.c_id = e.c_id
+      GROUP BY e.q_id)
+    SELECT qs.q_id, CAST(5 AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000 // 5
+             AS recall_ppm
+    FROM (SELECT DISTINCT q_id FROM ex) qs
+    LEFT JOIN hits h USING (q_id)
+    """
+
+
+@register("ann_recall_report", oracle=_recall_oracle())
+def ann_recall_report(spark, sf_dir) -> DataFrame:
+    """Index-quality MONITORING — the fourth stage of the ANN
+    lifecycle this engine now covers end to end (train once:
+    _ivf_trained; serve: ann_ivf_topk; append: ann_index_append;
+    monitor: THIS). For each query the served IVF top-5 is compared
+    against the exact brute-force top-5 and recall@5 emits as integer
+    ppm — the number an operator alarms on before deciding the
+    quantizer needs retraining (e.g. after append drift shows up in
+    ann_index_append's census).
+
+    Exactness: the ANN side IS the oracle-proven ann_ivf_topk plan
+    (served from the session-cached index); the exact side reuses the
+    shared sequential-fold cosine with ROUND 6 + id tie-breaks (the
+    vec_cosine_topk discipline), so both engines rank identically and
+    the intersection count is deterministic; recall is integer ppm
+    (n_hits * 1e6 div k), no float division.
+
+    Scale: the exact pass is the expensive half (|queries| x corpus
+    cosine), which is exactly how production recall audits run — on a
+    BOUNDED query sample against the served index; the ann side reads
+    the cached index. Queries broadcast (10 rows); one TakeOrdered-
+    style window per query; the report is |queries| rows."""
+    from pyspark.sql import Window
+
+    ann = ann_ivf_topk(spark, sf_dir).select("q_id", "c_id")
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id")
+    )
+    hits = (
+        exact.join(ann, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr("coalesce(n_hits, 0) * 1000000L div 5").alias("recall_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PQ (product quantization) ANN — the memory-compression scale path
 # ---------------------------------------------------------------------------

@@ -1762,6 +1762,7 @@ _FRESH_WAVES.update(
             "dedup_paragraph",
             "join_similarity_topk",
             "pipeline_dedup_cascade",
+            "ann_recall_report",
         },
         8,
     )
