@@ -233,3 +233,33 @@ def test_oracle_word_cap_holds_for_corpus(sf_dir):
         f" FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()
     assert max_words < 4998, f"corpus breaks the 5000-word oracle cap: {max_words}"
+
+
+def test_registry_reference_lists_are_consistent(qmod):
+    """Every key referenced by the evidence pipeline exists in the
+    registry: _FRESH_WAVES (enumeration priority), bench.BENCH_KEYS
+    (headline bench), scripts/dump_plans.KEYS (plan audit). A typo in
+    any of these silently drops a key from its surface; fail loudly
+    instead."""
+    import bench
+    import importlib.util as iu
+    import os
+
+    spec = iu.spec_from_file_location(
+        "dump_plans",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "dump_plans.py",
+        ),
+    )
+    dump_plans = iu.module_from_spec(spec)
+    spec.loader.exec_module(dump_plans)
+
+    reg = set(qmod.REGISTRY)
+    assert set(qmod._FRESH_WAVES) <= reg
+    assert set(bench.BENCH_KEYS) <= reg
+    assert set(dump_plans.KEYS) <= reg
+    # every fresh-wave key that claims an oracle actually has one
+    for k in qmod._FRESH_WAVES:
+        assert qmod.REGISTRY[k].fn is not None
