@@ -160,6 +160,10 @@ BENCH_KEYS = [
     "join_similarity_topk",
     "pipeline_dedup_cascade",
     "ann_recall_report",
+    "dedup_span",
+    "text_decontaminate",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 

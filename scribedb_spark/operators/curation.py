@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from scribedb_spark.operators.dedup import (
     SQL_SHINGLES,
+    SQL_SPAN_HASHES,
     min_tokens_filter,
     shingles3,
 )
@@ -623,4 +624,323 @@ def rollup_dataset_card(spark, sf_dir) -> DataFrame:
                 F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination + retrieval (BM25 / hybrid fusion)
+# ---------------------------------------------------------------------------
+
+_DECON_QUARANTINE = 0.5
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH {SQL_SPAN_HASHES},
+    bg AS (SELECT DISTINCT h FROM sp WHERE doc_id % 101 = 7),
+    tr AS (SELECT doc_id, h FROM sp WHERE doc_id % 101 <> 7),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN h IN (SELECT h FROM bg) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit_spans
+      FROM tr GROUP BY doc_id)
+    SELECT doc_id, n_spans, n_hit_spans,
+           ROUND(n_hit_spans * 1.0 / n_spans, 6) AS hit_ratio,
+           CASE WHEN n_hit_spans * 1.0 / n_spans >= {_DECON_QUARANTINE}
+                THEN 'quarantine' ELSE 'review' END AS verdict
+    FROM per WHERE n_hit_spans > 0
+    """,
+)
+def text_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    an overlapping 8-token span with a held-out evaluation set (here
+    the deterministic pseudo-benchmark doc_id % 101 == 7) — the
+    n-gram-overlap decontamination every LLM data release runs (GPT-3
+    appendix C / PaLM style 8-gram collision rule). A doc whose span
+    hit-ratio >= {0.5} is quarantined (it IS benchmark material);
+    any lesser overlap is emitted for review with its exact span
+    counts. Only flagged docs are emitted — at 100 TB the output is
+    contamination-sized, not corpus-sized.
+
+    Exactness: md5 span fingerprints (identical strings both
+    engines), integer counts, one IEEE division ROUND-6ed at emit;
+    verdict thresholds compare the raw double identically.
+
+    Scale: reuses ``span_hashes`` (one map-only explode, linear in
+    corpus tokens); the benchmark side reduces to a DISTINCT hash
+    set that is benchmark-sized, joined on uniform md5 keys — no
+    skew, no broadcast forced (a real eval suite is small but grows
+    with the benchmark, so the join is left to AQE). The span
+    frequency table from ``dedup_span`` doubles as the persisted
+    index for incremental decontamination of new batches."""
+    from scribedb_spark.operators.dedup import span_hashes
+
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    sp = span_hashes(d).localCheckpoint()
+    is_bench = F.col("doc_id") % 101 == 7
+    bg = sp.filter(is_bench).select("h").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    per = (
+        sp.filter(~is_bench)
+        .join(bg, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit_spans"),
+        )
+        .filter(F.col("n_hit_spans") > 0)
+    )
+    ratio = F.col("n_hit_spans") / F.col("n_spans")
+    return per.select(
+        "doc_id",
+        "n_spans",
+        "n_hit_spans",
+        F.round(ratio, 6).alias("hit_ratio"),
+        F.when(ratio >= _DECON_QUARANTINE, "quarantine")
+        .otherwise("review")
+        .alias("verdict"),
+    )
+
+
+_BM25_QUERY_DOC = 42
+_BM25_N_TERMS = 8
+
+#: DuckDB CTE chain ending in sc(doc_id, score_pts) — integer-point
+#: BM25 scores of every document against the rarest {_BM25_N_TERMS}
+#: terms of doc {_BM25_QUERY_DOC}; shared by the text_bm25_topk and
+#: search_hybrid_rrf oracles. All arithmetic is exact int64 (the
+#: rational-idf discipline of text_tfidf_topterms taken further: the
+#: whole BM25 term weight becomes ONE integer floor-division).
+SQL_BM25_SC = f"""
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+    st AS (SELECT COUNT(*) AS n,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
+           FROM documents),
+    av AS (SELECT n, (a + n // 2) // n AS avgdl FROM st),
+    dlen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+             FROM documents),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    qt AS (SELECT dft.term, dft.df FROM dft
+           WHERE dft.term IN (SELECT DISTINCT term FROM w
+                              WHERE doc_id = {_BM25_QUERY_DOC})
+           ORDER BY dft.df, dft.term LIMIT {_BM25_N_TERMS}),
+    tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+            WHERE doc_id <> {_BM25_QUERY_DOC} GROUP BY doc_id, term),
+    pts AS (SELECT tfq.doc_id,
+                   (1000000 * 22 * av.avgdl * tfq.tf
+                      * (2 * av.n - 2 * qt.df + 1))
+                   // ((10 * av.avgdl * tfq.tf + 3 * av.avgdl
+                        + 9 * dlen.dl) * (2 * qt.df + 1)) AS p
+            FROM tfq JOIN qt USING (term) JOIN dlen USING (doc_id)
+            CROSS JOIN av),
+    sc AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS score_pts
+           FROM pts GROUP BY doc_id)"""
+
+
+def bm25_scores(
+    spark,
+    sf_dir: str,
+    query_doc: int = _BM25_QUERY_DOC,
+    n_terms: int = _BM25_N_TERMS,
+) -> DataFrame:
+    """(doc_id, score_pts): integer-point BM25 of every document
+    against the ``n_terms`` rarest distinct terms of ``query_doc``
+    (query-by-example retrieval). BM25 with k1=1.2, b=0.75 rewritten
+    as exact int64 arithmetic so both engines agree to the bit:
+
+      idf   -> (2N - 2df + 1) / (2df + 1)          (the +-0.5 terms x2)
+      tfnorm-> 22*avgdl*tf / (10*avgdl*tf + 3*avgdl + 9*dl)
+               (k1+1=2.2 and k1*(1-b+b*dl/avgdl) scaled by 10*avgdl,
+                avgdl itself the rounded integer (A + N div 2) div N)
+      pts   -> (1e6 * num) div den  — ONE integer floor-division per
+               (doc, term); the per-doc score is an exact int64 SUM.
+
+    ln() never appears (libm drift, the module exactness rule); the
+    rational idf keeps the df-monotonicity BM25's ranking uses.
+
+    Scale: one explode feeds term df, the query-term pick, and the
+    per-(doc,term) tf; the <= ``n_terms``-row query table broadcasts
+    (bounded by a constant, not the corpus); scoring joins on
+    doc_id/term with map-side partials. Two shuffles + one window —
+    the same dataflow as text_tfidf_topterms."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    w = d.select("doc_id", F.explode(toks).alias("term"))
+    n_docs, total_tokens = d.select(
+        F.count(F.lit(1)), F.sum(F.size(toks))
+    ).first()
+    avgdl = (int(total_tokens) + int(n_docs) // 2) // int(n_docs)
+    dft = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    qt = (
+        w.filter(F.col("doc_id") == query_doc)
+        .select("term")
+        .distinct()
+        .join(dft, "term")
+        .orderBy("df", "term")
+        .limit(n_terms)
+    )
+    tfq = (
+        w.filter(F.col("doc_id") != query_doc)
+        .join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = d.select("doc_id", F.size(toks).alias("dl"))
+    num = (
+        F.lit(1000000 * 22 * avgdl)
+        * F.col("tf")
+        * (F.lit(2 * int(n_docs) + 1) - 2 * F.col("df"))
+    )
+    den = (
+        F.lit(10 * avgdl) * F.col("tf")
+        + F.lit(3 * avgdl)
+        + 9 * F.col("dl")
+    ) * (2 * F.col("df") + 1)
+    return (
+        tfq.join(dlen, "doc_id")
+        .select("doc_id", num.alias("num"), den.alias("den"))
+        .select("doc_id", F.expr("num div den").alias("p"))
+        .groupBy("doc_id")
+        .agg(F.sum("p").cast("long").alias("score_pts"))
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {SQL_BM25_SC}
+    SELECT doc_id, score_pts,
+           row_number() OVER (ORDER BY score_pts DESC, doc_id) AS rk
+    FROM sc ORDER BY score_pts DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir) -> DataFrame:
+    """Keyword retrieval: top-20 documents by integer-point BM25
+    against the rarest 8 terms of doc {42} ("more like this") — the
+    lexical half of a retrieval stack, complementing the ANN family's
+    dense half. See ``bm25_scores`` for the exact-int64 BM25
+    rewrite and the scale story; the top-k here is one
+    WindowGroupLimit-free global TakeOrdered (k bounded)."""
+    sc = bm25_scores(spark, sf_dir)
+    win = Window.orderBy(F.desc("score_pts"), "doc_id")
+    return (
+        sc.withColumn("rk", F.row_number().over(win))
+        .orderBy(F.desc("score_pts"), "doc_id")
+        .limit(20)
+        .select("doc_id", "score_pts", "rk")
+    )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {SQL_BM25_SC},
+    br AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score_pts DESC, doc_id)
+                    AS brank
+           FROM sc ORDER BY score_pts DESC, doc_id LIMIT {_RRF_DEPTH}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = {_BM25_QUERY_DOC}),
+    cs AS (SELECT e.vec_id AS doc_id,
+                  ROUND(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cscore
+           FROM embeddings e, q WHERE e.vec_id <> {_BM25_QUERY_DOC}),
+    vr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cscore DESC, doc_id)
+                    AS vrank
+           FROM cs ORDER BY cscore DESC, doc_id LIMIT {_RRF_DEPTH}),
+    f AS (SELECT COALESCE(br.doc_id, vr.doc_id) AS doc_id,
+                 COALESCE(br.brank, 0) AS bm25_rank,
+                 COALESCE(vr.vrank, 0) AS vec_rank
+          FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id)
+    SELECT doc_id, bm25_rank, vec_rank,
+           CAST(CASE WHEN bm25_rank > 0
+                     THEN 1000000 // ({_RRF_K} + bm25_rank) ELSE 0 END
+              + CASE WHEN vec_rank > 0
+                     THEN 1000000 // ({_RRF_K} + vec_rank) ELSE 0 END
+              AS BIGINT) AS rrf_pts
+    FROM f ORDER BY rrf_pts DESC, doc_id LIMIT 20
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    ranking (``bm25_scores``, query doc {42}) and the dense
+    cosine ranking (embedding of vec_id {42}) — the fusion step of a
+    two-tower search stack (Cormack et al. RRF). Each system
+    contributes floor(1e6 / ({60} + rank)) integer points for its
+    top-{50}; a doc absent from one list (rank emitted 0) simply
+    scores no points there — exactly RRF's robustness story. Integer
+    points replace the 1/(k+r) float sum (the hyperbolic-decay
+    idiom): sums are exact, ranking is engine-stable, no tolerance.
+
+    Scale: both input rankings are top-{50} TakeOrdereds (k-bounded,
+    never corpus-sized); the fusion joins two <= {50}-row tables —
+    driver-light, executor-trivial. The BM25 side shuffles twice
+    (df, tf), the dense side is one scan + TakeOrdered; at 100 TB
+    the dense side swaps in ann_ivf_topk / ann_prefix_topk without
+    touching the fusion."""
+    from scribedb_spark.functions.vector import cosine, to_double_array
+
+    sc = bm25_scores(spark, sf_dir)
+    bwin = Window.orderBy(F.desc("score_pts"), "doc_id")
+    br = (
+        sc.withColumn("brank", F.row_number().over(bwin))
+        .orderBy(F.desc("score_pts"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", "brank")
+    )
+    e = table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") == _BM25_QUERY_DOC).select(
+        to_double_array("embedding").alias("qv")
+    )
+    cs = (
+        e.filter(F.col("vec_id") != _BM25_QUERY_DOC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(to_double_array("embedding"), F.col("qv")), 6
+            ).alias("cscore"),
+        )
+    )
+    vwin = Window.orderBy(F.desc("cscore"), "doc_id")
+    vr = (
+        cs.withColumn("vrank", F.row_number().over(vwin))
+        .orderBy(F.desc("cscore"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", "vrank")
+    )
+    f = (
+        br.join(vr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("brank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("vrank", F.lit(0)).alias("vec_rank"),
+        )
+    )
+    pts = F.when(
+        F.col("bm25_rank") > 0,
+        F.expr(f"1000000 div ({_RRF_K} + bm25_rank)"),
+    ).otherwise(F.lit(0)) + F.when(
+        F.col("vec_rank") > 0,
+        F.expr(f"1000000 div ({_RRF_K} + vec_rank)"),
+    ).otherwise(F.lit(0))
+    return (
+        f.select(
+            "doc_id",
+            "bm25_rank",
+            "vec_rank",
+            pts.cast("long").alias("rrf_pts"),
+        )
+        .orderBy(F.desc("rrf_pts"), "doc_id")
+        .limit(20)
     )

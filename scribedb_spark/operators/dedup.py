@@ -1844,3 +1844,128 @@ def dedup_paragraph(spark, sf_dir) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping-span (exact substring) dedup
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS = 8
+
+#: DuckDB CTE chain ending in sp(doc_id, pos, h) — one row per
+#: OVERLAPPING {_SPAN_TOKENS}-token window start; shared by the
+#: dedup_span oracle and text_decontaminate's benchmark-overlap oracle
+SQL_SPAN_HASHES = f"""
+    ps AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sp AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(w[i+1 : i+{_SPAN_TOKENS}], ' ')) AS h
+      FROM ps CROSS JOIN (SELECT unnest(range(0, 5000)) AS i) ix
+      WHERE len(w) >= {_SPAN_TOKENS} AND i <= len(w) - {_SPAN_TOKENS})"""
+
+_SPAN_ORACLE = f"""
+    WITH {SQL_SPAN_HASHES},
+    nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY h),
+    d AS (SELECT sp.doc_id, sp.pos, nd.ndocs > 1 AS dup
+          FROM sp JOIN nd USING (h)),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM d WHERE dup),
+    rl AS (
+      SELECT doc_id, MAX(cnt) AS max_run
+      FROM (SELECT doc_id, grp, COUNT(*) AS cnt
+            FROM runs GROUP BY doc_id, grp) g
+      GROUP BY doc_id),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM d GROUP BY doc_id)
+    SELECT per.doc_id, n_spans, n_dup_spans,
+           CAST(CASE WHEN max_run IS NULL THEN 0
+                ELSE max_run + {_SPAN_TOKENS} - 1 END AS BIGINT)
+             AS max_dup_tokens
+    FROM per LEFT JOIN rl ON per.doc_id = rl.doc_id
+    """
+
+
+def span_hashes(d: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
+    """(doc_id, pos, h): md5 of every OVERLAPPING k-token window of
+    every document with >= k tokens — the Lee-et-al exact-substring
+    grain (one span per token position, vs dedup_paragraph's
+    non-overlapping chunks which miss duplicates that straddle an
+    alignment boundary). Map-only: one scan, one explode, ~n_tokens
+    output rows; md5 runs on the flat exploded rows (codegen, the
+    module's higher-order-lambda rule)."""
+    toks = F.split("text", " ")
+    w = d.select("doc_id", toks.alias("w")).filter(F.size("w") >= k)
+    pos = F.explode(F.sequence(F.lit(0), F.size("w") - k)).alias("pos")
+    w = w.select("doc_id", "w", pos)
+    seg = F.slice("w", F.col("pos") + 1, k)
+    return w.select(
+        "doc_id", "pos", F.md5(F.array_join(seg, " ")).alias("h")
+    )
+
+
+@register("dedup_span", oracle=_SPAN_ORACLE)
+def dedup_span(spark, sf_dir) -> DataFrame:
+    """Exact-substring span dedup at token grain (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): hash
+    every overlapping {8}-token window, mark a window duplicated when
+    the identical window occurs in another document, and report per
+    document the duplicated-window count plus the LONGEST duplicated
+    run in tokens (consecutive duplicated starts merge: a run of r
+    consecutive duplicated windows certifies an r+{8}-1-token shared
+    substring). Overlap is the point — ``dedup_paragraph``'s
+    non-overlapping chunks miss any duplicate that straddles a chunk
+    boundary; the sliding window is alignment-free, the sub-document
+    analog of the reference's row-level diff localization
+    (ref main.py:228-239) taken to character... token resolution.
+
+    Exactness: md5 of the identical span string both engines; the
+    run-length compaction is the pos - row_number() islands idiom
+    (identical integer window arithmetic both engines); outputs are
+    all BIGINT counts — no floats anywhere.
+
+    Scale: span explosion is map-only and linear in corpus tokens
+    (~one row per token); the span table materializes once
+    (localCheckpoint, one documents scan) and feeds the frequency
+    aggregation and the join back, both keyed on the content hash
+    (uniform by construction). The run-length window partitions by
+    doc_id — frames are document-sized. At 100 TB the span-frequency
+    table doubles as a persisted substring index for incremental
+    decontamination (join new docs' spans against it, no corpus
+    rescan) — exactly how ``text_decontaminate`` consumes
+    ``span_hashes``."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    sp = span_hashes(d).localCheckpoint()
+    nd = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    dd = sp.join(nd, "h").select(
+        "doc_id", "pos", (F.col("ndocs") > 1).alias("dup")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dd.filter("dup")
+        .select(
+            "doc_id", (F.col("pos") - F.row_number().over(win)).alias("grp")
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_run"))
+    )
+    per = dd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_spans"),
+    )
+    return per.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.when(F.col("max_run").isNull(), F.lit(0))
+        .otherwise(F.col("max_run") + _SPAN_TOKENS - 1)
+        .cast("long")
+        .alias("max_dup_tokens"),
+    )

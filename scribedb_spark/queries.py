@@ -1763,6 +1763,10 @@ _FRESH_WAVES.update(
             "join_similarity_topk",
             "pipeline_dedup_cascade",
             "ann_recall_report",
+            "dedup_span",
+            "text_decontaminate",
+            "text_bm25_topk",
+            "search_hybrid_rrf",
         },
         8,
     )

@@ -1270,3 +1270,57 @@ def test_dedup_cascade_no_hints_stage_union(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "pipeline_dedup_cascade")
     assert "partial_min" in p  # stage-priority merge is map-side partial
     assert "Union" in p
+
+
+def test_dedup_span_one_scan_islands_window(qmod, spark, sf_dir):
+    """dedup_span: the overlapping-span table materializes once
+    (localCheckpoint — the served plan reads the RDD, not parquet),
+    frequency agg is map-side partial, and the run-length compaction
+    is a doc_id-partitioned window (no global sort of spans)."""
+    df = qmod.REGISTRY["dedup_span"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "dedup_span")
+    assert "documents.parquet" not in p  # behind the one checkpoint
+    assert "Scan ExistingRDD" in p
+    assert "partial_count" in p
+    assert "row_number" in p
+
+
+def test_text_decontaminate_no_forced_broadcast(qmod, spark, sf_dir):
+    """text_decontaminate: the benchmark gram set grows with the
+    benchmark — its join must stay hint-free (AQE decides), and the
+    span table reads from the one checkpoint."""
+    df = qmod.REGISTRY["text_decontaminate"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    p = plan(qmod, spark, sf_dir, "text_decontaminate")
+    assert "documents.parquet" not in p
+    assert "Scan ExistingRDD" in p
+
+
+def test_text_bm25_topk_broadcast_query_terms_only(qmod, spark, sf_dir):
+    """text_bm25_topk: exactly one forced broadcast — the <= 8-row
+    query-term table (bounded by a constant, the legitimate case);
+    scoring aggregations are map-side partial and the top-k is a
+    TakeOrdered, never a global sort."""
+    logical = (
+        qmod.REGISTRY["text_bm25_topk"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert logical.count("ResolvedHint") <= 1  # the bounded query table
+    p = plan(qmod, spark, sf_dir, "text_bm25_topk")
+    assert "partial_count" in p
+    assert "TakeOrdered" in p
+
+
+def test_search_hybrid_rrf_bounded_fusion(qmod, spark, sf_dir):
+    """search_hybrid_rrf: both ranking arms end in k-bounded
+    TakeOrdereds before the fusion join; the only broadcasts carry
+    the 1-row query vector and the <= 8-row query-term table."""
+    p = plan(qmod, spark, sf_dir, "search_hybrid_rrf")
+    assert "TakeOrdered" in p
+    assert "embeddings.parquet" in p  # dense arm scans embeddings once
