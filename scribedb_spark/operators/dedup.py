@@ -1917,8 +1917,12 @@ def dedup_span(spark, sf_dir) -> DataFrame:
     the identical window occurs in another document, and report per
     document the duplicated-window count plus the LONGEST duplicated
     run in tokens (consecutive duplicated starts merge: a run of r
-    consecutive duplicated windows certifies an r+{8}-1-token shared
-    substring). Overlap is the point — ``dedup_paragraph``'s
+    consecutive duplicated windows spans r+{8}-1 tokens — an UPPER
+    bound on the longest substring shared with any single document,
+    tight when one contiguous copy is responsible; any shared
+    L-token substring, L >= {8}, forces a run of >= L-{8}+1, so the
+    bound never misses — property-tested in
+    tests/test_properties.py). Overlap is the point — ``dedup_paragraph``'s
     non-overlapping chunks miss any duplicate that straddles a chunk
     boundary; the sliding window is alignment-free, the sub-document
     analog of the reference's row-level diff localization
@@ -1940,7 +1944,15 @@ def dedup_span(spark, sf_dir) -> DataFrame:
     rescan) — exactly how ``text_decontaminate`` consumes
     ``span_hashes``."""
     d = table(spark, "documents", sf_dir).select("doc_id", "text")
-    sp = span_hashes(d).localCheckpoint()
+    return span_dedup_report(d)
+
+
+def span_dedup_report(d: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
+    """The dedup_span core over any (doc_id, text) frame — factored
+    out so the hypothesis property test can drive it on arbitrary
+    corpora (brute-force agreement on n/dup counts and the run
+    bound)."""
+    sp = span_hashes(d, k).localCheckpoint()
     nd = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
     dd = sp.join(nd, "h").select(
         "doc_id", "pos", (F.col("ndocs") > 1).alias("dup")
@@ -1965,7 +1977,7 @@ def dedup_span(spark, sf_dir) -> DataFrame:
         "n_spans",
         "n_dup_spans",
         F.when(F.col("max_run").isNull(), F.lit(0))
-        .otherwise(F.col("max_run") + _SPAN_TOKENS - 1)
+        .otherwise(F.col("max_run") + k - 1)
         .cast("long")
         .alias("max_dup_tokens"),
     )

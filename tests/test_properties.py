@@ -773,3 +773,61 @@ def test_containment_corpus_and_salted_exact(spark, rows):
     want = {(a, b, c) for a, (b, c) in best.items()}
     assert plain == want
     assert salted == want
+
+
+CORPUS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc"]),  # tiny alphabet -> real collisions
+        min_size=0,
+        max_size=14,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=CORPUS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_dedup_report_matches_brute_force(spark, docs):
+    """dedup_span core vs brute force on arbitrary tiny-alphabet
+    corpora (k=3 so collisions actually occur): per-doc window and
+    duplicated-window counts agree exactly, and the islands
+    run-length bound equals the longest consecutive duplicated-window
+    run — including the two soundness directions of the substring
+    bound (any single-partner shared L-token substring forces a run
+    of >= L-k+1; the reported span never exceeds the merged run)."""
+    from scribedb_spark.operators.dedup import span_dedup_report
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["max_dup_tokens"])
+        for r in span_dedup_report(d, k).collect()
+    }
+
+    # brute force. NOTE split-semantics parity: "" splits to [""] (one
+    # empty token), matching F.split/string_split on both engines.
+    toks_by_doc = {
+        i: (" ".join(t)).split(" ") for i, t in enumerate(docs)
+    }
+    windows = {
+        i: [tuple(w[p : p + k]) for p in range(len(w) - k + 1)]
+        for i, w in toks_by_doc.items()
+        if len(w) >= k
+    }
+    assert set(got) == set(windows)
+    for i, ws in windows.items():
+        dup = [
+            any(w in set(windows[j]) for j in windows if j != i) for w in ws
+        ]
+        best = cur = 0
+        for flag in dup:
+            cur = cur + 1 if flag else 0
+            best = max(best, cur)
+        expect = (len(ws), sum(dup), best + k - 1 if best else 0)
+        assert got[i] == expect, (i, got[i], expect)
