@@ -73,6 +73,10 @@ KEYS = [
     "dedup_paragraph",
     "join_similarity_topk",
     "ann_index_append",
+    "dedup_span",
+    "text_decontaminate",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 #: per-table primary-key shifts so unioned copies stay key-unique;
