@@ -674,10 +674,9 @@ def text_decontaminate(spark, sf_dir) -> DataFrame:
     with the benchmark, so the join is left to AQE). The span
     frequency table from ``dedup_span`` doubles as the persisted
     index for incremental decontamination of new batches."""
-    from scribedb_spark.operators.dedup import span_hashes
+    from scribedb_spark.operators.dedup import span_hashes_cached
 
-    d = table(spark, "documents", sf_dir).select("doc_id", "text")
-    sp = span_hashes(d).localCheckpoint()
+    sp = span_hashes_cached(spark, sf_dir)
     is_bench = F.col("doc_id") % 101 == 7
     bg = sp.filter(is_bench).select("h").distinct().withColumn(
         "hit", F.lit(1)
@@ -742,6 +741,11 @@ SQL_BM25_SC = f"""
            FROM pts GROUP BY doc_id)"""
 
 
+#: session cache for the scored BM25 table — shared by text_bm25_topk
+#: and search_hybrid_rrf (cache.py discipline)
+_BM25_CACHE: dict = {}
+
+
 def bm25_scores(
     spark,
     sf_dir: str,
@@ -768,6 +772,20 @@ def bm25_scores(
     (bounded by a constant, not the corpus); scoring joins on
     doc_id/term with map-side partials. Two shuffles + one window —
     the same dataflow as text_tfidf_topterms."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _BM25_CACHE,
+        spark,
+        ("bm25", sf_dir, query_doc, n_terms),
+        lambda: _bm25_scores_build(spark, sf_dir, query_doc, n_terms)
+        .localCheckpoint(),
+    )
+
+
+def _bm25_scores_build(
+    spark, sf_dir: str, query_doc: int, n_terms: int
+) -> DataFrame:
     d = table(spark, "documents", sf_dir).select("doc_id", "text")
     toks = F.split("text", " ")
     w = d.select("doc_id", F.explode(toks).alias("term"))
@@ -827,11 +845,14 @@ def text_bm25_topk(spark, sf_dir) -> DataFrame:
     rewrite and the scale story; the top-k here is one
     WindowGroupLimit-free global TakeOrdered (k bounded)."""
     sc = bm25_scores(spark, sf_dir)
+    # TakeOrdered top-20 FIRST; the global rank window then runs over
+    # 20 rows, not the corpus (an unbounded global window is the
+    # single-partition anti-pattern)
     win = Window.orderBy(F.desc("score_pts"), "doc_id")
     return (
-        sc.withColumn("rk", F.row_number().over(win))
-        .orderBy(F.desc("score_pts"), "doc_id")
+        sc.orderBy(F.desc("score_pts"), "doc_id")
         .limit(20)
+        .withColumn("rk", F.row_number().over(win))
         .select("doc_id", "score_pts", "rk")
     )
 
@@ -892,10 +913,10 @@ def search_hybrid_rrf(spark, sf_dir) -> DataFrame:
 
     sc = bm25_scores(spark, sf_dir)
     bwin = Window.orderBy(F.desc("score_pts"), "doc_id")
-    br = (
-        sc.withColumn("brank", F.row_number().over(bwin))
-        .orderBy(F.desc("score_pts"), "doc_id")
+    br = (  # k-bounded TakeOrdered first; rank windows see <= 50 rows
+        sc.orderBy(F.desc("score_pts"), "doc_id")
         .limit(_RRF_DEPTH)
+        .withColumn("brank", F.row_number().over(bwin))
         .select("doc_id", "brank")
     )
     e = table(spark, "embeddings", sf_dir)
@@ -914,9 +935,9 @@ def search_hybrid_rrf(spark, sf_dir) -> DataFrame:
     )
     vwin = Window.orderBy(F.desc("cscore"), "doc_id")
     vr = (
-        cs.withColumn("vrank", F.row_number().over(vwin))
-        .orderBy(F.desc("cscore"), "doc_id")
+        cs.orderBy(F.desc("cscore"), "doc_id")
         .limit(_RRF_DEPTH)
+        .withColumn("vrank", F.row_number().over(vwin))
         .select("doc_id", "vrank")
     )
     f = (

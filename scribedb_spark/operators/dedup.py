@@ -1891,6 +1891,26 @@ _SPAN_ORACLE = f"""
     """
 
 
+#: session cache for the checkpointed overlapping-span table — the
+#: substring index shared by dedup_span and text_decontaminate
+#: (cache.py discipline: (applicationId, ...) keys, stale-app eviction)
+_SPAN_CACHE: dict = {}
+
+
+def span_hashes_cached(spark, sf_dir: str) -> DataFrame:
+    """The checkpointed (doc_id, pos, h) span table for the documents
+    corpus, built once per session — the in-session analog of the
+    persisted substring index both span consumers read at 100 TB."""
+    from scribedb_spark.cache import session_cache
+    from scribedb_spark.sources import table as _table
+
+    def build():
+        d = _table(spark, "documents", sf_dir).select("doc_id", "text")
+        return span_hashes(d).localCheckpoint()
+
+    return session_cache(_SPAN_CACHE, spark, ("spans", sf_dir), build)
+
+
 def span_hashes(d: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
     """(doc_id, pos, h): md5 of every OVERLAPPING k-token window of
     every document with >= k tokens — the Lee-et-al exact-substring
@@ -1943,8 +1963,7 @@ def dedup_span(spark, sf_dir) -> DataFrame:
     decontamination (join new docs' spans against it, no corpus
     rescan) — exactly how ``text_decontaminate`` consumes
     ``span_hashes``."""
-    d = table(spark, "documents", sf_dir).select("doc_id", "text")
-    return span_dedup_report(d)
+    return span_report_from(span_hashes_cached(spark, sf_dir))
 
 
 def span_dedup_report(d: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
@@ -1952,7 +1971,11 @@ def span_dedup_report(d: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
     out so the hypothesis property test can drive it on arbitrary
     corpora (brute-force agreement on n/dup counts and the run
     bound)."""
-    sp = span_hashes(d, k).localCheckpoint()
+    return span_report_from(span_hashes(d, k).localCheckpoint(), k)
+
+
+def span_report_from(sp: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
+    """dedup_span rollup over an already-materialized span table."""
     nd = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
     dd = sp.join(nd, "h").select(
         "doc_id", "pos", (F.col("ndocs") > 1).alias("dup")

@@ -1299,22 +1299,28 @@ def test_text_decontaminate_no_forced_broadcast(qmod, spark, sf_dir):
     assert "Scan ExistingRDD" in p
 
 
-def test_text_bm25_topk_broadcast_query_terms_only(qmod, spark, sf_dir):
-    """text_bm25_topk: exactly one forced broadcast — the <= 8-row
-    query-term table (bounded by a constant, the legitimate case);
-    scoring aggregations are map-side partial and the top-k is a
-    TakeOrdered, never a global sort."""
-    logical = (
-        qmod.REGISTRY["text_bm25_topk"]
-        .fn(spark, sf_dir)
-        ._jdf.queryExecution()
-        .logical()
-        .toString()
-    )
-    assert logical.count("ResolvedHint") <= 1  # the bounded query table
+def test_text_bm25_topk_served_from_cached_scores(qmod, spark, sf_dir):
+    """text_bm25_topk: the scored table builds once per session
+    (shared with search_hybrid_rrf); the SERVED plan reads the
+    checkpoint and ends in a TakeOrdered, never a global sort. The
+    BUILD plan's one forced broadcast is the <= 8-row query-term
+    table (bounded by a constant, the legitimate case) and its
+    scoring aggregations are map-side partial."""
+    from scribedb_spark.operators.curation import _bm25_scores_build
+
     p = plan(qmod, spark, sf_dir, "text_bm25_topk")
-    assert "partial_count" in p
+    assert "documents.parquet" not in p  # served from the score index
+    assert "Scan ExistingRDD" in p
     assert "TakeOrdered" in p
+    build = _bm25_scores_build(spark, sf_dir, 42, 8)
+    logical = build._jdf.queryExecution().logical().toString()
+    assert logical.count("ResolvedHint") <= 1  # the bounded query table
+    bp = build._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "partial_count" in bp
 
 
 def test_search_hybrid_rrf_bounded_fusion(qmod, spark, sf_dir):
@@ -1324,3 +1330,20 @@ def test_search_hybrid_rrf_bounded_fusion(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "search_hybrid_rrf")
     assert "TakeOrdered" in p
     assert "embeddings.parquet" in p  # dense arm scans embeddings once
+
+
+def test_span_and_bm25_stages_shared_across_keys(qmod, spark, sf_dir):
+    """dedup_span + text_decontaminate read ONE cached span
+    checkpoint; text_bm25_topk + search_hybrid_rrf read ONE cached
+    scored table (the containment-stage / ANN train-once discipline —
+    no shared stage is ever built twice in a session)."""
+    from scribedb_spark.operators import curation, dedup
+
+    dedup._SPAN_CACHE.clear()
+    curation._BM25_CACHE.clear()
+    qmod.REGISTRY["dedup_span"].fn(spark, sf_dir).count()
+    qmod.REGISTRY["text_decontaminate"].fn(spark, sf_dir).count()
+    assert len(dedup._SPAN_CACHE) == 1
+    qmod.REGISTRY["text_bm25_topk"].fn(spark, sf_dir).count()
+    qmod.REGISTRY["search_hybrid_rrf"].fn(spark, sf_dir).count()
+    assert len(curation._BM25_CACHE) == 1
