@@ -164,6 +164,7 @@ BENCH_KEYS = [
     "text_decontaminate",
     "text_bm25_topk",
     "search_hybrid_rrf",
+    "compare_iblt_diff",
 ]
 
 

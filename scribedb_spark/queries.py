@@ -1767,6 +1767,7 @@ _FRESH_WAVES.update(
             "text_decontaminate",
             "text_bm25_topk",
             "search_hybrid_rrf",
+            "compare_iblt_diff",
         },
         8,
     )

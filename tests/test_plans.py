@@ -1347,3 +1347,17 @@ def test_span_and_bm25_stages_shared_across_keys(qmod, spark, sf_dir):
     qmod.REGISTRY["text_bm25_topk"].fn(spark, sf_dir).count()
     qmod.REGISTRY["search_hybrid_rrf"].fn(spark, sf_dir).count()
     assert len(curation._BM25_CACHE) == 1
+
+
+def test_compare_iblt_diff_cell_bounded(qmod, spark, sf_dir):
+    """compare_iblt_diff: the reconciliation result is driver-built
+    from the decoded cells, so the SERVED frame is a bounded local
+    relation — and rebuilding the sketch aggregation shows map-side
+    partial XOR/count aggregation keyed on cell (the only shuffle),
+    never a row-keyed exchange."""
+    from scribedb_spark.analytics import _IBLT_CELLS
+
+    df = qmod.REGISTRY["compare_iblt_diff"].fn(spark, sf_dir)
+    assert df.count() <= _IBLT_CELLS
+    p = plan(qmod, spark, sf_dir, "compare_iblt_diff")
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p

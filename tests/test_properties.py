@@ -831,3 +831,65 @@ def test_span_dedup_report_matches_brute_force(spark, docs):
             best = max(best, cur)
         expect = (len(ws), sum(dup), best + k - 1 if best else 0)
         assert got[i] == expect, (i, got[i], expect)
+
+
+KEYED_SIDES = st.tuples(
+    st.dictionaries(  # src: key -> value
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=3),
+        max_size=25,
+    ),
+    st.dictionaries(  # tgt
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=3),
+        max_size=25,
+    ),
+)
+
+
+@given(sides=KEYED_SIDES)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_iblt_reconcile_matches_direct_diff(spark, sides):
+    """iblt_reconcile on arbitrary keyed tables == the direct
+    full-outer-join classification (added/removed/changed), for any
+    overlap/mutation pattern that fits the cell budget."""
+    from scribedb_spark.analytics import iblt_reconcile
+
+    src_d, tgt_d = sides
+    src = spark.createDataFrame(
+        list(src_d.items()) or [(None, None)], "k long, v long"
+    ).filter("k is not null")
+    tgt = spark.createDataFrame(
+        list(tgt_d.items()) or [(None, None)], "k long, v long"
+    ).filter("k is not null")
+    got = {
+        (r["k"], r["change"])
+        for r in iblt_reconcile(spark, src, tgt, "k", ["v"]).collect()
+    }
+    expect = set()
+    for k in set(src_d) | set(tgt_d):
+        if k in src_d and k not in tgt_d:
+            expect.add((k, "removed"))
+        elif k in tgt_d and k not in src_d:
+            expect.add((k, "added"))
+        elif src_d[k] != tgt_d[k]:
+            expect.add((k, "changed"))
+    assert got == expect
+
+
+def test_iblt_capacity_exceeded_raises(spark, monkeypatch):
+    """Decode must FAIL LOUDLY (never decode wrong) when the diff
+    exceeds the cell budget."""
+    import pytest
+
+    from scribedb_spark import analytics
+
+    monkeypatch.setattr(analytics, "_IBLT_CELLS", 4)
+    src = spark.range(0, 40).selectExpr("id as k", "id as v")
+    tgt = spark.range(100, 140).selectExpr("id as k", "id as v")
+    with pytest.raises(ValueError, match="IBLT decode stalled"):
+        analytics.iblt_reconcile(spark, src, tgt, "k", ["v"]).collect()
