@@ -165,6 +165,7 @@ BENCH_KEYS = [
     "text_bm25_topk",
     "search_hybrid_rrf",
     "compare_iblt_diff",
+    "dedup_cluster_stats",
 ]
 
 

@@ -2004,3 +2004,73 @@ def span_report_from(sp: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
         .cast("long")
         .alias("max_dup_tokens"),
     )
+
+
+_CLUSTER_STATS_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+              UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+    sz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component),
+    dist AS (
+      SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(n) AS BIGINT) AS n_docs
+      FROM sz GROUP BY n),
+    single AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id NOT IN (SELECT id FROM comp))
+    SELECT * FROM dist
+    UNION ALL
+    SELECT * FROM single WHERE n_clusters > 0
+    """
+
+
+@register("dedup_cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
+def dedup_cluster_stats(spark, sf_dir) -> DataFrame:
+    """Duplication profile of the corpus: the cluster-SIZE
+    distribution of the near-dup graph (how many 2-groups, 3-groups,
+    ... the MinHash-LSH components form, plus the singleton mass) —
+    the one-table answer to "how duplicated is this crawl?", read
+    before choosing dedup aggressiveness (a heavy tail of giant
+    clusters argues for survivor-pick + weights; mostly pairs argues
+    exact dedup already caught the bulk). Consumes the session-cached
+    pair index and the same component labels as ``dedup_components``
+    / ``sample_dedup_weights``.
+
+    Exactness: pure integer counts over the identical component
+    labels both engines (recursive min-label CTE in DuckDB).
+
+    Scale: two tiny aggregations downstream of the cached pair graph
+    (components are corpus-sized, sizes are cluster-count-sized, the
+    distribution is at most max-cluster-size rows); the singleton
+    row costs two O(1)-result count jobs. Output is histogram-sized
+    — safe to collect anywhere."""
+    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    dist = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+    )
+    n_total = table(spark, "documents", sf_dir).count()
+    n_edged = comp.count()
+    singles = int(n_total - n_edged)
+    if singles > 0:
+        dist = dist.unionByName(
+            comp.sparkSession.createDataFrame(
+                [(1, singles, singles)],
+                "cluster_size long, n_clusters long, n_docs long",
+            )
+        )
+    return dist

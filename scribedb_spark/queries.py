@@ -1768,6 +1768,7 @@ _FRESH_WAVES.update(
             "text_bm25_topk",
             "search_hybrid_rrf",
             "compare_iblt_diff",
+            "dedup_cluster_stats",
         },
         8,
     )

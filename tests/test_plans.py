@@ -1361,3 +1361,21 @@ def test_compare_iblt_diff_cell_bounded(qmod, spark, sf_dir):
     assert df.count() <= _IBLT_CELLS
     p = plan(qmod, spark, sf_dir, "compare_iblt_diff")
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p
+
+
+def test_dedup_cluster_stats_histogram_sized(qmod, spark, sf_dir):
+    """dedup_cluster_stats: reads the cached pair index (no fresh
+    documents scan for the graph side) and the output is bounded by
+    the max cluster size, not the corpus."""
+    from scribedb_spark.operators import dedup
+
+    dedup.dedup_minhash_lsh(spark, sf_dir).count()  # warm the cache
+    p = plan(qmod, spark, sf_dir, "dedup_cluster_stats")
+    assert "Scan ExistingRDD" in p  # pair graph from the checkpoint
+    df = qmod.REGISTRY["dedup_cluster_stats"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) <= 64
+    from scribedb_spark.sources import table
+
+    n_docs = table(spark, "documents", sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # every doc accounted
