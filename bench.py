@@ -166,6 +166,7 @@ BENCH_KEYS = [
     "search_hybrid_rrf",
     "compare_iblt_diff",
     "dedup_cluster_stats",
+    "compare_iblt_incremental",
 ]
 
 

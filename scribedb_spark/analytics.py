@@ -3122,46 +3122,51 @@ def compare_iblt_diff(spark, sf_dir) -> DataFrame:
     )
 
 
-def iblt_reconcile(
-    spark,
-    src: DataFrame,
-    tgt: DataFrame,
-    key_col: str,
-    value_cols: list[str],
+def _iblt_sketch(
+    side: DataFrame, sign: int, key_col: str, value_cols: list[str]
 ) -> DataFrame:
-    """General IBLT reconciliation of two keyed frames (the
-    compare_iblt_diff engine; see that key's docstring for the
-    algorithm and scale argument). ``key_col`` must be a unique
-    non-negative BIGINT key; returns (key_col, change) with change in
-    added/removed/changed. Raises ValueError when the diff exceeds
-    the ~0.8*_IBLT_CELLS decode capacity."""
+    """3 exploded (cell, sign) rows per item (key, row-fingerprint)."""
+    rowtext = F.concat_ws(
+        ":",
+        F.col(key_col).cast("string"),
+        *[F.col(c).cast("string") for c in value_cols],
+    )
+    fp = F.conv(F.substring(F.md5(rowtext), 1, 15), 16, 10).cast("long")
+    items = side.select(F.col(key_col).alias("key"), fp.alias("fp"))
+    cells, chk = _iblt_cell_exprs(F.col("key"), F.col("fp"))
+    return items.select(
+        "key",
+        "fp",
+        chk.alias("chk"),
+        F.explode(F.array(*cells)).alias("cell"),
+        F.lit(sign).alias("sign"),
+    )
 
-    def sketch(side: DataFrame, sign: int) -> DataFrame:
-        rowtext = F.concat_ws(
-            ":",
-            F.col(key_col).cast("string"),
-            *[F.col(c).cast("string") for c in value_cols],
-        )
-        fp = F.conv(F.substring(F.md5(rowtext), 1, 15), 16, 10).cast("long")
-        items = side.select(F.col(key_col).alias("key"), fp.alias("fp"))
-        cells, chk = _iblt_cell_exprs(F.col("key"), F.col("fp"))
-        return items.select(
-            "key",
-            "fp",
-            chk.alias("chk"),
-            F.explode(F.array(*cells)).alias("cell"),
-            F.lit(sign).alias("sign"),
-        )
 
-    agg = (
-        sketch(src, 1)
-        .unionByName(sketch(tgt, -1))
-        .groupBy("cell")
+def _iblt_cell_agg(sk: DataFrame) -> DataFrame:
+    """Sketch rows -> the (cell, cnt, kx, fx, cx) table."""
+    return sk.groupBy("cell").agg(
+        F.sum("sign").cast("long").alias("cnt"),
+        F.expr("bit_xor(key)").alias("kx"),
+        F.expr("bit_xor(fp)").alias("fx"),
+        F.expr("bit_xor(chk)").alias("cx"),
+    )
+
+
+def _iblt_merge(*cell_dfs: DataFrame) -> DataFrame:
+    """Union cell tables cell-wise (counts add, XORs fold — both
+    group operations, which is what makes the sketch incrementally
+    maintainable); drops cancelled cells."""
+    u = cell_dfs[0]
+    for c in cell_dfs[1:]:
+        u = u.unionByName(c)
+    return (
+        u.groupBy("cell")
         .agg(
-            F.sum("sign").cast("long").alias("cnt"),
-            F.expr("bit_xor(key)").alias("kx"),
-            F.expr("bit_xor(fp)").alias("fx"),
-            F.expr("bit_xor(chk)").alias("cx"),
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.expr("bit_xor(kx)").alias("kx"),
+            F.expr("bit_xor(fx)").alias("fx"),
+            F.expr("bit_xor(cx)").alias("cx"),
         )
         .filter(
             (F.col("cnt") != 0)
@@ -3170,9 +3175,13 @@ def iblt_reconcile(
             | (F.col("cx") != 0)
         )
     )
+
+
+def _iblt_decode(spark, cell_df: DataFrame, key_col: str) -> DataFrame:
+    """Collect the (bounded) cell table, peel, classify per key."""
     cells = {
         r["cell"]: (r["cnt"], r["kx"], r["fx"], r["cx"])
-        for r in agg.collect()  # bounded by _IBLT_CELLS, never by rows
+        for r in cell_df.collect()  # bounded by _IBLT_CELLS, never rows
     }
     by_key: dict[int, set] = {}
     for key, _fp, s in _iblt_peel(cells):
@@ -3189,3 +3198,162 @@ def iblt_reconcile(
     return spark.createDataFrame(
         out, f"{key_col} long, change string"
     ).orderBy(key_col)
+
+
+def iblt_reconcile(
+    spark,
+    src: DataFrame,
+    tgt: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """General IBLT reconciliation of two keyed frames (the
+    compare_iblt_diff engine; see that key's docstring for the
+    algorithm and scale argument). ``key_col`` must be a unique
+    non-negative BIGINT key; returns (key_col, change) with change in
+    added/removed/changed. Raises ValueError when the diff exceeds
+    the ~0.8*_IBLT_CELLS decode capacity."""
+    agg = _iblt_merge(
+        _iblt_cell_agg(_iblt_sketch(src, 1, key_col, value_cols)),
+        _iblt_cell_agg(_iblt_sketch(tgt, -1, key_col, value_cols)),
+    )
+    return _iblt_decode(spark, agg, key_col)
+
+
+_IBLT_COLS = ["cents", "o_orderpriority", "o_orderstatus"]
+
+#: session cache for the rendered orders base + its base cell sketch
+_IBLT_BASE_CACHE: dict = {}
+
+
+def _iblt_orders_state(spark, sf_dir: str):
+    """(rendered base, base cell sketch) for the orders table, built
+    once per session: the persisted-sketch artifact the incremental
+    key patches instead of rebuilding."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        )
+        base = (
+            table(spark, "orders", sf_dir)
+            .select(
+                "o_orderkey",
+                cents.alias("cents"),
+                "o_orderpriority",
+                "o_orderstatus",
+            )
+            .localCheckpoint()
+        )
+        cells = _iblt_cell_agg(
+            _iblt_sketch(base, 1, "o_orderkey", _IBLT_COLS)
+        ).localCheckpoint()
+        return base, cells
+
+    return session_cache(_IBLT_BASE_CACHE, spark, ("iblt_base", sf_dir), build)
+
+
+def _iblt_incr_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderpriority, o_orderstatus
+      FROM orders),
+    src1 AS (
+      SELECT o_orderkey,
+             cents + CASE WHEN o_orderkey % 1100 = 0 THEN 7 ELSE 0 END
+               AS cents,
+             o_orderpriority, o_orderstatus
+      FROM base WHERE o_orderkey % 2600 <> 0),
+    tgt AS (
+      SELECT o_orderkey,
+             cents + CASE WHEN o_orderkey % 1000 = 0 THEN 100 ELSE 0 END
+               AS cents,
+             CASE WHEN o_orderkey % 700 = 0 THEN 'X-' || o_orderpriority
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus
+      FROM base WHERE o_orderkey % 2000 <> 0),
+    j AS (
+      SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NULL THEN 'added'
+                  WHEN t.o_orderkey IS NULL THEN 'removed'
+                  WHEN s.cents IS DISTINCT FROM t.cents
+                    OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+                    OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                    THEN 'changed' END AS change
+      FROM src1 s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+    SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+    """
+
+
+@register("compare_iblt_incremental", oracle=_iblt_incr_oracle())
+def compare_iblt_incremental(spark, sf_dir) -> DataFrame:
+    """The IBLT lifecycle closed: maintain the source-side sketch by
+    O(|delta|) PATCHING, then reconcile. An upsert batch lands on
+    orders (cents+7 at keys %1100, deletes at %2600); instead of
+    re-sketching the table, the session-cached base cell table is
+    merged with patch terms computed FROM THE DELTA ROWS ONLY
+    (-old_version, +new_version, -deleted — XOR and count are group
+    operations, so cells(src1) == cells(src0) (+) patch exactly).
+    The patched sketch then reconciles against an independently
+    mutated target (the keyed-diff fixture), and decode must recover
+    the combined diff — which the oracle computes directly from
+    scratch, so a hash match proves the patch algebra end to end
+    (the compare_cell_incremental proof shape, upgraded from "which
+    cells changed" to full row-key recovery).
+
+    The reference re-chains a whole window on ANY change
+    (SURVEY §8 / fp_incremental_update discussion); here an upsert
+    costs 3 cell updates per affected row version, and the serve
+    plan performs no base rescans: after the cached build, the
+    source side reads the checkpointed render + cell table only
+    (plan-asserted).
+
+    Scale: the persisted-sketch deployment story — a 100 TB table's
+    sketch is maintained transactionally beside it (256 KB of
+    state), and any replica can be diffed against it in one
+    round trip + O(d) decode, no matter how many upserts ago the
+    sketch was built."""
+    return _iblt_decode(
+        spark, _iblt_incremental_cells(spark, sf_dir), "o_orderkey"
+    )
+
+
+def _iblt_incremental_cells(spark, sf_dir: str) -> DataFrame:
+    """The full pre-decode cell pipeline of compare_iblt_incremental
+    (cached base sketch (+) delta patch (+) target sketch) — kept as
+    a named stage so the plan test can assert the serve plan reads
+    only checkpointed artifacts, no orders rescans."""
+    base, base_cells = _iblt_orders_state(spark, sf_dir)
+    upd = F.col("o_orderkey") % 1100 == 0
+    dele = F.col("o_orderkey") % 2600 == 0
+    old_upd = base.filter(upd & ~dele)
+    new_upd = old_upd.withColumn("cents", F.col("cents") + 7)
+    deleted = base.filter(dele)
+    patch = _iblt_cell_agg(
+        _iblt_sketch(old_upd, -1, "o_orderkey", _IBLT_COLS)
+        .unionByName(_iblt_sketch(new_upd, 1, "o_orderkey", _IBLT_COLS))
+        .unionByName(_iblt_sketch(deleted, -1, "o_orderkey", _IBLT_COLS))
+    )
+    src1_cells = _iblt_merge(base_cells, patch)
+    tgt = (
+        base.filter(F.col("o_orderkey") % 2000 != 0)
+        .withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 1000 == 0, 100).otherwise(0),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 700 == 0,
+                F.concat(F.lit("X-"), F.col("o_orderpriority")),
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    tgt_cells = _iblt_cell_agg(
+        _iblt_sketch(tgt, -1, "o_orderkey", _IBLT_COLS)
+    )
+    return _iblt_merge(src1_cells, tgt_cells)

@@ -1769,6 +1769,7 @@ _FRESH_WAVES.update(
             "search_hybrid_rrf",
             "compare_iblt_diff",
             "dedup_cluster_stats",
+            "compare_iblt_incremental",
         },
         8,
     )

@@ -1379,3 +1379,22 @@ def test_dedup_cluster_stats_histogram_sized(qmod, spark, sf_dir):
 
     n_docs = table(spark, "documents", sf_dir).count()
     assert sum(r["n_docs"] for r in rows) == n_docs  # every doc accounted
+
+
+def test_compare_iblt_incremental_no_base_rescan(qmod, spark, sf_dir):
+    """compare_iblt_incremental: after the cached base build, the
+    serve-side plan reads ONLY checkpointed artifacts (the rendered
+    base + the base cell sketch) — zero orders.parquet scans; the
+    patch is computed from delta rows, never a table re-sketch."""
+    from scribedb_spark import analytics
+
+    analytics._iblt_orders_state(spark, sf_dir)  # warm the cache
+    cells = analytics._iblt_incremental_cells(spark, sf_dir)
+    p = cells._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "orders.parquet" not in p  # delta + tgt read the checkpoint
+    assert "Scan ExistingRDD" in p
+    assert "partial_sum" in p  # cell aggregation is map-side partial
