@@ -132,12 +132,22 @@ def main() -> None:
 
     for key in keys:
         fn = Q.REGISTRY[key].fn
-        t0 = time.perf_counter()
-        n_base = fn(spark, base).count()
-        t_base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n_scaled = fn(spark, out).count()
-        t_scaled = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            n_base = fn(spark, base).count()
+            t_base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_scaled = fn(spark, out).count()
+            t_scaled = time.perf_counter() - t0
+        except Exception as e:  # record honest failures (capacity
+            # guards, spills) instead of losing the whole run
+            print(
+                json.dumps(
+                    {"key": key, "mult": mult, "err": str(e)[:300]}
+                ),
+                flush=True,
+            )
+            continue
         print(
             json.dumps(
                 {
