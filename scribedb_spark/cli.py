@@ -30,6 +30,7 @@ def parse_args(argv=None):
             "remote-colfp",
             "merkle",
             "colfp",
+            "iblt",
         ],
         default="full",
         help="hash: verdict+chunk report only; full: also materialize "
@@ -38,7 +39,9 @@ def parse_args(argv=None):
         "over the wire), compared to the Spark side's fp_chain; "
         "merkle: root-first tree compare printing only differing "
         "chunks (sparse-diff fast path); colfp: per-column "
-        "fingerprints — report WHICH attributes diverge, no row fetch",
+        "fingerprints — report WHICH attributes diverge, no row fetch; "
+        "iblt: constant-size sketch reconciliation — exact differing "
+        "keys (added/removed/changed) from one ~256 KB exchange",
     )
     p.add_argument(
         "-s",
@@ -147,6 +150,17 @@ def main(argv=None) -> int:
             print("Datasets are identicals")  # the reference's wording
             return 0
         print(f"Datasets are different. ({len(bad)} columns)")
+        return 1
+    if args.mode == "iblt":
+        from scribedb_spark.config import run_iblt_config
+
+        rows = run_iblt_config(spark, cfg).collect()
+        for r in rows:
+            print(f"key {r[0]} {r['change']}")
+        if not rows:
+            print("Datasets are identicals")  # the reference's wording
+            return 0
+        print(f"Datasets are different. ({len(rows)} keys)")
         return 1
     if args.mode == "merkle":
         from scribedb_spark.config import run_merkle_config

@@ -292,6 +292,28 @@ def run_merkle_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
     return merkle_drill(src, tgt, cols, c.sort_keys, c.bucket_rows)
 
 
+def run_iblt_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
+    """``--mode iblt``: reconcile the two sides via the IBLT sketch
+    (analytics.iblt_reconcile) — a constant-size cell exchange per
+    side and exact O(d) recovery of every differing key, classified
+    added/removed/changed. Requires exactly one sort_key naming a
+    unique non-negative BIGINT row key; all other shared columns form
+    the row fingerprint. The diff-budget capacity error propagates
+    (fail loud, never decode wrong)."""
+    from scribedb_spark.analytics import iblt_reconcile
+
+    c = cfg.compare
+    if not c.sort_keys or len(c.sort_keys) != 1:
+        raise ValueError(
+            "iblt mode requires exactly one sort_key (the BIGINT row key)"
+        )
+    key = c.sort_keys[0]
+    src = build_dataframe(spark, c.source)
+    tgt = build_dataframe(spark, c.target)
+    value_cols = [col for col in src.columns if col != key]
+    return iblt_reconcile(spark, src, tgt, key, value_cols)
+
+
 def run_colfp_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
     """``--mode colfp``: per-column fingerprint report
     (compare.column_fingerprints) — which ATTRIBUTES diverge, one

@@ -562,3 +562,40 @@ def test_cli_remote_keyed_composite_key(spark, sf_dir, tmp_path, capsys):
     rc = main(["-f", str(p), "--mode", "remote-keyed"])
     out = capsys.readouterr().out
     assert rc == 1 and "NOK" in out, out
+
+
+def test_cli_iblt_mode_recovers_keys(spark, sf_dir, tmp_path, capsys):
+    """--mode iblt: identical sides -> identical verdict (rc 0); one
+    mutated + one deleted row -> exactly those keys recovered with
+    their change classes from the constant-size sketch (rc 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribedb_spark.cli import main
+
+    p = tmp_path / "cmp.yaml"
+    p.write_text(GOOD_YAML.format(sf=sf_dir) + "  sort_keys: [o_orderkey]\n")
+    rc = main(["-f", str(p), "--mode", "iblt"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identicals" in out
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    df = t.to_pandas()
+    df.loc[df["o_orderkey"] == 7, "o_totalprice"] += 1
+    df = df[df["o_orderkey"] != 32]
+    mut = tmp_path / "orders_mut.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(mut))
+    p.write_text(
+        GOOD_YAML.format(sf=sf_dir).replace(
+            f"{sf_dir}/orders.parquet\"}}\n    name: tgt",
+            f"{mut}\"}}\n    name: tgt",
+        )
+        + "  sort_keys: [o_orderkey]\n"
+    )
+    rc = main(["-f", str(p), "--mode", "iblt"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    keys = sorted(
+        l for l in out.splitlines() if l.startswith("key ")
+    )
+    assert keys == ["key 32 removed", "key 7 changed"]
