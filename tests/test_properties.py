@@ -893,3 +893,21 @@ def test_iblt_capacity_exceeded_raises(spark, monkeypatch):
     tgt = spark.range(100, 140).selectExpr("id as k", "id as v")
     with pytest.raises(ValueError, match="IBLT decode stalled"):
         analytics.iblt_reconcile(spark, src, tgt, "k", ["v"]).collect()
+
+
+def test_iblt_decodes_at_engineering_load(spark):
+    """The documented m >= 1.5*d decode margin, empirically: a
+    5000-item pure diff (61% of the 8192-cell budget) decodes
+    COMPLETELY and exactly. (The asymptotic 3-hash threshold is
+    ~0.81 load, but finite tables grow small 2-cores near it — a
+    73% trial stalled with 8 impure cells — hence the documented
+    1.5x engineering margin, matching the IBLT paper's guidance.)"""
+    from scribedb_spark.analytics import iblt_reconcile
+
+    src = spark.range(0, 2500).selectExpr("id as k", "id * 7 as v")
+    tgt = spark.range(2500, 5000).selectExpr("id as k", "id * 7 as v")
+    got = iblt_reconcile(spark, src, tgt, "k", ["v"]).collect()
+    assert len(got) == 5000
+    assert all(
+        (r["change"] == "removed") == (r["k"] < 2500) for r in got
+    )
