@@ -117,3 +117,52 @@ def stream_fp_maintain(
         .start()
     )
     return q, holder
+
+
+def stream_iblt_maintain(
+    stream_df: DataFrame,
+    base_cells: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    query_name: str = "stream_iblt",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS an IBLT cell sketch
+    (analytics.iblt_reconcile's state) from an INSERT stream: each
+    micro-batch sketches only its own rows and folds in via
+    _iblt_merge — counts add, XORs fold (group operations), so after
+    any prefix of batches the table equals a from-scratch sketch of
+    base + all rows seen, at O(|batch|) cost per batch. The
+    streaming half of the set-reconciliation story: a CDC/ingest
+    stream keeps the ~256 KB sketch current beside the table, and
+    any replica diffs against it in one exchange + O(d) decode
+    whenever a check is due (the stream_fp_maintain shape, upgraded
+    from chunk fingerprints to full differing-key recovery).
+
+    Returns (query, holder) where ``holder.cells`` is the maintained
+    cell table (localCheckpoint'd per batch — flat lineage).
+    """
+    from scribedb_spark.analytics import (
+        _iblt_cell_agg,
+        _iblt_merge,
+        _iblt_sketch,
+    )
+
+    class _Holder:
+        cells = base_cells.localCheckpoint()
+
+    holder = _Holder()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        patch = _iblt_cell_agg(_iblt_sketch(rows, 1, key_col, value_cols))
+        holder.cells = _iblt_merge(holder.cells, patch).localCheckpoint()
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

@@ -290,3 +290,51 @@ def test_stream_fp_maintain_equals_batch_recompute(
         ).collect()
     }
     assert got == want
+
+
+def test_stream_iblt_maintain_reconciles_exactly(
+    spark, events_batch, events_stream_dir
+):
+    """Streamed IBLT sketch maintenance: after draining the ingest
+    stream on top of an empty sketch, (a) reconciling the maintained
+    cells against a from-scratch sketch of the full dataset decodes
+    to ZERO differences (the fold algebra is exact across
+    micro-batches), and (b) against a sketch missing two keys it
+    recovers exactly those keys as 'removed'."""
+    from scribedb_spark.analytics import (
+        _iblt_cell_agg,
+        _iblt_decode,
+        _iblt_merge,
+        _iblt_sketch,
+    )
+    from scribedb_spark.streaming.diff import stream_iblt_maintain
+
+    cols = ["event_type", "user_id"]
+    batch = events_batch.select("event_id", *cols)
+    base_cells = _iblt_cell_agg(
+        _iblt_sketch(batch.limit(0), 1, "event_id", cols)
+    )
+    stream = read_events_stream(
+        spark, events_stream_dir, schema=events_batch.schema
+    ).select("event_id", *cols)
+    q, holder = stream_iblt_maintain(stream, base_cells, "event_id", cols)
+    q.awaitTermination(120)
+
+    full = _iblt_cell_agg(_iblt_sketch(batch, -1, "event_id", cols))
+    same = _iblt_decode(
+        spark, _iblt_merge(holder.cells, full), "event_id"
+    ).collect()
+    assert same == []
+
+    drop = [r["event_id"] for r in batch.limit(2).collect()]
+    partial = _iblt_cell_agg(
+        _iblt_sketch(
+            batch.filter(~F.col("event_id").isin(drop)), -1, "event_id", cols
+        )
+    )
+    got = _iblt_decode(
+        spark, _iblt_merge(holder.cells, partial), "event_id"
+    ).collect()
+    assert sorted((r["event_id"], r["change"]) for r in got) == sorted(
+        (k, "removed") for k in drop
+    )
