@@ -217,6 +217,30 @@ def band_signatures(d: DataFrame) -> DataFrame:
 _LSH_PAIRS_CACHE: dict = {}
 
 
+#: session cache for the checkpointed band-signature table — the
+#: scan+shingle+minhash stage shared by the pair index build,
+#: dedup_lsh_star and dedup_incremental
+_LSH_SIG_CACHE: dict = {}
+
+
+def band_signatures_cached(spark, sf_dir: str) -> DataFrame:
+    """The checkpointed (doc_id, band, s) signature table for the
+    documents corpus (min-token-filtered), built once per session —
+    the persisted-signature-index artifact every LSH consumer reads
+    at 100 TB instead of re-mining shingles."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        d = (
+            table(spark, "documents", sf_dir)
+            .select("doc_id", "text")
+            .filter(min_tokens_filter())
+        )
+        return band_signatures(d).localCheckpoint()
+
+    return session_cache(_LSH_SIG_CACHE, spark, ("lsh_sigs", sf_dir), build)
+
+
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     """Near-dup candidate pairs via MinHash + banded LSH.
@@ -235,17 +259,11 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     from scribedb_spark.cache import session_cache
 
     def build():
-        d = (
-            table(spark, "documents", sf_dir)
-            .select("doc_id", "text")
-            .filter(min_tokens_filter())
-        )
-        # both sides of the bucket self-join read the signature table:
-        # materialize the scan+shingle+minhash stage once (the
-        # broadcast and shuffle exchanges differ, so ReuseExchange
-        # can't dedupe it; same idiom as dedup_incremental /
-        # dedup_lsh_star)
-        sig = band_signatures(d).localCheckpoint()
+        # both sides of the bucket self-join read the session-cached
+        # signature table (the broadcast and shuffle exchanges differ,
+        # so ReuseExchange can't dedupe a per-plan build; the cache is
+        # shared with dedup_lsh_star / dedup_incremental)
+        sig = band_signatures_cached(spark, sf_dir)
         a = sig.select(F.col("doc_id").alias("doc_id1"), "band", "s")
         b = sig.select(F.col("doc_id").alias("doc_id2"), "band", "s")
         return (
@@ -308,15 +326,10 @@ def dedup_lsh_star(spark, sf_dir) -> DataFrame:
     100 TB-safe twin of dedup_minhash_lsh (see lsh_star_pairs for why
     hot band buckets make the clique join quadratic and how the star
     bounds it while preserving connected components)."""
-    d = (
-        table(spark, "documents", sf_dir)
-        .select("doc_id", "text")
-        .filter(min_tokens_filter())
-    )
     # signatures feed BOTH the roots aggregation and the join probe
-    # side: materialize the scan+shingle+minhash stage once (same
-    # idiom as dedup_incremental) instead of recomputing it per branch
-    return lsh_star_pairs(band_signatures(d).localCheckpoint())
+    # side: the session-cached checkpoint materializes the
+    # scan+shingle+minhash stage once across branches AND consumers
+    return lsh_star_pairs(band_signatures_cached(spark, sf_dir))
 
 
 _INCREMENTAL_ORACLE = f"""
@@ -366,10 +379,9 @@ def dedup_incremental(spark, sf_dir) -> DataFrame:
     d = table(spark, "documents", sf_dir).select("doc_id", "text")
     incoming = F.col("doc_id") % 10 == 0
     # the signature pipeline feeds BOTH join sides (incoming + index
-    # split): localCheckpoint materializes the scan+shingle+minhash
-    # stage once instead of twice (same idiom as dedup_ngram_jaccard;
-    # blocks are ContextCleaner-reclaimed, not pinned)
-    sig = band_signatures(d.filter(min_tokens_filter())).localCheckpoint()
+    # split): the session-cached checkpoint materializes the
+    # scan+shingle+minhash stage once across branches AND consumers
+    sig = band_signatures_cached(spark, sf_dir)
     inc_sig = sig.filter(incoming).select(
         F.col("doc_id").alias("inc_id"), "band", "s"
     )

@@ -1347,6 +1347,11 @@ def test_span_and_bm25_stages_shared_across_keys(qmod, spark, sf_dir):
     qmod.REGISTRY["text_bm25_topk"].fn(spark, sf_dir).count()
     qmod.REGISTRY["search_hybrid_rrf"].fn(spark, sf_dir).count()
     assert len(curation._BM25_CACHE) == 1
+    dedup._LSH_SIG_CACHE.clear()
+    qmod.REGISTRY["dedup_lsh_star"].fn(spark, sf_dir).count()
+    qmod.REGISTRY["dedup_incremental"].fn(spark, sf_dir).count()
+    qmod.REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+    assert len(dedup._LSH_SIG_CACHE) == 1  # one signature build, 3 consumers
 
 
 def test_compare_iblt_diff_cell_bounded(qmod, spark, sf_dir):
