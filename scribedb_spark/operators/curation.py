@@ -787,6 +787,15 @@ def _bm25_scores_build(
     spark, sf_dir: str, query_doc: int, n_terms: int
 ) -> DataFrame:
     d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return bm25_scores_from(d, query_doc, n_terms)
+
+
+def bm25_scores_from(
+    d: DataFrame, query_doc: int, n_terms: int
+) -> DataFrame:
+    """The BM25 scoring core over any (doc_id, text) frame — factored
+    out so the hypothesis property test can pin the integer formula
+    against a pure-Python recompute on arbitrary corpora."""
     toks = F.split("text", " ")
     w = d.select("doc_id", F.explode(toks).alias("term"))
     n_docs, total_tokens = d.select(

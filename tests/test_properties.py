@@ -911,3 +911,67 @@ def test_iblt_decodes_at_engineering_load(spark):
     assert all(
         (r["change"] == "removed") == (r["k"] < 2500) for r in got
     )
+
+
+BM25_CORPUS = st.dictionaries(
+    st.integers(min_value=0, max_value=20),  # doc_id
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=BM25_CORPUS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_integer_formula_matches_python(spark, docs):
+    """bm25_scores_from == a pure-Python recompute of the exact
+    integer BM25 (rational idf, rounded-integer avgdl, one
+    floor-division per term) on arbitrary tiny corpora — including
+    the rarest-terms query pick and its (df, term) tiebreak."""
+    from scribedb_spark.operators.curation import bm25_scores_from
+
+    qd = sorted(docs)[0]
+    rows = [(i, " ".join(t)) for i, t in sorted(docs.items())]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score_pts"]
+        for r in bm25_scores_from(d, qd, 3).collect()
+    }
+
+    # pure-Python recompute with identical split semantics
+    toks = {i: (" ".join(t)).split(" ") for i, t in docs.items()}
+    n = len(toks)
+    a = sum(len(w) for w in toks.values())
+    avgdl = (a + n // 2) // n
+    df = {}
+    for w in toks.values():
+        for t in set(w):
+            df[t] = df.get(t, 0) + 1
+    qterms = sorted(set(toks[qd]), key=lambda t: (df[t], t))[:3]
+    expect = {}
+    for i, w in toks.items():
+        if i == qd:
+            continue
+        pts = 0
+        hit = False
+        for t in qterms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            num = 1000000 * 22 * avgdl * tf * (2 * n - 2 * df[t] + 1)
+            den = (10 * avgdl * tf + 3 * avgdl + 9 * len(w)) * (
+                2 * df[t] + 1
+            )
+            pts += num // den
+        if hit:
+            expect[i] = pts
+    assert got == expect
