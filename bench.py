@@ -167,6 +167,9 @@ BENCH_KEYS = [
     "compare_iblt_diff",
     "dedup_cluster_stats",
     "compare_iblt_incremental",
+    "text_lm_score",
+    "sample_token_budget",
+    "graph_kcore",
 ]
 
 

@@ -974,3 +974,161 @@ def search_hybrid_rrf(spark, sf_dir) -> DataFrame:
         .orderBy(F.desc("rrf_pts"), "doc_id")
         .limit(20)
     )
+
+
+_LM_SCALE = 1_000_000
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks) - 1]) AS t1,
+                  unnest(toks[2:len(toks)]) AS t2
+           FROM s),
+    cb AS (SELECT t1, t2, COUNT(*) AS cb FROM bg GROUP BY t1, t2),
+    cp AS (SELECT t1, COUNT(*) AS cp FROM bg GROUP BY t1),
+    occ AS (SELECT doc_id, t1, t2, COUNT(*) AS c FROM bg
+            GROUP BY doc_id, t1, t2),
+    pts AS (SELECT occ.doc_id, occ.c,
+                   ({_LM_SCALE} * cb.cb) // cp.cp AS p
+            FROM occ JOIN cb USING (t1, t2) JOIN cp USING (t1))
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * p) // SUM(c) AS BIGINT) AS avg_lm_pts
+    FROM pts GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir) -> DataFrame:
+    """Bigram language-model typicality score per document — the
+    integer-exact stand-in for the KenLM-perplexity quality filter
+    every web-scale pipeline runs (CCNet, Gopher, LLaMA data prep):
+    train a bigram LM on the corpus itself, then score each document
+    by its mean conditional bigram probability. Per bigram occurrence
+    the model pays p = ({1000000} * count(t1,t2)) div count(t1 as
+    prefix) points (a probability in parts-per-million; sums to ~1e6
+    over t2 for fixed t1), and the document score is the integer mean
+    over its bigrams. Gibberish and OCR noise score near 0 (unseen
+    transitions); boilerplate scores high — the filter reads both
+    tails. Complements ``text_rare_bigrams`` (document-frequency
+    rarity) with true term-frequency transition probabilities.
+
+    Exactness: counts are integers, each probability is ONE int64
+    floor-division scaled by {1000000} (the BM25 discipline —
+    no ln(), no libm), the per-doc mean is an exact integer SUM and
+    one more floor-division. {1000000}*count fits int64 up to 9.2e12
+    bigram occurrences per (t1,t2) pair — beyond any corpus.
+
+    Scale: the lookahead-regex bigram explode is map-only codegen
+    (no interpreted higher-order lambdas); the bigram-count and
+    prefix-count tables are vocabulary^2- and vocabulary-sized —
+    orders smaller than the corpus — and partial-aggregate map-side.
+    The score join keys on the bigram string / its first token: hot
+    stop-word prefixes are plain hash-join skew handled by AQE, never
+    a broadcast of a growing table. Three shuffles total, all of
+    (id, token-ish) pairs, never raw text."""
+    d = table(spark, "documents", sf_dir).filter(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    # every overlapping bigram OCCURRENCE (no array_distinct — term
+    # frequency, not document frequency), codegen'd lookahead regex
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"(?<= |^)(?=(\S+ \S+))"), 1
+            )
+        ).alias("bg"),
+    ).withColumn("t1", F.substring_index(F.col("bg"), " ", 1))
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cp = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("cp"))
+    occ = bg.groupBy("doc_id", "bg", "t1").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pts = (
+        occ.join(cb, "bg")
+        .join(cp, "t1")
+        .select(
+            "doc_id",
+            "c",
+            F.expr(f"({_LM_SCALE} * cb) div cp").alias("p"),
+        )
+    )
+    return pts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.expr("sum(c * p) div sum(c)").cast("long").alias("avg_lm_pts"),
+    )
+
+
+_MIX_BUDGET = 100_000
+_MIX_CAP_PPM = 4_000_000
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH st AS (SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                         AS toks
+                FROM documents GROUP BY source),
+    ns AS (SELECT COUNT(*) AS n_src FROM st),
+    t AS (SELECT st.*,
+                 (({_MIX_BUDGET} // ns.n_src) * {_LM_SCALE}) // st.toks
+                   AS raw_ppm
+          FROM st CROSS JOIN ns)
+    SELECT source, n_docs, toks,
+           CAST(LEAST({_MIX_CAP_PPM}, raw_ppm) AS BIGINT) AS repeat_ppm,
+           CAST((toks * LEAST({_MIX_CAP_PPM}, raw_ppm)) // {_LM_SCALE}
+             AS BIGINT) AS expected_toks,
+           CASE WHEN raw_ppm >= {_MIX_CAP_PPM} THEN 1 ELSE 0 END AS capped
+    FROM t
+    """,
+)
+def sample_token_budget(spark, sf_dir) -> DataFrame:
+    """Data-mixing epoch allocation: given a target mixture budget of
+    {100000} tokens spread uniformly over sources, compute each
+    source's repeat factor in parts-per-million, capped at {4}
+    epochs — the data-constrained scaling recipe (Muennighoff et al.
+    2023: repeating past ~4 epochs stops helping, so a scarce source
+    is capped and the shortfall is visible in ``expected_toks``
+    rather than silently over-repeated). repeat_ppm < 1e6 means
+    downsample (hash-threshold against the ppm, the
+    ``sample_deterministic`` idiom); > 1e6 means repeat-with-remainder.
+    The table IS the mixture spec a shard writer consumes.
+
+    Exactness: per-source target = {100000} div n_sources, raw
+    repeat = (target * {1000000}) div toks — integer floor-divisions
+    end to end; the cap compares integers.
+
+    Scale: one partial-aggregated groupBy(source) over token COUNTS
+    (ws_token_count is codegen'd length arithmetic — the text itself
+    is never shuffled), then a 1-row source-count broadcast onto the
+    sources-sized table. Output rows = number of sources — bounded
+    metadata, whatever the corpus size."""
+    from scribedb_spark.functions.text import ws_token_count
+
+    d = table(spark, "documents", sf_dir)
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col("text"))).cast("long").alias("toks"),
+    )
+    ns = st.agg(F.count(F.lit(1)).alias("n_src"))
+    raw = F.expr(f"(({_MIX_BUDGET} div n_src) * {_LM_SCALE}) div toks")
+    t = st.crossJoin(F.broadcast(ns)).withColumn("raw_ppm", raw)
+    return t.select(
+        "source",
+        "n_docs",
+        "toks",
+        F.least(F.lit(_MIX_CAP_PPM), F.col("raw_ppm"))
+        .cast("long")
+        .alias("repeat_ppm"),
+        F.expr(
+            f"(toks * least({_MIX_CAP_PPM}, raw_ppm)) div {_LM_SCALE}"
+        )
+        .cast("long")
+        .alias("expected_toks"),
+        F.when(F.col("raw_ppm") >= _MIX_CAP_PPM, 1)
+        .otherwise(0)
+        .alias("capped"),
+    )

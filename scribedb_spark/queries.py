@@ -1770,6 +1770,9 @@ _FRESH_WAVES.update(
             "compare_iblt_diff",
             "dedup_cluster_stats",
             "compare_iblt_incremental",
+            "text_lm_score",
+            "sample_token_budget",
+            "graph_kcore",
         },
         8,
     )

@@ -1403,3 +1403,42 @@ def test_compare_iblt_incremental_no_base_rescan(qmod, spark, sf_dir):
     assert "orders.parquet" not in p  # delta + tgt read the checkpoint
     assert "Scan ExistingRDD" in p
     assert "partial_sum" in p  # cell aggregation is map-side partial
+
+
+def test_lm_score_partial_aggs_and_scan_budget(qmod, spark, sf_dir):
+    """text_lm_score: every count table (bigram, prefix, per-doc
+    occurrence) partial-aggregates map-side; the raw documents scan
+    feeds the three from one explode lineage (<= 3 parquet reads,
+    never one per join arm re-derived from text); no broadcast of a
+    growing count table is forced (hot stop-word prefixes are left
+    to AQE skew handling)."""
+    p = plan(qmod, spark, sf_dir, "text_lm_score")
+    assert "partial_count" in p
+    assert p.count("documents.parquet") <= 3
+    assert "ReadSchema" in p and "n_chars" not in p  # pruned to id+text
+
+
+def test_token_budget_bounded_output_and_broadcast(qmod, spark, sf_dir):
+    """sample_token_budget: the source rollup partial-aggregates
+    map-side, the 1-row source-count side broadcasts (never a
+    SortMergeJoin for bounded metadata), and the scan prunes to
+    (source, text) only."""
+    p = plan(qmod, spark, sf_dir, "sample_token_budget")
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "doc_id" not in p.split("ReadSchema")[-1]
+
+
+def test_kcore_reuses_exchange_per_round(qmod, spark, sf_dir):
+    """graph_kcore: each H-index round's window and aggregation run
+    on the same node-id partitioning (no extra exchange between the
+    per-node sort and the per-node max), the LSH pair source is the
+    checkpointed session artifact (no documents re-scan in the
+    iteration plan), and no growing frame is broadcast."""
+    p = plan(qmod, spark, sf_dir, "graph_kcore")
+    assert "Scan ExistingRDD" in p  # checkpointed pair index
+    assert "documents.parquet" not in p
+    # 3 rounds + degree + final join: exchanges stay bounded (window
+    # reuses the groupBy partitioning instead of re-shuffling)
+    assert p.count("Exchange (") <= 9

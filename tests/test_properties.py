@@ -975,3 +975,79 @@ def test_bm25_integer_formula_matches_python(spark, docs):
         if hit:
             expect[i] = pts
     assert got == expect
+
+
+def _py_h_rounds(edges, n_rounds):
+    """Pure-Python H-index rounds (the graph_kcore iteration) plus
+    exact peeling coreness for the bound check."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    h = {v: len(ns) for v, ns in adj.items()}
+    seq = [dict(h)]
+    for _ in range(n_rounds):
+        nh = {}
+        for v, ns in adj.items():
+            vals = sorted((h[u] for u in ns), reverse=True)
+            nh[v] = max(
+                (i + 1 for i, x in enumerate(vals) if x >= i + 1),
+                default=0,
+            )
+        h = nh
+        seq.append(dict(h))
+    core = {v: len(ns) for v, ns in adj.items()}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    live = {v: set(ns) for v, ns in adj.items()}
+    order = sorted(deg, key=lambda v: (deg[v], v))
+    import heapq
+
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v not in live or d != len(live[v]):
+            continue
+        k = max(k, len(live[v]))
+        core[v] = k
+        for u in live.pop(v):
+            live[u].discard(v)
+            heapq.heappush(heap, (len(live[u]), u))
+    return seq, core
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kcore_h_rounds_match_python_and_bound_coreness(spark, pairs):
+    """h_index_rounds must equal a pure-Python recompute of the same
+    fixed rounds on arbitrary graphs, and the round-3 estimate must
+    be a monotone upper bound on exact peeling coreness (the honesty
+    claim in graph_kcore's docstring)."""
+    from scribedb_spark.operators.graph import _KCORE_ROUNDS, h_index_rounds
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    df = spark.createDataFrame(edges, "doc_id1 long, doc_id2 long").coalesce(2)
+    got = {
+        r.doc_id: (r.degree, r.core_est)
+        for r in h_index_rounds(df, _KCORE_ROUNDS).collect()
+    }
+    seq, core = _py_h_rounds(edges, _KCORE_ROUNDS)
+    want = {v: (seq[0][v], seq[_KCORE_ROUNDS][v]) for v in seq[0]}
+    assert got == want
+    for v, (_, est) in got.items():
+        assert est >= core[v]  # upper bound, rounds monotone
+        for t in range(1, len(seq)):
+            assert seq[t][v] <= seq[t - 1][v]
