@@ -170,6 +170,7 @@ BENCH_KEYS = [
     "text_lm_score",
     "sample_token_budget",
     "graph_kcore",
+    "dedup_recall_report",
 ]
 
 

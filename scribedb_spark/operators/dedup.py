@@ -2086,3 +2086,141 @@ def dedup_cluster_stats(spark, sf_dir) -> DataFrame:
             )
         )
     return dist
+
+
+_RECALL_SAMPLE_MOD = 17
+_RECALL_SAMPLE_REM = 3
+_RECALL_MIN_J_PPM = 200_000
+
+#: measured-vs-theory columns share one arithmetic text: bucket
+#: midpoint (capped at 1.0), band-hit s^4, miss-all-4-bands — every
+#: step a single correctly-rounded IEEE op in both engines, so the
+#: doubles agree to the bit before the final floor to ppm
+_RECALL_THEORY = (
+    "cast(floor((1.0 - (1.0 - m*m*m*m) * (1.0 - m*m*m*m)"
+    " * (1.0 - m*m*m*m) * (1.0 - m*m*m*m)) * 1000000.0) as bigint)"
+)
+
+
+def _recall_report_oracle() -> str:
+    return f"""
+    WITH {_MINHASH_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+    samp AS (SELECT doc_id, tok FROM tok
+             WHERE doc_id % {_RECALL_SAMPLE_MOD} = {_RECALL_SAMPLE_REM}),
+    inter AS (
+      SELECT LEAST(s.doc_id, t.doc_id) AS doc_id1,
+             GREATEST(s.doc_id, t.doc_id) AS doc_id2,
+             COUNT(DISTINCT s.tok) AS i
+      FROM samp s JOIN tok t ON s.tok = t.tok AND s.doc_id <> t.doc_id
+      GROUP BY 1, 2),
+    jac AS (SELECT i.doc_id1, i.doc_id2,
+                   (i.i * 1000000) // (z1.sz + z2.sz - i.i) AS j_ppm
+            FROM inter i JOIN sizes z1 ON z1.doc_id = i.doc_id1
+                         JOIN sizes z2 ON z2.doc_id = i.doc_id2),
+    tp AS (SELECT * FROM jac WHERE j_ppm >= {_RECALL_MIN_J_PPM}),
+    lab AS (SELECT t.j_ppm // 100000 AS bucket,
+                   CASE WHEN l.doc_id1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM tp t LEFT JOIN lsh_cand l
+              ON l.doc_id1 = t.doc_id1 AND l.doc_id2 = t.doc_id2),
+    rep AS (SELECT bucket, COUNT(*) AS n_true_pairs,
+                   CAST(SUM(hit) AS BIGINT) AS n_caught
+            FROM lab GROUP BY bucket)
+    SELECT bucket, n_true_pairs, n_caught,
+           (n_caught * 1000000) // n_true_pairs AS recall_ppm,
+           {_RECALL_THEORY} AS theory_ppm
+    FROM (SELECT rep.*,
+                 LEAST(CAST(2 * bucket + 1 AS DOUBLE) / 20.0, 1.0) AS m
+          FROM rep)
+    """
+
+
+def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
+    """The measured band S-curve over any (doc_id, tok) distinct
+    shingle frame and (doc_id1, doc_id2) LSH pair list — factored out
+    so the property test can pin it against a Python recompute on
+    corpora that DO have borderline-similarity pairs (the synthetic
+    corpus is bimodal: noise or near-exact)."""
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    samp = tok.filter(
+        F.col("doc_id") % _RECALL_SAMPLE_MOD == _RECALL_SAMPLE_REM
+    ).select(F.col("doc_id").alias("s_id"), "tok")
+    inter = (
+        samp.join(tok, "tok")
+        .filter(F.col("s_id") != F.col("doc_id"))
+        .select(
+            F.least("s_id", "doc_id").alias("doc_id1"),
+            F.greatest("s_id", "doc_id").alias("doc_id2"),
+            "tok",
+        )
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count_distinct("tok").alias("i"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc_id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
+    jac = (
+        inter.join(z1, "doc_id1")
+        .join(z2, "doc_id2")
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.expr("(i * 1000000) div (sz1 + sz2 - i)").alias("j_ppm"),
+        )
+        .filter(F.col("j_ppm") >= _RECALL_MIN_J_PPM)
+    )
+    lab = jac.join(
+        pairs.withColumn("hit", F.lit(1)), ["doc_id1", "doc_id2"], "left"
+    ).select(
+        F.expr("j_ppm div 100000").alias("bucket"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    rep = lab.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("hit").cast("long").alias("n_caught"),
+    )
+    return rep.withColumn(
+        "m", F.expr("least(cast(2 * bucket + 1 as double) / 20.0, 1.0)")
+    ).select(
+        "bucket",
+        "n_true_pairs",
+        "n_caught",
+        F.expr("(n_caught * 1000000) div n_true_pairs").alias("recall_ppm"),
+        F.expr(_RECALL_THEORY).alias("theory_ppm"),
+    )
+
+
+@register("dedup_recall_report", oracle=_recall_report_oracle())
+def dedup_recall_report(spark, sf_dir) -> DataFrame:
+    """Dedup-index MONITORING — the near-dup lifecycle's analog of
+    ``ann_recall_report`` (mine: dedup_minhash_lsh; maintain:
+    dedup_incremental; monitor: THIS). Ground truth is the exact
+    shingle Jaccard of every pair touching a fixed ~{6}% doc sample
+    (doc_id % {17} == {3}), computed through the inverted shingle
+    index; each true pair (J >= {0.2}) is checked against the banded
+    LSH candidate list, and recall is reported per Jaccard decile
+    NEXT TO the theoretical band S-curve 1-(1-s^4)^4 at the bucket
+    midpoint — the operator alarms when measured falls off theory
+    (signature corruption, bad band split, drifted shingling), and
+    reads the curve to retune bands before a recall hole ships.
+
+    Exactness: Jaccard and recall are integer ppm (floor-divisions);
+    the theory column is a fixed sequence of single IEEE ops on a
+    bucket-derived double — bit-identical across engines, floored to
+    ppm (no pow(), the libm rule).
+
+    Scale: the exact side is the expensive half, deliberately
+    SAMPLE-bounded exactly like a production recall audit (and like
+    ann_recall_report's brute-force side): the inverted-index join
+    costs |sample shingle postings| x posting length, ~{6}% of the
+    full PPJoin cost, with no quadratic hot-bucket term on the
+    sample side. The LSH side reads the session-cached pair index.
+    Output is <= 9 decile rows."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    d = table(spark, "documents", sf_dir)
+    # materialize the inverted shingle index once (sizes, the sample
+    # postings, and the co-occurrence join all read it — without the
+    # checkpoint each reference re-scans and re-explodes documents)
+    tok = d.select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    ).localCheckpoint()
+    return lsh_recall_report(pairs, tok)

@@ -1773,6 +1773,7 @@ _FRESH_WAVES.update(
             "text_lm_score",
             "sample_token_budget",
             "graph_kcore",
+            "dedup_recall_report",
         },
         8,
     )

@@ -1442,3 +1442,16 @@ def test_kcore_reuses_exchange_per_round(qmod, spark, sf_dir):
     # 3 rounds + degree + final join: exchanges stay bounded (window
     # reuses the groupBy partitioning instead of re-shuffling)
     assert p.count("Exchange (") <= 9
+
+
+def test_dedup_recall_report_sample_bounded_and_cached_pairs(qmod, spark, sf_dir):
+    """dedup_recall_report: the LSH side reads the checkpointed pair
+    index (no second signature mine), the sample filter is pushed
+    into the exact side's lineage before the inverted-index join, and
+    every aggregation partial-aggregates map-side."""
+    p = plan(qmod, spark, sf_dir, "dedup_recall_report")
+    assert "Scan ExistingRDD" in p  # cached pair index + tok index
+    assert "partial_count" in p
+    # both the pair list and the inverted shingle index are
+    # checkpointed: the serve plan never re-reads the corpus
+    assert "documents.parquet" not in p

@@ -1051,3 +1051,81 @@ def test_kcore_h_rounds_match_python_and_bound_coreness(spark, pairs):
         assert est >= core[v]  # upper bound, rounds monotone
         for t in range(1, len(seq)):
             assert seq[t][v] <= seq[t - 1][v]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 40),
+        st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=20,
+    ),
+    caught=st.sets(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+            lambda p: p[0] < p[1]
+        ),
+        max_size=30,
+    ),
+)
+def test_lsh_recall_report_matches_python(spark, docs, caught):
+    """lsh_recall_report's bucketed recall + theory columns must match
+    a pure-Python recompute on arbitrary shingle-set corpora and
+    arbitrary candidate lists — including mid-Jaccard pairs the
+    bimodal synthetic corpus never produces (partial recall, buckets
+    2..9, the S-curve region the monitoring key exists for)."""
+    import math
+
+    from scribedb_spark.operators.dedup import (
+        _RECALL_MIN_J_PPM,
+        _RECALL_SAMPLE_MOD,
+        _RECALL_SAMPLE_REM,
+        lsh_recall_report,
+    )
+
+    tok_rows = [(d, f"t{t}") for d, ts in docs.items() for t in ts]
+    tok = spark.createDataFrame(tok_rows, "doc_id long, tok string")
+    pairs = spark.createDataFrame(
+        sorted(caught) or [(-1, -2)], "doc_id1 long, doc_id2 long"
+    )
+    got = {
+        r.bucket: (r.n_true_pairs, r.n_caught, r.recall_ppm, r.theory_ppm)
+        for r in lsh_recall_report(pairs, tok).collect()
+    }
+    # python recompute
+    want_cnt: dict = {}
+    samp = {
+        d for d in docs if d % _RECALL_SAMPLE_MOD == _RECALL_SAMPLE_REM
+    }
+    seen = set()
+    for a in samp:
+        for b in docs:
+            if a == b:
+                continue
+            p = (min(a, b), max(a, b))
+            if p in seen:
+                continue
+            inter = len(docs[a] & docs[b])
+            if not inter:
+                continue
+            seen.add(p)
+            j = inter * 1_000_000 // (len(docs[a]) + len(docs[b]) - inter)
+            if j < _RECALL_MIN_J_PPM:
+                continue
+            bkt = j // 100_000
+            n, c = want_cnt.get(bkt, (0, 0))
+            want_cnt[bkt] = (n + 1, c + (1 if p in caught else 0))
+    want = {}
+    for bkt, (n, c) in want_cnt.items():
+        m = min((2 * bkt + 1) / 20.0, 1.0)
+        p4 = m * m * m * m
+        theory = math.floor(
+            (1.0 - (1.0 - p4) * (1.0 - p4) * (1.0 - p4) * (1.0 - p4))
+            * 1_000_000.0
+        )
+        want[bkt] = (n, c, c * 1_000_000 // n, theory)
+    assert got == want
