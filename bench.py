@@ -171,6 +171,7 @@ BENCH_KEYS = [
     "sample_token_budget",
     "graph_kcore",
     "dedup_recall_report",
+    "text_lm_score_incremental",
 ]
 
 

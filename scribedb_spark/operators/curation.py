@@ -1031,9 +1031,17 @@ def text_lm_score(spark, sf_dir) -> DataFrame:
     d = table(spark, "documents", sf_dir).filter(
         F.size(F.split(F.col("text"), " ")) >= 2
     )
-    # every overlapping bigram OCCURRENCE (no array_distinct — term
-    # frequency, not document frequency), codegen'd lookahead regex
-    bg = d.select(
+    bg = lm_bigrams(d)
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cp = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("cp"))
+    return lm_score_from(bg, cb, cp)
+
+
+def lm_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, bg, t1): every overlapping bigram OCCURRENCE of a
+    (doc_id, text) frame (no array_distinct — term frequency, not
+    document frequency), via the codegen'd lookahead regex."""
+    return d.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(
@@ -1041,8 +1049,13 @@ def text_lm_score(spark, sf_dir) -> DataFrame:
             )
         ).alias("bg"),
     ).withColumn("t1", F.substring_index(F.col("bg"), " ", 1))
-    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
-    cp = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("cp"))
+
+
+def lm_score_from(bg: DataFrame, cb: DataFrame, cp: DataFrame) -> DataFrame:
+    """Score the documents whose bigram occurrences are in ``bg``
+    against the (bg, cb) bigram-count and (t1, cp) prefix-count
+    model tables (which may describe a LARGER corpus than ``bg`` —
+    the serve shape of ``text_lm_score_incremental``)."""
     occ = bg.groupBy("doc_id", "bg", "t1").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1059,6 +1072,105 @@ def text_lm_score(spark, sf_dir) -> DataFrame:
         F.sum("c").cast("long").alias("n_bigrams"),
         F.expr("sum(c * p) div sum(c)").cast("long").alias("avg_lm_pts"),
     )
+
+
+_LM_DELTA_MOD = 101
+_LM_DELTA_REM = 13
+
+#: session cache for the base-corpus LM count tables (cache.py
+#: discipline — keyed by applicationId, stale apps evicted)
+_LM_BASE_CACHE: dict = {}
+
+
+def lm_base_tables(spark, sf_dir: str):
+    """(cb0, cp0): bigram/prefix count tables of the BASE corpus
+    (documents outside the delta split), built once per session and
+    checkpointed — the persisted LM every incremental batch patches
+    against."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        d = table(spark, "documents", sf_dir).filter(
+            (F.size(F.split(F.col("text"), " ")) >= 2)
+            & (F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
+        )
+        bg = lm_bigrams(d)
+        cb0 = bg.groupBy("bg").agg(
+            F.count(F.lit(1)).alias("cb")
+        ).localCheckpoint()
+        cp0 = bg.groupBy("t1").agg(
+            F.count(F.lit(1)).alias("cp")
+        ).localCheckpoint()
+        return cb0, cp0
+
+    return session_cache(_LM_BASE_CACHE, spark, ("lm_base", sf_dir), build)
+
+
+@register(
+    "text_lm_score_incremental",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(toks[1:len(toks) - 1]) AS t1,
+                  unnest(toks[2:len(toks)]) AS t2
+           FROM s),
+    cb AS (SELECT t1, t2, COUNT(*) AS cb FROM bg GROUP BY t1, t2),
+    cp AS (SELECT t1, COUNT(*) AS cp FROM bg GROUP BY t1),
+    occ AS (SELECT doc_id, t1, t2, COUNT(*) AS c FROM bg
+            WHERE doc_id % {_LM_DELTA_MOD} = {_LM_DELTA_REM}
+            GROUP BY doc_id, t1, t2),
+    pts AS (SELECT occ.doc_id, occ.c,
+                   ({_LM_SCALE} * cb.cb) // cp.cp AS p
+            FROM occ JOIN cb USING (t1, t2) JOIN cp USING (t1))
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * p) // SUM(c) AS BIGINT) AS avg_lm_pts
+    FROM pts GROUP BY doc_id
+    """,
+)
+def text_lm_score_incremental(spark, sf_dir) -> DataFrame:
+    """O(|delta|) LM maintenance + delta scoring — the quality
+    filter's answer to the engine's incremental family
+    (fp_incremental_update, compare_cell_incremental,
+    ann_index_append): a new crawl batch (the fixed delta split
+    doc_id % {101} == {13}) arrives, the session-cached BASE bigram /
+    prefix count tables are PATCHED by unioning delta-sized count
+    terms (counts are a commutative monoid — union + sum is exact,
+    no base re-count), and ONLY the delta documents are scored
+    against the patched model. The oracle recomputes the full-corpus
+    model from scratch and scores the same docs, so the hash match
+    proves patch(base, delta) == full rebuild exactly — the LM stays
+    servable while the corpus grows, never retrained from zero.
+
+    Exactness: identical integer arithmetic to ``text_lm_score``;
+    the patch is integer addition.
+
+    Scale: the delta read is one pruned documents scan (batch
+    predicate); delta counts and the delta's occurrence table are
+    batch-sized; the patch union touches the vocabulary-sized cached
+    tables (orders smaller than the corpus), and scoring joins
+    batch-sized occurrences against them. Nothing rescans the base
+    corpus — plan-asserted (the serve plan reads checkpointed
+    artifacts plus the delta scan only)."""
+    cb0, cp0 = lm_base_tables(spark, sf_dir)
+    dd = table(spark, "documents", sf_dir).filter(
+        (F.size(F.split(F.col("text"), " ")) >= 2)
+        & (F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM)
+    )
+    # delta-sized: one pass over the batch feeds both count patches
+    # and the scoring occurrences
+    bgd = lm_bigrams(dd).localCheckpoint()
+    cb = (
+        cb0.unionByName(bgd.groupBy("bg").agg(F.count(F.lit(1)).alias("cb")))
+        .groupBy("bg")
+        .agg(F.sum("cb").alias("cb"))
+    )
+    cp = (
+        cp0.unionByName(bgd.groupBy("t1").agg(F.count(F.lit(1)).alias("cp")))
+        .groupBy("t1")
+        .agg(F.sum("cp").alias("cp"))
+    )
+    return lm_score_from(bgd, cb, cp)
 
 
 _MIX_BUDGET = 100_000

@@ -1774,6 +1774,7 @@ _FRESH_WAVES.update(
             "sample_token_budget",
             "graph_kcore",
             "dedup_recall_report",
+            "text_lm_score_incremental",
         },
         8,
     )

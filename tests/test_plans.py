@@ -1455,3 +1455,18 @@ def test_dedup_recall_report_sample_bounded_and_cached_pairs(qmod, spark, sf_dir
     # both the pair list and the inverted shingle index are
     # checkpointed: the serve plan never re-reads the corpus
     assert "documents.parquet" not in p
+
+
+def test_lm_incremental_no_base_rescan(qmod, spark, sf_dir):
+    """text_lm_score_incremental: after the cached base build, the
+    serve plan reads checkpointed artifacts (base count tables + the
+    delta bigram batch) and nothing else — zero documents.parquet
+    scans; the patch is a vocabulary-sized union-sum, never a corpus
+    re-count."""
+    from scribedb_spark.operators.curation import lm_base_tables
+
+    lm_base_tables(spark, sf_dir)  # warm the session cache
+    p = plan(qmod, spark, sf_dir, "text_lm_score_incremental")
+    assert "documents.parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "partial_sum" in p  # patch union-sum is map-side partial
