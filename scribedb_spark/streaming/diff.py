@@ -166,3 +166,66 @@ def stream_iblt_maintain(
         .start()
     )
     return q, holder
+
+
+def stream_lm_maintain(
+    stream_df: DataFrame,
+    base_cb: DataFrame,
+    base_cp: DataFrame,
+    query_name: str = "stream_lm",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS the bigram-LM count
+    tables (text_lm_score's model) from an INSERT stream of
+    (doc_id, text) rows: each micro-batch's bigram occurrences fold
+    into the running (bg, cb) / (t1, cp) tables by union + sum —
+    counts are a commutative monoid, so after any prefix of batches
+    the tables equal a from-scratch count over base + all rows seen,
+    at O(|batch| + vocabulary) per batch. The streaming half of the
+    LM-filter lifecycle (batch twin: text_lm_score_incremental):
+    the quality model stays current beside the ingest stream, and any
+    new batch scores against it without a corpus recount.
+
+    Returns (query, holder) where ``holder.cb`` / ``holder.cp`` are
+    the maintained tables (localCheckpoint'd per batch — flat
+    lineage)."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.curation import lm_bigrams
+
+    class _Holder:
+        cb = base_cb.localCheckpoint()
+        cp = base_cp.localCheckpoint()
+
+    holder = _Holder()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.filter(
+            F.size(F.split(F.col("text"), " ")) >= 2
+        ).localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        bg = lm_bigrams(rows)
+        holder.cb = (
+            holder.cb.unionByName(
+                bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+            )
+            .groupBy("bg")
+            .agg(F.sum("cb").alias("cb"))
+            .localCheckpoint()
+        )
+        holder.cp = (
+            holder.cp.unionByName(
+                bg.groupBy("t1").agg(F.count(F.lit(1)).alias("cp"))
+            )
+            .groupBy("t1")
+            .agg(F.sum("cp").alias("cp"))
+            .localCheckpoint()
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

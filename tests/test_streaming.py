@@ -338,3 +338,42 @@ def test_stream_iblt_maintain_reconciles_exactly(
     assert sorted((r["event_id"], r["change"]) for r in got) == sorted(
         (k, "removed") for k in drop
     )
+
+
+def test_stream_lm_maintain_equals_batch_recompute(spark, sf_dir, tmp_path_factory):
+    """Streamed LM maintenance: after draining a multi-file documents
+    ingest stream on top of base tables built from a held-back split,
+    the maintained bigram/prefix counts equal a from-scratch count
+    over the WHOLE corpus — the union-sum fold is exact across
+    micro-batches (the batch twin text_lm_score_incremental proves
+    the same algebra against DuckDB)."""
+    from scribedb_spark.operators.curation import lm_bigrams
+    from scribedb_spark.streaming.diff import stream_lm_maintain
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    ok = F.size(F.split(F.col("text"), " ")) >= 2
+    base = docs.filter(ok & (F.col("doc_id") % 3 == 0))
+    arriving = docs.filter(F.col("doc_id") % 3 != 0)
+    d = tmp_path_factory.mktemp("docs_stream")
+    arriving.repartition(4).write.mode("overwrite").parquet(str(d))
+
+    bg0 = lm_bigrams(base)
+    cb0 = bg0.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cp0 = bg0.groupBy("t1").agg(F.count(F.lit(1)).alias("cp"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q, holder = stream_lm_maintain(stream, cb0, cp0)
+    q.awaitTermination(120)
+
+    bg_full = lm_bigrams(docs.filter(ok))
+    want_cb = _rows(
+        bg_full.groupBy("bg").agg(F.count(F.lit(1)).alias("cb")), ["bg", "cb"]
+    )
+    want_cp = _rows(
+        bg_full.groupBy("t1").agg(F.count(F.lit(1)).alias("cp")), ["t1", "cp"]
+    )
+    assert _rows(holder.cb, ["bg", "cb"]) == want_cb
+    assert _rows(holder.cp, ["t1", "cp"]) == want_cp
