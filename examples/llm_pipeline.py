@@ -122,6 +122,29 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     print(f"soft-dedup downweighted docs: {down}")
     print(f"quality gate: {verdict}")
+    # round-8 additions: LM typicality filter, mixing budget, dense-core
+    # audit, and the dedup-index recall monitor
+    lm = Q.REGISTRY["text_lm_score"].fn(spark, sf_dir)
+    lm_tail = lm.filter(F.col("avg_lm_pts") < 10000).count()
+    mix = Q.REGISTRY["sample_token_budget"].fn(spark, sf_dir)
+    mx = mix.agg(
+        F.sum("expected_toks").alias("t"), F.sum("capped").alias("c")
+    ).first()
+    cores = Q.REGISTRY["graph_kcore"].fn(spark, sf_dir)
+    dense = cores.filter(F.col("core_est") >= 3).count()
+    rec = Q.REGISTRY["dedup_recall_report"].fn(spark, sf_dir).collect()
+    curve = ", ".join(
+        f"J{r['bucket']/10:.1f}+: {r['recall_ppm']/10000:.0f}%"
+        f" (theory {r['theory_ppm']/10000:.0f}%)"
+        for r in sorted(rec, key=lambda r: r["bucket"])
+    )
+    print(f"LM-atypical docs (<1% mean transition ppm): {lm_tail}")
+    print(
+        f"mixing budget: {mx['t']} tokens planned, "
+        f"{mx['c']} sources epoch-capped"
+    )
+    print(f"dense-core docs (3-core+ in the near-dup graph): {dense}")
+    print(f"LSH recall curve: {curve}")
     print(f"total wall time: {time.perf_counter()-t0:.1f}s")
 
 
