@@ -2975,12 +2975,26 @@ def _iblt_oracle() -> str:
     """
 
 
+def _iblt_sub() -> int:
+    """Per-subtable size of the PARTITIONED construction: hash i maps
+    into the disjoint range [i*sub, (i+1)*sub), so an item's three
+    cells are always distinct. The unpartitioned variant lets all
+    three indexes collide into ONE cell (prob ~(1/m)^2 per item but
+    deterministic for a given key) — that cell holds count +-3, never
+    turns pure, and decode stalls even on a tiny diff. Read at call
+    time so tests can shrink _IBLT_CELLS."""
+    return max(1, _IBLT_CELLS // _IBLT_HASHES)
+
+
 def _iblt_cell_exprs(key, fp):
     """The _IBLT_HASHES cell indexes + the checksum for one item, as
     portable md5-over-decimal-string expressions (the same strings
-    hashlib.md5 reproduces driver-side during peeling)."""
+    hashlib.md5 reproduces driver-side during peeling). Partitioned
+    subtables: index i lives in [i*sub, (i+1)*sub)."""
+    sub = _iblt_sub()
     cells = [
-        F.conv(
+        F.lit(i * sub)
+        + F.conv(
             F.substring(
                 F.md5(
                     F.concat_ws(
@@ -2996,7 +3010,7 @@ def _iblt_cell_exprs(key, fp):
             16,
             10,
         ).cast("long")
-        % _IBLT_CELLS
+        % sub
         for i in range(_IBLT_HASHES)
     ]
     chk = F.conv(
@@ -3021,7 +3035,8 @@ def _iblt_hash_py(key: int, fp: int, i) -> int:
     h = hashlib.md5(f"{key}:{fp}:{i}".encode()).hexdigest()
     if i == "chk":
         return int(h[:15], 16)
-    return int(h[:8], 16) % _IBLT_CELLS
+    sub = _iblt_sub()
+    return i * sub + int(h[:8], 16) % sub
 
 
 def _iblt_peel(cells: dict) -> list[tuple[int, int, int]]:
@@ -3130,11 +3145,21 @@ def compare_iblt_diff(spark, sf_dir) -> DataFrame:
 def _iblt_sketch(
     side: DataFrame, sign: int, key_col: str, value_cols: list[str]
 ) -> DataFrame:
-    """3 exploded (cell, sign) rows per item (key, row-fingerprint)."""
+    """3 exploded (cell, sign) rows per item (key, row-fingerprint).
+
+    The fingerprint encoding is null-safe: each value column is
+    coalesced to a \\x01 sentinel and joined on \\x02 (concat_ws would
+    otherwise silently SKIP nulls, so colA NULL->'x' / colB 'x'->NULL
+    would fingerprint identically; a ':' delimiter additionally
+    collides with ':'-containing values). Same discipline as the
+    compare-core canonical encoding (compare.py)."""
     rowtext = F.concat_ws(
-        ":",
+        "\x02",
         F.col(key_col).cast("string"),
-        *[F.col(c).cast("string") for c in value_cols],
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in value_cols
+        ],
     )
     fp = F.conv(F.substring(F.md5(rowtext), 1, 15), 16, 10).cast("long")
     items = side.select(F.col(key_col).alias("key"), fp.alias("fp"))

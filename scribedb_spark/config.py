@@ -300,6 +300,8 @@ def run_iblt_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
     unique non-negative BIGINT row key; all other shared columns form
     the row fingerprint. The diff-budget capacity error propagates
     (fail loud, never decode wrong)."""
+    from pyspark.sql import functions as F
+
     from scribedb_spark.analytics import iblt_reconcile
 
     c = cfg.compare
@@ -310,6 +312,41 @@ def run_iblt_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
     key = c.sort_keys[0]
     src = build_dataframe(spark, c.source)
     tgt = build_dataframe(spark, c.target)
+    if set(src.columns) != set(tgt.columns):
+        raise ValueError(
+            "iblt mode requires both sides to share the same columns "
+            f"(source-only: {sorted(set(src.columns) - set(tgt.columns))}, "
+            f"target-only: {sorted(set(tgt.columns) - set(src.columns))})"
+        )
+    from pyspark.sql.types import IntegralType
+
+    for name, side in (("source", src), ("target", tgt)):
+        if not isinstance(side.schema[key].dataType, IntegralType):
+            raise ValueError(
+                f"iblt mode requires an integral sort_key; {name}.{key} "
+                f"is {side.schema[key].dataType.simpleString()} (string/"
+                "float keys would XOR-decode garbage rather than fail)"
+            )
+    # Cheap loud guards for the documented preconditions: duplicate or
+    # negative keys silently misclassify (XOR of equal keys cancels;
+    # the peel classifier assumes one item per key per side). One
+    # partial-agg pass per side, cheap next to the sketch build.
+    for name, side in (("source", src), ("target", tgt)):
+        chk = side.agg(
+            F.count(key).alias("n"),
+            F.count_distinct(F.col(key)).alias("nd"),
+            F.min(key).alias("mn"),
+        ).first()
+        if chk["n"] != chk["nd"]:
+            raise ValueError(
+                f"iblt mode requires a unique sort_key per side; {name} "
+                f"has {chk['n']} rows but {chk['nd']} distinct {key}"
+            )
+        if chk["mn"] is not None and chk["mn"] < 0:
+            raise ValueError(
+                "iblt mode requires a non-negative sort_key "
+                f"(min {name}.{key} = {chk['mn']})"
+            )
     value_cols = [col for col in src.columns if col != key]
     return iblt_reconcile(spark, src, tgt, key, value_cols)
 

@@ -1532,22 +1532,21 @@ _CONTAIN_CORPUS_ORACLE = _contain_oracle("")
 _CONTAIN_STAGE_CACHE: dict = {}
 
 
-def containment_stages(docs: DataFrame, checkpoint_freq: bool = False):
-    """The (g, ex, freq) stage triple behind containment_best:
-    per-doc distinct token arrays + sizes, the exploded flat rows
-    WITH each token's per-doc global-rarity position (pos — one
-    window pass, reused by both the prefix filter and the positional
-    candidate bound), and the global token frequency table.
-    ``checkpoint_freq`` materializes freq too (worth it only when the
-    stages are shared across keys via the session cache)."""
+def containment_stages(docs: DataFrame):
+    """The (g, ex) stage pair behind containment_best: per-doc
+    distinct token arrays + sizes, and the exploded flat rows WITH
+    each token's per-doc global-rarity position (pos — one window
+    pass, reused by both the prefix filter and the positional
+    candidate bound). The global token frequency table is consumed
+    INSIDE the ex build (pos bakes the rarity order in), so it is
+    neither checkpointed nor returned — materializing it was a pure
+    extra eager job no consumer read (round-9 advice fix)."""
     toks = tokens_distinct(F.col("text"))
     g = docs.select(
         "doc_id", "source", toks.alias("tk"), F.size(toks).alias("n")
     ).localCheckpoint()
     ex0 = g.select("doc_id", "source", "n", F.explode("tk").alias("tok"))
     freq = ex0.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    if checkpoint_freq:
-        freq = freq.localCheckpoint()
     w = Window.partitionBy("doc_id").orderBy("tf", "tok")
     ex = (
         ex0.join(freq, "tok")
@@ -1555,7 +1554,7 @@ def containment_stages(docs: DataFrame, checkpoint_freq: bool = False):
         .select("doc_id", "source", "n", "tok", "pos")
         .localCheckpoint()
     )
-    return g, ex, freq
+    return g, ex
 
 
 def containment_best(
@@ -1578,23 +1577,23 @@ def containment_best(
     rows, never drops them, so results are identical (pinned by a
     hot-token fixture test).
 
-    When ``spark`` and ``cache_key`` are given, the (g, ex, freq)
-    stages come from the per-session cache — they are identical for
-    every containment variant over the same corpus, so the three
-    registry keys share one build instead of recomputing the
+    When ``spark`` and ``cache_key`` are given, the (g, ex) stages
+    come from the per-session cache — they are identical for every
+    containment variant over the same corpus, so the three registry
+    keys share one build instead of recomputing the
     tokenize/explode/frequency pipeline each (the round-7 bench's
     two most expensive keys were exactly that double-compute)."""
     if spark is not None and cache_key is not None:
         from scribedb_spark.cache import session_cache
 
-        g, ex, freq = session_cache(
+        g, ex = session_cache(
             _CONTAIN_STAGE_CACHE,
             spark,
             ("contain",) + cache_key,
-            lambda: containment_stages(docs, checkpoint_freq=True),
+            lambda: containment_stages(docs),
         )
     else:
-        g, ex, freq = containment_stages(docs)
+        g, ex = containment_stages(docs)
     left = ex.filter(incoming) if incoming is not None else ex
     pref = left.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1

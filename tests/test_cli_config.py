@@ -599,3 +599,53 @@ def test_cli_iblt_mode_recovers_keys(spark, sf_dir, tmp_path, capsys):
         l for l in out.splitlines() if l.startswith("key ")
     )
     assert keys == ["key 32 removed", "key 7 changed"]
+
+
+def test_cli_iblt_mode_validates_preconditions(spark, sf_dir, tmp_path):
+    """--mode iblt fails LOUDLY (never decodes garbage) on each
+    documented precondition violation: non-integral key, column-set
+    mismatch between sides, and a duplicate key (round-9 advice fix:
+    these previously misclassified or XOR-decoded junk silently)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribedb_spark.config import load_config, run_iblt_config
+
+    def run(yaml_text):
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml_text)
+        return run_iblt_config(spark, load_config(str(p)))
+
+    base = GOOD_YAML.format(sf=sf_dir)
+    with pytest.raises(ValueError, match="integral sort_key"):
+        run(base + "  sort_keys: [o_orderpriority]\n")
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    dropped = tmp_path / "orders_dropcol.parquet"
+    pq.write_table(t.drop_columns(["o_orderpriority"]), str(dropped))
+    with pytest.raises(ValueError, match="same columns"):
+        run(
+            base.replace(
+                f'{sf_dir}/orders.parquet"}}\n    name: tgt',
+                f'{dropped}"}}\n    name: tgt',
+            )
+            + "  sort_keys: [o_orderkey]\n"
+        )
+
+    df = t.to_pandas()
+    dup = tmp_path / "orders_dup.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(
+            __import__("pandas").concat([df, df.head(3)]),
+            preserve_index=False,
+        ),
+        str(dup),
+    )
+    with pytest.raises(ValueError, match="unique sort_key"):
+        run(
+            base.replace(
+                f'{sf_dir}/orders.parquet"}}\n    name: src',
+                f'{dup}"}}\n    name: src',
+            )
+            + "  sort_keys: [o_orderkey]\n"
+        )

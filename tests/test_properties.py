@@ -1129,3 +1129,49 @@ def test_lsh_recall_report_matches_python(spark, docs, caught):
         )
         want[bkt] = (n, c, c * 1_000_000 // n, theory)
     assert got == want
+
+
+def test_iblt_nullsafe_fingerprint_detects_null_swaps(spark):
+    """Rows differing ONLY by NULL placement or by ':'-adjacent value
+    shifts must fingerprint differently (round-9 advice fix: the old
+    concat_ws(':') encoding silently skipped NULLs, so
+    (NULL,'x') == ('x',NULL) and ('a:b','c') == ('a','b:c'))."""
+    from scribedb_spark.analytics import iblt_reconcile
+
+    src = spark.createDataFrame(
+        [(1, None, "x"), (2, "a:b", "c"), (3, "same", "same")],
+        "k long, va string, vb string",
+    )
+    tgt = spark.createDataFrame(
+        [(1, "x", None), (2, "a", "b:c"), (3, "same", "same")],
+        "k long, va string, vb string",
+    )
+    got = {
+        (r["k"], r["change"])
+        for r in iblt_reconcile(spark, src, tgt, "k", ["va", "vb"]).collect()
+    }
+    assert got == {(1, "changed"), (2, "changed")}
+
+
+@given(
+    key=st.integers(min_value=0, max_value=2**50),
+    fp=st.integers(min_value=0, max_value=2**50),
+)
+@settings(max_examples=200, deadline=None)
+def test_iblt_partitioned_cells_always_distinct(key, fp):
+    """The partitioned-subtable construction guarantees an item's
+    three cells are pairwise distinct (the unpartitioned variant's
+    3-way collision makes a tiny diff undecodable forever for that
+    key — round-9 advice fix)."""
+    from scribedb_spark.analytics import (
+        _IBLT_CELLS,
+        _IBLT_HASHES,
+        _iblt_hash_py,
+        _iblt_sub,
+    )
+
+    cells = [_iblt_hash_py(key, fp, i) for i in range(_IBLT_HASHES)]
+    assert len(set(cells)) == _IBLT_HASHES
+    for i, c in enumerate(cells):
+        assert i * _iblt_sub() <= c < (i + 1) * _iblt_sub()
+    assert max(cells) < _IBLT_CELLS
