@@ -685,6 +685,25 @@ _ANN_TRAIN_CACHE: dict = {}
 TRAIN_EVENTS: list = []
 
 
+def _ivf_vq(spark, sf_dir) -> DataFrame:
+    """(vec_id, e, q): every embedding with its int8-quantized codes
+    widened to long — the shared input of IVF training, assignment
+    and the persisted-index build."""
+    from scribedb_spark.functions.vector import quantize_int8
+
+    e = table(spark, "embeddings", sf_dir)
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    return e.select(
+        "vec_id", to_double_array("embedding").alias("e")
+    ).select(
+        "vec_id",
+        "e",
+        F.transform(
+            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+        ).alias("q"),
+    )
+
+
 def _ivf_trained(spark, sf_dir, vq):
     """IVF index artifacts — built once per (session, sf_dir): collect
     the vec_id-sorted driver sample (bounded: _IVF_SAMPLE rows), run
@@ -806,19 +825,8 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     id tie-breaks), top-5. Recall floor vs numpy brute force pinned
     in tests/test_similarity.py."""
     import numpy as np
-    import pandas as pd
 
-    from scribedb_spark.functions.vector import quantize_int8
-
-    e = table(spark, "embeddings", sf_dir)
-    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
-    vq = e.select("vec_id", to_double_array("embedding").alias("e")).select(
-        "vec_id",
-        "e",
-        F.transform(
-            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
-        ).alias("q"),
-    )
+    vq = _ivf_vq(spark, sf_dir)
     srows, books, assigned = _ivf_trained(spark, sf_dir, vq)
     # queries sit inside the vec_id-sorted sample: derive their probe
     # cells driver-side with the same integer metric (no second scan)
@@ -836,6 +844,98 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
         probe_rows, "q_id long, cell int, qv array<double>"
     )
     cands = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("cv"), "cell"
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "c_id", "score", "rk")
+    )
+
+
+@register("ann_index_persist", oracle=_ivf_int_oracle())
+def ann_index_persist(spark, sf_dir) -> DataFrame:
+    """The persisted IVF index: write the trained codebook and the
+    cell-assigned vector table to WAREHOUSE PARQUET once, reload, and
+    serve the same top-5 ANN search ENTIRELY from the reloaded
+    artifacts — the lifecycle step that outlives the training job
+    (the session cache's 100 TB analog made literal: a serving job in
+    a fresh SparkSession reads the index tables, never the embeddings
+    parquet, never retrains).
+
+    Two artifacts: ``ivf_codebook`` ({16} cells x 64 int64 centroid
+    codes — the driver-side model, reloaded via a bounded
+    cells-sized collect) and ``ivf_index`` (vec_id, e, q, cell — the
+    cell-bucketed vector table WITH the integer codes, so queries'
+    probe cells derive from the artifact alone). Staleness is
+    triple-guarded (format version, {sample,cells,iters} spec,
+    embeddings-file fingerprint); parquet round-trips longs and
+    double arrays bit-exact.
+
+    Exactness: the oracle is ann_ivf_topk's from-scratch DuckDB
+    recompute (integer Lloyd + integer probe + exact-cosine rerank) —
+    the hash match proves build -> save -> reload -> serve ==
+    build -> serve == from-scratch. Zero-build serving from a second
+    real SparkSession is pinned by the subprocess round-trip test;
+    the serve plan scans only warehouse paths (plan-asserted)."""
+    import numpy as np
+
+    from scribedb_spark.persist import persisted_artifact
+
+    spec = {"sample": _IVF_SAMPLE, "cells": N_CELLS, "iters": _IVF_ITERS}
+    src = [f"{sf_dir}/embeddings.parquet"]
+
+    def build_codebook():
+        _s, books, _a = _ivf_trained(spark, sf_dir, _ivf_vq(spark, sf_dir))
+        rows = [
+            (int(c), [int(x) for x in books[c]]) for c in range(len(books))
+        ]
+        return spark.createDataFrame(rows, "cell int, cv array<long>")
+
+    def build_index():
+        vq = _ivf_vq(spark, sf_dir)
+        _s, _b, assigned = _ivf_trained(spark, sf_dir, vq)
+        return assigned.join(vq.select("vec_id", "q"), "vec_id").select(
+            "vec_id", "e", "q", "cell"
+        )
+
+    codebook = persisted_artifact(
+        spark, "ivf_codebook", sf_dir, src, build_codebook, spec
+    )
+    index = persisted_artifact(
+        spark, "ivf_index", sf_dir, src, build_index, spec
+    )
+    books = np.array(
+        [r["cv"] for r in codebook.orderBy("cell").collect()],  # 16 rows
+        dtype=np.int64,
+    )
+    qrows = index.filter(F.col("vec_id") < 10).select(
+        "vec_id", "q", "e"
+    ).collect()  # bounded: the 10 fixture queries
+    cells = np.arange(len(books), dtype=np.int64)
+    probe_rows = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        d2q = ((np.array(r["q"], dtype=np.int64)[None, :] - books) ** 2).sum(
+            axis=1
+        )
+        for cell in np.lexsort((cells, d2q))[:N_PROBE]:
+            probe_rows.append((int(r["vec_id"]), int(cell), list(r["e"])))
+    queries = spark.createDataFrame(
+        probe_rows, "q_id long, cell int, qv array<double>"
+    )
+    cands = index.select(
         F.col("vec_id").alias("c_id"), F.col("e").alias("cv"), "cell"
     )
     scored = (

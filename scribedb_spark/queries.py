@@ -1779,6 +1779,20 @@ _FRESH_WAVES.update(
         8,
     )
 )
+#: ninth wave (round 9) — the persist-and-reload index lifecycle plus
+#: the trained-filter / dataset-card breadth slate
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "dedup_index_persist",
+            "ann_index_persist",
+            "lm_index_persist",
+            "text_quality_classifier",
+            "rollup_domain_mix",
+        },
+        9,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

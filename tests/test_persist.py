@@ -1,0 +1,136 @@
+"""Persist-and-reload index lifecycle (scribedb_spark/persist.py).
+
+The session cache (cache.py) dies with the SparkSession; at 100 TB a
+trained index outlives the job that built it. These tests pin the
+warehouse layer: build-once semantics, the three staleness guards
+(source fingerprint, parameter spec, format version), and — the real
+proof — a round trip across TWO REAL SparkSessions in separate
+subprocesses: session A builds + saves, session B serves identical
+results with ZERO builds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PERSIST_KEYS = ["dedup_index_persist", "ann_index_persist", "lm_index_persist"]
+
+
+def test_persisted_artifact_builds_once_then_reloads(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    from scribedb_spark import persist
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    f = src / "part-0.txt"
+    f.write_text("v1")
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return spark.range(5).selectExpr("id", "id * 2 as v")
+
+    def call(spec=None):
+        return persist.persisted_artifact(
+            spark, "toy", "/data/sfX", [str(src)], builder, spec or {"p": 1}
+        )
+
+    assert sorted(r["v"] for r in call().collect()) == [0, 2, 4, 6, 8]
+    call()
+    assert len(builds) == 1  # second call served from the warehouse
+
+    # changed spec -> different artifact -> rebuild
+    call(spec={"p": 2})
+    assert len(builds) == 2
+
+    # mutated source file -> fingerprint mismatch -> rebuild
+    f.write_text("v2 longer")
+    call(spec={"p": 2})
+    assert len(builds) == 3
+
+    # format bump -> rebuild (stale artifacts from older code never serve)
+    monkeypatch.setattr(persist, "ARTIFACT_FORMAT", persist.ARTIFACT_FORMAT + 1)
+    call(spec={"p": 2})
+    assert len(builds) == 4
+
+
+def test_half_written_artifact_treated_as_absent(spark, tmp_path, monkeypatch):
+    """A crash between parquet write and sidecar write must read as
+    'absent' (rebuild), never as a half-readable artifact."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    from scribedb_spark import persist
+
+    src = tmp_path / "s.txt"
+    src.write_text("x")
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return spark.range(3).selectExpr("id")
+
+    persist.persisted_artifact(spark, "toy", "/d/sfY", [str(src)], builder)
+    os.remove(os.path.join(persist.artifact_path("toy", "/d/sfY"), "_ARTIFACT_META.json"))
+    persist.persisted_artifact(spark, "toy", "/d/sfY", [str(src)], builder)
+    assert len(builds) == 2
+
+
+SESSION_SCRIPT = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.appName("persist-roundtrip")
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import hashlib, json
+from scribedb_spark import persist
+from scribedb_spark.queries import queries
+
+qs = queries()
+out = {}
+for k in %(keys)r:
+    rows = sorted(map(repr, qs[k](spark, %(sf)r).collect()))
+    out[k] = hashlib.md5("\n".join(rows).encode()).hexdigest()
+print("RESULT", json.dumps({"hashes": out, "builds": len(persist.BUILD_EVENTS)}))
+"""
+
+
+def test_cross_session_round_trip(sf_dir, tmp_path):
+    """Session A (fresh subprocess) builds + persists every artifact;
+    session B (another fresh subprocess, new SparkSession, new
+    applicationId) must serve hash-identical results for all three
+    persist keys with ZERO builds — the save -> load -> serve
+    lifecycle the session cache cannot provide."""
+    env = dict(os.environ, SPARK_GRAFT_WAREHOUSE=str(tmp_path / "wh"))
+    code = SESSION_SCRIPT % {"repo": REPO, "keys": PERSIST_KEYS, "sf": sf_dir}
+
+    def run():
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=480,
+            cwd=REPO,
+            env=env,
+        )
+        out = proc.stdout + proc.stderr
+        assert proc.returncode == 0, out[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        assert line, out[-2000:]
+        return json.loads(line[-1][len("RESULT "):])
+
+    first = run()
+    assert first["builds"] > 0  # session A actually trained + saved
+    second = run()
+    assert second["builds"] == 0, "fresh session rebuilt instead of reloading"
+    assert second["hashes"] == first["hashes"]

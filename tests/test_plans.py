@@ -1470,3 +1470,29 @@ def test_lm_incremental_no_base_rescan(qmod, spark, sf_dir):
     assert "documents.parquet" not in p
     assert "Scan ExistingRDD" in p
     assert "partial_sum" in p  # patch union-sum is map-side partial
+
+
+def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
+    """The *_index_persist keys' serve plans must scan the WAREHOUSE
+    artifact parquet, never rebuild: zero corpus scans for the pair
+    and ANN indexes (the artifact IS the data), and exactly one
+    documents scan for the LM key (the scoring input — the MODEL side
+    comes from the two reloaded count tables, where the from-scratch
+    twin scans the corpus once per model branch)."""
+    # materialize the artifacts first (first call builds + saves)
+    for k in ("dedup_index_persist", "ann_index_persist", "lm_index_persist"):
+        qmod.REGISTRY[k].fn(spark, sf_dir).count()
+
+    p = plan(qmod, spark, sf_dir, "dedup_index_persist")
+    assert "artifacts" in p and "lsh_pairs" in p
+    assert "documents.parquet" not in p
+
+    p = plan(qmod, spark, sf_dir, "ann_index_persist")
+    assert "ivf_index" in p
+    assert "embeddings.parquet" not in p
+    # queries enter as a bounded in-memory frame, broadcast
+    assert "BroadcastHashJoin" in p
+
+    p = plan(qmod, spark, sf_dir, "lm_index_persist")
+    assert "lm_bigram_counts" in p and "lm_prefix_counts" in p
+    assert p.count("documents.parquet") == 1
