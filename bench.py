@@ -172,27 +172,67 @@ BENCH_KEYS = [
     "graph_kcore",
     "dedup_recall_report",
     "text_lm_score_incremental",
+    "dedup_index_persist",
+    "ann_index_persist",
+    "lm_index_persist",
+    "text_quality_classifier",
+    "rollup_domain_mix",
+]
+
+#: pinned noise-robust subset: pure-compute keys with no checkpoint /
+#: train / persist stage (those keys' wall time is dominated by
+#: one-off artifact builds and shared-host I/O contention, which the
+#: round-8/9 A-B protocol showed swings identical code by ~17%).
+#: ``stable_total`` over this fixed list is the number to compare
+#: ACROSS rounds; it only changes when a listed plan changes.
+STABLE_KEYS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_volume",
+    "join_inner",
+    "join_broadcast",
+    "window_frame_sum",
+    "fp_unordered",
+    "fp_chain",
+    "compare_verdict",
+    "dedup_exact",
+    "text_stats",
+    "agg_skew_salted",
+    "vec_cosine_topk",
+    "rollup_retention",
+    "profile_columns",
 ]
 
 
-def headline_line(total: float, sf: object, n_keys: int) -> str:
+def headline_line(
+    total: float,
+    sf: object,
+    n_keys: int,
+    stable_total: float | None = None,
+    n_stable: int | None = None,
+) -> str:
     """The compact final-stdout-line contract (< 1900 chars, always).
 
     Kept as a pure function so tests can assert the bound without
     running Spark.  Per-key timings deliberately excluded: with 100+
     registry keys they pushed the line past the driver's 2000-char
     stdout tail window and made BENCH_r05/r06 unparseable.
-    """
-    return json.dumps(
-        {
-            "metric": "headline_total",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_keys": n_keys,
-            "detail": "BENCH_DETAIL.json",
-        }
-    )
+    ``stable_total`` is the pinned STABLE_KEYS subset sum — the
+    cross-round comparison number (the full total swings with
+    shared-host contention on artifact-building keys)."""
+    rec = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_keys": n_keys,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if stable_total is not None:
+        rec["stable_total"] = stable_total
+        rec["n_stable"] = n_stable
+    return json.dumps(rec)
 
 
 def main() -> None:
@@ -227,6 +267,7 @@ def main() -> None:
         timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    stable_total = round(sum(timings[k] for k in STABLE_KEYS), 3)
     sf_raw = SF_DIR.rstrip("/").split("sf")[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
     detail = {
@@ -235,6 +276,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stable_total": stable_total,
+        "stable_keys": STABLE_KEYS,
     }
     # full per-key record: sidecar file (committed, judge-readable) +
     # stderr (survives even if the sidecar write fails)
@@ -256,7 +299,12 @@ def main() -> None:
     # stop the JVM BEFORE the final stdout line so no late Spark log
     # line can land after (and corrupt) the compact-line contract
     spark.stop()
-    print(headline_line(total, sf, len(timings)), flush=True)
+    print(
+        headline_line(
+            total, sf, len(timings), stable_total, len(STABLE_KEYS)
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -1297,3 +1297,96 @@ def sample_token_budget(spark, sf_dir) -> DataFrame:
         .otherwise(0)
         .alias("capped"),
     )
+
+
+_CLF_BUCKETS = 1024
+_CLF_WRANGE = 2001  # weights 0..2000; 1000 is the zero point
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {_CLF_BUCKETS} AS bk
+          FROM t),
+    w AS (SELECT i AS bk,
+                 CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {_CLF_WRANGE} AS w
+          FROM range({_CLF_BUCKETS}) r(i)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(w.w) AS BIGINT) AS dot
+            FROM b JOIN w USING (bk) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST((1000 * dot) // n_tokens AS BIGINT) AS score_millis,
+           CASE WHEN (1000 * dot) // n_tokens >= 1000000 THEN 1 ELSE 0 END
+             AS keep
+    FROM agg
+    """,
+)
+def text_quality_classifier(spark, sf_dir) -> DataFrame:
+    """fastText-style linear quality classifier — the TRAINABLE-filter
+    shape (CCNet's fastText gate, the Gopher/LLaMA quality
+    classifiers) that text_quality_score's hand heuristics
+    approximate: hash every token into {1024} feature buckets, take
+    ONE int64 dot product against a bucket-indexed integer weight
+    table, threshold the length-normalized score. The weight table
+    here is a deterministic md5-derived stand-in for learned
+    weights — the SERVING data flow (hashing trick -> sparse dot ->
+    threshold) is exactly the production one; training would only
+    replace the table's values (it is a persistable vocabulary-sized
+    artifact like lm_index_persist's count tables).
+
+    Exactness: bucket ids and weights are md5-derived integers (the
+    shared '0x'||substr idiom), the dot is an exact int64 SUM, and
+    the normalized score is one floor-division of positive operands
+    ((1000 * dot) div n_tokens, weights shifted to 0..{2000} so the
+    numerator is never negative — truncating and flooring division
+    agree). keep=1 at >= 1e6 millis, i.e. mean weight above the
+    {1000} zero point.
+
+    Scale: map-only featurization (codegen split + md5), one
+    partial-agg groupBy(doc_id) of (id, int) rows — text never
+    shuffles — and the weight join BROADCASTS a domain-bounded
+    {1024}-row table (bounded by the hash range, not the corpus: the
+    forced-broadcast rule's legitimate case). At 100 TB this is the
+    cheapest filter in the cascade; swapping in real learned weights
+    changes one parquet table."""
+    d = table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bk = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % _CLF_BUCKETS
+    )
+    weights = spark.range(_CLF_BUCKETS).select(
+        F.col("id").alias("bk"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % _CLF_WRANGE
+        ).alias("w"),
+    )
+    scored = (
+        toks.select("doc_id", bk.alias("bk"))
+        .join(F.broadcast(weights), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("long").alias("dot"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(1000 * dot) div n_tokens").cast("long").alias("score_millis"),
+        F.when(
+            F.expr("(1000 * dot) div n_tokens") >= 1_000_000, 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )

@@ -414,7 +414,11 @@ def pipeline_quality_gate(spark, sf_dir) -> DataFrame:
     )
 
 
-def _dedup_cascade_oracle() -> str:
+def _cascade_ctes() -> str:
+    """The cascade verdict CTE chain through ``verdict`` (doc_id,
+    caught_by, keep) — shared by the pipeline_dedup_cascade oracle
+    (direct select) and the rollup_domain_mix oracle (per-source
+    aggregation over the same verdicts)."""
     from scribedb_spark.operators.dedup import (
         _MINHASH_ORACLE,
         _PARA_DROP,
@@ -459,14 +463,19 @@ def _dedup_cascade_oracle() -> str:
       SELECT doc_id, MIN(prio) AS prio
       FROM (SELECT * FROM e1 UNION ALL SELECT * FROM u1
             UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM n1)
-      GROUP BY doc_id)
-    SELECT d.doc_id,
-           CASE allc.prio WHEN 1 THEN 'exact' WHEN 2 THEN 'url'
-                          WHEN 3 THEN 'paragraph' WHEN 4 THEN 'near'
-                          ELSE 'none' END AS caught_by,
-           CAST(allc.prio IS NULL AS INT) AS keep
-    FROM documents d LEFT JOIN allc USING (doc_id)
+      GROUP BY doc_id),
+    verdict AS (
+      SELECT d.doc_id,
+             CASE allc.prio WHEN 1 THEN 'exact' WHEN 2 THEN 'url'
+                            WHEN 3 THEN 'paragraph' WHEN 4 THEN 'near'
+                            ELSE 'none' END AS caught_by,
+             CAST(allc.prio IS NULL AS INT) AS keep
+      FROM documents d LEFT JOIN allc USING (doc_id))
     """
+
+
+def _dedup_cascade_oracle() -> str:
+    return _cascade_ctes() + "SELECT doc_id, caught_by, keep FROM verdict"
 
 
 @register("pipeline_dedup_cascade", oracle=_dedup_cascade_oracle())
@@ -554,4 +563,128 @@ def pipeline_dedup_cascade(spark, sf_dir) -> DataFrame:
         .otherwise("none")
         .alias("caught_by"),
         F.col("prio").isNull().cast("int").alias("keep"),
+    )
+
+
+def _domain_mix_oracle() -> str:
+    from scribedb_spark.operators.curation import (
+        _LM_SCALE,
+        _MIX_BUDGET,
+        _MIX_CAP_PPM,
+    )
+
+    return (
+        _cascade_ctes()
+        + f""",
+    docs AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tk
+             FROM documents),
+    j AS (SELECT docs.source, docs.tk, v.caught_by, v.keep
+          FROM docs JOIN verdict v USING (doc_id)),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(tk) AS BIGINT) AS toks,
+             CAST(SUM(keep) AS BIGINT) AS kept_docs,
+             CAST(SUM(keep * tk) AS BIGINT) AS kept_toks,
+             CAST(SUM(CASE WHEN caught_by = 'exact' THEN 1 ELSE 0 END)
+               AS BIGINT) AS caught_exact,
+             CAST(SUM(CASE WHEN caught_by = 'url' THEN 1 ELSE 0 END)
+               AS BIGINT) AS caught_url,
+             CAST(SUM(CASE WHEN caught_by = 'paragraph' THEN 1 ELSE 0 END)
+               AS BIGINT) AS caught_paragraph,
+             CAST(SUM(CASE WHEN caught_by = 'near' THEN 1 ELSE 0 END)
+               AS BIGINT) AS caught_near
+      FROM j GROUP BY source),
+    ns AS (SELECT COUNT(*) AS n_src FROM agg),
+    t AS (
+      SELECT agg.*,
+             ({_LM_SCALE} * (n_docs - kept_docs)) // n_docs AS dedup_ppm,
+             (({_MIX_BUDGET} // ns.n_src) * {_LM_SCALE})
+               // (CASE WHEN kept_toks = 0 THEN 1 ELSE kept_toks END)
+               AS raw_ppm
+      FROM agg CROSS JOIN ns)
+    SELECT source, n_docs, toks, kept_docs, kept_toks,
+           caught_exact, caught_url, caught_paragraph, caught_near,
+           CAST(dedup_ppm AS BIGINT) AS dedup_ppm,
+           CAST(LEAST({_MIX_CAP_PPM}, raw_ppm) AS BIGINT) AS repeat_ppm,
+           CAST((kept_toks * LEAST({_MIX_CAP_PPM}, raw_ppm))
+             // {_LM_SCALE} AS BIGINT) AS expected_toks
+    FROM t
+    """
+    )
+
+
+@register("rollup_domain_mix", oracle=_domain_mix_oracle())
+def rollup_domain_mix(spark, sf_dir) -> DataFrame:
+    """The pre-training dataset card: one row per source crossing the
+    dedup cascade's verdicts with the token-budget mixing allocation —
+    raw vs surviving docs/tokens, the per-stage catch census, the
+    dedup rate, and the repeat factor the shard writer will apply to
+    the DEDUPED corpus. This is the mix report every large-scale
+    pipeline publishes next to the snapshot (what's in the data, how
+    much was removed and by which stage, and how often each domain
+    repeats in an epoch).
+
+    Composition, not recomputation: the verdicts are
+    pipeline_dedup_cascade's (whose stages each reuse their proven
+    registry machinery), the budget math is sample_token_budget's
+    integer floor-division discipline applied to KEPT tokens
+    (budget split {100000} div n_sources, repeat ppm capped at 4
+    epochs), and dedup_ppm = 1e6 * removed div docs. The oracle
+    composes the same cascade CTE chain plus the same integer
+    formulas, so a mismatch localizes to the merge.
+
+    Scale: the verdict join keys on doc_id (id + verdict + token
+    COUNT — text never shuffles); everything after the
+    groupBy(source) is sources-sized metadata with a 1-row
+    source-count broadcast. Zero-kept-token sources divide by a
+    guarded 1 (cap then clamps ppm; expected_toks is 0), never NaN."""
+    from scribedb_spark.operators.curation import (
+        _LM_SCALE,
+        _MIX_BUDGET,
+        _MIX_CAP_PPM,
+    )
+
+    d = table(spark, "documents", sf_dir).select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("tk")
+    )
+    v = pipeline_dedup_cascade(spark, sf_dir)
+    j = d.join(v, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tk").cast("long").alias("toks"),
+        F.sum("keep").cast("long").alias("kept_docs"),
+        F.sum(F.col("keep") * F.col("tk")).cast("long").alias("kept_toks"),
+        *[
+            F.sum((F.col("caught_by") == s).cast("int"))
+            .cast("long")
+            .alias(f"caught_{s}")
+            for s in ("exact", "url", "paragraph", "near")
+        ],
+    )
+    ns = agg.agg(F.count(F.lit(1)).alias("n_src"))
+    t = agg.crossJoin(F.broadcast(ns))
+    capped = f"least({_MIX_CAP_PPM}, raw_ppm)"
+    return t.withColumn(
+        "raw_ppm",
+        F.expr(
+            f"(({_MIX_BUDGET} div n_src) * {_LM_SCALE}) "
+            "div (case when kept_toks = 0 then 1 else kept_toks end)"
+        ),
+    ).select(
+        "source",
+        "n_docs",
+        "toks",
+        "kept_docs",
+        "kept_toks",
+        "caught_exact",
+        "caught_url",
+        "caught_paragraph",
+        "caught_near",
+        F.expr(f"({_LM_SCALE} * (n_docs - kept_docs)) div n_docs")
+        .cast("long")
+        .alias("dedup_ppm"),
+        F.expr(capped).cast("long").alias("repeat_ppm"),
+        F.expr(f"(kept_toks * {capped}) div {_LM_SCALE}")
+        .cast("long")
+        .alias("expected_toks"),
     )

@@ -1496,3 +1496,30 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     p = plan(qmod, spark, sf_dir, "lm_index_persist")
     assert "lm_bigram_counts" in p and "lm_prefix_counts" in p
     assert p.count("documents.parquet") == 1
+
+
+def test_quality_classifier_plan_is_map_then_one_shuffle(qmod, spark, sf_dir):
+    """text_quality_classifier: featurization is map-only codegen, the
+    weight table joins as a BROADCAST of a domain-bounded 1024-row
+    frame (bounded by the hash range, never corpus size), and the
+    per-doc dot product is a partial-aggregated groupBy — one corpus
+    scan, one shuffle of (id, int) rows."""
+    p = plan(qmod, spark, sf_dir, "text_quality_classifier")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p and "partial_sum" in p
+    assert p.count("documents.parquet") == 1
+
+
+def test_domain_mix_reuses_cached_cascade_stages(qmod, spark, sf_dir):
+    """rollup_domain_mix joins cascade verdicts with token counts:
+    after the LSH pair cache is warm, the plan must read the
+    checkpointed pair index (ExistingRDD) rather than re-mining
+    shingles, and the final budget math rides a 1-row broadcast."""
+    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+
+    dedup_minhash_lsh(spark, sf_dir)  # warm the session-cached index
+    p = plan(qmod, spark, sf_dir, "rollup_domain_mix")
+    assert "Scan ExistingRDD" in p  # cached LSH pair index
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_sum" in p

@@ -211,7 +211,7 @@ def test_bench_headline_line_fits_driver_tail_window():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     # worst plausible values: huge total, long sf string, 5-digit key count
-    line = bench.headline_line(99999.999, "0.001", 99999)
+    line = bench.headline_line(99999.999, "0.001", 99999, 99999.999, 99999)
     assert len(line) < 1900, len(line)
     import json
 
@@ -219,6 +219,9 @@ def test_bench_headline_line_fits_driver_tail_window():
     assert parsed["metric"] == "headline_total"
     assert parsed["unit"] == "sec"
     assert parsed["n_keys"] == 99999
+    assert parsed["stable_total"] == 99999.999
+    # the pinned stable subset must stay inside the benched set
+    assert set(bench.STABLE_KEYS) <= set(bench.BENCH_KEYS)
 
 
 def test_oracle_word_cap_holds_for_corpus(sf_dir):
