@@ -462,28 +462,21 @@ def _simhash_sql() -> str:
     """
 
 
-@register("dedup_simhash", oracle=_simhash_sql())
-def dedup_simhash(spark, sf_dir) -> DataFrame:
-    """SimHash near-dup: 16-bit signature (sign of per-bit weight
-    sums over token hashes), ALL pairs at hamming distance <= 3.
+def simhash_quarters(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash, q, qv): each document's 16-bit SimHash
+    signature exploded into its 4 pigeonhole quarters — the blocking
+    keys of ``dedup_simhash`` (factored out so the scale smoke can
+    count candidate pairs with the same pipeline).
 
-    Blocking is pigeonhole over the signature itself: hamming <= 3
-    across 16 bits means at least one of the 4 disjoint 4-bit
-    quarters is IDENTICAL, so candidates = pairs sharing any
-    (quarter-index, quarter-value) key — an exact filter with no
-    dependence on a metadata column (round 1 blocked on `source`).
-    At 100 TB widen the signature (64-bit, 4x16-bit bands -> 65536
-    block values per band) so per-block candidate sets stay bounded;
-    the construction is identical.
-    """
+    Shingles explode to flat rows so the md5 and bit tests run
+    codegen'd (not interpreted inside array lambdas); per-bit +-1
+    sums are map-side partial aggregates — one compact shuffle of 16
+    ints/doc."""
     d = (
         table(spark, "documents", sf_dir)
         .select("doc_id", "text")
         .filter(min_tokens_filter())
     )
-    # explode shingles so the md5 and bit tests run codegen'd on flat
-    # rows (not interpreted inside array lambdas); per-bit +-1 sums are
-    # map-side partial aggregates — one compact shuffle of 16 ints/doc
     h = d.select(
         "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
     ).select("doc_id", hash60(F.col("tok")).alias("h"))
@@ -500,7 +493,7 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
         simhash = term if simhash is None else simhash + term
     sh = bits.select("doc_id", simhash.alias("simhash"))
     n_quarters = _SIMHASH_BITS // 4
-    quarters = sh.select(
+    return sh.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -517,6 +510,23 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup: 16-bit signature (sign of per-bit weight
+    sums over token hashes), ALL pairs at hamming distance <= 3.
+
+    Blocking is pigeonhole over the signature itself: hamming <= 3
+    across 16 bits means at least one of the 4 disjoint 4-bit
+    quarters is IDENTICAL, so candidates = pairs sharing any
+    (quarter-index, quarter-value) key — an exact filter with no
+    dependence on a metadata column (round 1 blocked on `source`).
+    At 100 TB widen the signature (64-bit, 4x16-bit bands -> 65536
+    block values per band) so per-block candidate sets stay bounded;
+    the construction is identical.
+    """
+    quarters = simhash_quarters(spark, sf_dir)
     a = quarters.select(
         F.col("doc_id").alias("doc_id1"), F.col("simhash").alias("sh1"), "q", "qv"
     )
@@ -1598,6 +1608,7 @@ def containment_best(
     salt: int | None = None,
     spark=None,
     cache_key: tuple | None = None,
+    return_candidates: bool = False,
 ):
     """Best-container search over a (doc_id, source, text) frame —
     the engine behind the three containment keys. ``incoming``
@@ -1679,6 +1690,11 @@ def containment_best(
         )
         .distinct()
     )
+    if return_candidates:
+        # the distinct candidate-pair frame — what the verify stage
+        # pays for; scripts/scale_smoke.py records its count next to
+        # wall time so pair-bound growth is visible in the smoke rows
+        return cand
     exg = ex.select("doc_id", "tok")
     inter = (
         cand.join(exg.withColumnRenamed("doc_id", "doc_id1"), "doc_id1")

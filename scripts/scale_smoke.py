@@ -77,7 +77,105 @@ KEYS = [
     "text_decontaminate",
     "text_bm25_topk",
     "search_hybrid_rrf",
+    "dedup_recall_report",
+    "text_quality_classifier",
+    "rollup_domain_mix",
 ]
+
+def _containment_pairs(mode):
+    """Distinct candidate-pair count of the containment keys — the
+    quantity the verify stage pays for and wall time must track."""
+
+    def probe(spark, sfd):
+        from pyspark.sql import functions as F
+
+        from scribedb_spark.operators.dedup import _CONTAIN_SALT, containment_best
+        from scribedb_spark.sources import table
+
+        d = table(spark, "documents", sfd).select("doc_id", "source", "text")
+        kw = {}
+        if mode == "batch":
+            kw["incoming"] = F.col("doc_id") % 20 == 0
+        elif mode == "salted":
+            kw["salt"] = _CONTAIN_SALT
+        return containment_best(
+            d,
+            spark=spark,
+            cache_key=("documents", sfd),
+            return_candidates=True,
+            **kw,
+        ).count()
+
+    return probe
+
+
+def _simhash_pairs(spark, sfd):
+    """Quarter-bucket candidate pairs BEFORE the hamming verify."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import simhash_quarters
+
+    q = simhash_quarters(spark, sfd)
+    a = q.select(F.col("doc_id").alias("doc_id1"), "q", "qv")
+    b = q.select(F.col("doc_id").alias("doc_id2"), "q", "qv")
+    return (
+        a.join(b, ["q", "qv"])
+        .filter(F.col("doc_id1") < F.col("doc_id2"))
+        .count()
+    )
+
+
+def _levenshtein_pairs(spark, sfd):
+    """LSH candidate pairs the edit-distance verify runs over."""
+    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(spark, sfd).count()
+
+
+def _recall_report_pairs(spark, sfd):
+    """Co-occurring sample pairs the exact-Jaccard side evaluates."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import (
+        _RECALL_SAMPLE_MOD,
+        _RECALL_SAMPLE_REM,
+        shingles3,
+    )
+    from scribedb_spark.sources import table
+
+    tok = table(spark, "documents", sfd).select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    )
+    samp = tok.filter(
+        F.col("doc_id") % _RECALL_SAMPLE_MOD == _RECALL_SAMPLE_REM
+    ).select(F.col("doc_id").alias("s_id"), "tok")
+    return (
+        samp.join(tok, "tok")
+        .filter(F.col("s_id") != F.col("doc_id"))
+        .select(
+            F.least("s_id", "doc_id").alias("doc_id1"),
+            F.greatest("s_id", "doc_id").alias("doc_id2"),
+        )
+        .distinct()
+        .count()
+    )
+
+
+#: candidate/verify-pair counters for the pair-dense keys whose OUTPUT
+#: row count does not equal the pair volume driving their wall time —
+#: each smoke row gains (base_pairs, scaled_pairs, pair_ratio) so a
+#: super-linear wall ratio is attributable to measured pair inflation
+#: (round-9 verdict item: dedup_containment's 16x row read 27.2x wall
+#: with nothing in the row to justify it)
+PAIR_PROBES = {
+    "dedup_containment": _containment_pairs("batch"),
+    "dedup_containment_corpus": _containment_pairs("corpus"),
+    "dedup_containment_salted": _containment_pairs("salted"),
+    "dedup_simhash": _simhash_pairs,
+    "dedup_levenshtein": _levenshtein_pairs,
+    "dedup_recall_report": _recall_report_pairs,
+}
+
 
 #: per-table primary-key shifts so unioned copies stay key-unique;
 #: FK pairs (orders/lineitem) shift together
@@ -148,20 +246,26 @@ def main() -> None:
                 flush=True,
             )
             continue
-        print(
-            json.dumps(
-                {
-                    "key": key,
-                    "mult": mult,
-                    "base_s": round(t_base, 2),
-                    "scaled_s": round(t_scaled, 2),
-                    "ratio": round(t_scaled / max(t_base, 1e-9), 1),
-                    "base_rows": n_base,
-                    "scaled_rows": n_scaled,
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "key": key,
+            "mult": mult,
+            "base_s": round(t_base, 2),
+            "scaled_s": round(t_scaled, 2),
+            "ratio": round(t_scaled / max(t_base, 1e-9), 1),
+            "base_rows": n_base,
+            "scaled_rows": n_scaled,
+        }
+        probe = PAIR_PROBES.get(key)
+        if probe is not None:
+            try:
+                p_base = probe(spark, base)
+                p_scaled = probe(spark, out)
+                rec["base_pairs"] = p_base
+                rec["scaled_pairs"] = p_scaled
+                rec["pair_ratio"] = round(p_scaled / max(p_base, 1), 1)
+            except Exception as e:  # keep the timing row either way
+                rec["pair_err"] = str(e)[:200]
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
