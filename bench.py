@@ -174,6 +174,7 @@ BENCH_KEYS = [
     "text_lm_score_incremental",
     "dedup_index_persist",
     "ann_index_persist",
+    "ann_pq_persist",
     "lm_index_persist",
     "text_quality_classifier",
     "rollup_domain_mix",

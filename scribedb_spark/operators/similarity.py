@@ -1232,6 +1232,25 @@ _PQ_ITERS = 2     # integer Lloyd rounds (unrolled in the SQL oracle)
 _PQ_SHORTLIST = 32
 
 
+def _pq_vq(spark, sf_dir):
+    """(v, vq): every embedding as a double array, and with its
+    int8-quantized long codes — the shared input of PQ training and
+    the persisted-codes build (v alone feeds the exact rerank)."""
+    from scribedb_spark.functions.vector import quantize_int8
+
+    e = table(spark, "embeddings", sf_dir)
+    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    vq = v.select(
+        "vec_id",
+        "e",
+        F.transform(
+            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
+        ).alias("q"),
+    )
+    return v, vq
+
+
 def _pq_trained(spark, sf_dir, vq):
     """PQ index artifacts — built once per (session, sf_dir): collect
     the vec_id-sorted (vec_id, q) sample, run per-subspace integer
@@ -1401,29 +1420,28 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
     reuses the shared sequential-fold cosine with ROUND 6 + id
     tie-breaks. Recall floor vs numpy brute force pinned by
     tests/test_similarity.py."""
-    import numpy as np
-    import pandas as pd
-
-    from scribedb_spark.functions.vector import quantize_int8
-
-    e = table(spark, "embeddings", sf_dir)
-    max_abs = F.array_max(F.transform(F.col("e"), F.abs))
-    v = e.select("vec_id", to_double_array("embedding").alias("e"))
-    vq = v.select(
-        "vec_id",
-        "e",
-        F.transform(
-            quantize_int8(F.col("e"), max_abs), lambda x: x.cast("long")
-        ).alias("q"),
-    )
-
+    v, vq = _pq_vq(spark, sf_dir)
     srows, books, codes_df = _pq_trained(spark, sf_dir, vq)
 
     # queries sit inside the vec_id-sorted sample (vec_id < 10), so
     # their integer ADC tables need no second collect
-    sub = len(srows[0]["q"]) // PQ_M
-    q_ids = np.array([r["vec_id"] for r in srows if r["vec_id"] < 10])
-    Qm = np.array([r["q"] for r in srows if r["vec_id"] < 10], dtype=np.int64)
+    qrows = [(r["vec_id"], r["q"]) for r in srows if r["vec_id"] < 10]
+    return _pq_serve(spark, v, books, qrows, codes_df)
+
+
+def _pq_serve(spark, v, books, qrows, codes_df) -> DataFrame:
+    """The PQ serve path shared by ann_pq_topk (codes from the
+    session-cached train) and ann_pq_persist (codes RELOADED from the
+    warehouse): per-query integer ADC tables broadcast, codes scanned
+    locally for partition shortlists, window-merged global shortlist,
+    exact-cosine rerank. ``qrows`` is the bounded (vec_id, q) query
+    list in vec_id order."""
+    import numpy as np
+    import pandas as pd
+
+    sub = len(qrows[0][1]) // PQ_M
+    q_ids = np.array([vid for vid, _q in qrows])
+    Qm = np.array([q for _vid, q in qrows], dtype=np.int64)
     # tables[q, j, c] = integer ||Q[q, subspace j] - codebook[j][c]||^2
     tables = np.stack(
         [
@@ -1486,6 +1504,68 @@ def ann_pq_topk(spark, sf_dir) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id", "score", "rk")
     )
+
+
+@register("ann_pq_persist", oracle=_pq_oracle())
+def ann_pq_persist(spark, sf_dir) -> DataFrame:
+    """The persisted PQ index: write the per-subspace codebooks and
+    the encoded 4-bit codes table to WAREHOUSE PARQUET once, reload,
+    and serve the same ADC top-5 from the RELOADED codes — completing
+    the persist family (LSH pairs, IVF, LM counts, PQ) for the index
+    whose compression is the whole point at 100 TB: the stored
+    artifact is 64x smaller than the vectors, and a serving job
+    reads codes + the {8}x{16}-row codebook, touching the vector
+    store only for the shortlist rerank (the deliberate ADC design —
+    persisting vectors inside the codes table would undo the
+    compression).
+
+    Staleness triple-guarded by spec {sample,m,k,iters} + embeddings
+    fingerprint + format version; the 4-bit codes and int64 codebook
+    round-trip parquet bit-exact. Oracle: ann_pq_topk's from-scratch
+    DuckDB recompute — hash match proves save -> reload -> serve ==
+    from-scratch. Cross-session zero-build serving is pinned by the
+    subprocess round-trip test; the serve plan's codes come from the
+    warehouse FileScan (zero training stages, plan-asserted)."""
+    import numpy as np
+
+    from scribedb_spark.persist import persisted_artifact
+
+    spec = {"sample": _PQ_SAMPLE, "m": PQ_M, "k": PQ_K, "iters": _PQ_ITERS}
+    src = [f"{sf_dir}/embeddings.parquet"]
+    v, vq = _pq_vq(spark, sf_dir)
+
+    def build_codebook():
+        _s, books, _c = _pq_trained(spark, sf_dir, vq)
+        rows = [
+            (j, c, [int(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        return spark.createDataFrame(rows, "j int, c int, cv array<long>")
+
+    def build_codes():
+        _s, _b, codes_df = _pq_trained(spark, sf_dir, vq)
+        return codes_df
+
+    cb = persisted_artifact(
+        spark, "pq_codebook", sf_dir, src, build_codebook, spec
+    )
+    codes = persisted_artifact(spark, "pq_codes", sf_dir, src, build_codes, spec)
+    brows = cb.orderBy("j", "c").collect()  # bounded: m*k = 128 rows
+    books = np.array([r["cv"] for r in brows], dtype=np.int64).reshape(
+        PQ_M, PQ_K, -1
+    )
+    # the bounded query rows come from the embeddings scan (the serve
+    # input, like lm_index_persist's scoring scan) in vec_id order —
+    # identical values to ann_pq_topk's sample-derived queries
+    qrows = [
+        (r["vec_id"], r["q"])
+        for r in vq.filter(F.col("vec_id") < 10)
+        .select("vec_id", "q")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return _pq_serve(spark, v, books, qrows, codes)
 
 
 _PREFIX_DIMS = 16

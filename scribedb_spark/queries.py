@@ -1786,6 +1786,7 @@ _FRESH_WAVES.update(
         {
             "dedup_index_persist",
             "ann_index_persist",
+            "ann_pq_persist",
             "lm_index_persist",
             "text_quality_classifier",
             "rollup_domain_mix",

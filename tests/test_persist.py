@@ -18,7 +18,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-PERSIST_KEYS = ["dedup_index_persist", "ann_index_persist", "lm_index_persist"]
+PERSIST_KEYS = [
+    "dedup_index_persist",
+    "ann_index_persist",
+    "ann_pq_persist",
+    "lm_index_persist",
+]
 
 
 def test_persisted_artifact_builds_once_then_reloads(spark, tmp_path, monkeypatch):

@@ -1497,6 +1497,13 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     assert "lm_bigram_counts" in p and "lm_prefix_counts" in p
     assert p.count("documents.parquet") == 1
 
+    qmod.REGISTRY["ann_pq_persist"].fn(spark, sf_dir).count()
+    p = plan(qmod, spark, sf_dir, "ann_pq_persist")
+    # ADC scoring reads the RELOADED codes; the vector store appears
+    # only in the shortlist rerank (qe/ce joins)
+    assert "pq_codes" in p
+    assert p.count("embeddings.parquet") <= 2
+
 
 def test_quality_classifier_plan_is_map_then_one_shuffle(qmod, spark, sf_dir):
     """text_quality_classifier: featurization is map-only codegen, the
