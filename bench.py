@@ -176,6 +176,8 @@ BENCH_KEYS = [
     "ann_index_persist",
     "ann_pq_persist",
     "lm_index_persist",
+    "bm25_index_persist",
+    "compare_iblt_persist",
     "text_quality_classifier",
     "rollup_domain_mix",
 ]

@@ -3351,12 +3351,16 @@ def compare_iblt_incremental(spark, sf_dir) -> DataFrame:
     )
 
 
-def _iblt_incremental_cells(spark, sf_dir: str) -> DataFrame:
+def _iblt_incremental_cells(spark, sf_dir: str, state=None) -> DataFrame:
     """The full pre-decode cell pipeline of compare_iblt_incremental
     (cached base sketch (+) delta patch (+) target sketch) — kept as
     a named stage so the plan test can assert the serve plan reads
-    only checkpointed artifacts, no orders rescans."""
-    base, base_cells = _iblt_orders_state(spark, sf_dir)
+    only checkpointed artifacts, no orders rescans. ``state``
+    optionally supplies the (base, base_cells) pair — the
+    compare_iblt_persist key passes the WAREHOUSE-reloaded sketch."""
+    base, base_cells = (
+        state if state is not None else _iblt_orders_state(spark, sf_dir)
+    )
     upd = F.col("o_orderkey") % 1100 == 0
     dele = F.col("o_orderkey") % 2600 == 0
     old_upd = base.filter(upd & ~dele)
@@ -3387,3 +3391,47 @@ def _iblt_incremental_cells(spark, sf_dir: str) -> DataFrame:
         _iblt_sketch(tgt, -1, "o_orderkey", _IBLT_COLS)
     )
     return _iblt_merge(src1_cells, tgt_cells)
+
+
+@register("compare_iblt_persist", oracle=_iblt_incr_oracle())
+def compare_iblt_persist(spark, sf_dir) -> DataFrame:
+    """The WAN-compare sketch made durable: the base orders cell
+    table (the 256 KB reconciliation state) is persisted to WAREHOUSE
+    PARQUET and the serve path patches + reconciles against the
+    RELOADED sketch — compare_iblt_incremental's lifecycle with the
+    one step a real deployment adds: the sketch outlives the session
+    that built it (maintained transactionally beside the table,
+    reloadable by any later job or replica). Same fixture, same
+    from-scratch oracle: hash match proves
+    persisted-sketch (+) delta patch (+) target == truth, i.e. the
+    parquet round trip preserves the XOR/count monoid state exactly
+    (cnt/kx/fx/cx are plain longs).
+
+    Staleness: spec pins {cells, hashes, value columns}; the
+    orders-file fingerprint + ARTIFACT_FORMAT guard corpus and
+    cell-construction changes (the round-9 partitioned-subtable
+    change is exactly the kind of rebuild-forcing edit the format
+    version exists for). Cross-session zero-build serving pinned by
+    the subprocess round-trip test."""
+    from scribedb_spark.persist import persisted_artifact
+
+    base, _session_cells = _iblt_orders_state(spark, sf_dir)
+    base_cells = persisted_artifact(
+        spark,
+        "iblt_orders_sketch",
+        sf_dir,
+        [f"{sf_dir}/orders.parquet"],
+        lambda: _iblt_cell_agg(
+            _iblt_sketch(base, 1, "o_orderkey", _IBLT_COLS)
+        ),
+        spec={
+            "cells": _IBLT_CELLS,
+            "hashes": _IBLT_HASHES,
+            "cols": _IBLT_COLS,
+        },
+    )
+    return _iblt_decode(
+        spark,
+        _iblt_incremental_cells(spark, sf_dir, state=(base, base_cells)),
+        "o_orderkey",
+    )

@@ -1788,6 +1788,8 @@ _FRESH_WAVES.update(
             "ann_index_persist",
             "ann_pq_persist",
             "lm_index_persist",
+            "bm25_index_persist",
+            "compare_iblt_persist",
             "text_quality_classifier",
             "rollup_domain_mix",
         },

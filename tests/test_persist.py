@@ -23,6 +23,8 @@ PERSIST_KEYS = [
     "ann_index_persist",
     "ann_pq_persist",
     "lm_index_persist",
+    "bm25_index_persist",
+    "compare_iblt_persist",
 ]
 
 

@@ -1504,6 +1504,35 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     assert "pq_codes" in p
     assert p.count("embeddings.parquet") <= 2
 
+    qmod.REGISTRY["bm25_index_persist"].fn(spark, sf_dir).count()
+    p = plan(qmod, spark, sf_dir, "bm25_index_persist")
+    # the inverted index serves the WHOLE query: no raw-text scan
+    assert "bm25_postings" in p
+    assert "documents.parquet" not in p
+
+    # compare_iblt_persist returns the DECODED rows (ExistingRDD), so
+    # the warehouse pin targets its pre-decode cell pipeline: the base
+    # sketch must be the warehouse FileScan, never a re-sketch of the
+    # full table (orders appears only via the checkpointed render
+    # feeding the delta/target fixtures)
+    qmod.REGISTRY["compare_iblt_persist"].fn(spark, sf_dir).count()
+    from scribedb_spark import analytics, persist
+
+    base, _ = analytics._iblt_orders_state(spark, sf_dir)
+    reloaded = spark.read.parquet(
+        persist.artifact_path("iblt_orders_sketch", sf_dir)
+    )
+    cells = analytics._iblt_incremental_cells(
+        spark, sf_dir, state=(base, reloaded)
+    )
+    p = cells._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "iblt_orders_sketch" in p
+    assert "orders.parquet" not in p
+
 
 def test_quality_classifier_plan_is_map_then_one_shuffle(qmod, spark, sf_dir):
     """text_quality_classifier: featurization is map-only codegen, the
