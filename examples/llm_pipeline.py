@@ -145,6 +145,32 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     print(f"dense-core docs (3-core+ in the near-dup graph): {dense}")
     print(f"LSH recall curve: {curve}")
+    # round-9 additions: the persisted-index lifecycle (build once,
+    # write to warehouse parquet, every later session reloads — the
+    # *_index_persist keys serve from the reload and hash-match their
+    # from-scratch oracles), the trained-filter shape, and the
+    # dataset-card mix report
+    from scribedb_spark import persist as P
+
+    n_persist_pairs = Q.REGISTRY["dedup_index_persist"].fn(spark, sf_dir).count()
+    bm25_top = Q.REGISTRY["bm25_index_persist"].fn(spark, sf_dir).count()
+    built = len(P.BUILD_EVENTS)
+    clf = Q.REGISTRY["text_quality_classifier"].fn(spark, sf_dir)
+    clf_drop = clf.filter(F.col("keep") == 0).count()
+    card = Q.REGISTRY["rollup_domain_mix"].fn(spark, sf_dir).collect()
+    card_line = ", ".join(
+        f"{r['source']}: {r['kept_docs']}/{r['n_docs']} kept"
+        f" ({r['dedup_ppm']/10000:.1f}% dup), repeat x{r['repeat_ppm']/1e6:.2f}"
+        for r in sorted(card, key=lambda r: r["source"])[:4]
+    )
+    print(
+        f"persisted LSH index pairs (served from warehouse): {n_persist_pairs}"
+        f" | BM25 from persisted postings: top-{bm25_top}"
+        f" | artifacts built this session: {built}"
+        " (0 = everything reloaded)"
+    )
+    print(f"classifier-rejected docs: {clf_drop}")
+    print(f"dataset card: {card_line}")
     print(f"total wall time: {time.perf_counter()-t0:.1f}s")
 
 
