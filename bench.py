@@ -177,6 +177,7 @@ BENCH_KEYS = [
     "ann_pq_persist",
     "lm_index_persist",
     "bm25_index_persist",
+    "bm25_index_append",
     "compare_iblt_persist",
     "text_quality_classifier",
     "rollup_domain_mix",

@@ -1789,6 +1789,7 @@ _FRESH_WAVES.update(
             "ann_pq_persist",
             "lm_index_persist",
             "bm25_index_persist",
+            "bm25_index_append",
             "compare_iblt_persist",
             "text_quality_classifier",
             "rollup_domain_mix",

@@ -1510,6 +1510,13 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     assert "bm25_postings" in p
     assert "documents.parquet" not in p
 
+    qmod.REGISTRY["bm25_index_append"].fn(spark, sf_dir).count()
+    p = plan(qmod, spark, sf_dir, "bm25_index_append")
+    # base side = warehouse FileScan; raw text appears only in the
+    # delta-batch tokenize (pushed-down %-filter scans)
+    assert "bm25_postings_base" in p
+    assert "documents.parquet" in p
+
     # compare_iblt_persist returns the DECODED rows (ExistingRDD), so
     # the warehouse pin targets its pre-decode cell pipeline: the base
     # sketch must be the warehouse FileScan, never a re-sketch of the
