@@ -22,8 +22,19 @@ Reference analog: the reference persists its per-run aggregate into
 the target database once per run (scribedb/postgres.py:65-67) rather
 than rebuilding per query; here the persisted artifacts are the
 engine's trained indexes (LSH pair index, IVF codebook + assigned
-table, LM count tables), proven by oracle-backed round-trip keys
-(`*_index_persist`) plus a two-real-SparkSessions subprocess test.
+table, PQ codes, LM count tables, BM25 postings, IBLT sketch),
+proven by oracle-backed round-trip keys (`*_index_persist`) plus a
+two-real-SparkSessions subprocess test.
+
+Concurrency: two processes building the same artifact race benignly —
+every builder is deterministic over the fingerprinted sources, so
+both writers produce identical bytes and the worst case is one wasted
+build (the sidecar-last ordering means a reader never sees a
+half-written artifact as valid). Warehouse slots key on the sf_dir
+BASENAME: two different corpora sharing a basename would ping-pong
+rebuilds (fingerprint mismatch each time) — correct, just uncached;
+point $SPARK_GRAFT_WAREHOUSE somewhere distinct per corpus family if
+that ever matters.
 """
 
 from __future__ import annotations
