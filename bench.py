@@ -181,6 +181,7 @@ BENCH_KEYS = [
     "compare_iblt_persist",
     "text_quality_classifier",
     "rollup_domain_mix",
+    "sample_split_cluster",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

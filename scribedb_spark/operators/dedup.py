@@ -2274,3 +2274,80 @@ def dedup_recall_report(spark, sf_dir) -> DataFrame:
         "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
     ).localCheckpoint()
     return lsh_recall_report(pairs, tok)
+
+
+_SPLIT_EVAL_MOD = 10
+_SPLIT_EVAL_REM = 7
+
+_SPLIT_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_MINHASH_ORACLE}),
+    edges AS (SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+              UNION ALL SELECT doc_id2, doc_id1 FROM pairs),
+    walk(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+    allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)),
+                                          1, 15)) AS BIGINT)
+                     % {_SPLIT_EVAL_MOD} = {_SPLIT_EVAL_REM}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM allc
+    """
+
+
+@register("sample_split_cluster", oracle=_SPLIT_CLUSTER_ORACLE)
+def sample_split_cluster(spark, sf_dir) -> DataFrame:
+    """Leakage-free train/eval split at NEAR-DUP-CLUSTER grain: every
+    document is assigned train or eval by a deterministic hash of its
+    LSH connected COMPONENT id (singletons are their own component),
+    so a near-duplicate pair can never straddle the split — the
+    standard defense against the eval-contamination failure where a
+    paraphrase of a test document sits in the training set and the
+    benchmark silently measures memorization (same practice as
+    splitting by entity/user in sample_split_entity, moved to the
+    similarity grain dedup actually operates at; GPT-3's and The
+    Pile's dedup-aware split discipline). ~{10}% of clusters land in
+    eval (component-hash mod {10} == {7}); whole clusters move
+    together, so eval fraction is exact in clusters, approximate in
+    documents — which is the correct trade (the alternative biases
+    eval toward duplicated content).
+
+    Exactness: the component id is the cluster-min doc_id (engine
+    connected_components == the oracle's recursive walk, proven by
+    dedup_components), and the split hash is the shared md5-substr
+    integer idiom — bit-identical in both engines.
+
+    Scale: reads the session-cached LSH pair index, runs the
+    O(log^2 n) star-contraction components, LEFT-joins the corpus id
+    list (ids only — text never shuffles) and applies one codegen'd
+    hash expression. The no-pair-straddles property is
+    plan-independent (split is a pure function of component) and
+    test-asserted against the pair list."""
+    d = table(spark, "documents", sf_dir).select("doc_id")
+    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    allc = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    split_hash = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_SPLIT_EVAL_MOD),
+    )
+    return allc.select(
+        "doc_id",
+        "component",
+        F.when(split_hash == _SPLIT_EVAL_REM, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )

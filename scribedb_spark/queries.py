@@ -1793,6 +1793,7 @@ _FRESH_WAVES.update(
             "compare_iblt_persist",
             "text_quality_classifier",
             "rollup_domain_mix",
+            "sample_split_cluster",
         },
         9,
     )

@@ -1566,3 +1566,16 @@ def test_domain_mix_reuses_cached_cascade_stages(qmod, spark, sf_dir):
     assert "Scan ExistingRDD" in p  # cached LSH pair index
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "partial_sum" in p
+
+
+def test_split_cluster_reuses_cached_pairs(qmod, spark, sf_dir):
+    """sample_split_cluster reads the session-cached LSH pair index
+    (ExistingRDD) and shuffles only ids — no shingle re-mine, and the
+    documents scan prunes to the id column."""
+    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+
+    dedup_minhash_lsh(spark, sf_dir)  # warm the cache
+    p = plan(qmod, spark, sf_dir, "sample_split_cluster")
+    assert "Scan ExistingRDD" in p
+    # the corpus scan prunes to the id column — text never loads
+    assert "ReadSchema: struct<doc_id:bigint>" in p

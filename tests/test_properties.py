@@ -1175,3 +1175,40 @@ def test_iblt_partitioned_cells_always_distinct(key, fp):
     for i, c in enumerate(cells):
         assert i * _iblt_sub() <= c < (i + 1) * _iblt_sub()
     assert max(cells) < _IBLT_CELLS
+
+
+def test_split_cluster_no_pair_straddles(spark, sf_dir):
+    """The leakage guarantee itself: NO near-dup candidate pair may
+    have one side in train and the other in eval (split is a pure
+    function of the shared component id, but pin it end to end
+    against the actual pair list)."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        sample_split_cluster,
+    )
+
+    splits = sample_split_cluster(spark, sf_dir).select("doc_id", "split")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    crossers = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_id1"), F.col("split").alias("s1")
+            ),
+            "doc_id1",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_id2"), F.col("split").alias("s2")
+            ),
+            "doc_id2",
+        )
+        .filter(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert crossers == 0
+    # both sides non-empty on the fixture corpus (the split is real)
+    by = {r["split"]: r["n"] for r in splits.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by.get("train", 0) > 0 and by.get("eval", 0) > 0
