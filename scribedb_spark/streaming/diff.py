@@ -229,3 +229,61 @@ def stream_lm_maintain(
         .start()
     )
     return q, holder
+
+
+def stream_postings_persist(
+    stream_df: DataFrame,
+    dest: str,
+    query_name: str = "stream_postings",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS the PERSISTED BM25
+    postings artifact ON DISK from an INSERT stream of (doc_id, text)
+    rows — the streaming half of the bm25_index_persist/append
+    lifecycle (batch twin: bm25_index_append, whose DuckDB oracle
+    proves the same merge algebra): each micro-batch tokenizes only
+    its own rows to (doc_id, term, tf) and APPENDS them as new
+    parquet files under the artifact path. Ingested doc_ids are
+    disjoint from everything already indexed, and tf counts are a
+    per-(doc,term) monoid, so append IS the exact merge — O(|batch|)
+    disk I/O per batch, no read-modify-rewrite of the index
+    (same-doc upserts would read+union+re-sum, the LM-count pattern).
+    Every reader (`_bm25_serve_from_postings`, the *_persist keys'
+    plans) sees base + all drained batches.
+
+    The artifact's meta sidecar (persist.py) is untouched: its source
+    fingerprint describes the BASE build inputs; once a stream owns
+    the artifact, freshness is the stream's checkpoint story, not the
+    fingerprint's (parquet readers ignore the underscore-prefixed
+    sidecar).
+
+    Returns (query, holder) where ``holder.dest`` names the
+    maintained artifact path."""
+    from pyspark.sql import functions as F
+
+    class _Holder:
+        pass
+
+    holder = _Holder()
+    holder.dest = dest
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        (
+            rows.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

@@ -377,3 +377,57 @@ def test_stream_lm_maintain_equals_batch_recompute(spark, sf_dir, tmp_path_facto
     )
     assert _rows(holder.cb, ["bg", "cb"]) == want_cb
     assert _rows(holder.cp, ["t1", "cp"]) == want_cp
+
+
+def test_stream_postings_persist_maintains_disk_artifact(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streamed maintenance of the PERSISTED inverted index: base
+    postings are saved to a warehouse path, a multi-file documents
+    ingest stream appends its batches' postings, and afterwards the
+    ON-DISK artifact (a) row-equals a from-scratch tokenize of the
+    whole corpus and (b) serves the identical BM25 top-20 — the
+    durable-index counterpart of stream_lm_maintain's in-memory
+    holders (batch twin with DuckDB oracle: bm25_index_append)."""
+    from scribedb_spark.operators.curation import _bm25_serve_from_postings
+    from scribedb_spark.persist import save_artifact
+    from scribedb_spark.streaming.diff import stream_postings_persist
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def postings_of(d):
+        return (
+            d.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    arriving = docs.filter(F.col("doc_id") % 3 != 0)
+    dest = str(tmp_path_factory.mktemp("wh") / "bm25_postings_stream")
+    save_artifact(postings_of(base), dest, {"base": "split3"})
+
+    d = tmp_path_factory.mktemp("docs_stream2")
+    arriving.repartition(4).write.mode("overwrite").parquet(str(d))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q, holder = stream_postings_persist(stream, dest)
+    q.awaitTermination(120)
+
+    maintained = spark.read.parquet(holder.dest)
+    want = _rows(postings_of(docs), ["doc_id", "term", "tf"])
+    assert _rows(maintained, ["doc_id", "term", "tf"]) == want
+    got_topk = _rows(
+        _bm25_serve_from_postings(maintained),
+        ["doc_id", "score_pts", "rk"],
+    )
+    want_topk = _rows(
+        _bm25_serve_from_postings(postings_of(docs)),
+        ["doc_id", "score_pts", "rk"],
+    )
+    assert got_topk == want_topk
