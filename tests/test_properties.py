@@ -1212,3 +1212,69 @@ def test_split_cluster_no_pair_straddles(spark, sf_dir):
     by = {r["split"]: r["n"] for r in splits.groupBy("split").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert by.get("train", 0) > 0 and by.get("eval", 0) > 0
+
+
+PERSIST_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62),  # long
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=20,
+            ),
+        ),
+        st.floats(allow_nan=False, width=64),
+        st.lists(st.floats(allow_nan=False, width=64), max_size=4),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=PERSIST_ROWS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_persist_round_trip_is_exact(spark, tmp_path_factory, rows):
+    """The guarantee every *_index_persist key leans on: an artifact
+    of longs / nullable unicode strings / doubles (incl. signed
+    zeros, subnormals, +-inf) / double arrays survives
+    save -> load BIT-EXACT through warehouse parquet."""
+    import os
+
+    from scribedb_spark import persist
+
+    os.environ["SPARK_GRAFT_WAREHOUSE"] = str(
+        tmp_path_factory.mktemp("wh_prop")
+    )
+    try:
+        df = spark.createDataFrame(
+            [(i, *r) for i, r in enumerate(rows)],
+            "id long, k long, s string, d double, v array<double>",
+        )
+        src = tmp_path_factory.mktemp("src") / "s.txt"
+        src.write_text("x")
+        got = persist.persisted_artifact(
+            spark, "prop", "/p/sfP", [str(src)], lambda: df
+        ).collect()
+
+        def key(row):
+            return row["id"]
+
+        want = sorted(df.collect(), key=key)
+        got = sorted(got, key=key)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g["k"] == w["k"] and g["s"] == w["s"]
+            # bit-exact doubles: compare via repr (distinguishes -0.0)
+            assert repr(g["d"]) == repr(w["d"])
+            assert [repr(x) for x in (g["v"] or [])] == [
+                repr(x) for x in (w["v"] or [])
+            ]
+    finally:
+        os.environ.pop("SPARK_GRAFT_WAREHOUSE", None)
