@@ -186,8 +186,11 @@ def test_script_key_lists_exist_in_registry(qmod):
 
     for path, attr in [
         (os.path.join(root, "bench.py"), "BENCH_KEYS"),
+        (os.path.join(root, "bench.py"), "STABLE_KEYS"),
         (os.path.join(root, "scripts", "dump_plans.py"), "KEYS"),
         (os.path.join(root, "scripts", "scale_smoke.py"), "KEYS"),
+        (os.path.join(root, "scripts", "scale_smoke.py"), "PAIR_PROBES"),
+        (os.path.join(root, "scripts", "build_indexes.py"), "PERSIST_KEYS"),
     ]:
         missing = [k for k in keys_of(path, attr) if k not in qmod.REGISTRY]
         assert not missing, f"{path}: {missing}"
