@@ -3256,17 +3256,18 @@ _IBLT_COLS = ["cents", "o_orderpriority", "o_orderstatus"]
 _IBLT_BASE_CACHE: dict = {}
 
 
-def _iblt_orders_state(spark, sf_dir: str):
-    """(rendered base, base cell sketch) for the orders table, built
-    once per session: the persisted-sketch artifact the incremental
-    key patches instead of rebuilding."""
+def _iblt_orders_base(spark, sf_dir: str):
+    """The rendered orders base alone, built once per session. Split
+    from the cell sketch so consumers that DON'T need the in-session
+    sketch (compare_iblt_persist serves the sketch from warehouse
+    parquet) never pay the sketch-build checkpoint."""
     from scribedb_spark.cache import session_cache
 
     def build():
         cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
             "long"
         )
-        base = (
+        return (
             table(spark, "orders", sf_dir)
             .select(
                 "o_orderkey",
@@ -3276,12 +3277,29 @@ def _iblt_orders_state(spark, sf_dir: str):
             )
             .localCheckpoint()
         )
-        cells = _iblt_cell_agg(
+
+    return session_cache(
+        _IBLT_BASE_CACHE, spark, ("iblt_base_render", sf_dir), build
+    )
+
+
+def _iblt_orders_state(spark, sf_dir: str):
+    """(rendered base, base cell sketch) for the orders table, built
+    once per session: the persisted-sketch artifact the incremental
+    key patches instead of rebuilding."""
+    from scribedb_spark.cache import session_cache
+
+    base = _iblt_orders_base(spark, sf_dir)
+
+    def build_cells():
+        return _iblt_cell_agg(
             _iblt_sketch(base, 1, "o_orderkey", _IBLT_COLS)
         ).localCheckpoint()
-        return base, cells
 
-    return session_cache(_IBLT_BASE_CACHE, spark, ("iblt_base", sf_dir), build)
+    cells = session_cache(
+        _IBLT_BASE_CACHE, spark, ("iblt_base_cells", sf_dir), build_cells
+    )
+    return base, cells
 
 
 def _iblt_incr_oracle() -> str:
@@ -3415,7 +3433,7 @@ def compare_iblt_persist(spark, sf_dir) -> DataFrame:
     the subprocess round-trip test."""
     from scribedb_spark.persist import persisted_artifact
 
-    base, _session_cells = _iblt_orders_state(spark, sf_dir)
+    base = _iblt_orders_base(spark, sf_dir)
     base_cells = persisted_artifact(
         spark,
         "iblt_orders_sketch",

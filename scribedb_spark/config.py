@@ -333,10 +333,19 @@ def run_iblt_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
     # partial-agg pass per side, cheap next to the sketch build.
     for name, side in (("source", src), ("target", tgt)):
         chk = side.agg(
+            F.count(F.lit(1)).alias("rows"),
             F.count(key).alias("n"),
             F.count_distinct(F.col(key)).alias("nd"),
             F.min(key).alias("mn"),
         ).first()
+        if chk["rows"] != chk["n"]:
+            # count()/count_distinct() skip NULLs, so a NULL key would
+            # sail through the guards below and stall the decode with a
+            # misleading capacity error — fail loud here instead.
+            raise ValueError(
+                f"iblt mode requires a non-NULL sort_key; {name} has "
+                f"{chk['rows'] - chk['n']} rows with NULL {key}"
+            )
         if chk["n"] != chk["nd"]:
             raise ValueError(
                 f"iblt mode requires a unique sort_key per side; {name} "

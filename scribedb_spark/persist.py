@@ -74,7 +74,8 @@ def source_fingerprint(paths: list[str]) -> str:
     entries = []
     for p in sorted(paths):
         if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()  # canonical traversal: listdir order varies
                 for f in sorted(files):
                     fp = os.path.join(root, f)
                     st = os.stat(fp)

@@ -1592,6 +1592,27 @@ def _driver_proven_keys() -> set[str]:
     return proven
 
 
+def _driver_touched_keys() -> set[str]:
+    """Keys with ANY recorded row (even a rows-only / err row) in any
+    past round's ``CORRECTNESS_r*.json``. A no-oracle key can never
+    earn a fully-green row, so "touched" is its terminal state — used
+    to surface each such key exactly once (see _enumeration_order)."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    touched: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            touched.update(k for k, r in rows.items() if isinstance(r, dict))
+    return touched
+
+
 def _enumeration_order() -> list[str]:
     """Registry keys in driver-enumeration priority, SELF-ADVANCING so
     the driver's ~50-row/round correctness budget spends itself almost
@@ -1621,7 +1642,11 @@ def _enumeration_order() -> list[str]:
        training): the driver's check for them is rows-only
        (err="no_oracle"), they can never satisfy the fully-green bar,
        so they must yield every budget slot or they would pin
-       themselves ahead of provable keys forever.
+       themselves ahead of provable keys forever — EXCEPT that a
+       no-oracle key the driver has never recorded at all is surfaced
+       ONCE near the tail of the ~50-key budget (position ~45) to
+       collect its rows-only row; the moment any round records it,
+       it is "touched" and retires to the back permanently.
 
     Ordering within each partition is stable, so runs are
     deterministic given the same report files."""
@@ -1642,13 +1667,26 @@ def _enumeration_order() -> list[str]:
             return 1
         return 0 if REGISTRY[k].oracle is not None else 2
 
-    return sorted(
+    order = sorted(
         seen,
         key=lambda k: (
             group(k),
             _FRESH_WAVES.get(k, 0) if group(k) == 0 else 0,
         ),
     )
+    # Surface each never-recorded no-oracle key exactly once, near the
+    # tail of the ~50-key budget, so the whole registry ends up
+    # driver-touched without spending a slot every round.
+    touched = _driver_touched_keys()
+    untouched_no_oracle = [
+        k for k in order if group(k) == 2 and k not in touched
+    ]
+    if untouched_no_oracle:
+        for k in untouched_no_oracle:
+            order.remove(k)
+        pos = min(45, len(order))
+        order[pos:pos] = untouched_no_oracle
+    return order
 
 
 #: round in which each key was added AFTER that round's verdict queued

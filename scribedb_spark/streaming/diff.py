@@ -250,6 +250,20 @@ def stream_postings_persist(
     Every reader (`_bm25_serve_from_postings`, the *_persist keys'
     plans) sees base + all drained batches.
 
+    Idempotent under replay: foreachBatch is at-least-once (a crash
+    before the checkpoint commit, or a restart mid-batch, re-delivers
+    the same batch_id), so a bare ``mode('append')`` would land the
+    batch's (doc_id, term, tf) rows twice and permanently double-count
+    dl/df/tf in every downstream BM25 score. Each batch is instead
+    staged to an underscore-prefixed scratch dir (invisible to parquet
+    readers) and its part files are then renamed into the artifact
+    under DETERMINISTIC per-batch names (``batch-<id>-<k>.parquet``),
+    after deleting whatever a previous attempt of the SAME batch_id
+    left behind — a replay rewrites its own files instead of
+    duplicating them. (Posix rename semantics; an object-store
+    deployment swaps this step for the table format's commit
+    protocol.)
+
     The artifact's meta sidecar (persist.py) is untouched: its source
     fingerprint describes the BASE build inputs; once a stream owns
     the artifact, freshness is the stream's checkpoint story, not the
@@ -257,7 +271,12 @@ def stream_postings_persist(
     sidecar).
 
     Returns (query, holder) where ``holder.dest`` names the
-    maintained artifact path."""
+    maintained artifact path and ``holder.commit_batch`` exposes the
+    per-batch commit for replay tests."""
+    import glob
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
 
     class _Holder:
@@ -270,15 +289,26 @@ def stream_postings_persist(
         rows = batch_df.localCheckpoint()  # pin: the source view is transient
         if not rows.take(1):
             return
+        stage = os.path.join(dest, f"_stage_batch_{batch_id}")
         (
             rows.select(
                 "doc_id", F.explode(F.split("text", " ")).alias("term")
             )
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .write.mode("append")
-            .parquet(dest)
+            .write.mode("overwrite")
+            .parquet(stage)
         )
+        for old in glob.glob(os.path.join(dest, f"batch-{batch_id}-*.parquet")):
+            os.remove(old)
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        for k, part in enumerate(parts):
+            os.replace(
+                part, os.path.join(dest, f"batch-{batch_id}-{k:05d}.parquet")
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+
+    holder.commit_batch = per_batch
 
     q = (
         stream_df.writeStream.foreachBatch(per_batch)

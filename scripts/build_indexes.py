@@ -28,6 +28,7 @@ PERSIST_KEYS = [
     "ann_pq_persist",
     "lm_index_persist",
     "bm25_index_persist",
+    "bm25_index_append",
     "compare_iblt_persist",
 ]
 

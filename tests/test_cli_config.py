@@ -649,3 +649,24 @@ def test_cli_iblt_mode_validates_preconditions(spark, sf_dir, tmp_path):
             )
             + "  sort_keys: [o_orderkey]\n"
         )
+
+    # NULL key: count()/count_distinct() skip NULLs, so without the
+    # explicit row-count guard a NULL sort_key sails through and the
+    # decode stalls with a misleading capacity error (round-10 advice)
+    dfn = df.head(100).copy()
+    dfn.loc[dfn.index[:2], "o_orderkey"] = None
+    nulled = tmp_path / "orders_nullkey.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(dfn, preserve_index=False).cast(
+            t.schema
+        ),
+        str(nulled),
+    )
+    with pytest.raises(ValueError, match="non-NULL sort_key"):
+        run(
+            base.replace(
+                f'{sf_dir}/orders.parquet"}}\n    name: src',
+                f'{nulled}"}}\n    name: src',
+            )
+            + "  sort_keys: [o_orderkey]\n"
+        )

@@ -111,6 +111,7 @@ def test_enumeration_order_unproven_first(qmod):
     last."""
     order = list(qmod.queries())
     proven = qmod._driver_proven_keys()
+    touched = qmod._driver_touched_keys()
     unproven = [
         k
         for k in order
@@ -119,13 +120,21 @@ def test_enumeration_order_unproven_first(qmod):
     no_oracle = [
         k for k in order if k not in proven and qmod.REGISTRY[k].oracle is None
     ]
+    surfaced = [k for k in no_oracle if k not in touched]
+    retired = [k for k in no_oracle if k in touched]
     # partition order: unproven-with-oracle, proven, unproven-no-oracle
+    # — except a never-recorded no-oracle key surfaces ONCE at ~45
+    # inside the driver's ~50-key budget to collect its rows-only row
     assert order[: len(unproven)] == unproven
-    if no_oracle:
-        assert order[-len(no_oracle):] == no_oracle
+    for k in surfaced:
+        assert order.index(k) < 50, f"{k} surfaced outside the budget"
+    if retired:
+        assert order[-len(retired):] == retired
     # proven contract keys lead the proven block (budget sweep order
     # after the backlog drains)
-    proven_block = order[len(unproven): len(order) - len(no_oracle)]
+    proven_block = [
+        k for k in order[len(unproven):] if k not in no_oracle
+    ]
     proven_contract = [
         k for k in qmod._CONTRACT_KEYS if k in qmod.REGISTRY and k in proven
     ]

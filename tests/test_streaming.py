@@ -431,3 +431,13 @@ def test_stream_postings_persist_maintains_disk_artifact(
         ["doc_id", "score_pts", "rk"],
     )
     assert got_topk == want_topk
+
+    # Replay idempotency: foreachBatch is at-least-once — recommitting
+    # the SAME batch_id must rewrite that batch's files, not append a
+    # second copy (a duplicate would double-count dl/df/tf forever).
+    replay = docs.filter(F.col("doc_id") % 7 == 1).limit(50)
+    holder.commit_batch(replay, 777001)
+    once = _rows(spark.read.parquet(holder.dest), ["doc_id", "term", "tf"])
+    holder.commit_batch(replay, 777001)
+    twice = _rows(spark.read.parquet(holder.dest), ["doc_id", "term", "tf"])
+    assert twice == once
