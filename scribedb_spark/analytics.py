@@ -2945,6 +2945,13 @@ def setop_except_all(spark, sf_dir) -> DataFrame:
 _IBLT_CELLS = 8192
 _IBLT_HASHES = 3
 
+#: adaptive-mode ceiling: above this the diff is "too different to
+#: enumerate cheaply" — callers are pointed at the merkle drill. The
+#: cell table is SPARSE (cancelled cells never ship), so a generous
+#: budget costs nothing when the diff is small; the cap only bounds
+#: the worst-case driver peel.
+_IBLT_AUTO_CAP = 1 << 21
+
 
 def _iblt_oracle() -> str:
     return """
@@ -2975,23 +2982,24 @@ def _iblt_oracle() -> str:
     """
 
 
-def _iblt_sub() -> int:
+def _iblt_sub(cells: int | None = None) -> int:
     """Per-subtable size of the PARTITIONED construction: hash i maps
     into the disjoint range [i*sub, (i+1)*sub), so an item's three
     cells are always distinct. The unpartitioned variant lets all
     three indexes collide into ONE cell (prob ~(1/m)^2 per item but
     deterministic for a given key) — that cell holds count +-3, never
     turns pure, and decode stalls even on a tiny diff. Read at call
-    time so tests can shrink _IBLT_CELLS."""
-    return max(1, _IBLT_CELLS // _IBLT_HASHES)
+    time so tests can shrink _IBLT_CELLS; ``cells`` overrides the
+    module default (the adaptive two-pass mode sizes per diff)."""
+    return max(1, (cells or _IBLT_CELLS) // _IBLT_HASHES)
 
 
-def _iblt_cell_exprs(key, fp):
+def _iblt_cell_exprs(key, fp, cells: int | None = None):
     """The _IBLT_HASHES cell indexes + the checksum for one item, as
     portable md5-over-decimal-string expressions (the same strings
     hashlib.md5 reproduces driver-side during peeling). Partitioned
     subtables: index i lives in [i*sub, (i+1)*sub)."""
-    sub = _iblt_sub()
+    sub = _iblt_sub(cells)
     cells = [
         F.lit(i * sub)
         + F.conv(
@@ -3029,17 +3037,19 @@ def _iblt_cell_exprs(key, fp):
     return cells, chk
 
 
-def _iblt_hash_py(key: int, fp: int, i) -> int:
+def _iblt_hash_py(key: int, fp: int, i, n_cells: int | None = None) -> int:
     import hashlib
 
     h = hashlib.md5(f"{key}:{fp}:{i}".encode()).hexdigest()
     if i == "chk":
         return int(h[:15], 16)
-    sub = _iblt_sub()
+    sub = _iblt_sub(n_cells)
     return i * sub + int(h[:8], 16) % sub
 
 
-def _iblt_peel(cells: dict) -> list[tuple[int, int, int]]:
+def _iblt_peel(
+    cells: dict, n_cells: int | None = None
+) -> list[tuple[int, int, int]]:
     """Standard IBLT peeling: repeatedly find a pure cell
     (count == +-1 and checksum verifies), extract its item, subtract
     it from its cells, until the table is empty. Returns
@@ -3055,7 +3065,7 @@ def _iblt_peel(cells: dict) -> list[tuple[int, int, int]]:
                 key, fp, s = kx, fx, cnt
                 recovered.append((key, fp, s))
                 for i in range(_IBLT_HASHES):
-                    c2 = _iblt_hash_py(key, fp, i)
+                    c2 = _iblt_hash_py(key, fp, i, n_cells)
                     c0, k0, f0, x0 = cells.get(c2, (0, 0, 0, 0))
                     st = (c0 - s, k0 ^ key, f0 ^ fp, x0 ^ cx)
                     if st == (0, 0, 0, 0):
@@ -3066,9 +3076,9 @@ def _iblt_peel(cells: dict) -> list[tuple[int, int, int]]:
     if cells:
         raise ValueError(
             f"IBLT decode stalled with {len(cells)} impure cells — the "
-            f"diff exceeds the {_IBLT_CELLS}-cell budget (size cells >= "
-            "1.5x expected diff); raise _IBLT_CELLS or fall back to "
-            "fp_merkle/compare_merkle_drill"
+            f"diff exceeds the {n_cells or _IBLT_CELLS}-cell budget "
+            "(size cells >= 1.5x expected diff); raise _IBLT_CELLS, use "
+            "cells='auto', or fall back to fp_merkle/compare_merkle_drill"
         )
     return recovered
 
@@ -3107,9 +3117,12 @@ def compare_iblt_diff(spark, sf_dir) -> DataFrame:
     CELL COUNT (the <=512-row codebook-collect discipline), and a
     persisted cell table is incrementally maintainable per upsert
     (XOR/count are group operations — the fp_delta_update algebra).
-    Capacity is a tunable budget: diffs beyond it raise with an
-    explicit pointer to the merkle fallback rather than decoding
-    wrong."""
+    Capacity is ADAPTIVE (cells='auto'): a chunk-fingerprint grid
+    first upper-bounds the diff, the sketch is sized 1.5x that bound
+    (floored at the fixed budget), and only a diff past the 2^21-cell
+    cap raises with an explicit pointer to the merkle fallback rather
+    than decoding wrong — so the planted diff keeps decoding as the
+    corpus (and with it the absolute diff count) scales."""
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     base = table(spark, "orders", sf_dir).select(
         "o_orderkey",
@@ -3139,13 +3152,15 @@ def compare_iblt_diff(spark, sf_dir) -> DataFrame:
         tgt,
         "o_orderkey",
         ["cents", "o_orderpriority", "o_orderstatus"],
+        cells="auto",
     )
 
 
-def _iblt_sketch(
-    side: DataFrame, sign: int, key_col: str, value_cols: list[str]
+def _iblt_items(
+    side: DataFrame, key_col: str, value_cols: list[str]
 ) -> DataFrame:
-    """3 exploded (cell, sign) rows per item (key, row-fingerprint).
+    """(key, fp) items for one side — the shared first stage of both
+    the sketch and the adaptive-size estimator grid.
 
     The fingerprint encoding is null-safe: each value column is
     coalesced to a \\x01 sentinel and joined on \\x02 (concat_ws would
@@ -3162,8 +3177,26 @@ def _iblt_sketch(
         ],
     )
     fp = F.conv(F.substring(F.md5(rowtext), 1, 15), 16, 10).cast("long")
-    items = side.select(F.col(key_col).alias("key"), fp.alias("fp"))
-    cells, chk = _iblt_cell_exprs(F.col("key"), F.col("fp"))
+    return side.select(F.col(key_col).alias("key"), fp.alias("fp"))
+
+
+def _iblt_sketch(
+    side: DataFrame,
+    sign: int,
+    key_col: str,
+    value_cols: list[str],
+    n_cells: int | None = None,
+) -> DataFrame:
+    """3 exploded (cell, sign) rows per item (key, row-fingerprint)."""
+    return _iblt_sketch_items(
+        _iblt_items(side, key_col, value_cols), sign, n_cells
+    )
+
+
+def _iblt_sketch_items(
+    items: DataFrame, sign: int, n_cells: int | None = None
+) -> DataFrame:
+    cells, chk = _iblt_cell_exprs(F.col("key"), F.col("fp"), n_cells)
     return items.select(
         "key",
         "fp",
@@ -3171,6 +3204,53 @@ def _iblt_sketch(
         F.explode(F.array(*cells)).alias("cell"),
         F.lit(sign).alias("sign"),
     )
+
+
+#: estimator chunk grain (keys per chunk, via key >> 2). Smaller grain
+#: tightens the per-chunk bound (<= 2 * grain items) at the price of a
+#: larger grid exchange (n / grain rows per side).
+_IBLT_EST_SHIFT = 2
+
+
+def _iblt_diff_estimate(src_items: DataFrame, tgt_items: DataFrame) -> int:
+    """GUARANTEED upper bound on the differing-item count d (a changed
+    key is two items, one per side), from one chunk-fingerprint grid
+    exchange per side — the keyed-chunk fp motif at 4-key grain.
+
+    Each side aggregates its items to (chunk, count, fp-XOR); chunks
+    whose (count, xor) signatures agree hold identical item multisets
+    (md5-grade: an XOR collision between differing chunks is ~2^-60),
+    so every differing item lives in a MISMATCHING chunk and
+    d <= sum over mismatching chunks of (count_src + count_tgt).
+    The grid exchange is n/4 rows per side — the cheap first pass of
+    the two-pass adaptive mode; the second pass sizes the sketch from
+    this bound so decode capacity is never exceeded."""
+    grids = []
+    for it in (src_items, tgt_items):
+        grids.append(
+            it.groupBy(
+                F.shiftright(F.col("key"), _IBLT_EST_SHIFT).alias("chunk")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(fp)").alias("x"),
+            )
+        )
+    g = grids[0].alias("s").join(
+        grids[1].alias("t"), on="chunk", how="full_outer"
+    )
+    mism = g.filter(
+        ~(
+            F.col("s.n").eqNullSafe(F.col("t.n"))
+            & F.col("s.x").eqNullSafe(F.col("t.x"))
+        )
+    )
+    row = mism.agg(
+        F.sum(
+            F.coalesce(F.col("s.n"), F.lit(0))
+            + F.coalesce(F.col("t.n"), F.lit(0))
+        ).alias("bound")
+    ).first()
+    return int(row["bound"] or 0)
 
 
 def _iblt_cell_agg(sk: DataFrame) -> DataFrame:
@@ -3207,14 +3287,16 @@ def _iblt_merge(*cell_dfs: DataFrame) -> DataFrame:
     )
 
 
-def _iblt_decode(spark, cell_df: DataFrame, key_col: str) -> DataFrame:
+def _iblt_decode(
+    spark, cell_df: DataFrame, key_col: str, n_cells: int | None = None
+) -> DataFrame:
     """Collect the (bounded) cell table, peel, classify per key."""
     cells = {
         r["cell"]: (r["cnt"], r["kx"], r["fx"], r["cx"])
-        for r in cell_df.collect()  # bounded by _IBLT_CELLS, never rows
+        for r in cell_df.collect()  # bounded by the cell budget, never rows
     }
     by_key: dict[int, set] = {}
-    for key, _fp, s in _iblt_peel(cells):
+    for key, _fp, s in _iblt_peel(cells, n_cells):
         by_key.setdefault(key, set()).add(s)
     out = [
         (
@@ -3236,18 +3318,44 @@ def iblt_reconcile(
     tgt: DataFrame,
     key_col: str,
     value_cols: list[str],
+    cells: int | str | None = None,
 ) -> DataFrame:
     """General IBLT reconciliation of two keyed frames (the
     compare_iblt_diff engine; see that key's docstring for the
     algorithm and scale argument). ``key_col`` must be a unique
     non-negative BIGINT key; returns (key_col, change) with change in
-    added/removed/changed. Raises ValueError when the diff exceeds
-    the decode capacity (size _IBLT_CELLS >= 1.5x expected diff)."""
+    added/removed/changed.
+
+    ``cells``: None -> the fixed module budget (_IBLT_CELLS; raises
+    when the diff exceeds it). ``'auto'`` -> TWO-PASS adaptive sizing:
+    a chunk-fingerprint grid first upper-bounds the differing-item
+    count d (see _iblt_diff_estimate), then the sketch is sized
+    >= 1.5x that bound (never below _IBLT_CELLS, so small diffs keep
+    the fixed-budget behavior) — converting "diff grew past the
+    budget" from a decode error into a correctly-sized sketch. Above
+    _IBLT_AUTO_CAP the diff is too large for cheap enumeration and a
+    ValueError points at the merkle drill. An int pins the budget
+    explicitly."""
+    src_items = _iblt_items(src, key_col, value_cols)
+    tgt_items = _iblt_items(tgt, key_col, value_cols)
+    if cells == "auto":
+        bound = _iblt_diff_estimate(src_items, tgt_items)
+        need = max(_IBLT_CELLS, int(1.5 * bound))
+        if need > _IBLT_AUTO_CAP:
+            raise ValueError(
+                f"estimated diff bound {bound} needs {need} cells, over "
+                f"the {_IBLT_AUTO_CAP}-cell adaptive cap — the tables "
+                "are too different for cheap set reconciliation; use "
+                "fp_merkle/compare_merkle_drill (or a keyed diff)"
+            )
+        n_cells: int | None = need
+    else:
+        n_cells = cells
     agg = _iblt_merge(
-        _iblt_cell_agg(_iblt_sketch(src, 1, key_col, value_cols)),
-        _iblt_cell_agg(_iblt_sketch(tgt, -1, key_col, value_cols)),
+        _iblt_cell_agg(_iblt_sketch_items(src_items, 1, n_cells)),
+        _iblt_cell_agg(_iblt_sketch_items(tgt_items, -1, n_cells)),
     )
-    return _iblt_decode(spark, agg, key_col)
+    return _iblt_decode(spark, agg, key_col, n_cells)
 
 
 _IBLT_COLS = ["cents", "o_orderpriority", "o_orderstatus"]

@@ -357,7 +357,7 @@ def run_iblt_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:
                 f"(min {name}.{key} = {chk['mn']})"
             )
     value_cols = [col for col in src.columns if col != key]
-    return iblt_reconcile(spark, src, tgt, key, value_cols)
+    return iblt_reconcile(spark, src, tgt, key, value_cols, cells="auto")
 
 
 def run_colfp_config(spark: SparkSession, cfg: RootConfig) -> DataFrame:

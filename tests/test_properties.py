@@ -913,6 +913,76 @@ def test_iblt_decodes_at_engineering_load(spark):
     )
 
 
+@given(sides=KEYED_SIDES)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_iblt_diff_estimate_covers_actual(spark, sides):
+    """The adaptive-mode first pass must never undersize the sketch:
+    _iblt_diff_estimate is a guaranteed UPPER bound on the
+    differing-item count d (one item per side for a changed key), for
+    any overlap/mutation pattern."""
+    from scribedb_spark.analytics import _iblt_diff_estimate, _iblt_items
+
+    src_d, tgt_d = sides
+    src = spark.createDataFrame(
+        list(src_d.items()) or [(None, None)], "k long, v long"
+    ).filter("k is not null")
+    tgt = spark.createDataFrame(
+        list(tgt_d.items()) or [(None, None)], "k long, v long"
+    ).filter("k is not null")
+    est = _iblt_diff_estimate(
+        _iblt_items(src, "k", ["v"]), _iblt_items(tgt, "k", ["v"])
+    )
+    d = (
+        len(set(src_d) - set(tgt_d))
+        + len(set(tgt_d) - set(src_d))
+        + 2 * sum(1 for k in set(src_d) & set(tgt_d) if src_d[k] != tgt_d[k])
+    )
+    assert est >= d
+
+
+def test_iblt_auto_sizing_recovers_past_fixed_budget(spark, monkeypatch):
+    """cells='auto' converts "the diff grew past the fixed budget"
+    from a decode error into a correctly-sized sketch: with the fixed
+    budget shrunk to 48 cells a 400-item diff stalls, while the auto
+    mode sizes from the estimator bound and recovers every key —
+    the local mirror of the 16x scale-smoke capacity overrun."""
+    import pytest
+
+    from scribedb_spark import analytics
+
+    monkeypatch.setattr(analytics, "_IBLT_CELLS", 48)
+    src = spark.range(0, 200).selectExpr("id as k", "id * 7 as v")
+    tgt = spark.range(200, 400).selectExpr("id as k", "id * 7 as v")
+    with pytest.raises(ValueError, match="IBLT decode stalled"):
+        analytics.iblt_reconcile(spark, src, tgt, "k", ["v"]).collect()
+    got = analytics.iblt_reconcile(
+        spark, src, tgt, "k", ["v"], cells="auto"
+    ).collect()
+    assert len(got) == 400
+    assert all((r["change"] == "removed") == (r["k"] < 200) for r in got)
+
+
+def test_iblt_auto_cap_points_at_merkle(spark, monkeypatch):
+    """Past the adaptive cap the tables are too different for cheap
+    set reconciliation — fail loudly naming the merkle fallback, never
+    build an unboundedly large sketch."""
+    import pytest
+
+    from scribedb_spark import analytics
+
+    monkeypatch.setattr(analytics, "_IBLT_AUTO_CAP", 64)
+    src = spark.range(0, 200).selectExpr("id as k", "id * 7 as v")
+    tgt = spark.range(200, 400).selectExpr("id as k", "id * 7 as v")
+    with pytest.raises(ValueError, match="merkle"):
+        analytics.iblt_reconcile(
+            spark, src, tgt, "k", ["v"], cells="auto"
+        ).collect()
+
+
 BM25_CORPUS = st.dictionaries(
     st.integers(min_value=0, max_value=20),  # doc_id
     st.lists(
