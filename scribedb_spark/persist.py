@@ -47,8 +47,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 #: bump when any persisted builder's OUTPUT contract changes — stale
-#: on-disk artifacts from an older code version must rebuild, not serve
-ARTIFACT_FORMAT = 1
+#: on-disk artifacts from an older code version must rebuild, not serve.
+#: v2: sidecars record the source-file list (GC + catalog contract);
+#: v1 sidecars lack it, so they must rebuild rather than serve with an
+#: unauditable provenance.
+ARTIFACT_FORMAT = 2
 
 _META_NAME = "_ARTIFACT_META.json"
 
@@ -93,32 +96,46 @@ def artifact_path(name: str, sf_dir: str) -> str:
     return os.path.join(warehouse_dir(), os.path.basename(sf_dir.rstrip("/")), name)
 
 
-def save_artifact(df: DataFrame, dest: str, meta: dict) -> None:
+def save_artifact(
+    df: DataFrame, dest: str, meta: dict, extra: dict | None = None
+) -> None:
     """Write the artifact parquet, then the meta sidecar. The sidecar
     is written LAST: a crash mid-write leaves a meta-less directory
-    that load_artifact treats as absent (rebuild, never half-read)."""
+    that load_artifact treats as absent (rebuild, never half-read).
+    ``extra`` carries informational sidecar fields (source paths,
+    catalog annotations) that do NOT participate in the staleness
+    match — load_artifact compares only the expected keys."""
     df.write.mode("overwrite").parquet(dest)
     tmp = os.path.join(dest, _META_NAME + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
+        json.dump({**(extra or {}), **meta}, fh, sort_keys=True)
     os.replace(tmp, os.path.join(dest, _META_NAME))
+
+
+def read_sidecar(dest: str) -> dict | None:
+    """The artifact's meta sidecar, or None when absent/unparseable
+    (== the artifact is half-written and must be treated as absent)."""
+    meta_file = os.path.join(dest, _META_NAME)
+    if not os.path.exists(meta_file):
+        return None
+    try:
+        with open(meta_file) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
 
 
 def load_artifact(
     spark: SparkSession, dest: str, expect_meta: dict
 ) -> DataFrame | None:
     """The reloaded artifact frame, or None when absent or stale
-    (missing sidecar, or any meta field differing from the expected
-    format/spec/source fingerprint)."""
-    meta_file = os.path.join(dest, _META_NAME)
-    if not os.path.exists(meta_file):
+    (missing sidecar, or any EXPECTED meta field differing from the
+    format/spec/source fingerprint — informational sidecar fields are
+    ignored by the match)."""
+    found = read_sidecar(dest)
+    if found is None:
         return None
-    try:
-        with open(meta_file) as fh:
-            found = json.load(fh)
-    except (OSError, ValueError):
-        return None
-    if found != expect_meta:
+    if any(found.get(k) != v for k, v in expect_meta.items()):
         return None
     return spark.read.parquet(dest)
 
@@ -146,7 +163,135 @@ def persisted_artifact(
     }
     df = load_artifact(spark, dest, meta)
     if df is None:
-        save_artifact(builder(), dest, meta)
+        save_artifact(builder(), dest, meta, extra={"sources": sources})
         BUILD_EVENTS.append((name, dest))
         df = spark.read.parquet(dest)
     return df
+
+
+def _artifact_data_files(dest: str) -> list[str]:
+    """The artifact's visible parquet data files (what a reader
+    lists): top-level *.parquet, excluding underscore/dot-prefixed
+    entries (sidecar, _SUCCESS, staging dirs)."""
+    try:
+        names = os.listdir(dest)
+    except OSError:
+        return []
+    return sorted(
+        f
+        for f in names
+        if f.endswith(".parquet")
+        and not f.startswith(("_", "."))
+        and os.path.isfile(os.path.join(dest, f))
+    )
+
+
+def compact_artifact(
+    spark: SparkSession,
+    dest: str,
+    max_files: int = 32,
+    target_files: int = 4,
+) -> bool:
+    """Rewrite an artifact whose data-file count exceeded
+    ``max_files`` into ``target_files`` files; returns whether a
+    rewrite happened. The streamed-append maintenance path
+    (streaming/diff.py stream_postings_persist) lands one small file
+    set per micro-batch — at 100 TB that is the classic small-files
+    death (every serving scan pays per-file open/footer costs, the
+    driver pays per-file listing). Compaction is the other half of
+    that lifecycle: content-preserving (the exact row multiset is
+    rewritten — nothing is re-aggregated, so compacted == uncompacted
+    for every reader), sidecar-preserving (staleness identity is
+    untouched), and idempotent (after a rewrite the file count is
+    back under the threshold).
+
+    Single-writer maintenance step, like the stream sink itself: run
+    it from the ingest/maintenance job, not concurrently with an
+    active appender; in-session frames already pinned to the old file
+    list must be re-read. The rewrite stages to an underscore dir
+    (invisible to readers) and only then swaps files; an object-store
+    deployment swaps this step for the table format's rewrite/commit
+    protocol."""
+    import glob
+    import shutil
+
+    files = _artifact_data_files(dest)
+    if len(files) <= max_files:
+        return False
+    stage = os.path.join(dest, "_compact_stage")
+    (
+        spark.read.parquet(dest)
+        .repartition(target_files)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    for f in files:
+        os.remove(os.path.join(dest, f))
+    parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+    for k, p in enumerate(parts):
+        os.replace(p, os.path.join(dest, f"compact-{k:05d}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    return True
+
+
+def gc_warehouse(delete: bool = False) -> list[dict]:
+    """Census every artifact slot in the warehouse and classify it
+    fresh or stale; with ``delete=True`` remove the stale ones. Stale
+    artifacts otherwise accumulate forever — every run against a
+    refreshed corpus snapshot or a bumped ARTIFACT_FORMAT strands the
+    old directory (persisted_artifact rebuilds beside it, it never
+    cleans up). Staleness mirrors load_artifact's guards exactly:
+
+    - ``no_sidecar`` / ``bad_sidecar``: half-written build (crash
+      before the sidecar landed) — never servable.
+    - ``format``: built by an older ARTIFACT_FORMAT — a format bump
+      means the builder's output contract changed; must rebuild.
+    - ``missing_source`` / ``stale_source``: the recorded source
+      files are gone or their stat-fingerprint changed — the corpus
+      snapshot moved on. (Sidecars from before the sources field was
+      recorded can't be source-checked; they stay until a format
+      bump.)
+
+    Returns one record per slot: {artifact, stale, reason, deleted}."""
+    import shutil
+
+    out: list[dict] = []
+    root = warehouse_dir()
+    if not os.path.isdir(root):
+        return out
+    for snap in sorted(os.listdir(root)):
+        snap_dir = os.path.join(root, snap)
+        if not os.path.isdir(snap_dir):
+            continue
+        for name in sorted(os.listdir(snap_dir)):
+            dest = os.path.join(snap_dir, name)
+            if not os.path.isdir(dest):
+                continue
+            reason = None
+            meta = read_sidecar(dest)
+            if meta is None:
+                reason = (
+                    "bad_sidecar"
+                    if os.path.exists(os.path.join(dest, _META_NAME))
+                    else "no_sidecar"
+                )
+            elif meta.get("format") != ARTIFACT_FORMAT:
+                reason = "format"
+            else:
+                srcs = meta.get("sources")
+                if srcs is not None:
+                    if not all(os.path.exists(s) for s in srcs):
+                        reason = "missing_source"
+                    elif source_fingerprint(srcs) != meta.get("source_fp"):
+                        reason = "stale_source"
+            rec = {
+                "artifact": f"{snap}/{name}",
+                "stale": reason is not None,
+                "reason": reason,
+                "deleted": False,
+            }
+            if reason is not None and delete:
+                shutil.rmtree(dest, ignore_errors=True)
+                rec["deleted"] = True
+            out.append(rec)
+    return out

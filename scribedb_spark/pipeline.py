@@ -688,3 +688,150 @@ def rollup_domain_mix(spark, sf_dir) -> DataFrame:
         .cast("long")
         .alias("expected_toks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rollup_artifact_catalog — the operator's view of the warehouse
+# ---------------------------------------------------------------------------
+
+
+def _catalog_spec_md5(spec: dict) -> str:
+    """Canonical 16-hex spec hash: md5 over the sort_keys JSON render
+    (the same render the sidecar stores, so disk and code agree)."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(spec, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def _catalog_expected() -> dict[str, dict]:
+    """The expected warehouse artifact set {name: builder spec} — the
+    ONE list the catalog key and its oracle share. The spec dicts
+    import the builders' own parameter constants, so a parameter
+    change moves both sides together, while an artifact added without
+    being listed here (or listed without being buildable) fails the
+    catalog's oracle in the sf0.01 mirror."""
+    from scribedb_spark.analytics import _IBLT_CELLS, _IBLT_COLS, _IBLT_HASHES
+    from scribedb_spark.operators.curation import (
+        _LM_DELTA_MOD,
+        _LM_DELTA_REM,
+        _LM_SCALE,
+    )
+    from scribedb_spark.operators.dedup import N_BANDS, N_HASHES
+    from scribedb_spark.operators.similarity import (
+        _IVF_ITERS,
+        _IVF_SAMPLE,
+        _PQ_ITERS,
+        _PQ_SAMPLE,
+        N_CELLS,
+        PQ_K,
+        PQ_M,
+    )
+
+    ivf = {"sample": _IVF_SAMPLE, "cells": N_CELLS, "iters": _IVF_ITERS}
+    pq = {"sample": _PQ_SAMPLE, "m": PQ_M, "k": PQ_K, "iters": _PQ_ITERS}
+    return {
+        "lsh_pairs": {"n_hashes": N_HASHES, "bands": N_BANDS},
+        "lm_bigram_counts": {"scale": _LM_SCALE},
+        "lm_prefix_counts": {"scale": _LM_SCALE},
+        "bm25_postings": {"tokenizer": "ws_split"},
+        "bm25_postings_base": {
+            "tokenizer": "ws_split",
+            "delta": [_LM_DELTA_MOD, _LM_DELTA_REM],
+        },
+        "ivf_codebook": ivf,
+        "ivf_index": ivf,
+        "pq_codebook": pq,
+        "pq_codes": pq,
+        "iblt_orders_sketch": {
+            "cells": _IBLT_CELLS,
+            "hashes": _IBLT_HASHES,
+            "cols": _IBLT_COLS,
+        },
+    }
+
+
+#: the persist keys whose serve paths build-if-stale the artifact set
+_CATALOG_BUILD_KEYS = (
+    "dedup_index_persist",
+    "ann_index_persist",
+    "ann_pq_persist",
+    "lm_index_persist",
+    "bm25_index_persist",
+    "bm25_index_append",
+    "compare_iblt_persist",
+)
+
+
+def _catalog_oracle() -> str:
+    from scribedb_spark.persist import ARTIFACT_FORMAT
+
+    rows = ",\n      ".join(
+        f"('{name}', CAST({ARTIFACT_FORMAT} AS BIGINT), "
+        f"'{_catalog_spec_md5(spec)}', CAST(1 AS BIGINT), "
+        "CAST(1 AS BIGINT))"
+        for name, spec in sorted(_catalog_expected().items())
+    )
+    return f"""
+    SELECT artifact, format, spec_md5, n_sources, nonempty
+    FROM (VALUES
+      {rows}
+    ) AS t(artifact, format, spec_md5, n_sources, nonempty)
+    """
+
+
+@register("rollup_artifact_catalog", oracle=_catalog_oracle())
+def rollup_artifact_catalog(spark, sf_dir) -> DataFrame:
+    """The WAREHOUSE CATALOG: one row per persisted index artifact of
+    this corpus snapshot, read from the meta sidecars — (artifact,
+    format, spec_md5, n_sources, nonempty). This is the operational
+    complement of the *_index_persist keys: they prove each artifact
+    round-trips; the catalog proves the WAREHOUSE AS A WHOLE is what
+    the code expects — every artifact present, current-format, with
+    the exact builder-parameter hash, its source files recorded (the
+    GC contract, persist.gc_warehouse) and non-empty data on disk.
+
+    First the full artifact set is ensured via the persist keys' own
+    build-if-stale serve paths (a no-op when the warehouse is fresh —
+    the normal case), then the sidecars are read driver-side (one
+    tiny JSON per artifact, the catalog is metadata-sized: 10 rows
+    here, one row per index even at 100 TB) and each artifact's data
+    presence is probed with a LIMIT-1 scan (one file-footer touch,
+    never a full read).
+
+    Exactness: the oracle pins the expected catalog as literal VALUES
+    computed from the SAME spec constants the builders use — a drifted
+    sidecar, a missing artifact, a format mismatch, or an unrecorded
+    source list each flip a cell. Reference analog: the reference
+    trusts its in-database aggregate exists per run (postgres.py:65);
+    here the artifact inventory is itself a queryable, oracle-checked
+    table."""
+    import scribedb_spark.queries as Q
+    from scribedb_spark.persist import artifact_path, read_sidecar
+
+    for key in _CATALOG_BUILD_KEYS:
+        Q.REGISTRY[key].fn(spark, sf_dir)
+
+    rows = []
+    for name in sorted(_catalog_expected()):
+        dest = artifact_path(name, sf_dir)
+        meta = read_sidecar(dest) or {}
+        nonempty = int(
+            bool(spark.read.parquet(dest).limit(1).count())
+        )
+        rows.append(
+            (
+                name,
+                int(meta.get("format", -1)),
+                _catalog_spec_md5(meta.get("spec", {})),
+                len(meta.get("sources", [])),
+                nonempty,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "artifact string, format long, spec_md5 string, "
+        "n_sources long, nonempty long",
+    )

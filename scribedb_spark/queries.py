@@ -1836,6 +1836,16 @@ _FRESH_WAVES.update(
         9,
     )
 )
+#: tenth wave (round 10) — warehouse operational loop (catalog over
+#: the sidecars, the monitor->act retrain gate) plus the breadth slate
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "rollup_artifact_catalog",
+        },
+        10,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

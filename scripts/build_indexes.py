@@ -5,13 +5,23 @@ every later serving session (ANN search, BM25 retrieval, LM scoring,
 dedup consumers, IBLT reconciliation) reloads the artifacts instead
 of rebuilding.
 
-    python scripts/build_indexes.py [sf_dir]
+    python scripts/build_indexes.py [sf_dir] [--gc]
 
 Each *_index_persist registry key IS the build-if-stale + serve step,
 so this script simply drives them and reports, per artifact, whether
 it was BUILT this run or RELOADED (fresh on disk), plus its on-disk
 size. Idempotent: a second invocation reports zero builds unless the
 snapshot's files, the builder parameters, or ARTIFACT_FORMAT changed.
+
+After the build pass the script runs the other two lifecycle steps:
+- COMPACTION (persist.compact_artifact): any artifact whose data-file
+  count exceeded the threshold (streamed appends accumulate one file
+  set per micro-batch) is rewritten content-identically into a few
+  files.
+- GC census (persist.gc_warehouse): every warehouse slot is
+  classified fresh/stale (missing/old-format sidecar, missing or
+  fingerprint-drifted sources). Stale slots are DELETED only with
+  --gc; without it they are just reported.
 """
 
 from __future__ import annotations
@@ -41,7 +51,7 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def main(sf_dir: str = "/root/testdata/sf0.01", gc: bool = False) -> None:
     from scribedb_spark import persist
     from scribedb_spark import queries as Q
     from scribedb_spark.session import get_spark
@@ -69,14 +79,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"\nwarehouse: {root}")
     if os.path.isdir(root):
         for name in sorted(os.listdir(root)):
-            sz = _dir_bytes(os.path.join(root, name))
-            print(f"  {name:22s} {sz / 1024:10.1f} KiB")
+            dest = os.path.join(root, name)
+            sz = _dir_bytes(dest)
+            nf = len(persist._artifact_data_files(dest))
+            compacted = persist.compact_artifact(spark, dest)
+            note = "  COMPACTED" if compacted else ""
+            print(f"  {name:22s} {sz / 1024:10.1f} KiB  {nf:>4} files{note}")
+    census = persist.gc_warehouse(delete=gc)
+    stale = [r for r in census if r["stale"]]
+    for r in stale:
+        verb = "DELETED" if r["deleted"] else "stale"
+        print(f"  {verb}: {r['artifact']} ({r['reason']})")
     print(
         f"artifacts built this run: {len(persist.BUILD_EVENTS)}"
+        f"  stale: {len(stale)}{' (use --gc to delete)' if stale and not gc else ''}"
         f"  total {time.perf_counter() - t0:.1f}s"
     )
     spark.stop()
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or []))
+    argv = [a for a in sys.argv[1:] if a != "--gc"]
+    main(*argv[:1], gc="--gc" in sys.argv[1:])

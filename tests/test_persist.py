@@ -142,3 +142,116 @@ def test_cross_session_round_trip(sf_dir, tmp_path):
     second = run()
     assert second["builds"] == 0, "fresh session rebuilt instead of reloading"
     assert second["hashes"] == first["hashes"]
+
+def test_sidecar_extra_fields_do_not_break_match(spark, tmp_path, monkeypatch):
+    """Informational sidecar fields (the recorded source list, any
+    future catalog annotation) must not participate in the staleness
+    match — only the expected format/spec/fingerprint keys do."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    from scribedb_spark import persist
+
+    src = tmp_path / "s.txt"
+    src.write_text("x")
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return spark.range(3).selectExpr("id")
+
+    persist.persisted_artifact(spark, "toy", "/d/sfZ", [str(src)], builder)
+    dest = persist.artifact_path("toy", "/d/sfZ")
+    side = persist.read_sidecar(dest)
+    assert side["sources"] == [str(src)]  # provenance recorded
+    # a reload (second call) serves despite the extra sidecar fields
+    persist.persisted_artifact(spark, "toy", "/d/sfZ", [str(src)], builder)
+    assert len(builds) == 1
+
+
+def test_compact_artifact_preserves_rows_and_sidecar(spark, tmp_path, monkeypatch):
+    """Compaction: a many-file artifact (streamed appends) rewrites to
+    few files with the EXACT row multiset, an untouched sidecar (the
+    staleness identity), and idempotence (second call is a no-op)."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    from scribedb_spark import persist
+
+    src = tmp_path / "s.txt"
+    src.write_text("x")
+    persist.persisted_artifact(
+        spark,
+        "posts",
+        "/d/sfC",
+        [str(src)],
+        lambda: spark.range(100).selectExpr("id", "id * 3 as v"),
+    )
+    dest = persist.artifact_path("posts", "/d/sfC")
+    # simulate 40 streamed micro-batch appends of one row each
+    for i in range(40):
+        spark.range(1000 + i, 1001 + i).selectExpr(
+            "id", "id * 3 as v"
+        ).write.mode("append").parquet(dest)
+    before = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(dest).collect()
+    )
+    side_before = persist.read_sidecar(dest)
+    assert len(persist._artifact_data_files(dest)) > 32
+
+    assert persist.compact_artifact(spark, dest, max_files=32, target_files=4)
+    files = persist._artifact_data_files(dest)
+    assert len(files) <= 4
+    after = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(dest).collect()
+    )
+    assert after == before
+    assert persist.read_sidecar(dest) == side_before
+    # under the threshold now -> no-op
+    assert not persist.compact_artifact(spark, dest, max_files=32)
+    # and the artifact still loads as fresh (identity untouched)
+    meta = {k: side_before[k] for k in ("format", "name", "spec", "source_fp")}
+    assert persist.load_artifact(spark, dest, meta) is not None
+
+
+def test_gc_warehouse_classifies_and_deletes_stale(spark, tmp_path, monkeypatch):
+    """GC census: fresh artifacts survive; missing-sidecar, old-format
+    and fingerprint-drifted slots are classified with reasons and
+    deleted only with delete=True."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    from scribedb_spark import persist
+
+    srcs = {}
+    for name in ("fresh", "no_sidecar", "old_format", "drifted"):
+        s = tmp_path / f"{name}.txt"
+        s.write_text("x")
+        srcs[name] = s
+        persist.persisted_artifact(
+            spark, name, "/d/sfG", [str(s)], lambda: spark.range(3)
+        )
+    os.remove(
+        os.path.join(
+            persist.artifact_path("no_sidecar", "/d/sfG"), "_ARTIFACT_META.json"
+        )
+    )
+    meta_f = os.path.join(
+        persist.artifact_path("old_format", "/d/sfG"), "_ARTIFACT_META.json"
+    )
+    side = json.load(open(meta_f))
+    side["format"] = persist.ARTIFACT_FORMAT - 1
+    json.dump(side, open(meta_f, "w"))
+    srcs["drifted"].write_text("mutated content, longer")
+
+    census = {r["artifact"]: r for r in persist.gc_warehouse(delete=False)}
+    assert census["sfG/fresh"]["stale"] is False
+    assert census["sfG/no_sidecar"]["reason"] == "no_sidecar"
+    assert census["sfG/old_format"]["reason"] == "format"
+    assert census["sfG/drifted"]["reason"] == "stale_source"
+    assert not any(r["deleted"] for r in census.values())
+    assert all(
+        os.path.isdir(persist.artifact_path(n, "/d/sfG")) for n in srcs
+    )
+
+    deleted = {
+        r["artifact"]: r for r in persist.gc_warehouse(delete=True)
+    }
+    assert os.path.isdir(persist.artifact_path("fresh", "/d/sfG"))
+    for name in ("no_sidecar", "old_format", "drifted"):
+        assert deleted[f"sfG/{name}"]["deleted"] is True
+        assert not os.path.isdir(persist.artifact_path(name, "/d/sfG"))

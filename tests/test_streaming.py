@@ -441,3 +441,13 @@ def test_stream_postings_persist_maintains_disk_artifact(
     holder.commit_batch(replay, 777001)
     twice = _rows(spark.read.parquet(holder.dest), ["doc_id", "term", "tf"])
     assert twice == once
+
+    # Compaction: the per-batch file sets the stream accumulated are
+    # rewritten into a few files with the identical row multiset —
+    # every BM25 reader is oblivious to the rewrite.
+    from scribedb_spark.persist import _artifact_data_files, compact_artifact
+
+    assert compact_artifact(spark, holder.dest, max_files=2, target_files=2)
+    assert len(_artifact_data_files(holder.dest)) <= 2
+    compacted = _rows(spark.read.parquet(holder.dest), ["doc_id", "term", "tf"])
+    assert compacted == twice
