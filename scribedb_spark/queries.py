@@ -1842,6 +1842,7 @@ _FRESH_WAVES.update(
     dict.fromkeys(
         {
             "rollup_artifact_catalog",
+            "ann_retrain_gate",
         },
         10,
     )

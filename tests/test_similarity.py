@@ -455,3 +455,59 @@ def test_quantize_int8_zero_vector_cross_engine(spark):
         """
     ).fetchall()
     assert {r[0]: r[1] for r in duck} == got
+
+
+def test_retrain_gate_degraded_index_triggers_one_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The monitor->act loop: a healthy warehouse serves (no rebuild);
+    a degraded-but-valid-sidecar index (stands in for an index trained
+    on a biased/stale sample) measures below threshold, triggers
+    EXACTLY ONE rebuild, and the rebuilt artifacts restore recall."""
+    import json
+    import os
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    from scribedb_spark import persist
+    from scribedb_spark.operators import similarity as S
+
+    healthy = S.ann_retrain_gate(spark, sf_dir).collect()[0]
+    assert healthy["decision"] == "serve"
+    assert healthy["n_rebuilds"] == 0
+    assert healthy["recall_ppm_measured"] >= S._RETRAIN_THRESHOLD_PPM
+    assert healthy["recall_ppm_served"] == healthy["recall_ppm_measured"]
+
+    # degrade the persisted index: permute the cell routing (every
+    # vector files under the wrong cell, as a badly trained quantizer
+    # would route) while keeping the sidecar valid so load_artifact
+    # serves it
+    dest = persist.artifact_path("ivf_index", sf_dir)
+    side = persist.read_sidecar(dest)
+    mangled = spark.read.parquet(dest).select(
+        "vec_id",
+        "e",
+        "q",
+        ((F.col("cell") + 7) % S.N_CELLS).cast("int").alias("cell"),
+    )
+    rows = mangled.collect()
+    schema = mangled.schema
+    shutil.rmtree(dest)
+    spark.createDataFrame(rows, schema).write.parquet(dest)
+    with open(os.path.join(dest, "_ARTIFACT_META.json"), "w") as fh:
+        json.dump(side, fh, sort_keys=True)
+
+    before = len(persist.BUILD_EVENTS)
+    acted = S.ann_retrain_gate(spark, sf_dir).collect()[0]
+    assert acted["decision"] == "retrain"
+    assert acted["n_rebuilds"] == 1
+    assert acted["recall_ppm_measured"] < S._RETRAIN_THRESHOLD_PPM
+    assert acted["recall_ppm_served"] >= S._RETRAIN_THRESHOLD_PPM
+    assert acted["recall_ppm_served"] == healthy["recall_ppm_served"]
+    rebuilt = [n for n, _ in persist.BUILD_EVENTS[before:]]
+    assert rebuilt == ["ivf_codebook", "ivf_index"]
+
+    # fixed point: the rebuilt warehouse serves with no further builds
+    again = S.ann_retrain_gate(spark, sf_dir).collect()[0]
+    assert again["decision"] == "serve"
+    assert len(persist.BUILD_EVENTS) == before + 2
