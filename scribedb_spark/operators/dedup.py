@@ -2152,9 +2152,10 @@ _RECALL_THEORY = (
 )
 
 
-def _recall_report_oracle() -> str:
-    return f"""
-    WITH {_MINHASH_CTES},
+#: the sampled exact-Jaccard stage (sizes -> sample postings ->
+#: inverted-index co-occurrence -> integer ppm Jaccard) shared by the
+#: recall-report and band-tune oracles; expects a ``tok`` CTE upstream
+_SAMPLED_JAC_CTES = f"""
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
     samp AS (SELECT doc_id, tok FROM tok
              WHERE doc_id % {_RECALL_SAMPLE_MOD} = {_RECALL_SAMPLE_REM}),
@@ -2167,7 +2168,13 @@ def _recall_report_oracle() -> str:
     jac AS (SELECT i.doc_id1, i.doc_id2,
                    (i.i * 1000000) // (z1.sz + z2.sz - i.i) AS j_ppm
             FROM inter i JOIN sizes z1 ON z1.doc_id = i.doc_id1
-                         JOIN sizes z2 ON z2.doc_id = i.doc_id2),
+                         JOIN sizes z2 ON z2.doc_id = i.doc_id2)"""
+
+
+def _recall_report_oracle() -> str:
+    return f"""
+    WITH {_MINHASH_CTES},
+    {_SAMPLED_JAC_CTES},
     tp AS (SELECT * FROM jac WHERE j_ppm >= {_RECALL_MIN_J_PPM}),
     lab AS (SELECT t.j_ppm // 100000 AS bucket,
                    CASE WHEN l.doc_id1 IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -2185,12 +2192,12 @@ def _recall_report_oracle() -> str:
     """
 
 
-def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
-    """The measured band S-curve over any (doc_id, tok) distinct
-    shingle frame and (doc_id1, doc_id2) LSH pair list — factored out
-    so the property test can pin it against a Python recompute on
-    corpora that DO have borderline-similarity pairs (the synthetic
-    corpus is bimodal: noise or near-exact)."""
+def sampled_jaccards(tok: DataFrame) -> DataFrame:
+    """Exact integer-ppm Jaccard of every pair touching the fixed doc
+    sample, through the inverted shingle index — ALL sampled pairs,
+    unfiltered (the recall report keeps J >= threshold as true pairs;
+    the band tuner also needs the low-J mass, which is what drives
+    candidate COST)."""
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     samp = tok.filter(
         F.col("doc_id") % _RECALL_SAMPLE_MOD == _RECALL_SAMPLE_REM
@@ -2208,7 +2215,7 @@ def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
     )
     z1 = sizes.select(F.col("doc_id").alias("doc_id1"), F.col("sz").alias("sz1"))
     z2 = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
-    jac = (
+    return (
         inter.join(z1, "doc_id1")
         .join(z2, "doc_id2")
         .select(
@@ -2216,7 +2223,17 @@ def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
             "doc_id2",
             F.expr("(i * 1000000) div (sz1 + sz2 - i)").alias("j_ppm"),
         )
-        .filter(F.col("j_ppm") >= _RECALL_MIN_J_PPM)
+    )
+
+
+def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
+    """The measured band S-curve over any (doc_id, tok) distinct
+    shingle frame and (doc_id1, doc_id2) LSH pair list — factored out
+    so the property test can pin it against a Python recompute on
+    corpora that DO have borderline-similarity pairs (the synthetic
+    corpus is bimodal: noise or near-exact)."""
+    jac = sampled_jaccards(tok).filter(
+        F.col("j_ppm") >= _RECALL_MIN_J_PPM
     )
     lab = jac.join(
         pairs.withColumn("hit", F.lit(1)), ["doc_id1", "doc_id2"], "left"
@@ -2274,6 +2291,158 @@ def dedup_recall_report(spark, sf_dir) -> DataFrame:
         "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
     ).localCheckpoint()
     return lsh_recall_report(pairs, tok)
+
+
+#: every (bands, rows_per_band) factorization of the {16}-hash
+#: signature budget — the tuner's search space
+_TUNE_CONFIGS = ((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+_TUNE_TARGET_PPM = 900_000
+
+
+def _collision_ppm_text(s: str, b: int, r: int, idiv: str) -> str:
+    """Integer banded-LSH collision probability 1-(1-s^r)^b in ppm,
+    as an UNROLLED floor-multiply chain over a ppm similarity ``s`` —
+    identical arithmetic text in both engines (only the integer-
+    division token differs: Spark ``div``, DuckDB ``//``), so the
+    fixed-point powers agree exactly with no pow()/libm (the
+    dedup_recall_report theory discipline, moved from doubles to pure
+    int64: every operand <= 1e6 so products stay < 1e12)."""
+    sr = s
+    for _ in range(r - 1):
+        sr = f"(({sr}) * ({s})) {idiv} 1000000"
+    q = f"(1000000 - ({sr}))"
+    qb = q
+    for _ in range(b - 1):
+        qb = f"(({qb}) * ({q})) {idiv} 1000000"
+    return f"(1000000 - ({qb}))"
+
+
+def _band_tune_oracle() -> str:
+    p = " ".join(
+        f"WHEN c.b = {b} AND c.r = {r} "
+        f"THEN {_collision_ppm_text('j.j_ppm', b, r, '//')}"
+        for b, r in _TUNE_CONFIGS
+    )
+    vals = ", ".join(f"({b}, {r})" for b, r in _TUNE_CONFIGS)
+    return f"""
+    WITH {_MINHASH_CTES},
+    {_SAMPLED_JAC_CTES},
+    pp AS (
+      SELECT c.b, c.r, j.j_ppm, CASE {p} END AS p_ppm
+      FROM jac j CROSS JOIN (VALUES {vals}) c(b, r)),
+    agg AS (
+      SELECT b, r,
+             CAST(SUM(CASE WHEN j_ppm >= {_RECALL_MIN_J_PPM}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+             SUM(CASE WHEN j_ppm >= {_RECALL_MIN_J_PPM}
+                      THEN p_ppm ELSE 0 END) AS tp_mass,
+             SUM(p_ppm) AS all_mass
+      FROM pp GROUP BY b, r),
+    sc AS (
+      SELECT b, r, n_true_pairs,
+             CAST(tp_mass // (CASE WHEN n_true_pairs = 0 THEN 1
+                                   ELSE n_true_pairs END) AS BIGINT)
+               AS est_recall_ppm,
+             CAST(all_mass // 1000000 AS BIGINT) AS est_candidates
+      FROM agg),
+    rk AS (
+      SELECT sc.*,
+             row_number() OVER (ORDER BY
+               CASE WHEN est_recall_ppm >= {_TUNE_TARGET_PPM}
+                    THEN 1 ELSE 0 END DESC,
+               CASE WHEN est_recall_ppm >= {_TUNE_TARGET_PPM}
+                    THEN est_candidates ELSE -est_recall_ppm END ASC,
+               est_candidates ASC, b ASC) AS rn
+      FROM sc)
+    SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS rows_per_band,
+           n_true_pairs, est_recall_ppm, est_candidates,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS recommended
+    FROM rk
+    """
+
+
+@register("dedup_minhash_band_tune", oracle=_band_tune_oracle())
+def dedup_minhash_band_tune(spark, sf_dir) -> DataFrame:
+    """The ACTIONABLE half of recall monitoring: dedup_recall_report
+    measures the deployed {4}x{4} band S-curve; this key evaluates the
+    WHOLE (bands, rows_per_band) design space of the {16}-hash budget
+    against the corpus's MEASURED similarity distribution and
+    recommends the factorization — the recall/cost frontier an
+    operator reads before retuning bands (more bands = higher recall
+    AND more candidate pairs; the right point depends on where the
+    corpus's pair-similarity mass actually sits, which is exactly what
+    the sampled exact-Jaccard stage measures).
+
+    Per config, expected recall = mean collision probability
+    1-(1-s^r)^b over the TRUE sampled pairs (J >= {0.2}), and expected
+    cost = the summed collision mass over ALL sampled pairs (the
+    low-J mass is what explodes candidate counts at b=16,r=1).
+    Recommendation: cheapest config reaching {0.9} expected recall,
+    else the highest-recall config — a pure integer decision.
+
+    Exactness: collision probabilities are unrolled int64 fixed-point
+    power chains (every operand <= 1e6, floor-divide per step,
+    identical arithmetic text in both engines — no pow()); recall and
+    cost are integer floor-divisions of those masses.
+
+    Scale: one inverted-index pass over the ~{6}% doc sample (the
+    recall report's bounded-audit cost, reused), then a 5-config
+    broadcast cross join over pair-count rows and a 5-row window.
+    The output is design-space-sized, safe to collect anywhere."""
+    d = table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    ).localCheckpoint()
+    jac = sampled_jaccards(tok)
+    cfg = spark.createDataFrame(list(_TUNE_CONFIGS), "b int, r int")
+    p = " ".join(
+        f"WHEN b = {b} AND r = {r} "
+        f"THEN {_collision_ppm_text('j_ppm', b, r, 'div')}"
+        for b, r in _TUNE_CONFIGS
+    )
+    pp = jac.crossJoin(F.broadcast(cfg)).select(
+        "b", "r", "j_ppm", F.expr(f"CASE {p} END").alias("p_ppm")
+    )
+    true_pair = F.col("j_ppm") >= _RECALL_MIN_J_PPM
+    agg = pp.groupBy("b", "r").agg(
+        F.sum(true_pair.cast("int")).cast("long").alias("n_true_pairs"),
+        F.sum(F.when(true_pair, F.col("p_ppm")).otherwise(0)).alias("tp_mass"),
+        F.sum("p_ppm").alias("all_mass"),
+    )
+    sc = agg.select(
+        "b",
+        "r",
+        "n_true_pairs",
+        F.expr(
+            "tp_mass div (case when n_true_pairs = 0 then 1"
+            " else n_true_pairs end)"
+        )
+        .cast("long")
+        .alias("est_recall_ppm"),
+        F.expr("all_mass div 1000000").cast("long").alias("est_candidates"),
+    )
+    from pyspark.sql import Window
+
+    qualified = (F.col("est_recall_ppm") >= _TUNE_TARGET_PPM).cast("int")
+    w = Window.orderBy(
+        qualified.desc(),
+        F.when(
+            F.col("est_recall_ppm") >= _TUNE_TARGET_PPM,
+            F.col("est_candidates"),
+        )
+        .otherwise(-F.col("est_recall_ppm"))
+        .asc(),
+        F.col("est_candidates").asc(),
+        F.col("b").asc(),
+    )
+    return sc.withColumn("rn", F.row_number().over(w)).select(
+        F.col("b").cast("long").alias("n_bands"),
+        F.col("r").cast("long").alias("rows_per_band"),
+        "n_true_pairs",
+        "est_recall_ppm",
+        "est_candidates",
+        (F.col("rn") == 1).cast("long").alias("recommended"),
+    )
 
 
 _SPLIT_EVAL_MOD = 10

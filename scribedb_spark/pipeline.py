@@ -566,14 +566,16 @@ def pipeline_dedup_cascade(spark, sf_dir) -> DataFrame:
     )
 
 
-def _domain_mix_oracle() -> str:
+def _domain_mix_parts() -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the domain-mix oracle — split so
+    the curriculum oracle can mount the same mix as a subquery."""
     from scribedb_spark.operators.curation import (
         _LM_SCALE,
         _MIX_BUDGET,
         _MIX_CAP_PPM,
     )
 
-    return (
+    ctes = (
         _cascade_ctes()
         + f""",
     docs AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tk
@@ -601,7 +603,9 @@ def _domain_mix_oracle() -> str:
              (({_MIX_BUDGET} // ns.n_src) * {_LM_SCALE})
                // (CASE WHEN kept_toks = 0 THEN 1 ELSE kept_toks END)
                AS raw_ppm
-      FROM agg CROSS JOIN ns)
+      FROM agg CROSS JOIN ns)"""
+    )
+    select = f"""
     SELECT source, n_docs, toks, kept_docs, kept_toks,
            caught_exact, caught_url, caught_paragraph, caught_near,
            CAST(dedup_ppm AS BIGINT) AS dedup_ppm,
@@ -610,7 +614,12 @@ def _domain_mix_oracle() -> str:
              // {_LM_SCALE} AS BIGINT) AS expected_toks
     FROM t
     """
-    )
+    return ctes, select
+
+
+def _domain_mix_oracle() -> str:
+    ctes, select = _domain_mix_parts()
+    return ctes + select
 
 
 @register("rollup_domain_mix", oracle=_domain_mix_oracle())
@@ -687,6 +696,122 @@ def rollup_domain_mix(spark, sf_dir) -> DataFrame:
         F.expr(f"(kept_toks * {capped}) div {_LM_SCALE}")
         .cast("long")
         .alias("expected_toks"),
+    )
+
+
+_CURRICULUM_PHASES = 4
+
+
+def _mix_curriculum_oracle() -> str:
+    from scribedb_spark.operators.curation import _MIX_BUDGET
+
+    ctes, select = _domain_mix_parts()
+    phases = ", ".join(f"({p})" for p in range(1, _CURRICULUM_PHASES + 1))
+    return (
+        ctes
+        + f""",
+    mix AS ({select}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+                   CAST(SUM(expected_toks) AS BIGINT) AS total_toks
+            FROM mix),
+    base AS (
+      SELECT m.source, m.expected_toks,
+             1000000 // t.n_src AS w_u,
+             (m.expected_toks * 1000000)
+               // (CASE WHEN t.total_toks = 0 THEN 1 ELSE t.total_toks END)
+               AS w_f,
+             row_number() OVER (ORDER BY m.dedup_ppm ASC, m.source ASC)
+               AS quality_rank
+      FROM mix m CROSS JOIN tot t),
+    sched AS (
+      SELECT p.phase, b.source, b.quality_rank,
+             (({_CURRICULUM_PHASES} - p.phase) * b.w_u
+               + (p.phase - 1) * b.w_f) // {_CURRICULUM_PHASES - 1}
+               AS weight_ppm
+      FROM base b CROSS JOIN (VALUES {phases}) p(phase))
+    SELECT CAST(phase AS BIGINT) AS phase, source,
+           CAST(quality_rank AS BIGINT) AS quality_rank,
+           CAST(weight_ppm AS BIGINT) AS weight_ppm,
+           CAST((({_MIX_BUDGET} // {_CURRICULUM_PHASES}) * weight_ppm)
+             // 1000000 AS BIGINT) AS phase_toks
+    FROM sched
+    """
+    )
+
+
+@register("sample_mix_curriculum", oracle=_mix_curriculum_oracle())
+def sample_mix_curriculum(spark, sf_dir) -> DataFrame:
+    """The ORDERED training-mix schedule derived from
+    rollup_domain_mix's allocation — the curriculum the shard writer
+    executes: {4} training phases, each granted budget div {4} tokens,
+    with per-domain weights ANNEALING linearly from uniform (phase 1:
+    every domain seen equally — the exploration prior) to the
+    budget-allocated target mix (phase {4}: expected_toks-proportional
+    — dedup-discounted, 4-epoch-capped), plus a quality_rank ordering
+    domains by dedup rate (least-duplicated first, the standard
+    cleanliness proxy when no external quality model is attached).
+    This is the curriculum-learning discipline large pretraining runs
+    publish next to their mix report: WHAT each phase samples, not
+    just the aggregate ratio.
+
+    Exactness: phase weights are the integer interpolation
+    (({4}-p)*w_uniform + (p-1)*w_target) div {3} — non-negative
+    operands only, so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree — and phase token grants floor through the
+    same ppm scale as sample_token_budget. The oracle mounts the
+    domain-mix oracle's own CTE chain as the ``mix`` subquery, so a
+    mismatch localizes to the scheduling math.
+
+    Scale: everything downstream of rollup_domain_mix's
+    sources-sized table — a 1-row totals broadcast, a {4}-row phase
+    grid, one sources-sized window. Output is |sources| x {4} rows of
+    metadata."""
+    mix = rollup_domain_mix(spark, sf_dir)
+    tot = mix.agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("expected_toks").cast("long").alias("total_toks"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("dedup_ppm").asc(), F.col("source").asc())
+    base = (
+        mix.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "expected_toks",
+            F.expr("1000000 div n_src").alias("w_u"),
+            F.expr(
+                "(expected_toks * 1000000) div"
+                " (case when total_toks = 0 then 1 else total_toks end)"
+            ).alias("w_f"),
+            F.row_number().over(w).alias("quality_rank"),
+        )
+    )
+    phases = spark.range(1, _CURRICULUM_PHASES + 1).select(
+        F.col("id").alias("phase")
+    )
+    from scribedb_spark.operators.curation import _MIX_BUDGET
+
+    return (
+        base.crossJoin(F.broadcast(phases))
+        .select(
+            F.col("phase").cast("long").alias("phase"),
+            "source",
+            F.col("quality_rank").cast("long").alias("quality_rank"),
+            F.expr(
+                f"(({_CURRICULUM_PHASES} - phase) * w_u"
+                f" + (phase - 1) * w_f) div {_CURRICULUM_PHASES - 1}"
+            )
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+        .withColumn(
+            "phase_toks",
+            F.expr(
+                f"(({_MIX_BUDGET} div {_CURRICULUM_PHASES}) * weight_ppm)"
+                " div 1000000"
+            ).cast("long"),
+        )
     )
 
 

@@ -1257,6 +1257,102 @@ def compare_schema_compat(spark, sf_dir):
     )
 
 
+#: engine type names -> one canonical label set, applied to BOTH
+#: engines' schema reflection (Spark simpleString / DuckDB DESCRIBE)
+_DRIFT_TYPE_NORM = {
+    "varchar": "string",
+    "integer": "int",
+    "timestamp_ntz": "timestamp",
+}
+
+_DRIFT_NORM_SQL = (
+    "CASE WHEN lower(column_type) = 'varchar' THEN 'string'"
+    " WHEN lower(column_type) = 'integer' THEN 'int'"
+    " ELSE lower(column_type) END"
+)
+
+
+@register(
+    "compare_schema_drift",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT column_name AS col_name, {_DRIFT_NORM_SQL} AS t
+      FROM (DESCRIBE SELECT * FROM orders)),
+    v2 AS (
+      SELECT column_name AS col_name, {_DRIFT_NORM_SQL} AS t
+      FROM (DESCRIBE
+        SELECT * EXCLUDE (o_orderpriority, o_totalprice),
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               CAST(o_totalprice * 100 AS BIGINT) AS o_margin_cents
+        FROM orders))
+    SELECT COALESCE(v1.col_name, v2.col_name) AS col_name,
+           COALESCE(v1.t, '') AS type_v1,
+           COALESCE(v2.t, '') AS type_v2,
+           CASE WHEN v1.col_name IS NULL THEN 'added'
+                WHEN v2.col_name IS NULL THEN 'dropped'
+                WHEN v1.t <> v2.t THEN 'type_changed'
+                ELSE 'unchanged' END AS change
+    FROM v1 FULL OUTER JOIN v2 ON v1.col_name = v2.col_name
+    """,
+)
+def compare_schema_drift(spark, sf_dir):
+    """Schema-drift census between two snapshot versions: one row per
+    column across the union of both schemas, classified added /
+    dropped / type_changed / unchanged — the report a compare job
+    emits BEFORE attempting a row diff, because a drifted schema makes
+    row fingerprints incomparable (the reference would simply crash on
+    the projection mismatch; compare_schema_compat reports presence,
+    this adds the type dimension that presence misses). Snapshot v2 is
+    the standard evolution fixture: one column dropped
+    (o_orderpriority), one type-widened (o_totalprice double ->
+    decimal(18,2) — the float-money cleanup migration), one added
+    (o_margin_cents).
+
+    Exactness: both engines reflect their own catalog metadata and
+    normalize type names to one canonical label set
+    (varchar->string, integer->int, timestamp_ntz->timestamp);
+    absent sides render as '' (never NULL — driver-hash discipline).
+
+    Scale: pure metadata — two schema reflections and a
+    columns-sized comparison; no data is scanned at any corpus
+    size."""
+    o = table(spark, "orders", sf_dir)
+    v2 = (
+        o.drop("o_orderpriority")
+        .withColumn(
+            "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+        )
+        .withColumn(
+            "o_margin_cents", (F.col("o_totalprice") * 100).cast("long")
+        )
+    )
+
+    def norm(df):
+        return {
+            f.name: _DRIFT_TYPE_NORM.get(
+                f.dataType.simpleString().lower(),
+                f.dataType.simpleString().lower(),
+            )
+            for f in df.schema.fields
+        }
+
+    t1, t2 = norm(o), norm(v2)
+    rows = []
+    for c in sorted(set(t1) | set(t2)):
+        if c not in t1:
+            change = "added"
+        elif c not in t2:
+            change = "dropped"
+        elif t1[c] != t2[c]:
+            change = "type_changed"
+        else:
+            change = "unchanged"
+        rows.append((c, t1.get(c, ""), t2.get(c, ""), change))
+    return spark.createDataFrame(
+        rows, "col_name string, type_v1 string, type_v2 string, change string"
+    )
+
+
 @register(
     "agg_cube",
     oracle="""
@@ -1843,6 +1939,9 @@ _FRESH_WAVES.update(
         {
             "rollup_artifact_catalog",
             "ann_retrain_gate",
+            "dedup_minhash_band_tune",
+            "sample_mix_curriculum",
+            "compare_schema_drift",
         },
         10,
     )
