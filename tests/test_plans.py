@@ -1579,3 +1579,81 @@ def test_split_cluster_reuses_cached_pairs(qmod, spark, sf_dir):
     assert "Scan ExistingRDD" in p
     # the corpus scan prunes to the id column — text never loads
     assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape invariance across data scale (the "plans you'd want at
+# 100x" check, made literal)
+# ---------------------------------------------------------------------------
+
+#: the most expensive bench keys (BENCH_DETAIL_r09 top-20) — exactly
+#: the plans where a data-size-dependent shape change would hurt most
+_INVARIANCE_KEYS = [
+    "dedup_ngram_jaccard",
+    "dedup_containment_corpus",
+    "compare_iblt_persist",
+    "dedup_semantic_clusters",
+    "dedup_containment_salted",
+    "dedup_levenshtein",
+    "compare_cell_drill",
+    "compare_iblt_diff",
+    "join_similarity_topk",
+    "pipeline_semantic",
+    "compare_iblt_incremental",
+    "compare_col_fingerprint",
+    "compare_drill_rows",
+    "ann_ivf_sq_topk",
+    "pipeline_incremental",
+    "compare_fp_delta",
+    "rollup_domain_mix",
+    "dedup_simhash",
+    "dedup_recall_report",
+    "join_interval_overlap",
+]
+
+
+def _plan_shape(p: str) -> dict:
+    """The scale-relevant operator census of a simple-mode plan: how
+    many shuffle-producing exchanges, broadcasts, explodes, sorts and
+    scans the plan carries. Two corpora sizes must yield the SAME
+    census or the plan's cost structure changes with data size."""
+    import re
+
+    return {
+        "shuffle_exchanges": len(
+            re.findall(r"Exchange (?:hash|range)partitioning", p)
+        ),
+        "single_exchanges": p.count("Exchange SinglePartition"),
+        "broadcast_exchanges": p.count("BroadcastExchange"),
+        "generates": p.count("Generate "),
+        "parquet_scans": len(re.findall(r"Scan parquet", p)),
+        "checkpoint_scans": p.count("ExistingRDD"),
+        "sorts": p.count("Sort ["),
+    }
+
+
+@pytest.mark.parametrize("key", _INVARIANCE_KEYS)
+def test_plan_shape_invariant_across_scale(qmod, spark, key):
+    """The top-20 most expensive keys must build the IDENTICAL plan
+    shape at sf0.001 and sf0.1 (100x the rows): same number of
+    shuffle-producing exchanges, broadcasts, explodes, sorts, scans.
+    A key whose plan grows an extra shuffle/explode with data size has
+    a data-dependent cost structure that would degrade further at
+    1000x. Statistics-driven broadcast<->shuffle strategy flips are
+    NOT shape changes — auto-broadcast is disabled for the capture so
+    only explicit (domain-bounded) broadcast hints remain and any
+    remaining difference is structural."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shapes = {
+            sf: _plan_shape(
+                plan(qmod, spark, f"/root/testdata/{sf}", key, mode="simple")
+            )
+            for sf in ("sf0.001", "sf0.1")
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert shapes["sf0.001"] == shapes["sf0.1"], (
+        f"{key}: plan shape changed with data size: {shapes}"
+    )
