@@ -80,6 +80,8 @@ KEYS = [
     "dedup_recall_report",
     "text_quality_classifier",
     "rollup_domain_mix",
+    "dedup_minhash_band_tune",
+    "sample_mix_curriculum",
 ]
 
 def _containment_pairs(mode):
@@ -174,6 +176,9 @@ PAIR_PROBES = {
     "dedup_simhash": _simhash_pairs,
     "dedup_levenshtein": _levenshtein_pairs,
     "dedup_recall_report": _recall_report_pairs,
+    # the tuner scores the same sampled co-occurrence pairs the
+    # recall report audits — identical cost driver, identical probe
+    "dedup_minhash_band_tune": _recall_report_pairs,
 }
 
 
