@@ -182,6 +182,11 @@ BENCH_KEYS = [
     "text_quality_classifier",
     "rollup_domain_mix",
     "sample_split_cluster",
+    "dedup_minhash_band_tune",
+    "sample_mix_curriculum",
+    "compare_schema_drift",
+    "ann_retrain_gate",
+    "rollup_artifact_catalog",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /
