@@ -1098,6 +1098,20 @@ def lm_index_persist(spark, sf_dir) -> DataFrame:
     in DuckDB — hash match proves save -> reload -> serve ==
     from-scratch. Zero-build serving from a second real SparkSession
     is pinned by the subprocess round-trip test."""
+    cb, cp = _lm_count_artifacts(spark, sf_dir)
+
+    def docs():
+        return table(spark, "documents", sf_dir).filter(
+            F.size(F.split(F.col("text"), " ")) >= 2
+        )
+
+    return lm_score_from(lm_bigrams(docs()), cb, cp)
+
+
+def _lm_count_artifacts(spark, sf_dir):
+    """The warehouse-persisted (bigram, prefix) LM count tables,
+    building iff absent or stale — the build half of lm_index_persist,
+    shared with the warehouse catalog."""
     from scribedb_spark.persist import persisted_artifact
 
     src = [f"{sf_dir}/documents.parquet"]
@@ -1124,7 +1138,7 @@ def lm_index_persist(spark, sf_dir) -> DataFrame:
     cp = persisted_artifact(
         spark, "lm_prefix_counts", sf_dir, src, build_cp, spec
     )
-    return lm_score_from(lm_bigrams(docs()), cb, cp)
+    return cb, cp
 
 
 _LM_DELTA_MOD = 101
@@ -1424,6 +1438,13 @@ def bm25_index_persist(spark, sf_dir) -> DataFrame:
     union+sum like the LM tables); df/dlen are one partial-agg
     groupBy each over (id, term, int) rows — text never exists in
     this plan at all."""
+    return _bm25_serve_from_postings(_bm25_postings_artifact(spark, sf_dir))
+
+
+def _bm25_postings_artifact(spark, sf_dir):
+    """The warehouse-persisted full-corpus postings table, building
+    iff absent or stale — the build half of bm25_index_persist,
+    shared with the warehouse catalog."""
     from scribedb_spark.persist import persisted_artifact
 
     def build_postings():
@@ -1434,7 +1455,7 @@ def bm25_index_persist(spark, sf_dir) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("tf"))
         )
 
-    post = persisted_artifact(
+    return persisted_artifact(
         spark,
         "bm25_postings",
         sf_dir,
@@ -1442,7 +1463,6 @@ def bm25_index_persist(spark, sf_dir) -> DataFrame:
         build_postings,
         spec={"tokenizer": "ws_split"},
     )
-    return _bm25_serve_from_postings(post)
 
 
 def _bm25_serve_from_postings(post: DataFrame) -> DataFrame:
@@ -1526,6 +1546,21 @@ def bm25_index_append(spark, sf_dir) -> DataFrame:
     df/dlen/score aggregations run over (id, term, int) rows of the
     merged index — text never shuffles; the base side is one
     warehouse FileScan (plan-asserted)."""
+    base = _bm25_base_postings_artifact(spark, sf_dir)
+    delta = (
+        table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_serve_from_postings(base.unionByName(delta))
+
+
+def _bm25_base_postings_artifact(spark, sf_dir):
+    """The warehouse-persisted base-corpus postings (the pre-append
+    index state), building iff absent or stale — the build half of
+    bm25_index_append, shared with the warehouse catalog."""
     from scribedb_spark.persist import persisted_artifact
 
     def build_base_postings():
@@ -1538,7 +1573,7 @@ def bm25_index_append(spark, sf_dir) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("tf"))
         )
 
-    base = persisted_artifact(
+    return persisted_artifact(
         spark,
         "bm25_postings_base",
         sf_dir,
@@ -1549,11 +1584,3 @@ def bm25_index_append(spark, sf_dir) -> DataFrame:
             "delta": [_LM_DELTA_MOD, _LM_DELTA_REM],
         },
     )
-    delta = (
-        table(spark, "documents", sf_dir)
-        .filter(F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    return _bm25_serve_from_postings(base.unionByName(delta))

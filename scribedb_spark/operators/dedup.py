@@ -299,9 +299,17 @@ def dedup_index_persist(spark, sf_dir) -> DataFrame:
     round trip loses nothing (longs survive bit-exact). A fresh
     SparkSession serving the same artifact with ZERO builds is pinned
     by the two-real-sessions subprocess test."""
+    return lsh_pairs_artifact(spark, sf_dir).select("doc_id1", "doc_id2")
+
+
+def lsh_pairs_artifact(spark, sf_dir) -> DataFrame:
+    """The warehouse-persisted LSH pair index, building iff absent or
+    stale — the build half of dedup_index_persist, shared with the
+    warehouse catalog (which must ensure the artifact exists without
+    running any serve computation)."""
     from scribedb_spark.persist import persisted_artifact
 
-    pairs = persisted_artifact(
+    return persisted_artifact(
         spark,
         "lsh_pairs",
         sf_dir,
@@ -309,7 +317,6 @@ def dedup_index_persist(spark, sf_dir) -> DataFrame:
         lambda: dedup_minhash_lsh(spark, sf_dir),
         spec={"n_hashes": N_HASHES, "bands": N_BANDS},
     )
-    return pairs.select("doc_id1", "doc_id2")
 
 
 _LSH_STAR_ORACLE = f"""

@@ -1632,6 +1632,41 @@ def _pq_serve(spark, v, books, qrows, codes_df) -> DataFrame:
     )
 
 
+def _pq_persisted_artifacts(spark, sf_dir):
+    """The (codebook, codes) pair served from warehouse parquet,
+    building iff absent or stale — the build half of ann_pq_persist,
+    shared with the warehouse catalog. Training inputs are only
+    constructed inside the builders, so a fresh warehouse pays zero
+    plan construction beyond the sidecar checks."""
+    from scribedb_spark.persist import persisted_artifact
+
+    spec = {"sample": _PQ_SAMPLE, "m": PQ_M, "k": PQ_K, "iters": _PQ_ITERS}
+    src = [f"{sf_dir}/embeddings.parquet"]
+
+    def build_codebook():
+        _v, vq = _pq_vq(spark, sf_dir)
+        _s, books, _c = _pq_trained(spark, sf_dir, vq)
+        rows = [
+            (j, c, [int(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        return spark.createDataFrame(rows, "j int, c int, cv array<long>")
+
+    def build_codes():
+        _v, vq = _pq_vq(spark, sf_dir)
+        _s, _b, codes_df = _pq_trained(spark, sf_dir, vq)
+        return codes_df
+
+    cb = persisted_artifact(
+        spark, "pq_codebook", sf_dir, src, build_codebook, spec
+    )
+    codes = persisted_artifact(
+        spark, "pq_codes", sf_dir, src, build_codes, spec
+    )
+    return cb, codes
+
+
 @register("ann_pq_persist", oracle=_pq_oracle())
 def ann_pq_persist(spark, sf_dir) -> DataFrame:
     """The persisted PQ index: write the per-subspace codebooks and
@@ -1654,29 +1689,8 @@ def ann_pq_persist(spark, sf_dir) -> DataFrame:
     warehouse FileScan (zero training stages, plan-asserted)."""
     import numpy as np
 
-    from scribedb_spark.persist import persisted_artifact
-
-    spec = {"sample": _PQ_SAMPLE, "m": PQ_M, "k": PQ_K, "iters": _PQ_ITERS}
-    src = [f"{sf_dir}/embeddings.parquet"]
     v, vq = _pq_vq(spark, sf_dir)
-
-    def build_codebook():
-        _s, books, _c = _pq_trained(spark, sf_dir, vq)
-        rows = [
-            (j, c, [int(x) for x in books[j][c]])
-            for j in range(books.shape[0])
-            for c in range(books.shape[1])
-        ]
-        return spark.createDataFrame(rows, "j int, c int, cv array<long>")
-
-    def build_codes():
-        _s, _b, codes_df = _pq_trained(spark, sf_dir, vq)
-        return codes_df
-
-    cb = persisted_artifact(
-        spark, "pq_codebook", sf_dir, src, build_codebook, spec
-    )
-    codes = persisted_artifact(spark, "pq_codes", sf_dir, src, build_codes, spec)
+    cb, codes = _pq_persisted_artifacts(spark, sf_dir)
     brows = cb.orderBy("j", "c").collect()  # bounded: m*k = 128 rows
     books = np.array([r["cv"] for r in brows], dtype=np.int64).reshape(
         PQ_M, PQ_K, -1

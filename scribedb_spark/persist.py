@@ -209,9 +209,14 @@ def compact_artifact(
     it from the ingest/maintenance job, not concurrently with an
     active appender; in-session frames already pinned to the old file
     list must be re-read. The rewrite stages to an underscore dir
-    (invisible to readers) and only then swaps files; an object-store
-    deployment swaps this step for the table format's rewrite/commit
-    protocol."""
+    (invisible to readers) and only then swaps files. Crash safety
+    leans on the sidecar-is-written-LAST invariant: the sidecar is
+    LIFTED OUT before the first destructive step and restored only
+    after the swap completes, so a crash anywhere inside the window
+    leaves a sidecar-less directory that load_artifact/gc classify as
+    a half-written build (rebuild, never serve) instead of silently
+    serving partial data. An object-store deployment swaps this step
+    for the table format's rewrite/commit protocol."""
     import glob
     import shutil
 
@@ -225,12 +230,16 @@ def compact_artifact(
         .write.mode("overwrite")
         .parquet(stage)
     )
+    sidecar = os.path.join(dest, _META_NAME)
+    lifted = os.path.join(dest, "_compact_meta_lifted")
+    os.replace(sidecar, lifted)
     for f in files:
         os.remove(os.path.join(dest, f))
     parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
     for k, p in enumerate(parts):
         os.replace(p, os.path.join(dest, f"compact-{k:05d}.parquet"))
     shutil.rmtree(stage, ignore_errors=True)
+    os.replace(lifted, sidecar)
     return True
 
 

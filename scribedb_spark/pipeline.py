@@ -878,16 +878,32 @@ def _catalog_expected() -> dict[str, dict]:
     }
 
 
-#: the persist keys whose serve paths build-if-stale the artifact set
-_CATALOG_BUILD_KEYS = (
-    "dedup_index_persist",
-    "ann_index_persist",
-    "ann_pq_persist",
-    "lm_index_persist",
-    "bm25_index_persist",
-    "bm25_index_append",
-    "compare_iblt_persist",
-)
+def _catalog_ensure_built(spark, sf_dir) -> None:
+    """Ensure every expected artifact exists in the warehouse by
+    calling each persist key's BUILD HALF only (the shared
+    persisted_artifact wrappers) — never the serve computations
+    (IVF/PQ top-k, IBLT decode, BM25 scoring), which are pure wasted
+    work for a metadata-sized catalog. A no-op when the warehouse is
+    fresh: each call is sidecar check + stat fingerprint."""
+    from scribedb_spark.analytics import _iblt_sketch_artifact
+    from scribedb_spark.operators.curation import (
+        _bm25_base_postings_artifact,
+        _bm25_postings_artifact,
+        _lm_count_artifacts,
+    )
+    from scribedb_spark.operators.dedup import lsh_pairs_artifact
+    from scribedb_spark.operators.similarity import (
+        _ivf_persisted_artifacts,
+        _pq_persisted_artifacts,
+    )
+
+    lsh_pairs_artifact(spark, sf_dir)
+    _ivf_persisted_artifacts(spark, sf_dir)
+    _pq_persisted_artifacts(spark, sf_dir)
+    _lm_count_artifacts(spark, sf_dir)
+    _bm25_postings_artifact(spark, sf_dir)
+    _bm25_base_postings_artifact(spark, sf_dir)
+    _iblt_sketch_artifact(spark, sf_dir)
 
 
 def _catalog_oracle() -> str:
@@ -918,13 +934,16 @@ def rollup_artifact_catalog(spark, sf_dir) -> DataFrame:
     the exact builder-parameter hash, its source files recorded (the
     GC contract, persist.gc_warehouse) and non-empty data on disk.
 
-    First the full artifact set is ensured via the persist keys' own
-    build-if-stale serve paths (a no-op when the warehouse is fresh —
-    the normal case), then the sidecars are read driver-side (one
-    tiny JSON per artifact, the catalog is metadata-sized: 10 rows
-    here, one row per index even at 100 TB) and each artifact's data
-    presence is probed with a LIMIT-1 scan (one file-footer touch,
-    never a full read).
+    First the full artifact set is ensured via the persist keys'
+    BUILD HALVES (build-if-stale only — never their serve
+    computations; a no-op when the warehouse is fresh, the normal
+    case), then the sidecars are read driver-side (one tiny JSON per
+    artifact, the catalog is metadata-sized: 10 rows here, one row
+    per index even at 100 TB) and each artifact's data presence is
+    probed from the parquet footers driver-side (row counts are
+    footer metadata — zero Spark jobs, no data pages read; a missing
+    directory reads as nonempty=0/format=-1 so drift fails by oracle
+    mismatch, never by crash).
 
     Exactness: the oracle pins the expected catalog as literal VALUES
     computed from the SAME spec constants the builders use — a drifted
@@ -933,19 +952,29 @@ def rollup_artifact_catalog(spark, sf_dir) -> DataFrame:
     trusts its in-database aggregate exists per run (postgres.py:65);
     here the artifact inventory is itself a queryable, oracle-checked
     table."""
-    import scribedb_spark.queries as Q
-    from scribedb_spark.persist import artifact_path, read_sidecar
+    from scribedb_spark.persist import (
+        _artifact_data_files,
+        artifact_path,
+        read_sidecar,
+    )
 
-    for key in _CATALOG_BUILD_KEYS:
-        Q.REGISTRY[key].fn(spark, sf_dir)
+    _catalog_ensure_built(spark, sf_dir)
+
+    def footer_nonempty(dest: str) -> int:
+        import os
+
+        import pyarrow.parquet as pq
+
+        for f in _artifact_data_files(dest):
+            if pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows:
+                return 1
+        return 0
 
     rows = []
     for name in sorted(_catalog_expected()):
         dest = artifact_path(name, sf_dir)
         meta = read_sidecar(dest) or {}
-        nonempty = int(
-            bool(spark.read.parquet(dest).limit(1).count())
-        )
+        nonempty = footer_nonempty(dest)
         rows.append(
             (
                 name,

@@ -1772,7 +1772,10 @@ def _enumeration_order() -> list[str]:
     )
     # Surface each never-recorded no-oracle key exactly once, near the
     # tail of the ~50-key budget, so the whole registry ends up
-    # driver-touched without spending a slot every round.
+    # driver-touched without spending a slot every round — but NEVER
+    # ahead of an unproven oracle-backed key (those earn real proofs;
+    # when the provable backlog exceeds the budget, the rows-only key
+    # simply waits for a later round).
     touched = _driver_touched_keys()
     untouched_no_oracle = [
         k for k in order if group(k) == 2 and k not in touched
@@ -1780,7 +1783,8 @@ def _enumeration_order() -> list[str]:
     if untouched_no_oracle:
         for k in untouched_no_oracle:
             order.remove(k)
-        pos = min(45, len(order))
+        n_unproven = sum(1 for k in order if group(k) == 0)
+        pos = max(n_unproven, min(45, len(order)))
         order[pos:pos] = untouched_no_oracle
     return order
 

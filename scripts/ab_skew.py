@@ -1,6 +1,6 @@
 """Fresh-process skew A/B (the /tmp/ab_*.py pattern): a planted
-30%-hot-key equi-join at 16x sf0.1 fact scale, one variant per
-process, printing ONE JSON line:
+30%-hot-key equi-join at 64x sf0.1 fact scale (MULT * 600k = 38.4M
+fact rows), one variant per process, printing ONE JSON line:
 
   unsalted  plain shuffle join, AQE skew split OFF -> the straggler
   salted    operators/skew.py salted_join (16-way), AQE skew OFF
@@ -11,7 +11,7 @@ case salting exists for). Row count + checksum prove the three arms
 compute the identical join; wall + max task runtime (REST API) show
 where the time goes.
 
-    python /tmp/ab_skew.py {unsalted|salted|aqe}
+    python scripts/ab_skew.py {unsalted|salted|aqe}
 """
 import json
 import sys

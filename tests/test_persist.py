@@ -210,6 +210,80 @@ def test_compact_artifact_preserves_rows_and_sidecar(spark, tmp_path, monkeypatc
     assert persist.load_artifact(spark, dest, meta) is not None
 
 
+def test_compact_crash_window_leaves_rebuildable_not_servable(
+    spark, tmp_path, monkeypatch
+):
+    """A crash INSIDE compaction's swap window (after the staged
+    rewrite, mid file-delete) must never leave a valid sidecar over
+    partial data: the sidecar is lifted out first, so the half-swapped
+    directory reads as a half-written build (load_artifact -> None,
+    gc reason no_sidecar) and the next persisted_artifact call
+    REBUILDS instead of serving truncated rows."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    import os as _os
+
+    from scribedb_spark import persist
+
+    src = tmp_path / "s.txt"
+    src.write_text("x")
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return spark.range(50).selectExpr("id", "id * 7 as v")
+
+    persist.persisted_artifact(spark, "crashy", "/d/sfK", [str(src)], builder)
+    dest = persist.artifact_path("crashy", "/d/sfK")
+    for i in range(40):
+        spark.range(1000 + i, 1001 + i).selectExpr(
+            "id", "id * 7 as v"
+        ).write.mode("append").parquet(dest)
+    expected = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(dest).collect()
+    )
+
+    real_remove = _os.remove
+    state = {"n": 0}
+
+    def exploding_remove(path):
+        state["n"] += 1
+        if state["n"] >= 2:  # crash mid delete-loop: some files gone
+            raise RuntimeError("simulated crash during compaction swap")
+        return real_remove(path)
+
+    monkeypatch.setattr(_os, "remove", exploding_remove)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        persist.compact_artifact(spark, dest, max_files=32, target_files=4)
+    monkeypatch.setattr(_os, "remove", real_remove)
+
+    # the window left NO sidecar: never servable, classified half-built
+    assert persist.read_sidecar(dest) is None
+    meta = {
+        "format": persist.ARTIFACT_FORMAT,
+        "name": "crashy",
+        "spec": {},
+        "source_fp": persist.source_fingerprint([str(src)]),
+    }
+    assert persist.load_artifact(spark, dest, meta) is None
+    census = {
+        r["artifact"]: r["reason"]
+        for r in persist.gc_warehouse()
+        if "crashy" in r["artifact"]
+    }
+    assert set(census.values()) == {"no_sidecar"}
+
+    # and the normal serve path rebuilds from scratch, full rows back
+    df = persist.persisted_artifact(
+        spark, "crashy", "/d/sfK", [str(src)], builder
+    )
+    assert len(builds) == 2  # rebuilt, not served
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == sorted((i, i * 7) for i in range(50))
+    assert expected  # (the pre-crash multiset existed; rebuild replaces it)
+
+
 def test_gc_warehouse_classifies_and_deletes_stale(spark, tmp_path, monkeypatch):
     """GC census: fresh artifacts survive; missing-sidecar, old-format
     and fingerprint-drifted slots are classified with reasons and
