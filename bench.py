@@ -187,6 +187,9 @@ BENCH_KEYS = [
     "compare_schema_drift",
     "ann_retrain_gate",
     "rollup_artifact_catalog",
+    "layout_partition_advisor",
+    "lm_drift_gate",
+    "rollup_quality_drift",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

@@ -1646,6 +1646,116 @@ def layout_bucket_advisor(spark, sf_dir) -> DataFrame:
     return out
 
 
+_PARTITION_ADVISOR_CANDIDATES = [
+    ("customer", "c_mktsegment"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("events", "event_type"),
+    ("lineitem", "l_returnflag"),
+    ("orders", "o_custkey"),
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+]
+
+#: minimum average rows per partition value (test scale; production
+#: swaps this for ~one 128 MB file's worth of rows)
+_PARTITION_MIN_ROWS = 200
+#: a single value holding more than this many ppm of the table makes
+#: directory partitioning pointless (one giant partition dominates)
+_PARTITION_HOT_PPM = 400_000
+
+
+def _partition_advisor_oracle() -> str:
+    mets = "\n      UNION ALL ".join(
+        f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_value_rows
+      FROM (SELECT {c}, COUNT(*) AS cnt FROM {t} GROUP BY 1)"""
+        for t, c in _PARTITION_ADVISOR_CANDIDATES
+    )
+    return f"""
+    WITH met AS (
+      {mets})
+    SELECT table_name, column_name, n_rows, n_values, max_value_rows,
+           max_value_rows * 1000000 // n_rows AS hot_value_ppm,
+           n_rows // n_values AS rows_per_value,
+           CASE WHEN max_value_rows * 1000000 // n_rows
+                     > {_PARTITION_HOT_PPM} THEN 'too_skewed'
+                WHEN n_rows // n_values
+                     < {_PARTITION_MIN_ROWS} THEN 'too_granular'
+                ELSE 'good' END AS verdict
+    FROM met
+    """
+
+
+@register("layout_partition_advisor", oracle=_partition_advisor_oracle())
+def layout_partition_advisor(spark, sf_dir) -> DataFrame:
+    """Physical-design advisor for DIRECTORY PARTITIONING (the third
+    layout tool beside Z-ordering and bucketing): for each candidate
+    (table, column), the value-cardinality metrics a
+    partitionBy-column decision needs and an integer-threshold
+    verdict — 'too_skewed' when one value holds > {40}% of the rows
+    (one giant partition dominates every scan, the others are
+    pointless), 'too_granular' when the average partition would hold
+    fewer than the target rows (the small-files death: directory
+    partitioning multiplies file count by value cardinality —
+    cf. persist.compact_artifact for the cure once it has happened;
+    this advisor is the prevention), else 'good' (partition pruning
+    pays: a filtered scan skips whole directories).
+
+    Exactness: COUNT-derived integers end to end — hot share is
+    integer ppm (max * 1000000 div n_rows), average partition size is
+    one floor-division, the verdict a pure integer CASE; no doubles
+    anywhere (the layout_bucket_advisor discipline).
+
+    Scale: one map-side-partial groupBy per candidate column (the
+    second-stage input is one row per value, already tiny); the
+    candidate list is the analyst's shortlist, not a full-schema
+    sweep. At 100 TB this is the cheap pre-flight before an
+    expensive one-time partitioned rewrite — and the skew/granularity
+    guards are exactly the two ways such rewrites fail in practice.
+
+    Reference analog: none (the reference compares tables as-is);
+    this industrializes the layout decisions its one-shot jobs never
+    needed but a standing 100 TB corpus does."""
+    outs = []
+    for t, c in _PARTITION_ADVISOR_CANDIDATES:
+        pv = (
+            table(spark, t, sf_dir)
+            .groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        outs.append(
+            pv.agg(
+                F.count(F.lit(1)).alias("n_values"),
+                F.sum("cnt").alias("n_rows"),
+                F.max("cnt").alias("max_value_rows"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_values",
+                "max_value_rows",
+                F.expr("max_value_rows * 1000000L div n_rows").alias(
+                    "hot_value_ppm"
+                ),
+                F.expr("n_rows div n_values").alias("rows_per_value"),
+                F.expr(
+                    f"""CASE WHEN max_value_rows * 1000000L div n_rows
+                             > {_PARTITION_HOT_PPM} THEN 'too_skewed'
+                        WHEN n_rows div n_values
+                             < {_PARTITION_MIN_ROWS} THEN 'too_granular'
+                        ELSE 'good' END"""
+                ).alias("verdict"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 @register(
     "join_temporal_dim",
     oracle="""

@@ -1240,6 +1240,284 @@ def text_lm_score_incremental(spark, sf_dir) -> DataFrame:
     return lm_score_from(bgd, cb, cp)
 
 
+_LM_DRIFT_THRESHOLD_PPM = 100_000
+
+
+def _lm_drift_oracle() -> str:
+    thr = _LM_DRIFT_THRESHOLD_PPM
+    return f"""
+    WITH base AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % {_LM_DELTA_MOD} <> {_LM_DELTA_REM}),
+    batch AS (
+      SELECT string_split(
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'q' || replace(text, ' ', ' q')
+                    ELSE text END, ' ') AS toks
+      FROM documents
+      WHERE doc_id % {_LM_DELTA_MOD} = {_LM_DELTA_REM}),
+    bb AS (SELECT unnest(toks[1:len(toks) - 1]) AS t1,
+                  unnest(toks[2:len(toks)]) AS t2 FROM base),
+    cb AS (SELECT t1, t2 FROM bb GROUP BY 1, 2),
+    cp AS (SELECT t1 FROM bb GROUP BY 1),
+    ob AS (SELECT unnest(toks[1:len(toks) - 1]) AS t1,
+                  unnest(toks[2:len(toks)]) AS t2 FROM batch),
+    fv AS (SELECT t1, t2 FROM
+             (SELECT t1, t2 FROM bb UNION ALL SELECT t1, t2 FROM ob)
+           GROUP BY 1, 2),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN cb.t1 IS NULL THEN 1 ELSE 0 END) AS oovb,
+             SUM(CASE WHEN cp.t1 IS NULL THEN 1 ELSE 0 END) AS oovp,
+             SUM(CASE WHEN fv.t1 IS NULL THEN 1 ELSE 0 END) AS oovf
+      FROM ob
+      LEFT JOIN cb ON ob.t1 = cb.t1 AND ob.t2 = cb.t2
+      LEFT JOIN cp ON ob.t1 = cp.t1
+      LEFT JOIN fv ON ob.t1 = fv.t1 AND ob.t2 = fv.t2)
+    SELECT CAST(n AS BIGINT) AS n_batch_bigrams,
+           CAST(1000000 * oovb // n AS BIGINT) AS oov_bigram_ppm,
+           CAST(1000000 * oovp // n AS BIGINT) AS oov_prefix_ppm,
+           CAST({thr} AS BIGINT) AS threshold_ppm,
+           CASE WHEN 1000000 * oovb // n > {thr}
+                THEN 'retrain' ELSE 'serve' END AS decision,
+           CAST(CASE WHEN 1000000 * oovb // n > {thr}
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_rebuilds,
+           CAST(CASE WHEN 1000000 * oovb // n > {thr}
+                     THEN 1000000 * oovf // n
+                     ELSE 1000000 * oovb // n END AS BIGINT)
+             AS served_oov_ppm
+    FROM m
+    """
+
+
+@register("lm_drift_gate", oracle=_lm_drift_oracle())
+def lm_drift_gate(spark, sf_dir) -> DataFrame:
+    """MONITOR -> ACT for the LANGUAGE MODEL the quality filters score
+    with — ann_retrain_gate's sibling at LM-index scope. An incoming
+    batch whose token distribution has shifted (new domain, encoding
+    corruption, a crawler change) scores garbage against a stale LM:
+    every unseen transition pays 0 points, so the quality filter
+    silently rejects the whole batch. The gate MEASURES the shift
+    before scoring — the ppm of the batch's bigram occurrences that
+    are out-of-vocabulary for the currently-served model (and the
+    same for prefixes, separating "new words" from "new
+    combinations") — and when it exceeds the threshold it ACTS: folds
+    the batch into the count tables (the O(|delta|) monoid merge of
+    text_lm_score_incremental) and re-measures against the rebuilt
+    model, emitting the one-row decision table.
+
+    Fixture: the batch is the standard delta slice (doc_id %
+    {101} == {13}) with a PLANTED domain shift — every even-doc_id
+    document arrives encoding-mangled (each token prefixed, the
+    mojibake failure mode), the planted-mutation discipline of the
+    compare keys. Roughly half the batch's occurrences go OOV
+    (>> the {100000}-ppm threshold), the gate fires exactly once,
+    and the re-measure against the folded model returns 0 — the
+    batch's own transitions are now in vocabulary, the integer fixed
+    point the oracle pins end to end (ppm floor-divisions, no libm).
+
+    Scale: OOV measurement is the batch's bigram explode (map-only
+    codegen regex) left-joined against vocabulary-sized distinct
+    tables — O(|batch|) work, never a corpus rescan; the base tables
+    are the session-cached lm_base_tables build the incremental
+    scorer already shares. Mirrors the reference's verdict-driven
+    exit (main.py:263-267) at model-lifecycle scope."""
+    thr = _LM_DRIFT_THRESHOLD_PPM
+    cb0, cp0 = lm_base_tables(spark, sf_dir)
+    batch = (
+        table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("q"), F.expr("replace(text, ' ', ' q')")
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    occ = lm_bigrams(batch)
+    cb_v = cb0.select("bg").withColumn("in_cb", F.lit(1))
+    cp_v = cp0.select("t1").withColumn("in_cp", F.lit(1))
+    fv = (
+        cb0.select("bg")
+        .unionByName(occ.select("bg"))
+        .distinct()
+        .withColumn("in_fv", F.lit(1))
+    )
+    m = (
+        occ.join(cb_v, "bg", "left")
+        .join(cp_v, "t1", "left")
+        .join(fv, "bg", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("in_cb").isNull(), 1).otherwise(0)
+            ).alias("oovb"),
+            F.sum(
+                F.when(F.col("in_cp").isNull(), 1).otherwise(0)
+            ).alias("oovp"),
+            F.sum(
+                F.when(F.col("in_fv").isNull(), 1).otherwise(0)
+            ).alias("oovf"),
+        )
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_batch_bigrams"),
+        F.expr("1000000L * oovb div n").alias("oov_bigram_ppm"),
+        F.expr("1000000L * oovp div n").alias("oov_prefix_ppm"),
+        F.lit(thr).cast("long").alias("threshold_ppm"),
+        F.expr(
+            f"CASE WHEN 1000000L * oovb div n > {thr} "
+            "THEN 'retrain' ELSE 'serve' END"
+        ).alias("decision"),
+        F.expr(
+            f"CAST(CASE WHEN 1000000L * oovb div n > {thr} "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("n_rebuilds"),
+        F.expr(
+            f"CASE WHEN 1000000L * oovb div n > {thr} "
+            "THEN 1000000L * oovf div n "
+            "ELSE 1000000L * oovb div n END"
+        ).alias("served_oov_ppm"),
+    )
+
+
+_QDRIFT_MOD = 5
+_QDRIFT_REM = 3
+_QDRIFT_THRESHOLD_PPM = 150_000
+
+
+def _quality_drift_oracle() -> str:
+    from scribedb_spark.functions.text import SQL_NTOK, sql_occ
+
+    thr = _QDRIFT_THRESHOLD_PPM
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             500000 * (CASE WHEN {SQL_NTOK} < 100
+                            THEN {SQL_NTOK} ELSE 100 END) // 100
+           + 500000 * {sql_occ("the")} // {SQL_NTOK} AS q_ppm
+      FROM documents),
+    b AS (SELECT doc_id % {_QDRIFT_MOD} = {_QDRIFT_REM} AS is_batch,
+                 CASE WHEN q_ppm // 100000 > 9
+                      THEN 9 ELSE q_ppm // 100000 END AS bin
+          FROM q),
+    hb AS (SELECT bin, COUNT(*) AS c FROM b WHERE NOT is_batch GROUP BY 1),
+    hd AS (SELECT bin, COUNT(*) AS c FROM b WHERE is_batch GROUP BY 1),
+    t AS (SELECT SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS nb,
+                 SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS nd FROM b),
+    bins AS (SELECT unnest(range(10)) AS bin),
+    g AS (SELECT bins.bin,
+            1000000 * COALESCE(hb.c, 0) // (SELECT nb FROM t) AS bppm,
+            1000000 * COALESCE(hd.c, 0) // (SELECT nd FROM t) AS dppm
+          FROM bins
+          LEFT JOIN hb ON bins.bin = hb.bin
+          LEFT JOIN hd ON bins.bin = hd.bin)
+    SELECT CAST((SELECT nb FROM t) AS BIGINT) AS n_base_docs,
+           CAST((SELECT nd FROM t) AS BIGINT) AS n_batch_docs,
+           CAST(SUM(ABS(bppm - dppm)) // 2 AS BIGINT) AS tv_ppm,
+           CAST(MAX(ABS(bppm - dppm)) AS BIGINT) AS max_bin_gap_ppm,
+           CAST({thr} AS BIGINT) AS threshold_ppm,
+           CASE WHEN SUM(ABS(bppm - dppm)) // 2 > {thr}
+                THEN 'drift' ELSE 'stable' END AS decision
+    FROM g
+    """
+
+
+@register("rollup_quality_drift", oracle=_quality_drift_oracle())
+def rollup_quality_drift(spark, sf_dir) -> DataFrame:
+    """DISTRIBUTION-SHIFT monitor for the quality score — the third
+    gate beside ann_retrain_gate (index recall) and lm_drift_gate
+    (vocabulary): has the SHAPE of the incoming batch's quality
+    distribution moved, even when every individual score is computed
+    correctly? A crawler change that doubles boilerplate, a source
+    whose long documents disappear — each shifts the histogram while
+    no single document looks anomalous, and a filter threshold tuned
+    on the old distribution silently changes its accept rate. The
+    monitor bins the integer quality score (the ppm rendering of
+    text_quality_score's 50/50 length+stopword blend) into 10 fixed
+    100k-ppm-wide bins, renders each side's histogram in ppm of its
+    own mass, and reports the total-variation distance (half the
+    absolute ppm mass that would have to move to equalize them) plus
+    the worst single bin — 'drift' above the threshold.
+
+    Fixture: batch = the 20% slice doc_id % {5} == {3} (the
+    %-{101} LM split is ~5 documents here — too coarse for a
+    histogram comparison); the slice is an unbiased sample, so the
+    healthy verdict is 'stable' with TV well under the
+    {150000}-ppm threshold at every SF. The drift path (a planted
+    truncation shift pushing TV past the threshold) is pinned by a
+    unit test.
+
+    Exactness: TV over ppm-rendered integer histograms — counts,
+    floor-divisions and ABS end to end, no libm (the
+    population-stability-index alternative needs ln(); TV reads the
+    same signal without it). The 10-bin domain grid is a literal
+    range, so empty bins cost 0 mass on both engines.
+
+    Scale: one map-only score projection + one (side, bin) groupBy
+    whose second stage is <= 20 rows; the histogram join is over the
+    10-row grid. O(corpus) scan, O(1) everything after — the
+    cheapest possible standing monitor at 100 TB."""
+    from scribedb_spark.functions.text import occurrences, ws_token_count
+
+    thr = _QDRIFT_THRESHOLD_PPM
+    d = table(spark, "documents", sf_dir)
+    per = d.select(
+        (F.col("doc_id") % _QDRIFT_MOD == _QDRIFT_REM).alias("is_batch"),
+        ws_token_count(F.col("text")).alias("n_tok"),
+        occurrences(F.col("text"), "the").alias("n_stop"),
+    ).select(
+        "is_batch",
+        F.expr(
+            "500000L * least(n_tok, 100) div 100"
+            " + 500000L * n_stop div n_tok"
+        ).alias("q_ppm"),
+    ).select(
+        "is_batch",
+        F.expr("least(q_ppm div 100000, 9L)").alias("bin"),
+    )
+    h = per.groupBy("is_batch", "bin").agg(F.count(F.lit(1)).alias("c"))
+    hb = h.filter(~F.col("is_batch")).select("bin", F.col("c").alias("cb"))
+    hd = h.filter(F.col("is_batch")).select("bin", F.col("c").alias("cd"))
+    tot = per.agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("nd"),
+    )
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    g = (
+        bins.join(hb, "bin", "left")
+        .join(hd, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("1000000L * coalesce(cb, 0L) div nb").alias("bppm"),
+            F.expr("1000000L * coalesce(cd, 0L) div nd").alias("dppm"),
+        )
+    )
+    return (
+        g.agg(
+            F.sum(F.abs(F.col("bppm") - F.col("dppm"))).alias("s"),
+            F.max(F.abs(F.col("bppm") - F.col("dppm"))).alias("mx"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nb").cast("long").alias("n_base_docs"),
+            F.col("nd").cast("long").alias("n_batch_docs"),
+            F.expr("s div 2").cast("long").alias("tv_ppm"),
+            F.col("mx").cast("long").alias("max_bin_gap_ppm"),
+            F.lit(thr).cast("long").alias("threshold_ppm"),
+            F.expr(
+                f"CASE WHEN s div 2 > {thr} THEN 'drift' "
+                "ELSE 'stable' END"
+            ).alias("decision"),
+        )
+    )
+
+
 _MIX_BUDGET = 100_000
 _MIX_CAP_PPM = 4_000_000
 

@@ -1946,6 +1946,9 @@ _FRESH_WAVES.update(
             "dedup_minhash_band_tune",
             "sample_mix_curriculum",
             "compare_schema_drift",
+            "layout_partition_advisor",
+            "lm_drift_gate",
+            "rollup_quality_drift",
         },
         10,
     )

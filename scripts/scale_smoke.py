@@ -82,6 +82,9 @@ KEYS = [
     "rollup_domain_mix",
     "dedup_minhash_band_tune",
     "sample_mix_curriculum",
+    "layout_partition_advisor",
+    "lm_drift_gate",
+    "rollup_quality_drift",
 ]
 
 def _containment_pairs(mode):

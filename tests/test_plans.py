@@ -1581,6 +1581,50 @@ def test_split_cluster_reuses_cached_pairs(qmod, spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint>" in p
 
 
+def test_partition_advisor_single_column_scans_no_joins(qmod, spark, sf_dir):
+    """layout_partition_advisor: every candidate's scan prunes to
+    EXACTLY its one analyzed column (a layout advisor that reads full
+    rows at 100 TB is malpractice), each value-count aggregates
+    map-side, and the plan carries no join at all — eight independent
+    metric pipelines unioned."""
+    from scribedb_spark.analytics import _PARTITION_ADVISOR_CANDIDATES
+
+    p = plan(qmod, spark, sf_dir, "layout_partition_advisor")
+    assert "Join" not in p
+    assert "partial_count" in p
+    for _t, c in _PARTITION_ADVISOR_CANDIDATES:
+        assert f"ReadSchema: struct<{c}:" in p
+
+
+def test_lm_drift_gate_batch_only_scans(qmod, spark, sf_dir):
+    """lm_drift_gate: with the session LM cache warm, the base count
+    tables arrive as checkpoint reads (ExistingRDD — never a corpus
+    re-mine), the batch scans push the delta-slice predicate down to
+    parquet, and no corpus-sized side is force-broadcast (vocab joins
+    are hint-free; AQE may pick broadcast at test scale)."""
+    from scribedb_spark.operators.curation import lm_base_tables
+
+    lm_base_tables(spark, sf_dir)  # warm the session cache
+    p = plan(qmod, spark, sf_dir, "lm_drift_gate")
+    assert "Scan ExistingRDD" in p
+    assert "% 101) = 13" in p  # delta predicate pushed into the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "n_chars" not in p  # pruned
+
+
+def test_quality_drift_pruned_scans_bounded_joins(qmod, spark, sf_dir):
+    """rollup_quality_drift: the histogram sides scan only
+    (doc_id, text) with the slice predicates pushed down, the
+    10-row bin grid and 1-row totals join as broadcasts (never a
+    SortMergeJoin of bounded metadata), and each histogram
+    partial-aggregates map-side."""
+    p = plan(qmod, spark, sf_dir, "rollup_quality_drift")
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p
+    assert "n_chars" not in p and "lang" not in p  # pruned
+    assert p.count("% 5) = 3") >= 1  # slice predicate pushed
+
+
 # ---------------------------------------------------------------------------
 # Plan-shape invariance across data scale (the "plans you'd want at
 # 100x" check, made literal)

@@ -1348,3 +1348,84 @@ def test_persist_round_trip_is_exact(spark, tmp_path_factory, rows):
             ]
     finally:
         os.environ.pop("SPARK_GRAFT_WAREHOUSE", None)
+
+
+def test_quality_drift_gate_fires_on_planted_truncation(
+    spark, tmp_path_factory
+):
+    """The drift path of rollup_quality_drift: a batch whose documents
+    arrive TRUNCATED (the length half of the quality score collapses
+    to the bottom bins) must push the ppm-histogram TV distance past
+    the threshold and flip the decision to 'drift'; an unshifted
+    batch (every slice an unbiased sample of the same corpus) stays
+    'stable'. Complements the sf-fixture oracle, which only sees the
+    healthy path."""
+    from scribedb_spark.operators.curation import (
+        _QDRIFT_MOD,
+        _QDRIFT_REM,
+        _QDRIFT_THRESHOLD_PPM,
+        rollup_quality_drift,
+    )
+
+    long_text = "the quick brown fox jumps over the lazy dog " * 15
+    rows_stable = [
+        (i, long_text.strip(), "en", "s", len(long_text)) for i in range(200)
+    ]
+    rows_drift = [
+        (
+            i,
+            ("the fox" if i % _QDRIFT_MOD == _QDRIFT_REM else long_text.strip()),
+            "en",
+            "s",
+            7,
+        )
+        for i in range(200)
+    ]
+    for rows, want in ((rows_stable, "stable"), (rows_drift, "drift")):
+        d = tmp_path_factory.mktemp("qdrift")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        row = rollup_quality_drift(spark, str(d)).collect()[0]
+        assert row["decision"] == want, row
+        if want == "drift":
+            assert row["tv_ppm"] > _QDRIFT_THRESHOLD_PPM
+        else:
+            assert row["tv_ppm"] <= _QDRIFT_THRESHOLD_PPM
+
+
+def test_lm_drift_gate_serves_on_unshifted_batch(spark, tmp_path_factory):
+    """lm_drift_gate's serve path: when the batch slice repeats only
+    base-corpus sentences (zero planted shift beyond the gate's own
+    even-doc_id mangle — so use odd doc_ids only in the delta slice),
+    the mangled half still fires; but a corpus whose delta slice is
+    entirely odd doc_ids (mangle never applies) measures 0 OOV and
+    the gate serves without a rebuild."""
+    from scribedb_spark.operators.curation import (
+        _LM_DELTA_MOD,
+        _LM_DELTA_REM,
+        lm_drift_gate,
+    )
+
+    sent = "alpha beta gamma delta epsilon zeta"
+    # delta doc_ids: % 101 == 13 AND odd (mangle skips odd) -> 13+101k odd
+    delta_ids = [13, 215, 417]  # 13, 13+2*101, 13+4*101 — all odd
+    base_ids = [i for i in range(1, 40)]
+    rows = [(i, sent, "en", "s", len(sent)) for i in base_ids] + [
+        (i, sent, "en", "s", len(sent)) for i in delta_ids
+    ]
+    assert all(
+        i % _LM_DELTA_MOD == _LM_DELTA_REM and i % 2 == 1 for i in delta_ids
+    )
+    d = tmp_path_factory.mktemp("lmdrift")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    row = lm_drift_gate(spark, str(d)).collect()[0]
+    assert row["decision"] == "serve", row
+    assert row["oov_bigram_ppm"] == 0
+    assert row["n_rebuilds"] == 0
+    assert row["served_oov_ppm"] == 0
