@@ -190,6 +190,7 @@ BENCH_KEYS = [
     "layout_partition_advisor",
     "lm_drift_gate",
     "rollup_quality_drift",
+    "ann_pq_append",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

@@ -1396,34 +1396,7 @@ def _pq_trained(spark, sf_dir, vq):
         )
         sample = np.array([r["q"] for r in srows], dtype=np.int64)
         books = _pq_codebooks_int(sample)
-        bc_books = spark.sparkContext.broadcast(books)
-
-        def encode_batches(batches):
-            books_ = bc_books.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Vq = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-                n, d = Vq.shape
-                s = d // PQ_M
-                codes = np.empty((n, PQ_M), dtype=np.int64)
-                for j in range(PQ_M):
-                    d2 = (
-                        (Vq[:, j * s : (j + 1) * s][:, None, :] - books_[j][None])
-                        ** 2
-                    ).sum(axis=2)
-                    codes[:, j] = d2.argmin(axis=1)
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"], "codes": list(codes)}
-                )
-
-        codes_df = (
-            vq.select("vec_id", "q")
-            .mapInPandas(
-                encode_batches, schema="vec_id long, codes array<long>"
-            )
-            .localCheckpoint()
-        )
+        codes_df = _pq_encode(spark, vq, books).localCheckpoint()
         TRAIN_EVENTS.append(("pq", sf_dir))
         return srows, books, codes_df
 
@@ -1432,6 +1405,41 @@ def _pq_trained(spark, sf_dir, vq):
         spark,
         ("pq", sf_dir, _PQ_SAMPLE, PQ_M, PQ_K, _PQ_ITERS),
         build,
+    )
+
+
+def _pq_encode(spark, vq_df, books):
+    """Encode a (vec_id, q) frame to (vec_id, codes): one
+    int64-numpy argmin per Arrow batch per subspace against the
+    broadcast codebook tensor — map-only, O(|input|), the shared
+    encode of the train path (full corpus) and the append path
+    (delta batch against a FROZEN base codebook)."""
+    import numpy as np
+    import pandas as pd
+
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode_batches(batches):
+        books_ = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Vq = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n, d = Vq.shape
+            s = d // PQ_M
+            codes = np.empty((n, PQ_M), dtype=np.int64)
+            for j in range(PQ_M):
+                d2 = (
+                    (Vq[:, j * s : (j + 1) * s][:, None, :] - books_[j][None])
+                    ** 2
+                ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return vq_df.select("vec_id", "q").mapInPandas(
+        encode_batches, schema="vec_id long, codes array<long>"
     )
 
 
@@ -1470,18 +1478,26 @@ def _pq_codebooks_int(Q, m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS):
     return books
 
 
-def _pq_oracle(m: int = PQ_M, k: int = PQ_K, iters: int = _PQ_ITERS) -> str:
+def _pq_oracle(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = _PQ_ITERS,
+    sample_where: str = "",
+) -> str:
     """DuckDB twin of ann_pq_topk: the same int8 quantization,
     integer Lloyd training (iterations unrolled as CTE pairs),
     integer ADC shortlist and exact-cosine rerank. Generated
     programmatically so the per-dimension SUM unrolls and the
-    iteration count stay in lockstep with the Spark constants."""
+    iteration count stay in lockstep with the Spark constants.
+    ``sample_where`` restricts the TRAINING sample only (the
+    ann_pq_append base-trained variant); encode/search always cover
+    the full corpus."""
 
     def d2(a: str, b: str) -> str:
         return _int_d2_sql(a, b)
 
     return f"""
-    WITH {_int_lloyd_ctes(m, k, iters, _PQ_SAMPLE)},
+    WITH {_int_lloyd_ctes(m, k, iters, _PQ_SAMPLE, sample_where=sample_where)},
     enc AS (
       SELECT vec_id, j, c AS code FROM (
         SELECT s.vec_id, s.j, c.c,
@@ -1698,6 +1714,91 @@ def ann_pq_persist(spark, sf_dir) -> DataFrame:
     # the bounded query rows come from the embeddings scan (the serve
     # input, like lm_index_persist's scoring scan) in vec_id order —
     # identical values to ann_pq_topk's sample-derived queries
+    qrows = [
+        (r["vec_id"], r["q"])
+        for r in vq.filter(F.col("vec_id") < 10)
+        .select("vec_id", "q")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return _pq_serve(spark, v, books, qrows, codes)
+
+
+def _pq_append_base(spark, sf_dir):
+    """(books, base_codes): PQ codebook trained on the BASE slice's
+    vec_id-sorted sample only (vec_id % {10} != {7} — the appended
+    batch is excluded: at append time the quantizer predates the new
+    data, the ann_index_append freshness contract) plus the encoded
+    base codes, built once per session and checkpointed."""
+    import numpy as np
+
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        _v, vq = _pq_vq(spark, sf_dir)
+        base = vq.filter(F.col("vec_id") % _APPEND_MOD != F.lit(_APPEND_REM))
+        srows = (
+            base.select("vec_id", "q")
+            .orderBy("vec_id")
+            .limit(_PQ_SAMPLE)
+            .collect()
+        )
+        sample = np.array([r["q"] for r in srows], dtype=np.int64)
+        books = _pq_codebooks_int(sample)
+        base_codes = _pq_encode(spark, base, books).localCheckpoint()
+        TRAIN_EVENTS.append(("pq_append_base", sf_dir))
+        return books, base_codes
+
+    return session_cache(
+        _ANN_TRAIN_CACHE,
+        spark,
+        ("pq_append_base", sf_dir, _PQ_SAMPLE, PQ_M, PQ_K, _PQ_ITERS),
+        build,
+    )
+
+
+@register(
+    "ann_pq_append",
+    oracle=_pq_oracle(
+        sample_where=f"WHERE vec_id % {_APPEND_MOD} <> {_APPEND_REM}"
+    ),
+)
+def ann_pq_append(spark, sf_dir) -> DataFrame:
+    """Incremental PQ index maintenance — ann_index_append's story
+    for the COMPRESSED index: new vectors (vec_id % {10} == {7}
+    stands in for the appended batch) encode into the FROZEN
+    base-trained codebooks — no retraining, no corpus re-encode —
+    and the key serves the full ADC top-5 from the MERGED codes
+    (base codes checkpoint (+) O(|delta|) encoded batch), proving
+    the maintained index answers queries identically to a
+    from-scratch build with the same base-trained quantizer. This
+    closes the append gap in the PQ lifecycle (train: ann_pq_topk;
+    persist: ann_pq_persist; monitor: ann_recall_report's
+    discipline; append: THIS), the operation a 100 TB ingest runs
+    between rare retrains — codes are append-only bytes, the
+    codebook is immutable.
+
+    Exactness: training is integer Lloyd on the base slice's
+    vec_id-sorted sample (the shared Lloyd CTEs' sample predicate
+    replicates the restriction in DuckDB); encode/ADC/shortlist are
+    pure int64 with (adc, c_id) tie-breaks; the rerank is the shared
+    fold cosine ROUND 6. Hash equality proves
+    base build (+) delta encode == from-scratch-with-base-quantizer.
+
+    Scale: the steady-state cost is ONE map-only numpy encode pass
+    over the delta (the base codes come from the session/warehouse
+    checkpoint, plan-asserted no re-encode); serving scans codes
+    only — identical bandwidth to ann_pq_topk. Drift in the frozen
+    codebook shows up as falling recall, which ann_retrain_gate's
+    decision loop owns."""
+    v, vq = _pq_vq(spark, sf_dir)
+    books, base_codes = _pq_append_base(spark, sf_dir)
+    delta_codes = _pq_encode(
+        spark,
+        vq.filter(F.col("vec_id") % _APPEND_MOD == F.lit(_APPEND_REM)),
+        books,
+    )
+    codes = base_codes.unionByName(delta_codes)
     qrows = [
         (r["vec_id"], r["q"])
         for r in vq.filter(F.col("vec_id") < 10)

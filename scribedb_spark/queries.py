@@ -1949,6 +1949,7 @@ _FRESH_WAVES.update(
             "layout_partition_advisor",
             "lm_drift_gate",
             "rollup_quality_drift",
+            "ann_pq_append",
         },
         10,
     )

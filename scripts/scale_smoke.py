@@ -85,6 +85,7 @@ KEYS = [
     "layout_partition_advisor",
     "lm_drift_gate",
     "rollup_quality_drift",
+    "ann_pq_append",
 ]
 
 def _containment_pairs(mode):

@@ -1612,6 +1612,28 @@ def test_lm_drift_gate_batch_only_scans(qmod, spark, sf_dir):
     assert "n_chars" not in p  # pruned
 
 
+def test_pq_append_steady_state_encodes_delta_only(qmod, spark, sf_dir):
+    """ann_pq_append: with the session base index warm, the serve
+    plan reads the base CODES from the checkpoint (ExistingRDD) and
+    the only embeddings scans are the delta slice (predicate pushed)
+    plus the bounded rerank arm — never a corpus re-encode or a
+    retrain stage."""
+    from scribedb_spark.operators.similarity import (
+        TRAIN_EVENTS,
+        _pq_append_base,
+    )
+
+    _pq_append_base(spark, sf_dir)  # warm the session cache
+    before = len(TRAIN_EVENTS)
+    p = plan(qmod, spark, sf_dir, "ann_pq_append")
+    assert len(TRAIN_EVENTS) == before  # zero retrains when warm
+    assert "Scan ExistingRDD" in p  # base codes from the checkpoint
+    assert "% 10) = 7" in p  # delta predicate pushed into its scan
+    # embeddings scans: the delta-encode arm + the bounded rerank's
+    # exact-vector arms — never a corpus-wide re-encode pass
+    assert p.count("embeddings.parquet") <= 3
+
+
 def test_quality_drift_pruned_scans_bounded_joins(qmod, spark, sf_dir):
     """rollup_quality_drift: the histogram sides scan only
     (doc_id, text) with the slice predicates pushed down, the
