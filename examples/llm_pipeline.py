@@ -171,6 +171,35 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     print(f"classifier-rejected docs: {clf_drop}")
     print(f"dataset card: {card_line}")
+    # round-10 additions: day-2 operations — the warehouse catalog,
+    # the three monitor->act gates (index recall, LM vocabulary,
+    # quality distribution), incremental PQ maintenance, and the
+    # partition-layout preflight
+    cat = Q.REGISTRY["rollup_artifact_catalog"].fn(spark, sf_dir)
+    n_art = cat.count()
+    stale = cat.filter(F.col("nonempty") == 0).count()
+    gate_ann = Q.REGISTRY["ann_retrain_gate"].fn(spark, sf_dir).first()
+    gate_lm = Q.REGISTRY["lm_drift_gate"].fn(spark, sf_dir).first()
+    gate_q = Q.REGISTRY["rollup_quality_drift"].fn(spark, sf_dir).first()
+    pq_app = Q.REGISTRY["ann_pq_append"].fn(spark, sf_dir).count()
+    adv = Q.REGISTRY["layout_partition_advisor"].fn(spark, sf_dir).collect()
+    adv_line = ", ".join(
+        f"{r['table_name']}.{r['column_name']}={r['verdict']}"
+        for r in sorted(adv, key=lambda r: (r["table_name"], r["column_name"]))[:4]
+    )
+    print(
+        f"warehouse catalog: {n_art} artifacts, {stale} empty"
+        f" | gates: ann={gate_ann['decision']}"
+        f" (recall {gate_ann['recall_ppm_served']/10000:.0f}%)"
+        f", lm={gate_lm['decision']}"
+        f" (batch OOV {gate_lm['oov_bigram_ppm']/10000:.0f}%"
+        f" -> served {gate_lm['served_oov_ppm']/10000:.0f}%)"
+        f", quality={gate_q['decision']} (TV {gate_q['tv_ppm']/10000:.1f}%)"
+    )
+    print(
+        f"PQ append serves top-5 from merged codes: {pq_app} rows"
+        f" | partition advisor: {adv_line}"
+    )
     print(f"total wall time: {time.perf_counter()-t0:.1f}s")
 
 
