@@ -1262,18 +1262,13 @@ def _lm_drift_oracle() -> str:
     cp AS (SELECT t1 FROM bb GROUP BY 1),
     ob AS (SELECT unnest(toks[1:len(toks) - 1]) AS t1,
                   unnest(toks[2:len(toks)]) AS t2 FROM batch),
-    fv AS (SELECT t1, t2 FROM
-             (SELECT t1, t2 FROM bb UNION ALL SELECT t1, t2 FROM ob)
-           GROUP BY 1, 2),
     m AS (
       SELECT COUNT(*) AS n,
              SUM(CASE WHEN cb.t1 IS NULL THEN 1 ELSE 0 END) AS oovb,
-             SUM(CASE WHEN cp.t1 IS NULL THEN 1 ELSE 0 END) AS oovp,
-             SUM(CASE WHEN fv.t1 IS NULL THEN 1 ELSE 0 END) AS oovf
+             SUM(CASE WHEN cp.t1 IS NULL THEN 1 ELSE 0 END) AS oovp
       FROM ob
       LEFT JOIN cb ON ob.t1 = cb.t1 AND ob.t2 = cb.t2
-      LEFT JOIN cp ON ob.t1 = cp.t1
-      LEFT JOIN fv ON ob.t1 = fv.t1 AND ob.t2 = fv.t2)
+      LEFT JOIN cp ON ob.t1 = cp.t1)
     SELECT CAST(n AS BIGINT) AS n_batch_bigrams,
            CAST(1000000 * oovb // n AS BIGINT) AS oov_bigram_ppm,
            CAST(1000000 * oovp // n AS BIGINT) AS oov_prefix_ppm,
@@ -1283,7 +1278,7 @@ def _lm_drift_oracle() -> str:
            CAST(CASE WHEN 1000000 * oovb // n > {thr}
                      THEN 1 ELSE 0 END AS BIGINT) AS n_rebuilds,
            CAST(CASE WHEN 1000000 * oovb // n > {thr}
-                     THEN 1000000 * oovf // n
+                     THEN 0
                      ELSE 1000000 * oovb // n END AS BIGINT)
              AS served_oov_ppm
     FROM m
@@ -1301,10 +1296,15 @@ def lm_drift_gate(spark, sf_dir) -> DataFrame:
     before scoring — the ppm of the batch's bigram occurrences that
     are out-of-vocabulary for the currently-served model (and the
     same for prefixes, separating "new words" from "new
-    combinations") — and when it exceeds the threshold it ACTS: folds
-    the batch into the count tables (the O(|delta|) monoid merge of
-    text_lm_score_incremental) and re-measures against the rebuilt
-    model, emitting the one-row decision table.
+    combinations") — and when it exceeds the threshold it decides
+    'retrain': fold the batch into the count tables (the O(|delta|)
+    monoid merge text_lm_score_incremental implements). The re-measure
+    against the folded model is STRUCTURALLY 0 — the merged vocabulary
+    contains every batch transition by construction — so the served
+    column reports that fixed point directly rather than paying a
+    second batch scan plus a vocabulary-wide distinct to recompute a
+    provable constant (the earlier fv-join variant was
+    measured-identical).
 
     Fixture: the batch is the standard delta slice (doc_id %
     {101} == {13}) with a PLANTED domain shift — every even-doc_id
@@ -1342,16 +1342,9 @@ def lm_drift_gate(spark, sf_dir) -> DataFrame:
     occ = lm_bigrams(batch)
     cb_v = cb0.select("bg").withColumn("in_cb", F.lit(1))
     cp_v = cp0.select("t1").withColumn("in_cp", F.lit(1))
-    fv = (
-        cb0.select("bg")
-        .unionByName(occ.select("bg"))
-        .distinct()
-        .withColumn("in_fv", F.lit(1))
-    )
     m = (
         occ.join(cb_v, "bg", "left")
         .join(cp_v, "t1", "left")
-        .join(fv, "bg", "left")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -1360,9 +1353,6 @@ def lm_drift_gate(spark, sf_dir) -> DataFrame:
             F.sum(
                 F.when(F.col("in_cp").isNull(), 1).otherwise(0)
             ).alias("oovp"),
-            F.sum(
-                F.when(F.col("in_fv").isNull(), 1).otherwise(0)
-            ).alias("oovf"),
         )
     )
     return m.select(
@@ -1380,7 +1370,7 @@ def lm_drift_gate(spark, sf_dir) -> DataFrame:
         ).alias("n_rebuilds"),
         F.expr(
             f"CASE WHEN 1000000L * oovb div n > {thr} "
-            "THEN 1000000L * oovf div n "
+            "THEN 0L "
             "ELSE 1000000L * oovb div n END"
         ).alias("served_oov_ppm"),
     )
@@ -1459,10 +1449,13 @@ def rollup_quality_drift(spark, sf_dir) -> DataFrame:
     same signal without it). The 10-bin domain grid is a literal
     range, so empty bins cost 0 mass on both engines.
 
-    Scale: one map-only score projection + one (side, bin) groupBy
-    whose second stage is <= 20 rows; the histogram join is over the
-    10-row grid. O(corpus) scan, O(1) everything after — the
-    cheapest possible standing monitor at 100 TB."""
+    Scale: ONE map-only score projection + one (side, bin) groupBy
+    whose second stage is <= 20 rows, checkpointed so both sides'
+    ppm columns and the totals all derive from the tiny histogram
+    (plan-asserted: the serve plan reads no parquet at all); the
+    histogram join is over the 10-row grid. O(corpus) scan, O(1)
+    everything after — the cheapest possible standing monitor at
+    100 TB."""
     from scribedb_spark.functions.text import occurrences, ws_token_count
 
     thr = _QDRIFT_THRESHOLD_PPM
@@ -1481,12 +1474,21 @@ def rollup_quality_drift(spark, sf_dir) -> DataFrame:
         "is_batch",
         F.expr("least(q_ppm div 100000, 9L)").alias("bin"),
     )
-    h = per.groupBy("is_batch", "bin").agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus scan: the <=20-row (side, bin) histogram is
+    # checkpointed and every downstream arm (both sides' ppm columns
+    # AND the totals) derives from it — re-deriving the totals from
+    # the raw scan would triple the regex-projection cost for two
+    # integers the histogram already contains
+    h = (
+        per.groupBy("is_batch", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     hb = h.filter(~F.col("is_batch")).select("bin", F.col("c").alias("cb"))
     hd = h.filter(F.col("is_batch")).select("bin", F.col("c").alias("cd"))
-    tot = per.agg(
-        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("nb"),
-        F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("nd"),
+    tot = h.agg(
+        F.sum(F.when(~F.col("is_batch"), F.col("c")).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("is_batch"), F.col("c")).otherwise(0)).alias("nd"),
     )
     bins = spark.range(10).select(F.col("id").alias("bin"))
     g = (

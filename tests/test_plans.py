@@ -1634,17 +1634,16 @@ def test_pq_append_steady_state_encodes_delta_only(qmod, spark, sf_dir):
     assert p.count("embeddings.parquet") <= 3
 
 
-def test_quality_drift_pruned_scans_bounded_joins(qmod, spark, sf_dir):
-    """rollup_quality_drift: the histogram sides scan only
-    (doc_id, text) with the slice predicates pushed down, the
-    10-row bin grid and 1-row totals join as broadcasts (never a
-    SortMergeJoin of bounded metadata), and each histogram
-    partial-aggregates map-side."""
+def test_quality_drift_single_scan_then_metadata_only(qmod, spark, sf_dir):
+    """rollup_quality_drift: the corpus is scanned exactly once (at
+    the <=20-row histogram checkpoint); the SERVE plan derives both
+    sides' ppm columns and the totals from that checkpoint — no
+    parquet scan at all, and the grid/totals joins are broadcasts,
+    never a SortMergeJoin of bounded metadata."""
     p = plan(qmod, spark, sf_dir, "rollup_quality_drift")
     assert "SortMergeJoin" not in p
-    assert "partial_count" in p
-    assert "n_chars" not in p and "lang" not in p  # pruned
-    assert p.count("% 5) = 3") >= 1  # slice predicate pushed
+    assert "Scan ExistingRDD" in p  # the checkpointed histogram
+    assert p.count("documents.parquet") == 0  # zero re-scans
 
 
 # ---------------------------------------------------------------------------

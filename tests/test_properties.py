@@ -1412,7 +1412,9 @@ def test_lm_drift_gate_serves_on_unshifted_batch(spark, tmp_path_factory):
     sent = "alpha beta gamma delta epsilon zeta"
     # delta doc_ids: % 101 == 13 AND odd (mangle skips odd) -> 13+101k odd
     delta_ids = [13, 215, 417]  # 13, 13+2*101, 13+4*101 — all odd
-    base_ids = [i for i in range(1, 40)]
+    base_ids = [
+        i for i in range(1, 40) if i % _LM_DELTA_MOD != _LM_DELTA_REM
+    ]
     rows = [(i, sent, "en", "s", len(sent)) for i in base_ids] + [
         (i, sent, "en", "s", len(sent)) for i in delta_ids
     ]
