@@ -763,10 +763,14 @@ def sample_mix_curriculum(spark, sf_dir) -> DataFrame:
     mismatch localizes to the scheduling math.
 
     Scale: everything downstream of rollup_domain_mix's
-    sources-sized table — a 1-row totals broadcast, a {4}-row phase
+    sources-sized table, which is CHECKPOINTED before reuse — the
+    totals arm and the weights arm both read the |sources|-row
+    snapshot instead of each re-mounting the whole mix cascade
+    (unchecked, the serve plan re-scanned the corpus 16 times for
+    ~80 rows of schedule); a 1-row totals broadcast, a {4}-row phase
     grid, one sources-sized window. Output is |sources| x {4} rows of
     metadata."""
-    mix = rollup_domain_mix(spark, sf_dir)
+    mix = rollup_domain_mix(spark, sf_dir).localCheckpoint()
     tot = mix.agg(
         F.count(F.lit(1)).cast("long").alias("n_src"),
         F.sum("expected_toks").cast("long").alias("total_toks"),

@@ -1581,6 +1581,16 @@ def test_split_cluster_reuses_cached_pairs(qmod, spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint>" in p
 
 
+def test_mix_curriculum_derives_from_checkpointed_mix(qmod, spark, sf_dir):
+    """sample_mix_curriculum: the domain-mix table is checkpointed
+    before reuse, so the serve plan reads the |sources|-row snapshot
+    (ExistingRDD) for BOTH the totals arm and the weights arm — zero
+    parquet scans, no re-mount of the mix cascade per arm."""
+    p = plan(qmod, spark, sf_dir, "sample_mix_curriculum")
+    assert "Scan ExistingRDD" in p
+    assert p.count("documents.parquet") == 0
+
+
 def test_partition_advisor_single_column_scans_no_joins(qmod, spark, sf_dir):
     """layout_partition_advisor: every candidate's scan prunes to
     EXACTLY its one analyzed column (a layout advisor that reads full
