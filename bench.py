@@ -191,6 +191,7 @@ BENCH_KEYS = [
     "lm_drift_gate",
     "rollup_quality_drift",
     "ann_pq_append",
+    "profile_join_cardinality",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

@@ -2955,6 +2955,100 @@ def profile_fk_orphans(spark, sf_dir) -> DataFrame:
     )
 
 
+_JOIN_CARD_PAIRS = [
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer_events", "customer", "c_custkey", "events", "user_id"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+]
+
+_JOIN_CARD_BUCKET_SQL = """CASE WHEN cr = 0 THEN '0'
+                WHEN cr = 1 THEN '1'
+                WHEN cr <= 10 THEN '2-10'
+                WHEN cr <= 100 THEN '11-100'
+                ELSE '100+' END"""
+
+
+def _join_cardinality_oracle() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT '{name}' AS join_name, {_JOIN_CARD_BUCKET_SQL} AS fanout_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cl) AS BIGINT) AS n_left_rows,
+           CAST(SUM(cl * cr) AS BIGINT) AS n_out_rows
+    FROM (SELECT l.cl, COALESCE(r.cr, 0) AS cr
+          FROM (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1) l
+          LEFT JOIN (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt}
+                     GROUP BY 1) r ON l.k = r.k)
+    GROUP BY 2"""
+        for name, lt, lk, rt, rk in _JOIN_CARD_PAIRS
+    )
+    return f"\n    {arms}\n    "
+
+
+@register("profile_join_cardinality", oracle=_join_cardinality_oracle())
+def profile_join_cardinality(spark, sf_dir) -> DataFrame:
+    """Join-FANOUT census — the pre-flight that predicts join blowup
+    before it happens: for each prospective (left, right) equi-join,
+    the distribution of right-side matches per left key, bucketed
+    (0 = anti rows / broken FK, 1 = clean 1:1, 2-10, 11-100, 100+ =
+    the multiplicative fanout that turns a 100 TB join into an
+    output explosion), with the exact left-row and OUTPUT-row mass
+    per bucket (n_out = sum over keys of cl*cr — what the join will
+    actually emit). The fourth data-quality preflight next to
+    profile_pk_violations (uniqueness), profile_fk_orphans (broken
+    keys — this key's 0-bucket generalizes it with row mass) and
+    layout_partition_advisor/layout_bucket_advisor (layout): the
+    reference joins datasets blindly and pages through whatever
+    comes back; a 100 TB engine sizes the output FIRST.
+
+    Exactness: COUNT/SUM integers end to end; buckets are a pure
+    integer CASE; cl*cr stays far under int64 at any real
+    cardinality (overflow needs ~3e9 x 3e9 on one key).
+
+    Scale: per join, two map-side-partial key-count groupBys (the
+    join itself never runs — only key-grain counts shuffle, no row
+    payload) and one key-grain left join whose both sides are
+    distinct-key-sized; the census output is <= 5 rows per join.
+    This is exactly how engines estimate join selectivity, made
+    exact and queryable."""
+    outs = []
+    for name, lt, lk, rt, rk in _JOIN_CARD_PAIRS:
+        lc = (
+            table(spark, lt, sf_dir)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cl"))
+        )
+        rc = (
+            table(spark, rt, sf_dir)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cr"))
+        )
+        g = lc.join(rc, "k", "left").select(
+            "cl", F.coalesce(F.col("cr"), F.lit(0)).alias("cr")
+        )
+        outs.append(
+            g.groupBy(
+                F.expr(_JOIN_CARD_BUCKET_SQL).alias("fanout_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cl").alias("n_left_rows"),
+                F.sum(F.expr("cl * cr")).alias("n_out_rows"),
+            )
+            .select(
+                F.lit(name).alias("join_name"),
+                "fanout_bucket",
+                F.col("n_keys").cast("long"),
+                F.col("n_left_rows").cast("long"),
+                F.col("n_out_rows").cast("long"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 @register(
     "rollup_growth_wow",
     oracle="""

@@ -1950,6 +1950,7 @@ _FRESH_WAVES.update(
             "lm_drift_gate",
             "rollup_quality_drift",
             "ann_pq_append",
+            "profile_join_cardinality",
         },
         10,
     )

@@ -86,6 +86,7 @@ KEYS = [
     "lm_drift_gate",
     "rollup_quality_drift",
     "ann_pq_append",
+    "profile_join_cardinality",
 ]
 
 def _containment_pairs(mode):

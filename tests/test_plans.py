@@ -1581,6 +1581,23 @@ def test_split_cluster_reuses_cached_pairs(qmod, spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint>" in p
 
 
+def test_join_cardinality_no_row_payload_crosses(qmod, spark, sf_dir):
+    """profile_join_cardinality: the fanout census never runs the
+    actual join — each arm scans ONLY its key column (pruned), the
+    key counts partial-aggregate map-side, and the key-grain left
+    join carries (k, count) pairs, never row payload."""
+    from scribedb_spark.analytics import _JOIN_CARD_PAIRS
+
+    p = plan(qmod, spark, sf_dir, "profile_join_cardinality")
+    assert "partial_count" in p
+    for _name, lt, lk, rt, rk in _JOIN_CARD_PAIRS:
+        assert f"ReadSchema: struct<{lk}:" in p
+        assert f"ReadSchema: struct<{rk}:" in p
+    # no wide columns anywhere in any scan
+    for col in ("o_totalprice", "text", "c_name", "l_quantity", "props"):
+        assert col not in p
+
+
 def test_mix_curriculum_derives_from_checkpointed_mix(qmod, spark, sf_dir):
     """sample_mix_curriculum: the domain-mix table is checkpointed
     before reuse, so the serve plan reads the |sources|-row snapshot
