@@ -1431,3 +1431,54 @@ def test_lm_drift_gate_serves_on_unshifted_batch(spark, tmp_path_factory):
     assert row["oov_bigram_ppm"] == 0
     assert row["n_rebuilds"] == 0
     assert row["served_oov_ppm"] == 0
+
+
+_JC_KEYS = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_JC_KEYS, right=_JC_KEYS)
+def test_join_cardinality_census_matches_actual_join(spark, left, right):
+    """The fanout census's core claim, pinned on arbitrary key
+    multisets INCLUDING NULLs: total n_out_rows equals the row count
+    the actual equi-join emits (null keys match nothing in either
+    engine, so null-key left rows land in the '0' bucket), and
+    n_left_rows sums to the left table size."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.analytics import _JOIN_CARD_BUCKET_SQL
+
+    l_df = spark.createDataFrame([(k,) for k in left] or [(None,)], "k long")
+    r_df = spark.createDataFrame([(k,) for k in right] or [(None,)], "k long")
+    if not left:
+        l_df = l_df.limit(0)
+    if not right:
+        r_df = r_df.limit(0)
+
+    lc = l_df.groupBy("k").agg(F.count(F.lit(1)).alias("cl"))
+    rc = r_df.groupBy("k").agg(F.count(F.lit(1)).alias("cr"))
+    census = (
+        lc.join(rc, "k", "left")
+        .select("cl", F.coalesce(F.col("cr"), F.lit(0)).alias("cr"))
+        .groupBy(F.expr(_JOIN_CARD_BUCKET_SQL).alias("b"))
+        .agg(
+            F.sum("cl").alias("n_left_rows"),
+            F.sum(F.expr("cl * cr")).alias("n_out_rows"),
+        )
+        .collect()
+    )
+    actual_out = l_df.join(r_df, "k").count()  # inner equi-join
+    assert sum(r["n_out_rows"] for r in census) == actual_out
+    assert sum(r["n_left_rows"] for r in census) == l_df.count()
+    # every null-key left row is in the 0 bucket (nulls match nothing)
+    n_null_left = l_df.filter(F.col("k").isNull()).count()
+    zero_mass = sum(r["n_left_rows"] for r in census if r["b"] == "0")
+    assert zero_mass >= n_null_left
