@@ -1701,6 +1701,11 @@ _INVARIANCE_KEYS = [
     "dedup_simhash",
     "dedup_recall_report",
     "join_interval_overlap",
+    # round-10 additions (the expensive wave-10 keys)
+    "sample_mix_curriculum",
+    "profile_join_cardinality",
+    "ann_pq_append",
+    "dedup_minhash_band_tune",
 ]
 
 
