@@ -192,6 +192,7 @@ BENCH_KEYS = [
     "rollup_quality_drift",
     "ann_pq_append",
     "profile_join_cardinality",
+    "vec_mips_topk",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

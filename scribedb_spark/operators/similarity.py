@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from scribedb_spark.queries import register
 from scribedb_spark.sources import table
-from scribedb_spark.functions.vector import cosine, l2_distance, to_double_array
+from scribedb_spark.functions.vector import (
+    cosine,
+    dot as vdot,
+    l2_distance,
+    to_double_array,
+)
 
 #: default ceiling for the exact O(n^2) pairwise kernels (they remain
 #: registered as recall baselines for their `_ann` twins); override
@@ -2155,6 +2160,58 @@ def vec_l2_topk(spark, sf_dir) -> DataFrame:
         )
     )
     return scored.orderBy("dist", "vec_id").limit(20)
+
+
+@register(
+    "vec_mips_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id,
+                 ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS ip
+          FROM embeddings e, q
+          WHERE e.vec_id <> 0)
+    SELECT vec_id, ip FROM s
+    ORDER BY ip DESC, vec_id LIMIT 20
+    """,
+)
+def vec_mips_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force MAXIMUM-INNER-PRODUCT top-20 of vec_id 0 — the
+    third exact metric beside cosine (vec_cosine_topk) and Euclidean
+    (vec_l2_topk), and the one recommendation/retrieval scoring
+    actually uses: unnormalized dot product rewards both direction
+    AND magnitude, so a popular (long) item vector can out-score a
+    closer (short) one — which is exactly why MIPS is NOT a metric
+    (no triangle inequality) and needs its own exact baseline rather
+    than reading cosine's. Same plan shape as its two siblings: one
+    broadcast of the query vector, one scan with a sequential-fold
+    dot per row, TakeOrdered top-20 — no shuffle of the embedding
+    table.
+
+    Exactness: the fold dot runs in array order on both engines
+    (F.aggregate's sequential fold == DuckDB's list_dot_product loop)
+    and ROUND 6 + vec_id tiebreak make the float compare
+    engine-stable — the vec_cosine_topk discipline.
+
+    Scale: map-only score + TakeOrderedAndProject; the production
+    scale path for MIPS is the standard reduction to cosine via the
+    augmented (sqrt(M^2-|x|^2)) dimension over the ANN family — this
+    key is the exact baseline those reductions get recalled
+    against."""
+    e = table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        to_double_array("embedding").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                vdot(to_double_array("embedding"), F.col("qv")), 6
+            ).alias("ip"),
+        )
+    )
+    return scored.orderBy(F.desc("ip"), "vec_id").limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -1951,6 +1951,7 @@ _FRESH_WAVES.update(
             "rollup_quality_drift",
             "ann_pq_append",
             "profile_join_cardinality",
+            "vec_mips_topk",
         },
         10,
     )

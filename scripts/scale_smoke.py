@@ -87,6 +87,7 @@ KEYS = [
     "rollup_quality_drift",
     "ann_pq_append",
     "profile_join_cardinality",
+    "vec_mips_topk",
 ]
 
 def _containment_pairs(mode):
