@@ -193,6 +193,7 @@ BENCH_KEYS = [
     "ann_pq_append",
     "profile_join_cardinality",
     "vec_mips_topk",
+    "graph_label_propagation",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

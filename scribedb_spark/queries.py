@@ -1952,6 +1952,7 @@ _FRESH_WAVES.update(
             "ann_pq_append",
             "profile_join_cardinality",
             "vec_mips_topk",
+            "graph_label_propagation",
         },
         10,
     )

@@ -88,6 +88,7 @@ KEYS = [
     "ann_pq_append",
     "profile_join_cardinality",
     "vec_mips_topk",
+    "graph_label_propagation",
 ]
 
 def _containment_pairs(mode):

@@ -1482,3 +1482,52 @@ def test_join_cardinality_census_matches_actual_join(spark, left, right):
     n_null_left = l_df.filter(F.col("k").isNull()).count()
     zero_mass = sum(r["n_left_rows"] for r in census if r["b"] == "0")
     assert zero_mass >= n_null_left
+
+
+_LPA_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=_LPA_EDGES, rounds=st.integers(min_value=1, max_value=3))
+def test_min_label_rounds_equals_bfs_min(spark, raw, rounds):
+    """min_label_rounds' exact semantics on arbitrary graphs: after r
+    synchronous rounds, each node's label is the minimum node id
+    within BFS distance r, and community_size counts the final
+    labels."""
+    from scribedb_spark.operators.graph import min_label_rounds
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    df = spark.createDataFrame(edges, "doc_id1 long, doc_id2 long")
+    got = {
+        r_["doc_id"]: (r_["community"], r_["community_size"])
+        for r_ in min_label_rounds(df, rounds).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want_lab = {}
+    for v in adj:
+        frontier = {v}
+        seen = {v}
+        for _ in range(rounds):
+            frontier = {u for f in frontier for u in adj[f]} - seen
+            seen |= frontier
+        want_lab[v] = min(seen)
+    sizes: dict[int, int] = {}
+    for lab in want_lab.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    want = {v: (lab, sizes[lab]) for v, lab in want_lab.items()}
+    assert got == want
