@@ -310,11 +310,12 @@ spark.sparkContext.setLogLevel("ERROR")
 for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
     Q.REGISTRY[key].fn(spark, {sf_dir!r}).count()
 jmap = spark.sparkContext._jsc.getPersistentRDDs
-# 240 x 0.5 s: the ContextCleaner is ASYNC and slows arbitrarily when
+# 420 x 0.5 s: the ContextCleaner is ASYNC and slows arbitrarily when
 # the host is oversubscribed (another JVM shutting down, a parallel
-# suite) — the property under test is "unreferenced", not "reclaimed
-# within 30 s"
-for _ in range(240):
+# suite; a mid-suite run saw 120 s insufficient while the parent's
+# 32-thread session was busy) — the property under test is
+# "unreferenced", not "reclaimed within N s"
+for _ in range(420):
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     if jmap().size() == 0:
