@@ -914,7 +914,12 @@ def _ivf_persisted_artifacts(spark, sf_dir):
         rows = [
             (int(c), [int(x) for x in books[c]]) for c in range(len(books))
         ]
-        return spark.createDataFrame(rows, "cell int, cv array<long>")
+        # one file: the codebook is {16} rows — 17 shuffle-partition
+        # files for 18 KiB is the small-files pattern our own advisor
+        # flags (layout_partition_advisor); layout-only, values identical
+        return spark.createDataFrame(
+            rows, "cell int, cv array<long>"
+        ).coalesce(1)
 
     def build_index():
         vq = _ivf_vq(spark, sf_dir)
@@ -1672,7 +1677,9 @@ def _pq_persisted_artifacts(spark, sf_dir):
             for j in range(books.shape[0])
             for c in range(books.shape[1])
         ]
-        return spark.createDataFrame(rows, "j int, c int, cv array<long>")
+        return spark.createDataFrame(
+            rows, "j int, c int, cv array<long>"
+        ).coalesce(1)  # 128 rows -> one file, not 32 (see ivf_codebook)
 
     def build_codes():
         _v, vq = _pq_vq(spark, sf_dir)
