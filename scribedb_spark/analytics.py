@@ -3417,14 +3417,20 @@ _IBLT_EST_SHIFT = 2
 
 
 def _iblt_diff_estimate(src_items: DataFrame, tgt_items: DataFrame) -> int:
-    """GUARANTEED upper bound on the differing-item count d (a changed
-    key is two items, one per side), from one chunk-fingerprint grid
-    exchange per side — the keyed-chunk fp motif at 4-key grain.
+    """Upper bound on the differing-item count d (a changed key is
+    two items, one per side), from one chunk-fingerprint grid exchange
+    per side — the keyed-chunk fp motif at 4-key grain. The bound is
+    PROBABILISTIC, not guaranteed: a (count, fp-XOR) signature
+    collision between differing chunks — or a multi-item XOR
+    cancellation — undercounts d with probability ~2^-60 per chunk
+    pair (md5-grade fingerprints). The failure mode stays LOUD: an
+    undersized sketch stalls during decode and raises, it never
+    returns a wrong diff.
 
     Each side aggregates its items to (chunk, count, fp-XOR); chunks
     whose (count, xor) signatures agree hold identical item multisets
-    (md5-grade: an XOR collision between differing chunks is ~2^-60),
-    so every differing item lives in a MISMATCHING chunk and
+    up to that collision probability, so every differing item lives
+    in a MISMATCHING chunk and
     d <= sum over mismatching chunks of (count_src + count_tgt).
     The grid exchange is n/4 rows per side — the cheap first pass of
     the two-pass adaptive mode; the second pass sizes the sketch from

@@ -191,6 +191,7 @@ def compact_artifact(
     dest: str,
     max_files: int = 32,
     target_files: int = 4,
+    allow_stream_owned: bool = False,
 ) -> bool:
     """Rewrite an artifact whose data-file count exceeded
     ``max_files`` into ``target_files`` files; returns whether a
@@ -216,14 +217,28 @@ def compact_artifact(
     leaves a sidecar-less directory that load_artifact/gc classify as
     a half-written build (rebuild, never serve) instead of silently
     serving partial data. An object-store deployment swaps this step
-    for the table format's rewrite/commit protocol."""
+    for the table format's rewrite/commit protocol.
+
+    STREAM-OWNED artifacts (any ``batch-*.parquet`` data file — the
+    stream_postings_persist naming) are REFUSED by default: folding
+    batch-N files into compact-* names breaks the replay-delete guard
+    (an at-least-once redelivery of batch N would find nothing to
+    delete and re-append its rows — a silent permanent double count).
+    Pass ``allow_stream_owned=True`` only from a maintenance step that
+    knows the stream is stopped with its checkpoint committed."""
     import glob
     import shutil
 
     files = _artifact_data_files(dest)
     if len(files) <= max_files:
         return False
+    if not allow_stream_owned and any(f.startswith("batch-") for f in files):
+        return False
     stage = os.path.join(dest, "_compact_stage")
+    # a crash between staging and the sidecar lift leaves a stale
+    # stage dir inside a still-servable artifact (invisible to readers
+    # but inflating size reports forever) — clear it before re-staging
+    shutil.rmtree(stage, ignore_errors=True)
     (
         spark.read.parquet(dest)
         .repartition(target_files)
@@ -243,9 +258,11 @@ def compact_artifact(
     return True
 
 
-def gc_warehouse(delete: bool = False) -> list[dict]:
-    """Census every artifact slot in the warehouse and classify it
-    fresh or stale; with ``delete=True`` remove the stale ones. Stale
+def gc_warehouse(delete: bool = False, root: str | None = None) -> list[dict]:
+    """Census every artifact slot in the warehouse (``root`` overrides
+    :func:`warehouse_dir` — the planted-fixture census key and tests
+    point it at a temp warehouse) and classify it fresh or stale; with
+    ``delete=True`` remove the stale ones. Stale
     artifacts otherwise accumulate forever — every run against a
     refreshed corpus snapshot or a bumped ARTIFACT_FORMAT strands the
     old directory (persisted_artifact rebuilds beside it, it never
@@ -265,7 +282,8 @@ def gc_warehouse(delete: bool = False) -> list[dict]:
     import shutil
 
     out: list[dict] = []
-    root = warehouse_dir()
+    if root is None:
+        root = warehouse_dir()
     if not os.path.isdir(root):
         return out
     for snap in sorted(os.listdir(root)):

@@ -25,6 +25,8 @@ are exact ints/strings.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -992,4 +994,144 @@ def rollup_artifact_catalog(spark, sf_dir) -> DataFrame:
         rows,
         "artifact string, format long, spec_md5 string, "
         "n_sources long, nonempty long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup_gc_census — the stale half of the warehouse lifecycle, proven
+# over a PLANTED fixture warehouse
+# ---------------------------------------------------------------------------
+
+#: every gc_warehouse failure mode, one fixture slot each (+ one fresh
+#: slot) — (slot name, expected reason); 'fresh' is the None-reason
+#: rendering so the output stays scalar-typed
+_GC_FIXTURE_SLOTS = [
+    ("crash_bad_sidecar", "bad_sidecar"),
+    ("crash_no_sidecar", "no_sidecar"),
+    ("drifted_source", "stale_source"),
+    ("fresh_ok", "fresh"),
+    ("missing_source", "missing_source"),
+    ("old_format", "format"),
+]
+
+
+def _plant_gc_fixture(spark, sf_dir: str, root: str) -> None:
+    """Build the deterministic fixture warehouse under ``root``: one
+    artifact slot per gc_warehouse failure mode plus one fresh slot.
+    Every slot holds the same 1-row parquet payload (GC never reads
+    data pages — classification is sidecar-only); the sidecars differ
+    in exactly the field each failure mode corrupts."""
+    import json
+    import shutil
+
+    from scribedb_spark.persist import (
+        _META_NAME,
+        ARTIFACT_FORMAT,
+        source_fingerprint,
+    )
+
+    snap = os.path.join(root, "fixture")
+    src = f"{sf_dir}/region.parquet"
+    fp = source_fingerprint([src])
+    seed = os.path.join(snap, "fresh_ok")
+    spark.range(1).coalesce(1).write.mode("overwrite").parquet(seed)
+    for slot, _reason in _GC_FIXTURE_SLOTS:
+        dest = os.path.join(snap, slot)
+        if slot != "fresh_ok":
+            shutil.copytree(seed, dest)
+        meta = {
+            "format": ARTIFACT_FORMAT,
+            "name": slot,
+            "spec": {"fixture": 1},
+            "source_fp": fp,
+            "sources": [src],
+        }
+        if slot == "old_format":
+            meta["format"] = ARTIFACT_FORMAT - 1
+        elif slot == "missing_source":
+            meta["sources"] = [f"{sf_dir}/__no_such_table__.parquet"]
+        elif slot == "drifted_source":
+            meta["source_fp"] = "0" * 32
+        side = os.path.join(dest, _META_NAME)
+        if slot == "crash_no_sidecar":
+            continue
+        if slot == "crash_bad_sidecar":
+            with open(side, "w") as fh:
+                fh.write("{not json")
+            continue
+        with open(side, "w") as fh:
+            json.dump(meta, fh, sort_keys=True)
+
+
+def _gc_census_oracle() -> str:
+    rows = ",\n      ".join(
+        f"('fixture/{slot}', CAST({int(reason != 'fresh')} AS BIGINT), "
+        f"'{reason}', CAST({int(reason != 'fresh')} AS BIGINT), "
+        f"CAST({int(reason == 'fresh')} AS BIGINT))"
+        for slot, reason in sorted(_GC_FIXTURE_SLOTS)
+    )
+    return f"""
+    SELECT artifact, stale, reason, deleted, exists_after
+    FROM (VALUES
+      {rows}
+    ) AS t(artifact, stale, reason, deleted, exists_after)
+    """
+
+
+@register("rollup_gc_census", oracle=_gc_census_oracle())
+def rollup_gc_census(spark, sf_dir) -> DataFrame:
+    """The STALE half of the warehouse lifecycle, driver-proven: plant
+    a fixture warehouse with one artifact slot per failure mode —
+    half-written build (sidecar missing / unparseable JSON), an older
+    ARTIFACT_FORMAT, a recorded source file that no longer exists, a
+    drifted source stat-fingerprint — plus one fresh slot, then run
+    persist.gc_warehouse twice (census, then delete) and emit the
+    reason-coded outcome per slot: (artifact, stale, reason, deleted,
+    exists_after). rollup_artifact_catalog proves the FRESH warehouse
+    serves; this key proves every stale state is (a) classified with
+    the right reason, (b) deleted only under the delete flag, and
+    (c) the fresh slot survives the delete pass untouched.
+
+    Exactness: the oracle pins the census as literal VALUES from the
+    same slot list the fixture is planted from (the catalog-key
+    discipline) — a misclassified reason, a missed deletion, or a
+    wrongly-deleted fresh slot each flip a cell. The fixture lives in
+    a fresh temp dir per invocation (never the real warehouse) and is
+    removed afterwards, so the key is idempotent and cannot disturb
+    served artifacts.
+
+    Scale: GC is driver-side sidecar JSON + file stats — zero Spark
+    jobs beyond the 1-row fixture payload write; a real warehouse
+    census is O(#artifacts) tiny reads at any corpus size. Reference
+    analog: the reference tears down its per-run database objects
+    (drop_objects, scribedb/postgres.py:72-77); here teardown is
+    reason-coded, censused and oracle-checked at warehouse scope."""
+    import shutil
+    import tempfile
+
+    from scribedb_spark.persist import gc_warehouse
+
+    root = tempfile.mkdtemp(prefix="gc_census_")
+    try:
+        _plant_gc_fixture(spark, sf_dir, root)
+        census = {r["artifact"]: r for r in gc_warehouse(root=root)}
+        swept = {r["artifact"]: r for r in gc_warehouse(delete=True, root=root)}
+        rows = []
+        for slot, _reason in sorted(_GC_FIXTURE_SLOTS):
+            key = f"fixture/{slot}"
+            rows.append(
+                (
+                    key,
+                    int(census[key]["stale"]),
+                    census[key]["reason"] or "fresh",
+                    int(swept[key]["deleted"]),
+                    int(os.path.isdir(os.path.join(root, "fixture", slot))),
+                )
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "artifact string, stale long, reason string, "
+        "deleted long, exists_after long",
     )

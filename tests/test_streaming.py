@@ -442,12 +442,20 @@ def test_stream_postings_persist_maintains_disk_artifact(
     twice = _rows(spark.read.parquet(holder.dest), ["doc_id", "term", "tf"])
     assert twice == once
 
-    # Compaction: the per-batch file sets the stream accumulated are
-    # rewritten into a few files with the identical row multiset —
-    # every BM25 reader is oblivious to the rewrite.
+    # Compaction: REFUSED by default on a stream-owned artifact
+    # (folding batch-N files away breaks the replay-delete guard — an
+    # at-least-once redelivery would silently double-count); with the
+    # stream stopped and drained, the explicit flag rewrites the
+    # accumulated per-batch file sets into a few files with the
+    # identical row multiset — every BM25 reader is oblivious.
     from scribedb_spark.persist import _artifact_data_files, compact_artifact
 
-    assert compact_artifact(spark, holder.dest, max_files=2, target_files=2)
+    n_before = len(_artifact_data_files(holder.dest))
+    assert not compact_artifact(spark, holder.dest, max_files=2, target_files=2)
+    assert len(_artifact_data_files(holder.dest)) == n_before
+    assert compact_artifact(
+        spark, holder.dest, max_files=2, target_files=2, allow_stream_owned=True
+    )
     assert len(_artifact_data_files(holder.dest)) <= 2
     compacted = _rows(spark.read.parquet(holder.dest), ["doc_id", "term", "tf"])
     assert compacted == twice
