@@ -1756,6 +1756,113 @@ def layout_partition_advisor(spark, sf_dir) -> DataFrame:
     return out
 
 
+#: compaction-advisor fixture: (slot, n_files, n_rows, extra batch
+#: file rows) — planted with exact per-partition row placement
+#: (spark.range(..., numPartitions=n): one file per input partition),
+#: so every census column is a literal in the oracle
+_COMPACT_FIXTURE = [
+    ("few_ok", 2, 2, None),
+    ("many_small", 12, 12, None),
+    ("stream_owned", 2, 2, 5),
+]
+
+
+def _compaction_advisor_oracle() -> str:
+    from scribedb_spark.persist import compaction_advice
+
+    rows = []
+    for slot, n_files, n_rows, batch_rows in sorted(_COMPACT_FIXTURE):
+        files = n_files + (1 if batch_rows else 0)
+        total = n_rows + (batch_rows or 0)
+        verdict, ideal = compaction_advice(
+            files, total, stream_owned=batch_rows is not None
+        )
+        rows.append(
+            f"('fixture/{slot}', CAST({files} AS BIGINT), "
+            f"CAST({total} AS BIGINT), CAST({ideal} AS BIGINT), "
+            f"'{verdict}')"
+        )
+    body = ",\n      ".join(rows)
+    return f"""
+    SELECT artifact, n_files, n_rows, ideal_files, verdict
+    FROM (VALUES
+      {body}
+    ) AS t(artifact, n_files, n_rows, ideal_files, verdict)
+    """
+
+
+@register("layout_compaction_advisor", oracle=_compaction_advisor_oracle())
+def layout_compaction_advisor(spark, sf_dir) -> DataFrame:
+    """The FOURTH layout advisor (beside Z-order, bucketing and
+    directory partitioning), deciding WHEN persist.compact_artifact
+    should run — the policy that turns the compaction mechanism into
+    a lifecycle: per artifact, (n_files, n_rows from parquet footers,
+    ideal file count at ~4M rows/file) and an integer-threshold
+    verdict — 'compact' when the visible file count exceeds
+    max(4, ideal) (per-file open/footer/listing costs dominate the
+    scan — the streamed-append small-files death, or a historical
+    many-partition write), 'stream_owned' when batch-* files are
+    present (compaction there would break the stream's replay-delete
+    guard; its own maintenance window owns the rewrite), else 'ok'.
+    scripts/build_indexes.py applies exactly this policy to the real
+    warehouse.
+
+    Proven over a PLANTED fixture warehouse (the rollup_gc_census
+    discipline): three slots with exact file placement — a
+    right-sized artifact, a many-tiny-files artifact, and a
+    stream-owned one — so the oracle pins every census column and
+    verdict as literals computed from the SAME policy constants
+    (persist.compaction_advice). The policy's threshold boundaries
+    and the real compact-then-recheck round trip are pinned by unit
+    tests in tests/test_persist.py.
+
+    Scale: the census is driver-side footer metadata only (zero Spark
+    jobs beyond the fixture write) — O(#artifacts x #files) stat
+    calls at any corpus size, the rollup_artifact_catalog probing
+    discipline."""
+    import os
+    import shutil
+    import tempfile
+
+    from scribedb_spark.persist import artifact_file_census, compaction_advice
+
+    root = tempfile.mkdtemp(prefix="compact_advisor_")
+    try:
+        snap = os.path.join(root, "fixture")
+        for slot, n_files, n_rows, batch_rows in _COMPACT_FIXTURE:
+            dest = os.path.join(snap, slot)
+            spark.range(0, n_rows, 1, n_files).write.mode(
+                "overwrite"
+            ).parquet(dest)
+            if batch_rows:
+                stage = os.path.join(dest, "_advisor_stage")
+                spark.range(0, batch_rows, 1, 1).write.mode(
+                    "overwrite"
+                ).parquet(stage)
+                import glob
+
+                part = sorted(
+                    glob.glob(os.path.join(stage, "part-*.parquet"))
+                )[0]
+                os.replace(
+                    part, os.path.join(dest, "batch-0-00000.parquet")
+                )
+                shutil.rmtree(stage, ignore_errors=True)
+        rows = []
+        for slot, _nf, _nr, _br in sorted(_COMPACT_FIXTURE):
+            dest = os.path.join(snap, slot)
+            n_files, n_rows, stream_owned = artifact_file_census(dest)
+            verdict, ideal = compaction_advice(n_files, n_rows, stream_owned)
+            rows.append((f"fixture/{slot}", n_files, n_rows, ideal, verdict))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "artifact string, n_files long, n_rows long, "
+        "ideal_files long, verdict string",
+    )
+
+
 @register(
     "join_temporal_dim",
     oracle="""

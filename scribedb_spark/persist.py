@@ -322,3 +322,54 @@ def gc_warehouse(delete: bool = False, root: str | None = None) -> list[dict]:
                 rec["deleted"] = True
             out.append(rec)
     return out
+
+
+#: compaction policy: an artifact whose visible file count exceeds
+#: max(_ADVISOR_FLOOR_FILES, ideal) should be rewritten; ideal is the
+#: footer-row count at ~4M rows/file (the 100 TB sizing where a file
+#: is one comfortable scan task), floored at one file
+_ADVISOR_ROWS_PER_FILE = 4_194_304
+_ADVISOR_FLOOR_FILES = 4
+
+
+def compaction_advice(
+    n_files: int, n_rows: int, stream_owned: bool
+) -> tuple[str, int]:
+    """(verdict, ideal_files) for one artifact census row — the ONE
+    policy the advisor key, the unit tests and build_indexes.py share,
+    so deciding WHEN to run compact_artifact stops being manual.
+
+    - ``stream_owned`` (any batch-* data file): verdict
+      'stream_owned' — compaction would break the replay-delete guard
+      (see compact_artifact); the stream's own maintenance window owns
+      the rewrite.
+    - more files than max({4}, ideal): 'compact' — per-file open/
+      footer/listing costs dominate the scan (the streamed-append
+      small-files death, or a historical many-partition write).
+    - otherwise 'ok'.
+
+    ideal_files = ceil(n_rows / {4M}) floored at 1 — integer-only so
+    the advisor's oracle can pin verdicts as literals."""
+    ideal = max(1, (n_rows + _ADVISOR_ROWS_PER_FILE - 1) // _ADVISOR_ROWS_PER_FILE)
+    if stream_owned:
+        return "stream_owned", ideal
+    if n_files > max(_ADVISOR_FLOOR_FILES, ideal):
+        return "compact", ideal
+    return "ok", ideal
+
+
+def artifact_file_census(dest: str) -> tuple[int, int, bool]:
+    """(n_files, n_rows, stream_owned) for one artifact directory —
+    driver-side parquet-footer probe (row counts are footer metadata;
+    zero Spark jobs, no data pages read), the catalog key's probing
+    discipline."""
+    import pyarrow.parquet as pq
+
+    files = _artifact_data_files(dest)
+    n_rows = 0
+    for f in files:
+        try:
+            n_rows += pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows
+        except OSError:
+            pass
+    return len(files), n_rows, any(f.startswith("batch-") for f in files)

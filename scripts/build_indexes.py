@@ -81,9 +81,26 @@ def main(sf_dir: str = "/root/testdata/sf0.01", gc: bool = False) -> None:
         for name in sorted(os.listdir(root)):
             dest = os.path.join(root, name)
             sz = _dir_bytes(dest)
-            nf = len(persist._artifact_data_files(dest))
-            compacted = persist.compact_artifact(spark, dest)
-            note = "  COMPACTED" if compacted else ""
+            # the layout_compaction_advisor policy decides per slot:
+            # compact (file count above max(4, ideal)), stream_owned
+            # (batch-* files — the stream's maintenance window owns
+            # the rewrite), or ok
+            nf, n_rows, stream_owned = persist.artifact_file_census(dest)
+            verdict, ideal = persist.compaction_advice(
+                nf, n_rows, stream_owned
+            )
+            note = ""
+            if verdict == "compact":
+                persist.compact_artifact(
+                    spark,
+                    dest,
+                    max_files=max(persist._ADVISOR_FLOOR_FILES, ideal),
+                    target_files=ideal,
+                )
+                nf_after = len(persist._artifact_data_files(dest))
+                note = f"  COMPACTED {nf} -> {nf_after} files"
+            elif verdict == "stream_owned":
+                note = "  stream-owned (skipped)"
             print(f"  {name:22s} {sz / 1024:10.1f} KiB  {nf:>4} files{note}")
     census = persist.gc_warehouse(delete=gc)
     stale = [r for r in census if r["stale"]]

@@ -329,3 +329,25 @@ def test_gc_warehouse_classifies_and_deletes_stale(spark, tmp_path, monkeypatch)
     for name in ("no_sidecar", "old_format", "drifted"):
         assert deleted[f"sfG/{name}"]["deleted"] is True
         assert not os.path.isdir(persist.artifact_path(name, "/d/sfG"))
+
+
+def test_compaction_advice_boundaries():
+    """The advisor policy's integer thresholds: the file-count floor,
+    the rows-derived ideal, and the stream-owned override."""
+    from scribedb_spark.persist import (
+        _ADVISOR_ROWS_PER_FILE,
+        compaction_advice,
+    )
+
+    # at the 4-file floor: ok; one file over: compact
+    assert compaction_advice(4, 100, False) == ("ok", 1)
+    assert compaction_advice(5, 100, False) == ("compact", 1)
+    # a big artifact raises ideal above the floor (ceil division)
+    rows = 10 * _ADVISOR_ROWS_PER_FILE
+    assert compaction_advice(10, rows, False) == ("ok", 10)
+    assert compaction_advice(11, rows, False) == ("compact", 10)
+    assert compaction_advice(11, rows + 1, False) == ("ok", 11)
+    # stream ownership wins over any file count
+    assert compaction_advice(50, 100, True) == ("stream_owned", 1)
+    # empty artifact still floors at one ideal file
+    assert compaction_advice(0, 0, False) == ("ok", 1)
