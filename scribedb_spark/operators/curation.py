@@ -1456,34 +1456,60 @@ def rollup_quality_drift(spark, sf_dir) -> DataFrame:
     histogram join is over the 10-row grid. O(corpus) scan, O(1)
     everything after — the cheapest possible standing monitor at
     100 TB."""
-    from scribedb_spark.functions.text import occurrences, ws_token_count
-
-    thr = _QDRIFT_THRESHOLD_PPM
     d = table(spark, "documents", sf_dir)
-    per = d.select(
-        (F.col("doc_id") % _QDRIFT_MOD == _QDRIFT_REM).alias("is_batch"),
-        ws_token_count(F.col("text")).alias("n_tok"),
-        occurrences(F.col("text"), "the").alias("n_stop"),
-    ).select(
-        "is_batch",
-        F.expr(
-            "500000L * least(n_tok, 100) div 100"
-            " + 500000L * n_stop div n_tok"
-        ).alias("q_ppm"),
-    ).select(
-        "is_batch",
-        F.expr("least(q_ppm div 100000, 9L)").alias("bin"),
-    )
     # ONE corpus scan: the <=20-row (side, bin) histogram is
     # checkpointed and every downstream arm (both sides' ppm columns
     # AND the totals) derives from it — re-deriving the totals from
     # the raw scan would triple the regex-projection cost for two
     # integers the histogram already contains
-    h = (
-        per.groupBy("is_batch", "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+    h = quality_bin_hist(quality_bins(d)).localCheckpoint()
+    return quality_drift_from_hist(spark, h)
+
+
+def quality_bins(d: DataFrame, is_batch: "F.Column | None" = None) -> DataFrame:
+    """Per-document (is_batch, bin): the integer ppm quality score
+    (text_quality_score's 50/50 length+stopword blend) floored into
+    10 fixed 100k-ppm bins. ``is_batch`` defaults to the fixture's
+    doc_id % {5} == {3} slice; the streaming maintainer passes a
+    literal (the stream IS the batch side). The shared scan stage of
+    rollup_quality_drift and stream_quality_maintain."""
+    from scribedb_spark.functions.text import occurrences, ws_token_count
+
+    if is_batch is None:
+        is_batch = F.col("doc_id") % _QDRIFT_MOD == _QDRIFT_REM
+    return (
+        d.select(
+            is_batch.alias("is_batch"),
+            ws_token_count(F.col("text")).alias("n_tok"),
+            occurrences(F.col("text"), "the").alias("n_stop"),
+        )
+        .select(
+            "is_batch",
+            F.expr(
+                "500000L * least(n_tok, 100) div 100"
+                " + 500000L * n_stop div n_tok"
+            ).alias("q_ppm"),
+        )
+        .select(
+            "is_batch",
+            F.expr("least(q_ppm div 100000, 9L)").alias("bin"),
+        )
     )
+
+
+def quality_bin_hist(per: DataFrame) -> DataFrame:
+    """(is_batch, bin, c) histogram of a per-document bins frame —
+    <= 20 rows; counts are a commutative monoid, so micro-batch
+    histograms fold in by union + re-sum (stream_quality_maintain)."""
+    return per.groupBy("is_batch", "bin").agg(F.count(F.lit(1)).alias("c"))
+
+
+def quality_drift_from_hist(spark, h: DataFrame) -> DataFrame:
+    """The one-row TV-distance decision table from a (is_batch, bin,
+    c) histogram (caller checkpoints it — every arm below derives
+    from the tiny frame). Shared by the batch key and the streaming
+    maintainer's final read."""
+    thr = _QDRIFT_THRESHOLD_PPM
     hb = h.filter(~F.col("is_batch")).select("bin", F.col("c").alias("cb"))
     hd = h.filter(F.col("is_batch")).select("bin", F.col("c").alias("cd"))
     tot = h.agg(

@@ -2527,3 +2527,155 @@ def sample_split_cluster(spark, sf_dir) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring — maximal shared token run per LSH candidate pair
+# (the suffix-array "repeated substring" dedup mode, scoped to the
+# candidate pairs the LSH index already mined)
+# ---------------------------------------------------------------------------
+
+#: a shared run at or above this many TOKENS marks the pair as a
+#: substring-duplication case (cross-document boilerplate / quotation
+#: block) rather than incidental overlap
+_SUBSTR_RUN_TOKENS = 20
+
+
+def positional_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok3) ALL overlapping 3-token shingles in
+    document order — the positional variant of ``shingles3`` (which
+    deduplicates): pos is the 0-based word index of the window start,
+    so a run of k consecutive equal shingles witnesses a shared run
+    of k+2 tokens. Same codegen'd lookahead regex, one posexplode."""
+    sh = F.regexp_extract_all(
+        F.col("text"), F.lit(r"(?<= |^)(?=(\S+ \S+ \S+))"), 1
+    )
+    return d.select(
+        "doc_id", F.posexplode(sh).alias("pos", "tok3")
+    )
+
+
+#: DuckDB twin of positional_shingles (0-based pos)
+SQL_POS_SHINGLES = """
+      SELECT doc_id, i - 1 AS pos,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok3
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents) d
+      CROSS JOIN (SELECT unnest(range(1, 5000)) AS i) ix
+      WHERE i <= len(w) - 2
+"""
+
+_SUBSTR_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    psh AS ({SQL_POS_SHINGLES}),
+    m AS (
+      SELECT DISTINCT c.doc_id1, c.doc_id2,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM lsh_cand c
+      JOIN psh a ON a.doc_id = c.doc_id1
+      JOIN psh b ON b.doc_id = c.doc_id2 AND b.tok3 = a.tok3),
+    isl AS (
+      SELECT doc_id1, doc_id2, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_id1, doc_id2, diag ORDER BY pa) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_id1, doc_id2, diag, grp, COUNT(*) AS run_len
+      FROM isl GROUP BY doc_id1, doc_id2, diag, grp),
+    best AS (
+      SELECT doc_id1, doc_id2, MAX(run_len) AS mr
+      FROM runs GROUP BY doc_id1, doc_id2)
+    SELECT c.doc_id1, c.doc_id2,
+           CAST(COALESCE(b.mr + 2, 0) AS BIGINT) AS max_run_tokens,
+           CASE WHEN COALESCE(b.mr + 2, 0) >= {_SUBSTR_RUN_TOKENS}
+                THEN 'shared_run' ELSE 'minor_overlap' END AS verdict
+    FROM lsh_cand c
+    LEFT JOIN best b
+      ON b.doc_id1 = c.doc_id1 AND b.doc_id2 = c.doc_id2
+    """
+
+
+@register("dedup_substring", oracle=_SUBSTR_ORACLE)
+def dedup_substring(spark, sf_dir) -> DataFrame:
+    """EXACT REPEATED-SUBSTRING dedup — the classic cross-document
+    repeated-run detection (the public suffix-array deduplication
+    technique: Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"), re-expressed over the LSH candidate
+    pair index instead of a corpus-wide suffix array: for each
+    candidate pair, the MAXIMAL shared consecutive token run. A run
+    of k consecutive position-aligned equal 3-shingles is a shared
+    run of k+2 tokens; alignment is the gaps-and-islands grouping on
+    the position DIAGONAL (pa - pb constant along a shared run, the
+    dedup_span islands idiom lifted to two documents), so no
+    quadratic per-pair alignment matrix is ever built.
+
+    Output: (doc_id1, doc_id2, max_run_tokens, verdict) — pairs whose
+    longest shared run reaches {20} tokens are 'shared_run' (the
+    remove-the-duplicated-span cases), others 'minor_overlap'. Pairs
+    sharing no shingle at all (possible: a band signature can match
+    on minhash values alone) report 0.
+
+    Exactness: token positions, row_number islands and COUNT/MAX are
+    integers end to end; the shingle text join is exact string
+    equality — no hashing, no floats.
+
+    Scale: shingles are restricted to the candidate pairs' documents
+    and joined through the pair list, so the cost is
+    sum over pairs of (|doc1 shingles| + matched positions) — pair-
+    attributed like every verify stage here, never corpus x corpus
+    (a full suffix array at 100 TB is a dedicated sort job; scoping
+    exact-run detection to LSH candidates is the standard two-stage
+    compromise: LSH finds WHO overlaps, this finds WHERE and HOW
+    MUCH). The diagonal window shuffles only matched positions,
+    keyed by (pair, diag) — bounded by match volume, uniform unless
+    two documents share massive repetition, which is exactly the
+    signal being measured."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    psh = positional_shingles(d)
+    a = psh.select(
+        F.col("doc_id").alias("doc_id1"),
+        F.col("pos").alias("pa"),
+        "tok3",
+    )
+    b = psh.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("pos").alias("pb"),
+        "tok3",
+    )
+    m = (
+        pairs.join(a, "doc_id1")
+        .join(b, ["doc_id2", "tok3"])
+        .select(
+            "doc_id1",
+            "doc_id2",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            "pa",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_id1", "doc_id2", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    best = runs.groupBy("doc_id1", "doc_id2").agg(
+        F.max("run_len").alias("mr")
+    )
+    mrt = F.coalesce(F.col("mr") + 2, F.lit(0)).cast("long")
+    return (
+        pairs.join(best, ["doc_id1", "doc_id2"], "left")
+        .select(
+            "doc_id1",
+            "doc_id2",
+            mrt.alias("max_run_tokens"),
+            F.when(mrt >= _SUBSTR_RUN_TOKENS, "shared_run")
+            .otherwise("minor_overlap")
+            .alias("verdict"),
+        )
+    )

@@ -1957,6 +1957,21 @@ _FRESH_WAVES.update(
         10,
     )
 )
+#: eleventh wave (round 11) — the stale warehouse half (GC census),
+#: the MIPS ANN twin + its recall monitor, the compaction policy, and
+#: repeated-substring dedup over the LSH pair index
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "rollup_gc_census",
+            "ann_mips_topk",
+            "ann_mips_recall_report",
+            "layout_compaction_advisor",
+            "dedup_substring",
+        },
+        11,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

@@ -317,3 +317,58 @@ def stream_postings_persist(
         .start()
     )
     return q, holder
+
+
+def stream_quality_maintain(
+    stream_df: DataFrame,
+    base_hist: DataFrame,
+    query_name: str = "stream_quality",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS the quality-score
+    drift histogram (rollup_quality_drift's state) from an INSERT
+    stream of (doc_id, text) rows: each micro-batch bins only its own
+    documents (the stream IS the incoming-batch side, so is_batch is
+    a literal True) and folds into the running (is_batch, bin, c)
+    histogram by union + re-sum — counts are a commutative monoid, so
+    after any prefix of batches the histogram equals a from-scratch
+    binning of base + all rows seen, at O(|batch|) cost per batch.
+    The streaming half of the distribution-shift monitor (batch twin
+    and oracle: rollup_quality_drift): the standing TV-distance gate
+    stays current beside the ingest stream, and
+    ``quality_drift_from_hist(spark, holder.h)`` reads the decision
+    row at any point without a corpus rescan.
+
+    ``base_hist`` is the base side's (is_batch=False, bin, c) rows.
+    Returns (query, holder) where ``holder.h`` is the maintained
+    <=20-row histogram (localCheckpoint'd per batch — flat lineage)."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.curation import (
+        quality_bin_hist,
+        quality_bins,
+    )
+
+    class _Holder:
+        h = base_hist.localCheckpoint()
+
+    holder = _Holder()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        patch = quality_bin_hist(quality_bins(rows, is_batch=F.lit(True)))
+        holder.h = (
+            holder.h.unionByName(patch)
+            .groupBy("is_batch", "bin")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

@@ -89,6 +89,11 @@ KEYS = [
     "profile_join_cardinality",
     "vec_mips_topk",
     "graph_label_propagation",
+    "ann_mips_topk",
+    "ann_mips_recall_report",
+    "dedup_substring",
+    "ann_retrain_gate",
+    "sample_mix_curriculum",
 ]
 
 def _containment_pairs(mode):
@@ -170,6 +175,45 @@ def _recall_report_pairs(spark, sfd):
     )
 
 
+def _substring_matches(spark, sfd):
+    """Distinct matched (pair, diag, pos) rows — the volume the
+    islands window of dedup_substring shuffles and wall must track."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        min_tokens_filter,
+        positional_shingles,
+    )
+    from scribedb_spark.sources import table
+
+    pairs = dedup_minhash_lsh(spark, sfd)
+    d = (
+        table(spark, "documents", sfd)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    psh = positional_shingles(d)
+    a = psh.select(
+        F.col("doc_id").alias("doc_id1"), F.col("pos").alias("pa"), "tok3"
+    )
+    b = psh.select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pb"), "tok3"
+    )
+    return (
+        pairs.join(a, "doc_id1")
+        .join(b, ["doc_id2", "tok3"])
+        .select(
+            "doc_id1",
+            "doc_id2",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            "pa",
+        )
+        .distinct()
+        .count()
+    )
+
+
 #: candidate/verify-pair counters for the pair-dense keys whose OUTPUT
 #: row count does not equal the pair volume driving their wall time —
 #: each smoke row gains (base_pairs, scaled_pairs, pair_ratio) so a
@@ -186,6 +230,7 @@ PAIR_PROBES = {
     # the tuner scores the same sampled co-occurrence pairs the
     # recall report audits — identical cost driver, identical probe
     "dedup_minhash_band_tune": _recall_report_pairs,
+    "dedup_substring": _substring_matches,
 }
 
 

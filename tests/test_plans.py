@@ -1707,6 +1707,9 @@ _INVARIANCE_KEYS = [
     "profile_join_cardinality",
     "ann_pq_append",
     "dedup_minhash_band_tune",
+    # round-11 additions
+    "dedup_substring",
+    "ann_mips_topk",
 ]
 
 

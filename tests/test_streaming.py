@@ -459,3 +459,63 @@ def test_stream_postings_persist_maintains_disk_artifact(
     assert len(_artifact_data_files(holder.dest)) <= 2
     compacted = _rows(spark.read.parquet(holder.dest), ["doc_id", "term", "tf"])
     assert compacted == twice
+
+
+def test_stream_quality_maintain_matches_batch_twin_on_planted_drift(
+    spark, tmp_path_factory
+):
+    """Streamed drift monitoring: a PLANTED-drift corpus (the batch
+    slice arrives truncated — test_properties' quality-drift fixture)
+    is split into base + a multi-file ingest stream of the batch
+    slice; after draining 3+ micro-batches the maintained histogram's
+    decision row EQUALS the batch twin rollup_quality_drift computes
+    from scratch on the same corpus — same TV, same 'drift' verdict
+    (and the monitor fires). The union-sum histogram fold is exact
+    across micro-batches."""
+    from scribedb_spark.operators.curation import (
+        _QDRIFT_MOD,
+        _QDRIFT_REM,
+        quality_bin_hist,
+        quality_bins,
+        quality_drift_from_hist,
+        rollup_quality_drift,
+    )
+    from scribedb_spark.streaming.diff import stream_quality_maintain
+
+    long_text = ("the quick brown fox jumps over the lazy dog " * 15).strip()
+    rows = [
+        (
+            i,
+            ("the fox" if i % _QDRIFT_MOD == _QDRIFT_REM else long_text),
+            "en",
+            "s",
+            7,
+        )
+        for i in range(200)
+    ]
+    d = tmp_path_factory.mktemp("qdrift_stream")
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    base = docs.filter(F.col("doc_id") % _QDRIFT_MOD != _QDRIFT_REM)
+    arriving = docs.filter(F.col("doc_id") % _QDRIFT_MOD == _QDRIFT_REM)
+    sdir = tmp_path_factory.mktemp("qdrift_ingest")
+    arriving.repartition(4).write.mode("overwrite").parquet(str(sdir))
+
+    base_hist = quality_bin_hist(quality_bins(base, is_batch=F.lit(False)))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_quality_maintain(stream, base_hist)
+    q.awaitTermination(120)
+
+    got = quality_drift_from_hist(spark, holder.h).collect()[0]
+    want = rollup_quality_drift(spark, str(d)).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["decision"] == "drift"
