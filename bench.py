@@ -194,6 +194,15 @@ BENCH_KEYS = [
     "profile_join_cardinality",
     "vec_mips_topk",
     "graph_label_propagation",
+    # wave 11
+    "rollup_gc_census",
+    "ann_mips_topk",
+    "ann_mips_recall_report",
+    "layout_compaction_advisor",
+    "dedup_substring",
+    "dedup_substring_spans",
+    "dedup_retune_gate",
+    "rollup_source_freshness",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

@@ -3894,3 +3894,70 @@ def _iblt_sketch_artifact(spark, sf_dir):
             "cols": _IBLT_COLS,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# rollup_source_freshness — per-stream ingest lag monitor
+# ---------------------------------------------------------------------------
+
+#: an event stream whose newest row lags the freshest stream by more
+#: than this many microseconds is flagged stale (1 hour — the classic
+#: "did one upstream topic stop" alarm granularity)
+_FRESHNESS_LAG_US = 3_600_000_000
+
+
+@register(
+    "rollup_source_freshness",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+      FROM events GROUP BY event_type),
+    t AS (SELECT MAX(last_seen_us) AS now_us FROM per)
+    SELECT event_type, n_events, last_seen_us,
+           CAST(t.now_us - last_seen_us AS BIGINT) AS lag_us,
+           CASE WHEN t.now_us - last_seen_us > {_FRESHNESS_LAG_US}
+                THEN 'stale' ELSE 'fresh' END AS verdict
+    FROM per CROSS JOIN t
+    """,
+)
+def rollup_source_freshness(spark, sf_dir) -> DataFrame:
+    """INGEST-FRESHNESS monitor: per event stream (event_type), the
+    newest row's timestamp and its lag behind the freshest stream,
+    flagged 'stale' past {1 hour} — the standing "did one upstream
+    topic stop" alarm every ingest pipeline runs next to its drift
+    gates (a dead producer poisons every downstream freshness
+    assumption while row counts still look plausible). The watermark
+    reference is the corpus' own max timestamp, not wall-clock, so
+    the monitor is deterministic over a snapshot (and exactly what a
+    production alarm computes from its last successful load).
+
+    Exactness: MAX over integer epoch microseconds (unix_micros ==
+    DuckDB epoch_us — the join_asof idiom; events.ts NANOS floors to
+    us identically on both engines at read time), one subtraction,
+    integer-threshold CASE.
+
+    Scale: one map-side-partial groupBy over the stream-id domain
+    (bounded rows out), a 1-row broadcast of the global max — the
+    cheapest possible standing monitor, O(corpus scan) with metadata-
+    sized state at 100 TB; at ingest time the same shape runs
+    incrementally as a streaming max per type."""
+    e = table(spark, "events", sf_dir)
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.unix_micros(F.col("ts"))).cast("long").alias("last_seen_us"),
+    )
+    tot = per.agg(F.max("last_seen_us").alias("now_us"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        "last_seen_us",
+        (F.col("now_us") - F.col("last_seen_us")).cast("long").alias("lag_us"),
+        F.when(
+            F.col("now_us") - F.col("last_seen_us") > _FRESHNESS_LAG_US,
+            "stale",
+        )
+        .otherwise("fresh")
+        .alias("verdict"),
+    )

@@ -2679,3 +2679,227 @@ def dedup_substring(spark, sf_dir) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_retune_gate — monitor -> act for the dedup index (the ANN
+# retrain gate's discipline applied to banded LSH)
+# ---------------------------------------------------------------------------
+
+#: the gate audits HIGH-similarity true pairs only (J >= 0.7): the
+#: pairs a near-dup sweep MUST catch (the 4x4 band S-curve is ~0.93+
+#: there); lower deciles are the tuner's cost/recall trade, not a
+#: serving guarantee
+_GATE_MIN_J_PPM = 700_000
+#: measured recall below this over the audited pairs flips the gate
+#: to 'retune' (healthy banded LSH measures 1000000 ppm on the
+#: bimodal fixture at every SF — near-exact pairs are always caught)
+_GATE_THRESHOLD_PPM = 900_000
+
+
+def lsh_gate_decision(pairs: DataFrame, tok: DataFrame) -> DataFrame:
+    """The one-row gate decision for any (doc_id1, doc_id2) pair list
+    against any (doc_id, tok) distinct shingle frame — factored out so
+    the degraded-index test can feed a corrupted pair list (the
+    ann_retrain_gate test pattern). Zero audited pairs reads as
+    recall 0 -> 'retune' (no evidence is an alarm, never a pass)."""
+    jac = sampled_jaccards(tok).filter(F.col("j_ppm") >= _GATE_MIN_J_PPM)
+    lab = jac.join(
+        pairs.withColumn("hit", F.lit(1)), ["doc_id1", "doc_id2"], "left"
+    ).select(F.coalesce("hit", F.lit(0)).alias("hit"))
+    thr = _GATE_THRESHOLD_PPM
+    return (
+        lab.agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_caught"),
+        )
+        .select(
+            "n_true_pairs",
+            "n_caught",
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN 0L "
+                "ELSE n_caught * 1000000L div n_true_pairs END"
+            ).alias("recall_ppm_measured"),
+            F.lit(thr).cast("long").alias("threshold_ppm"),
+            F.expr(
+                f"CASE WHEN n_true_pairs = 0 THEN 'retune' "
+                f"WHEN n_caught * 1000000L div n_true_pairs < {thr} "
+                "THEN 'retune' ELSE 'serve' END"
+            ).alias("decision"),
+            F.lit(N_BANDS).cast("long").alias("bands"),
+            F.lit(ROWS_PER_BAND).cast("long").alias("rows_per_band"),
+        )
+    )
+
+
+_RETUNE_GATE_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    {_SAMPLED_JAC_CTES},
+    tp AS (SELECT * FROM jac WHERE j_ppm >= {_GATE_MIN_J_PPM}),
+    lab AS (SELECT CASE WHEN l.doc_id1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM tp t LEFT JOIN lsh_cand l
+              ON l.doc_id1 = t.doc_id1 AND l.doc_id2 = t.doc_id2),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+                 CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_caught
+          FROM lab)
+    SELECT n_true_pairs, n_caught,
+           CAST(CASE WHEN n_true_pairs = 0 THEN 0
+                ELSE n_caught * 1000000 // n_true_pairs END AS BIGINT)
+             AS recall_ppm_measured,
+           CAST({_GATE_THRESHOLD_PPM} AS BIGINT) AS threshold_ppm,
+           CASE WHEN n_true_pairs = 0 THEN 'retune'
+                WHEN n_caught * 1000000 // n_true_pairs
+                     < {_GATE_THRESHOLD_PPM} THEN 'retune'
+                ELSE 'serve' END AS decision,
+           CAST({N_BANDS} AS BIGINT) AS bands,
+           CAST({ROWS_PER_BAND} AS BIGINT) AS rows_per_band
+    FROM m
+    """
+
+
+@register("dedup_retune_gate", oracle=_RETUNE_GATE_ORACLE)
+def dedup_retune_gate(spark, sf_dir) -> DataFrame:
+    """MONITOR -> ACT for the DEDUP index — the near-dup lifecycle's
+    analog of ann_retrain_gate (mine: dedup_minhash_lsh; maintain:
+    dedup_incremental; monitor: dedup_recall_report; decide: THIS):
+    measure the recall of the SERVED pair list over the sampled
+    high-similarity true pairs (J >= {0.7} — the pairs a near-dup
+    sweep must catch; the audited ground truth is the same
+    inverted-index exact-Jaccard sample the recall report reads) and
+    emit the one-row decision table: below {900000} ppm the verdict
+    is 'retune' and the operator reads dedup_minhash_band_tune's
+    measured cost/recall frontier to pick the new (bands, rows) —
+    re-banding changes the index CONTRACT (a spec change rebuilds the
+    persisted pair index via the staleness guards), so the act here
+    is the decision + current config rendering, exactly the
+    lm_drift_gate shape. Zero audited pairs alarms ('retune'), never
+    passes silently.
+
+    Exactness: counts, one guarded floor-division and integer CASEs;
+    the config cells are the builder's own N_BANDS/ROWS_PER_BAND
+    constants (the catalog-key discipline). The healthy fixed point
+    (recall 1000000 ppm -> 'serve') is what the oracle pins; the
+    degraded path (corrupted pair list -> 'retune') is pinned by a
+    unit test via the factored lsh_gate_decision.
+
+    Scale: the audit is the SAMPLE-bounded exact pass the recall
+    report already pays (~6% of PPJoin cost), the pair list is the
+    session-cached index — a standing gate costs one sampled join
+    per corpus snapshot at 100 TB."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    d = table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    ).localCheckpoint()
+    return lsh_gate_decision(pairs, tok)
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans — WHERE the shared run lives (the surgical-
+# removal coordinates for dedup_substring's shared_run pairs)
+# ---------------------------------------------------------------------------
+
+_SPANS_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    psh AS ({SQL_POS_SHINGLES}),
+    m AS (
+      SELECT DISTINCT c.doc_id1, c.doc_id2,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM lsh_cand c
+      JOIN psh a ON a.doc_id = c.doc_id1
+      JOIN psh b ON b.doc_id = c.doc_id2 AND b.tok3 = a.tok3),
+    isl AS (
+      SELECT doc_id1, doc_id2, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_id1, doc_id2, diag ORDER BY pa) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_id1, doc_id2, diag, grp,
+             COUNT(*) AS run_len, MIN(pa) AS pa_start
+      FROM isl GROUP BY doc_id1, doc_id2, diag, grp),
+    pick AS (
+      SELECT doc_id1, doc_id2, run_len, pa_start, diag,
+             row_number() OVER (
+               PARTITION BY doc_id1, doc_id2
+               ORDER BY run_len DESC, pa_start, diag) AS rn
+      FROM runs)
+    SELECT doc_id1, doc_id2,
+           CAST(run_len + 2 AS BIGINT) AS run_tokens,
+           CAST(pa_start AS BIGINT) AS a_start,
+           CAST(pa_start - diag AS BIGINT) AS b_start
+    FROM pick
+    WHERE rn = 1 AND run_len + 2 >= {_SUBSTR_RUN_TOKENS}
+    """
+
+
+@register("dedup_substring_spans", oracle=_SPANS_ORACLE)
+def dedup_substring_spans(spark, sf_dir) -> DataFrame:
+    """WHERE the duplication lives: for every 'shared_run' pair of
+    dedup_substring, the MAXIMAL shared run's coordinates —
+    (doc_id1, doc_id2, run_tokens, a_start, b_start): token index of
+    the run start in each document. This is the surgical-removal half
+    of the suffix-array dedup recipe (Lee et al. 2022 REMOVES the
+    duplicated span rather than the document — dedup_span does it at
+    single-document grain, this does it cross-document): a downstream
+    rewrite job slices tokens [a_start, a_start + run_tokens) out of
+    the lower-quality side. Ties between equal-length runs break
+    deterministically (smallest a_start, then diagonal), so exactly
+    ONE span row per qualifying pair.
+
+    Exactness: the same integer islands machinery as dedup_substring
+    plus one MIN and one deterministic row_number pick — no floats.
+
+    Scale: identical cost profile to dedup_substring (the islands
+    aggregation gains a MIN — still one shuffle keyed by matched
+    positions, pair-attributed; 1396x pair inflation measured at 2.0x
+    wall in SCALE_SMOKE_r11)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    psh = positional_shingles(d)
+    a = psh.select(
+        F.col("doc_id").alias("doc_id1"), F.col("pos").alias("pa"), "tok3"
+    )
+    b = psh.select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pb"), "tok3"
+    )
+    m = (
+        pairs.join(a, "doc_id1")
+        .join(b, ["doc_id2", "tok3"])
+        .select(
+            "doc_id1",
+            "doc_id2",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            "pa",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_id1", "doc_id2", "diag", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("pa").alias("pa_start"),
+        )
+    )
+    w_pick = Window.partitionBy("doc_id1", "doc_id2").orderBy(
+        F.desc("run_len"), "pa_start", "diag"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w_pick))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("run_len") + 2 >= _SUBSTR_RUN_TOKENS)
+        )
+        .select(
+            "doc_id1",
+            "doc_id2",
+            (F.col("run_len") + 2).cast("long").alias("run_tokens"),
+            F.col("pa_start").cast("long").alias("a_start"),
+            (F.col("pa_start") - F.col("diag")).cast("long").alias("b_start"),
+        )
+    )

@@ -1972,6 +1972,19 @@ _FRESH_WAVES.update(
         11,
     )
 )
+#: wave 11b (round 11, session 2) — ingest freshness, the dedup
+#: retune gate (monitor -> act for the LSH index), and the
+#: surgical-removal span coordinates for repeated-substring dedup
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "rollup_source_freshness",
+            "dedup_retune_gate",
+            "dedup_substring_spans",
+        },
+        11,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

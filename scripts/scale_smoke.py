@@ -231,6 +231,12 @@ PAIR_PROBES = {
     # recall report audits — identical cost driver, identical probe
     "dedup_minhash_band_tune": _recall_report_pairs,
     "dedup_substring": _substring_matches,
+    # the spans key re-runs the same matched-position islands with an
+    # extra MIN — identical pair volume, identical probe
+    "dedup_substring_spans": _substring_matches,
+    # the retune gate audits the same sampled exact-Jaccard pairs the
+    # recall report (and the band tuner) score
+    "dedup_retune_gate": _recall_report_pairs,
 }
 
 

@@ -1531,3 +1531,88 @@ def test_min_label_rounds_equals_bfs_min(spark, raw, rounds):
         sizes[lab] = sizes.get(lab, 0) + 1
     want = {v: (lab, sizes[lab]) for v, lab in want_lab.items()}
     assert got == want
+
+
+def test_dedup_retune_gate_flips_on_corrupted_pair_list(spark):
+    """The act path of dedup_retune_gate: a served pair list that
+    LOST high-similarity pairs (signature corruption / bad band
+    split) must measure recall below the threshold and flip to
+    'retune'; the intact list reads 1000000 ppm and serves; an empty
+    audit set alarms instead of passing silently."""
+    from scribedb_spark.operators.dedup import (
+        _GATE_THRESHOLD_PPM,
+        _RECALL_SAMPLE_MOD,
+        _RECALL_SAMPLE_REM,
+        lsh_gate_decision,
+        shingles3,
+    )
+
+    # four near-dup pairs, each anchored on a SAMPLED doc_id
+    # (doc_id % 17 == 3): (3,4), (20,21), (37,38), (54,55)
+    anchors = [
+        _RECALL_SAMPLE_REM + k * _RECALL_SAMPLE_MOD for k in range(4)
+    ]
+    rows = []
+    for k, a in enumerate(anchors):
+        text = f"alpha{k} beta{k} gamma{k} delta{k} epsilon{k} " * 3
+        rows.append((a, text.strip()))
+        rows.append((a + 1, text.strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = docs.select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    ).localCheckpoint()
+
+    full = spark.createDataFrame(
+        [(a, a + 1) for a in anchors], "doc_id1 long, doc_id2 long"
+    )
+    got = lsh_gate_decision(full, tok).collect()[0]
+    assert got["n_true_pairs"] == 4 and got["n_caught"] == 4
+    assert got["recall_ppm_measured"] == 1_000_000
+    assert got["decision"] == "serve"
+
+    corrupted = full.filter(F.col("doc_id1") > anchors[1])
+    got = lsh_gate_decision(corrupted, tok).collect()[0]
+    assert got["n_caught"] == 2
+    assert got["recall_ppm_measured"] == 500_000 < _GATE_THRESHOLD_PPM
+    assert got["decision"] == "retune"
+
+    # zero audited pairs (no sampled doc in the corpus) -> alarm
+    shifted = docs.withColumn("doc_id", F.col("doc_id") * 17 + 1)
+    tok_none = shifted.select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    )
+    got = lsh_gate_decision(full.limit(0), tok_none).collect()[0]
+    assert got["n_true_pairs"] == 0
+    assert got["decision"] == "retune"
+
+
+def test_dedup_substring_spans_coordinates_are_real_and_maximal(
+    spark, sf_dir
+):
+    """Every emitted span must be REAL (the two documents' token
+    slices at the reported coordinates are identical and run_tokens
+    long) and MAXIMAL (extending one token left or right breaks the
+    equality or a document boundary) — the guarantee a surgical
+    removal job depends on."""
+    from scribedb_spark.operators.dedup import dedup_substring_spans
+
+    from scribedb_spark.sources import table as _table
+
+    spans = dedup_substring_spans(spark, sf_dir).collect()
+    assert spans, "fixture corpus must contain shared runs"
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in _table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in spans:
+        ta, tb = docs[r["doc_id1"]], docs[r["doc_id2"]]
+        n, a0, b0 = r["run_tokens"], r["a_start"], r["b_start"]
+        assert a0 >= 0 and b0 >= 0
+        assert ta[a0 : a0 + n] == tb[b0 : b0 + n]
+        # maximal: one more token on either side must not match
+        if a0 > 0 and b0 > 0:
+            assert ta[a0 - 1] != tb[b0 - 1]
+        if a0 + n < len(ta) and b0 + n < len(tb):
+            assert ta[a0 + n] != tb[b0 + n]
