@@ -201,6 +201,7 @@ BENCH_KEYS = [
     "layout_compaction_advisor",
     "dedup_substring",
     "dedup_substring_spans",
+    "dedup_substring_rewrite",
     "dedup_retune_gate",
     "rollup_source_freshness",
 ]

@@ -3906,6 +3906,35 @@ def _iblt_sketch_artifact(spark, sf_dir):
 _FRESHNESS_LAG_US = 3_600_000_000
 
 
+def freshness_state(events: DataFrame) -> DataFrame:
+    """The monitor's maintained state from any events slice: per
+    event_type (n_events, last_seen_us). COUNT-sum and MAX are a
+    commutative monoid, so streamed micro-batches fold into this by
+    union + re-agg (streaming/diff.stream_freshness_maintain)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.unix_micros(F.col("ts"))).cast("long").alias("last_seen_us"),
+    )
+
+
+def freshness_decision(per: DataFrame) -> DataFrame:
+    """The decision table from the maintained state — readable at any
+    point without a corpus rescan (quality_drift_from_hist's shape)."""
+    tot = per.agg(F.max("last_seen_us").alias("now_us"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        "last_seen_us",
+        (F.col("now_us") - F.col("last_seen_us")).cast("long").alias("lag_us"),
+        F.when(
+            F.col("now_us") - F.col("last_seen_us") > _FRESHNESS_LAG_US,
+            "stale",
+        )
+        .otherwise("fresh")
+        .alias("verdict"),
+    )
+
+
 @register(
     "rollup_source_freshness",
     oracle=f"""
@@ -3942,22 +3971,10 @@ def rollup_source_freshness(spark, sf_dir) -> DataFrame:
     (bounded rows out), a 1-row broadcast of the global max — the
     cheapest possible standing monitor, O(corpus scan) with metadata-
     sized state at 100 TB; at ingest time the same shape runs
-    incrementally as a streaming max per type."""
-    e = table(spark, "events", sf_dir)
-    per = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.max(F.unix_micros(F.col("ts"))).cast("long").alias("last_seen_us"),
-    )
-    tot = per.agg(F.max("last_seen_us").alias("now_us"))
-    return per.crossJoin(F.broadcast(tot)).select(
-        "event_type",
-        "n_events",
-        "last_seen_us",
-        (F.col("now_us") - F.col("last_seen_us")).cast("long").alias("lag_us"),
-        F.when(
-            F.col("now_us") - F.col("last_seen_us") > _FRESHNESS_LAG_US,
-            "stale",
-        )
-        .otherwise("fresh")
-        .alias("verdict"),
-    )
+    incrementally as a streaming max per type (the
+    stream_freshness_maintain twin folds micro-batches into the same
+    state this computes from scratch). The <= #event_types-row state
+    feeds two arms (the per-type rows and the global-max broadcast) —
+    localCheckpoint'd so the events scan runs once, not twice."""
+    per = freshness_state(table(spark, "events", sf_dir)).localCheckpoint()
+    return freshness_decision(per)

@@ -2903,3 +2903,121 @@ def dedup_substring_spans(spark, sf_dir) -> DataFrame:
             (F.col("pa_start") - F.col("diag")).cast("long").alias("b_start"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_rewrite — APPLY the surgical removal (the act half
+# of the suffix-array recipe: detect -> locate -> REMOVE)
+# ---------------------------------------------------------------------------
+
+_REWRITE_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    psh AS ({SQL_POS_SHINGLES}),
+    m AS (
+      SELECT DISTINCT c.doc_id1, c.doc_id2,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM lsh_cand c
+      JOIN psh a ON a.doc_id = c.doc_id1
+      JOIN psh b ON b.doc_id = c.doc_id2 AND b.tok3 = a.tok3),
+    isl AS (
+      SELECT doc_id1, doc_id2, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_id1, doc_id2, diag ORDER BY pa) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_id1, doc_id2, diag, grp,
+             COUNT(*) AS run_len, MIN(pa) AS pa_start
+      FROM isl GROUP BY doc_id1, doc_id2, diag, grp),
+    pick AS (
+      SELECT doc_id1, doc_id2, run_len, pa_start, diag,
+             row_number() OVER (
+               PARTITION BY doc_id1, doc_id2
+               ORDER BY run_len DESC, pa_start, diag) AS rn
+      FROM runs),
+    spans AS (
+      SELECT doc_id1, doc_id2,
+             CAST(run_len + 2 AS BIGINT) AS run_tokens,
+             CAST(pa_start - diag AS BIGINT) AS b_start
+      FROM pick
+      WHERE rn = 1 AND run_len + 2 >= {_SUBSTR_RUN_TOKENS}),
+    vic AS (
+      SELECT doc_id1, doc_id2, run_tokens, b_start,
+             row_number() OVER (
+               PARTITION BY doc_id2
+               ORDER BY run_tokens DESC, b_start, doc_id1) AS vrn
+      FROM spans),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT v.doc_id2 AS doc_id, v.doc_id1 AS donor_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens_before,
+           v.run_tokens AS removed_tokens,
+           CAST(len(d.w) - v.run_tokens AS BIGINT) AS n_tokens_after,
+           md5(COALESCE(array_to_string(
+             d.w[1:CAST(v.b_start AS INT)]
+               || d.w[CAST(v.b_start + v.run_tokens + 1 AS INT):len(d.w)],
+             ' '), '')) AS text_md5_after
+    FROM vic v JOIN dw d ON d.doc_id = v.doc_id2
+    WHERE v.vrn = 1
+    """
+
+
+@register("dedup_substring_rewrite", oracle=_REWRITE_ORACLE)
+def dedup_substring_rewrite(spark, sf_dir) -> DataFrame:
+    """APPLY the surgical removal — the act half of the suffix-array
+    dedup recipe (Lee et al. 2022 removes the duplicated SPAN, not
+    the document): for each victim document, slice the maximal shared
+    run out of its token stream and emit the rewrite receipt —
+    (doc_id, donor_id, n_tokens_before, removed_tokens,
+    n_tokens_after, text_md5_after). Victim = doc_id2 of each span
+    pair (keep-first-occurrence, the dedup survivor convention); a
+    document hit by several donors gets exactly ONE removal per pass
+    (its longest span, ties broken by b_start then donor id) — the
+    greedy first iteration of the production rewrite loop, which
+    re-runs detection on the rewritten corpus until no shared_run
+    remains. The md5 receipt is what the rewrite job verifies after
+    materializing the new corpus shard.
+
+    Exactness: integer token coordinates end to end; both engines
+    slice the same single-space token array (Spark slice(arr, start,
+    len) with 1-based start == DuckDB end-inclusive w[a:b] — length-0
+    and beyond-end slices both yield [] on both engines, checked) and
+    md5 the same re-joined string (DuckDB array_to_string([]) is NULL
+    where Spark array_join([]) is '' — COALESCE'd, so a fully-
+    contained victim hashes the empty string on both engines).
+
+    Scale: span detection is pair-attributed (1396x pairs -> 3.4x
+    wall measured at 16x, SCALE_SMOKE_r11); the rewrite itself joins
+    the <=1-row-per-victim span table back to the corpus on doc_id —
+    one hash join keyed by the primary key, then per-row slicing
+    inside codegen. At 100 TB the receipt table is the shuffle-cheap
+    side; the corpus is never shuffled (join key = its own key)."""
+    spans = dedup_substring_spans(spark, sf_dir)
+    w_vic = Window.partitionBy("doc_id2").orderBy(
+        F.desc("run_tokens"), "b_start", "doc_id1"
+    )
+    one = (
+        spans.withColumn("vrn", F.row_number().over(w_vic))
+        .filter(F.col("vrn") == 1)
+        .select("doc_id1", "doc_id2", "run_tokens", "b_start")
+    )
+    d = table(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_before = F.size("w").cast("long")
+    prefix = F.slice(F.col("w"), F.lit(1), F.col("b_start").cast("int"))
+    suf_start = (F.col("b_start") + F.col("run_tokens") + 1).cast("int")
+    suf_len = F.greatest(
+        F.size("w") - (F.col("b_start") + F.col("run_tokens")).cast("int"),
+        F.lit(0),
+    )
+    rewritten = F.array_join(F.concat(prefix, F.slice(F.col("w"), suf_start, suf_len)), " ")
+    return (
+        one.join(d, one.doc_id2 == d.doc_id)
+        .select(
+            F.col("doc_id2").alias("doc_id"),
+            F.col("doc_id1").alias("donor_id"),
+            n_before.alias("n_tokens_before"),
+            F.col("run_tokens").alias("removed_tokens"),
+            (n_before - F.col("run_tokens")).cast("long").alias("n_tokens_after"),
+            F.md5(rewritten).alias("text_md5_after"),
+        )
+    )

@@ -1981,6 +1981,7 @@ _FRESH_WAVES.update(
             "rollup_source_freshness",
             "dedup_retune_gate",
             "dedup_substring_spans",
+            "dedup_substring_rewrite",
         },
         11,
     )

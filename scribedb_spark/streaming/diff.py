@@ -372,3 +372,59 @@ def stream_quality_maintain(
         .start()
     )
     return q, holder
+
+
+def stream_freshness_maintain(
+    stream_df: DataFrame,
+    query_name: str = "stream_freshness",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS the ingest-freshness
+    monitor's state (rollup_source_freshness's per-type table) from
+    an INSERT stream of events rows: each micro-batch's per-type
+    (count, max last_seen_us) folds into the running state by union +
+    re-agg — COUNT-sum and MAX are a commutative monoid, so after any
+    prefix of batches the state equals a from-scratch aggregate of
+    all rows seen, at O(|batch|) cost per batch. The streaming half
+    of the "did one upstream topic stop" alarm (batch twin and
+    oracle: rollup_source_freshness):
+    ``freshness_decision(holder.state)`` reads the per-stream
+    lag/verdict table at any point without an events rescan.
+
+    Returns (query, holder) where ``holder.state`` is the maintained
+    per-type table (<= #event_types rows, localCheckpoint'd per batch
+    — flat lineage)."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.analytics import freshness_state
+
+    class _Holder:
+        state = None
+
+    holder = _Holder()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        patch = freshness_state(rows)
+        cur = holder.state
+        if cur is None:
+            holder.state = patch.localCheckpoint()
+            return
+        holder.state = (
+            cur.unionByName(patch)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.max("last_seen_us").cast("long").alias("last_seen_us"),
+            )
+            .localCheckpoint()
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

@@ -234,6 +234,9 @@ PAIR_PROBES = {
     # the spans key re-runs the same matched-position islands with an
     # extra MIN — identical pair volume, identical probe
     "dedup_substring_spans": _substring_matches,
+    # the rewrite's cost IS the span detection (the receipt join is
+    # corpus-key-local) — same matched-position probe
+    "dedup_substring_rewrite": _substring_matches,
     # the retune gate audits the same sampled exact-Jaccard pairs the
     # recall report (and the band tuner) score
     "dedup_retune_gate": _recall_report_pairs,

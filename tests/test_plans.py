@@ -1710,6 +1710,9 @@ _INVARIANCE_KEYS = [
     # round-11 additions
     "dedup_substring",
     "ann_mips_topk",
+    "dedup_substring_spans",
+    "dedup_substring_rewrite",
+    "dedup_retune_gate",
 ]
 
 

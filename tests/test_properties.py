@@ -1616,3 +1616,44 @@ def test_dedup_substring_spans_coordinates_are_real_and_maximal(
             assert ta[a0 - 1] != tb[b0 - 1]
         if a0 + n < len(ta) and b0 + n < len(tb):
             assert ta[a0 + n] != tb[b0 + n]
+
+
+def test_dedup_substring_rewrite_receipts_are_verifiable(spark, sf_dir):
+    """Every rewrite receipt must be reproducible from the raw corpus
+    and the span table: slicing the victim's tokens at the winning
+    span's coordinates yields exactly n_tokens_after tokens whose
+    re-joined md5 equals text_md5_after — the check a production
+    rewrite job runs after materializing the new shard. Also: one
+    receipt per victim (the greedy single-removal contract)."""
+    import hashlib
+
+    from scribedb_spark.operators.dedup import (
+        dedup_substring_rewrite,
+        dedup_substring_spans,
+    )
+    from scribedb_spark.sources import table as _table
+
+    receipts = dedup_substring_rewrite(spark, sf_dir).collect()
+    assert receipts, "fixture corpus must contain shared runs"
+    victims = [r["doc_id"] for r in receipts]
+    assert len(victims) == len(set(victims))
+
+    spans = {}
+    for s in dedup_substring_spans(spark, sf_dir).collect():
+        key = (s["doc_id2"], s["doc_id1"])
+        spans[key] = (s["run_tokens"], s["b_start"])
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in _table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in receipts:
+        run, b0 = spans[(r["doc_id"], r["donor_id"])]
+        toks = docs[r["doc_id"]]
+        assert r["n_tokens_before"] == len(toks)
+        assert r["removed_tokens"] == run
+        kept = toks[:b0] + toks[b0 + run :]
+        assert r["n_tokens_after"] == len(kept) == len(toks) - run
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r["text_md5_after"] == want

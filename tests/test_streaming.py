@@ -519,3 +519,66 @@ def test_stream_quality_maintain_matches_batch_twin_on_planted_drift(
     want = rollup_quality_drift(spark, str(d)).collect()[0]
     assert got.asDict() == want.asDict()
     assert got["decision"] == "drift"
+
+
+def test_stream_freshness_maintain_matches_batch_twin_on_dead_topic(
+    spark, tmp_path_factory
+):
+    """Streamed ingest-freshness monitoring: a corpus with a PLANTED
+    dead topic (one event_type whose newest row lags the freshest
+    stream by 2h) arrives as a multi-file ingest stream; after
+    draining the micro-batches the maintained per-type state's
+    decision table EQUALS the batch twin rollup_source_freshness
+    computes from scratch on the same corpus — and the dead topic
+    reads 'stale'. The count/max state fold is exact across
+    micro-batches."""
+    from datetime import datetime, timezone
+
+    from scribedb_spark.analytics import (
+        freshness_decision,
+        rollup_source_freshness,
+    )
+    from scribedb_spark.streaming.diff import stream_freshness_maintain
+
+    t0 = datetime(2026, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    rows = []
+    for i in range(240):
+        typ = ["click", "view", "purchase"][i % 3]
+        ts = datetime.fromtimestamp(
+            t0.timestamp() - (i % 50) * 60, tz=timezone.utc
+        )
+        rows.append((i, typ, ts))
+    for i in range(240, 260):  # dead producer: newest row 2h old
+        ts = datetime.fromtimestamp(
+            t0.timestamp() - 7200 - (i % 7) * 60, tz=timezone.utc
+        )
+        rows.append((i, "heartbeat", ts))
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    d = tmp_path_factory.mktemp("freshness_corpus")
+    events.write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    sdir = tmp_path_factory.mktemp("freshness_ingest")
+    events.repartition(4).write.mode("overwrite").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_freshness_maintain(stream)
+    q.awaitTermination(120)
+
+    cols = ["event_type", "n_events", "last_seen_us", "lag_us", "verdict"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in freshness_decision(holder.state).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in rollup_source_freshness(spark, str(d)).collect()
+    )
+    assert got == want
+    verdicts = {r[0]: r[4] for r in got}
+    assert verdicts["heartbeat"] == "stale"
+    assert all(v == "fresh" for t, v in verdicts.items() if t != "heartbeat")
