@@ -204,6 +204,10 @@ BENCH_KEYS = [
     "dedup_substring_rewrite",
     "dedup_retune_gate",
     "rollup_source_freshness",
+    "rollup_source_overlap",
+    "search_eval_overlap",
+    "rollup_ingest_gaps",
+    "sample_source_budget",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

@@ -3978,3 +3978,94 @@ def rollup_source_freshness(spark, sf_dir) -> DataFrame:
     localCheckpoint'd so the events scan runs once, not twice."""
     per = freshness_state(table(spark, "events", sf_dir)).localCheckpoint()
     return freshness_decision(per)
+
+
+# ---------------------------------------------------------------------------
+# rollup_ingest_gaps — per-stream outage census (max inter-event gap)
+# ---------------------------------------------------------------------------
+
+#: one calendar day of microseconds — the gap-census partition grain
+_GAP_DAY_US = 86_400_000_000
+
+
+@register(
+    "rollup_ingest_gaps",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           CAST(COUNT(*) FILTER (WHERE gap > {_FRESHNESS_LAG_US})
+                AS BIGINT) AS n_gaps_over,
+           CASE WHEN COUNT(*) FILTER (WHERE gap > {_FRESHNESS_LAG_US}) > 0
+                THEN 'gappy' ELSE 'continuous' END AS verdict
+    FROM g GROUP BY event_type
+    """,
+)
+def rollup_ingest_gaps(spark, sf_dir) -> DataFrame:
+    """PER-STREAM OUTAGE census — the historical companion of
+    rollup_source_freshness (that key asks "is the stream dead NOW";
+    this one asks "how often did it die"): per event_type, the
+    maximal inter-event gap and the count of gaps exceeding the same
+    1 h alarm threshold. The operational record behind an ingest
+    SLA review.
+
+    Scale — the day-partitioned decomposition: a single
+    per-event_type sort window is the classic skew trap (5 stream ids
+    x billions of rows = 5 giant partitions), so the plan partitions
+    the window by (event_type, DAY): consecutive events either share
+    a day (the within-day lag window sees them) or straddle day
+    boundaries, where the earlier one is its day's MAX and the later
+    its day's MIN — so the per-(type, day) min/max table (a map-side
+    partial agg) plus one tiny per-type lag over days supplies
+    exactly the boundary gaps, empty days included. The oracle is the
+    plain global-sort window, so the driver hash-check PROVES the
+    decomposition exact on every run. Window partitions are bounded
+    by one day of one stream; the boundary pass is metadata-sized.
+
+    Exactness: integer epoch microseconds, (us, event_id) total
+    order for equal timestamps, integer threshold counts."""
+    e = table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).withColumn("day", F.expr(f"us div {_GAP_DAY_US}"))
+    w_day = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    wd = e.select(
+        "event_type", (F.col("us") - F.lag("us").over(w_day)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    db = e.groupBy("event_type", "day").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    w_bd = Window.partitionBy("event_type").orderBy("day")
+    bd = db.select(
+        "event_type", (F.col("mn") - F.lag("mx").over(w_bd)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    cnt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    allg = wd.unionByName(bd)
+    gaps = allg.groupBy("event_type").agg(
+        F.max("gap").cast("long").alias("max_gap_us"),
+        F.sum(
+            F.when(F.col("gap") > _FRESHNESS_LAG_US, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gaps_over"),
+    )
+    return (
+        cnt.join(gaps, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "max_gap_us",
+            F.coalesce("n_gaps_over", F.lit(0)).cast("long").alias("n_gaps_over"),
+            F.when(F.coalesce("n_gaps_over", F.lit(0)) > 0, "gappy")
+            .otherwise("continuous")
+            .alias("verdict"),
+        )
+    )

@@ -1890,3 +1890,126 @@ def _bm25_base_postings_artifact(spark, sf_dir):
             "delta": [_LM_DELTA_MOD, _LM_DELTA_REM],
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# search_eval_overlap — retrieval-drift monitor (did the ingest delta
+# shift BM25 rankings?)
+# ---------------------------------------------------------------------------
+
+#: ranking depth audited by the retrieval-drift monitor
+_EVAL_OVERLAP_K = 20
+#: top-k overlap below this flips the verdict to 'shifted' (a crawl
+#: batch that displaces >30% of the serving top-20 warrants an index
+#: eval before the new snapshot ships)
+_EVAL_OVERLAP_THRESHOLD_PPM = 700_000
+
+_BASE_SC = SQL_BM25_SC.replace("FROM documents", "FROM basedocs")
+
+_EVAL_OVERLAP_ORACLE = f"""
+    WITH b AS (
+      WITH basedocs AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % {_LM_DELTA_MOD} <> {_LM_DELTA_REM}),
+      {_BASE_SC}
+      SELECT doc_id, row_number() OVER (ORDER BY score_pts DESC, doc_id) AS rk
+      FROM sc ORDER BY score_pts DESC, doc_id LIMIT {_EVAL_OVERLAP_K}),
+    f AS (
+      WITH {SQL_BM25_SC}
+      SELECT doc_id, row_number() OVER (ORDER BY score_pts DESC, doc_id) AS rk
+      FROM sc ORDER BY score_pts DESC, doc_id LIMIT {_EVAL_OVERLAP_K}),
+    j AS (SELECT b.doc_id, b.rk AS rk_base, f.rk AS rk_full
+          FROM b JOIN f USING (doc_id)),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+                 CAST(COALESCE(MAX(ABS(rk_full - rk_base)), 0) AS BIGINT)
+                   AS max_rank_shift,
+                 CAST(COALESCE(SUM(ABS(rk_full - rk_base)), 0) AS BIGINT)
+                   AS sum_rank_shift
+          FROM j),
+    e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entered_delta FROM f
+          WHERE doc_id % {_LM_DELTA_MOD} = {_LM_DELTA_REM})
+    SELECT n_common, n_entered_delta, max_rank_shift, sum_rank_shift,
+           CAST(n_common * 1000000 // {_EVAL_OVERLAP_K} AS BIGINT)
+             AS overlap_ppm,
+           CASE WHEN n_common * 1000000 // {_EVAL_OVERLAP_K}
+                     < {_EVAL_OVERLAP_THRESHOLD_PPM}
+                THEN 'shifted' ELSE 'stable' END AS verdict
+    FROM m CROSS JOIN e
+    """
+
+
+def _bm25_top_ranks(sc: DataFrame) -> DataFrame:
+    """(doc_id, rk): the deterministic serving top-k of a BM25 score
+    table (TakeOrdered first; the rank window then runs over k rows,
+    never the corpus)."""
+    win = Window.orderBy(F.desc("score_pts"), "doc_id")
+    return (
+        sc.orderBy(F.desc("score_pts"), "doc_id")
+        .limit(_EVAL_OVERLAP_K)
+        .withColumn("rk", F.row_number().over(win))
+        .select("doc_id", "rk")
+    )
+
+
+@register("search_eval_overlap", oracle=_EVAL_OVERLAP_ORACLE)
+def search_eval_overlap(spark, sf_dir) -> DataFrame:
+    """RETRIEVAL-DRIFT monitor — the BM25 serving surface's analog of
+    lm_drift_gate: when the crawl delta (the fixed split doc_id %
+    {101} == {13}) lands, df/avgdl move and new documents compete, so
+    the top-{20} ranking the index serves can shift. This key scores
+    the SAME query (the rarest-terms probe of doc {42}) against the
+    base corpus and the full corpus and emits the one-row drift
+    table: common members, delta entrants, max/sum rank displacement
+    of survivors, overlap ppm, and the verdict ('shifted' below
+    {700000} ppm — >30% of the serving page displaced). Completes the
+    monitor symmetry for retrieval: the postings have persistence and
+    streamed append; this is the eval that says whether the refreshed
+    index CHANGES what users see. (The sf0.001 fixture honestly reads
+    'shifted' — at 60k tokens the top-20 tail is df-sensitive; sf0.01
+    reads 19/20 'stable'.)
+
+    Exactness: both rankings are the integer-point BM25 (one floor-
+    division per (doc, term)) with the score-then-id total order; the
+    overlap stats are counts and integer CASEs. The oracle runs the
+    identical chain twice via nested-WITH scoping (basedocs shadows
+    only the base side).
+
+    Scale: two bounded BM25 passes (the full side reuses the session-
+    cached score table that text_bm25_topk serves from); each top-k
+    is a TakeOrdered, the drift join is 20x20 rows. The standing
+    monitor costs one extra BM25 scan per snapshot — nothing is
+    quadratic, nothing exceeds k rows after the score stage."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
+    top_full = _bm25_top_ranks(bm25_scores(spark, sf_dir)).localCheckpoint()
+    top_base = _bm25_top_ranks(
+        bm25_scores_from(base, _BM25_QUERY_DOC, _BM25_N_TERMS)
+    )
+    j = top_base.select("doc_id", F.col("rk").alias("rk_base")).join(
+        top_full.select("doc_id", F.col("rk").alias("rk_full")), "doc_id"
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.max(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
+        .cast("long")
+        .alias("max_rank_shift"),
+        F.coalesce(F.sum(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
+        .cast("long")
+        .alias("sum_rank_shift"),
+    )
+    e = top_full.filter(
+        F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_entered_delta"))
+    k, thr = _EVAL_OVERLAP_K, _EVAL_OVERLAP_THRESHOLD_PPM
+    return m.crossJoin(F.broadcast(e)).select(
+        "n_common",
+        "n_entered_delta",
+        "max_rank_shift",
+        "sum_rank_shift",
+        F.expr(f"CAST(n_common * 1000000L div {k} AS BIGINT)").alias(
+            "overlap_ppm"
+        ),
+        F.expr(
+            f"CASE WHEN n_common * 1000000L div {k} < {thr} "
+            "THEN 'shifted' ELSE 'stable' END"
+        ).alias("verdict"),
+    )

@@ -2569,7 +2569,7 @@ _SUBSTR_ORACLE = f"""
     WITH {_MINHASH_CTES},
     psh AS ({SQL_POS_SHINGLES}),
     m AS (
-      SELECT DISTINCT c.doc_id1, c.doc_id2,
+      SELECT c.doc_id1, c.doc_id2,
              a.pos - b.pos AS diag, a.pos AS pa
       FROM lsh_cand c
       JOIN psh a ON a.doc_id = c.doc_id1
@@ -2656,7 +2656,11 @@ def dedup_substring(spark, sf_dir) -> DataFrame:
             (F.col("pa") - F.col("pb")).alias("diag"),
             "pa",
         )
-        .distinct()
+        # no .distinct(): positional shingles carry ONE tok3 per
+        # (doc, pos) and the pair list is distinct, so each match row
+        # is a unique (pa, pb) — and (diag, pa) is bijective with it.
+        # A distinct here would be a full extra shuffle of the match
+        # volume (the largest intermediate) for nothing.
     )
     w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("pa")
     runs = (
@@ -2803,7 +2807,7 @@ _SPANS_ORACLE = f"""
     WITH {_MINHASH_CTES},
     psh AS ({SQL_POS_SHINGLES}),
     m AS (
-      SELECT DISTINCT c.doc_id1, c.doc_id2,
+      SELECT c.doc_id1, c.doc_id2,
              a.pos - b.pos AS diag, a.pos AS pa
       FROM lsh_cand c
       JOIN psh a ON a.doc_id = c.doc_id1
@@ -2875,7 +2879,11 @@ def dedup_substring_spans(spark, sf_dir) -> DataFrame:
             (F.col("pa") - F.col("pb")).alias("diag"),
             "pa",
         )
-        .distinct()
+        # no .distinct(): positional shingles carry ONE tok3 per
+        # (doc, pos) and the pair list is distinct, so each match row
+        # is a unique (pa, pb) — and (diag, pa) is bijective with it.
+        # A distinct here would be a full extra shuffle of the match
+        # volume (the largest intermediate) for nothing.
     )
     w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("pa")
     runs = (
@@ -2914,7 +2922,7 @@ _REWRITE_ORACLE = f"""
     WITH {_MINHASH_CTES},
     psh AS ({SQL_POS_SHINGLES}),
     m AS (
-      SELECT DISTINCT c.doc_id1, c.doc_id2,
+      SELECT c.doc_id1, c.doc_id2,
              a.pos - b.pos AS diag, a.pos AS pa
       FROM lsh_cand c
       JOIN psh a ON a.doc_id = c.doc_id1
@@ -3019,5 +3027,178 @@ def dedup_substring_rewrite(spark, sf_dir) -> DataFrame:
             F.col("run_tokens").alias("removed_tokens"),
             (n_before - F.col("run_tokens")).cast("long").alias("n_tokens_after"),
             F.md5(rewritten).alias("text_md5_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup_source_overlap — inter-source duplication census (the
+# dataset-mixing decision's input: how much of source B near-dups A)
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    lab AS (
+      SELECT CASE WHEN sa.source <= sb.source
+                  THEN sa.source ELSE sb.source END AS source_a,
+             CASE WHEN sa.source <= sb.source
+                  THEN sb.source ELSE sa.source END AS source_b
+      FROM lsh_cand c
+      JOIN src sa ON sa.doc_id = c.doc_id1
+      JOIN src sb ON sb.doc_id = c.doc_id2),
+    cnt AS (SELECT source_a, source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY source_a, source_b),
+    ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+    SELECT c.source_a, c.source_b, c.n_pairs,
+           da.n_docs AS n_docs_a, db.n_docs AS n_docs_b,
+           CAST(c.n_pairs * 1000000 // (
+             CASE WHEN c.source_a = c.source_b
+                  THEN da.n_docs * (da.n_docs - 1) // 2
+                  ELSE da.n_docs * db.n_docs END) AS BIGINT)
+             AS dup_rate_ppm
+    FROM cnt c
+    JOIN ds da ON da.source = c.source_a
+    JOIN ds db ON db.source = c.source_b
+    """
+
+
+@register("rollup_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def rollup_source_overlap(spark, sf_dir) -> DataFrame:
+    """INTER-SOURCE duplication census — per unordered source pair,
+    how many near-dup candidate pairs cross it and what fraction of
+    the possible doc pairs that is (ppm): the table a dataset-mixing
+    decision reads before setting per-source sampling weights ("crawl
+    B is 40% near-dup of curated A -> downweight B"), and the
+    between-sources companion of rollup_domain_mix. Within-source
+    rows use the n*(n-1)/2 possible-pair denominator, cross-source
+    rows n_a*n_b. Every downstream mix tool gets integers.
+
+    Exactness: the pair list is the session-cached LSH index both
+    engines recompute identically (md5-band minhash); labels are
+    exact string joins on doc_id; the rate is one guarded integer
+    floor-division (operands bounded: pairs*1e6 < 2^63 far past 16x).
+
+    Scale: two hash joins of the O(pairs) list against the
+    (doc_id, source) projection keyed by the corpus primary key, one
+    partial-agg groupBy over the <= |sources|^2 domain, then
+    broadcast joins of the <= |sources|-row count table — pair-
+    attributed like every consumer of the pair index, with
+    metadata-sized output at 100 TB."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    d = table(spark, "documents", sf_dir)
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_id1"), F.col("source").alias("s1")),
+            "doc_id1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_id2"), F.col("source").alias("s2")),
+            "doc_id2",
+        )
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+    )
+    cnt = lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    ds = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    da = ds.select(F.col("source").alias("source_a"), F.col("n_docs").alias("n_docs_a"))
+    db = ds.select(F.col("source").alias("source_b"), F.col("n_docs").alias("n_docs_b"))
+    return (
+        cnt.join(F.broadcast(da), "source_a")
+        .join(F.broadcast(db), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.expr(
+                "CAST(n_pairs * 1000000L div ("
+                "CASE WHEN source_a = source_b "
+                "THEN n_docs_a * (n_docs_a - 1) div 2 "
+                "ELSE n_docs_a * n_docs_b END) AS BIGINT)"
+            ).alias("dup_rate_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_source_budget — per-source effective size under count-dedup
+# (the act half of the rollup_source_overlap census)
+# ---------------------------------------------------------------------------
+
+#: a source whose duplication-discounted mass falls below this ppm of
+#: its raw document count gets the 'downweight' advice
+_SOURCE_BUDGET_THRESHOLD_PPM = 700_000
+
+_SOURCE_BUDGET_ORACLE = f"""
+    WITH wts AS ({_DEDUP_WEIGHTS_ORACLE})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w.weight_ppm) AS BIGINT) AS effective_docs_ppm,
+           CAST(SUM(w.weight_ppm) // COUNT(*) AS BIGINT)
+             AS effective_ratio_ppm,
+           CASE WHEN SUM(w.weight_ppm) // COUNT(*)
+                     < {_SOURCE_BUDGET_THRESHOLD_PPM}
+                THEN 'downweight' ELSE 'keep' END AS advice
+    FROM wts w JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("sample_source_budget", oracle=_SOURCE_BUDGET_ORACLE)
+def sample_source_budget(spark, sf_dir) -> DataFrame:
+    """PER-SOURCE sampling budget under count-deduplication — the act
+    half of the inter-source census (rollup_source_overlap measures
+    WHERE duplication crosses sources; this key says what each
+    source's mass is WORTH once every near-dup cluster counts as one
+    document spread over its members): per source, raw doc count, the
+    summed dedup weights (effective unique docs x 1e6 — exactly
+    sample_dedup_weights' ppm numerators), their ratio, and the
+    mixing advice ('downweight' below {700000} ppm). A mixture tuner
+    multiplies its per-source temperature weights by
+    effective_ratio_ppm and the cross-source double-count the raw
+    counts would hide is gone.
+
+    Exactness: SUM over the integer ppm weights (each 1000000 div
+    cluster_size) and one integer floor-division per source — the
+    weights oracle's CTE chain reused verbatim, so a mismatch
+    localizes to the source rollup.
+
+    Scale: sample_dedup_weights' cost (components on the pair-bounded
+    LSH graph + one id-keyed corpus join) plus a map-side-partial
+    groupBy over the source domain — metadata-sized output, no new
+    corpus-sized shuffle (the weights join already carries source-
+    sized strings only after the id join)."""
+    w = sample_dedup_weights(spark, sf_dir).select("doc_id", "weight_ppm")
+    src = table(spark, "documents", sf_dir).select("doc_id", "source")
+    thr = _SOURCE_BUDGET_THRESHOLD_PPM
+    return (
+        w.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("weight_ppm").cast("long").alias("effective_docs_ppm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "effective_docs_ppm",
+            F.expr("CAST(effective_docs_ppm div n_docs AS BIGINT)").alias(
+                "effective_ratio_ppm"
+            ),
+            F.expr(
+                f"CASE WHEN effective_docs_ppm div n_docs < {thr} "
+                "THEN 'downweight' ELSE 'keep' END"
+            ).alias("advice"),
         )
     )

@@ -1982,6 +1982,10 @@ _FRESH_WAVES.update(
             "dedup_retune_gate",
             "dedup_substring_spans",
             "dedup_substring_rewrite",
+            "rollup_source_overlap",
+            "search_eval_overlap",
+            "rollup_ingest_gaps",
+            "sample_source_budget",
         },
         11,
     )

@@ -240,6 +240,10 @@ PAIR_PROBES = {
     # the retune gate audits the same sampled exact-Jaccard pairs the
     # recall report (and the band tuner) score
     "dedup_retune_gate": _recall_report_pairs,
+    # the source census labels every LSH candidate pair
+    "rollup_source_overlap": _levenshtein_pairs,
+    # the budget key runs components over the same pair graph
+    "sample_source_budget": _levenshtein_pairs,
 }
 
 

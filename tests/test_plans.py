@@ -1713,6 +1713,7 @@ _INVARIANCE_KEYS = [
     "dedup_substring_spans",
     "dedup_substring_rewrite",
     "dedup_retune_gate",
+    "search_eval_overlap",
 ]
 
 

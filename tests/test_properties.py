@@ -1657,3 +1657,60 @@ def test_dedup_substring_rewrite_receipts_are_verifiable(spark, sf_dir):
         assert r["n_tokens_after"] == len(kept) == len(toks) - run
         want = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert r["text_md5_after"] == want
+
+
+def test_rollup_ingest_gaps_day_decomposition_handles_empty_days(
+    spark, tmp_path_factory
+):
+    """The day-partitioned gap decomposition must equal the naive
+    global-sort census on an ADVERSARIAL fixture: an outage spanning
+    two fully-empty days (the boundary pass must bridge day 2 -> day
+    5 directly), equal-timestamp events (event_id tiebreak), and a
+    single-event stream (no gaps at all -> NULL max, 'continuous')."""
+    from datetime import datetime, timezone
+
+    from scribedb_spark.analytics import (
+        _FRESHNESS_LAG_US,
+        rollup_ingest_gaps,
+    )
+
+    day = 86_400_000_000
+    t0 = int(
+        datetime(2026, 4, 1, tzinfo=timezone.utc).timestamp()
+    ) * 1_000_000
+    rows = []
+    # stream 'a': busy day 0, outage across fully-empty days 1-4,
+    # resumes day 5; plus an equal-ts pair
+    us_list = [
+        t0 + 1_000_000,
+        t0 + 2_000_000,
+        t0 + 2_000_000,  # equal ts, tiebreak by event_id
+        t0 + day - 5_000_000,
+        t0 + 5 * day + 7_000_000,  # 4-day-ish outage over empty days
+        t0 + 5 * day + 9_000_000,
+    ]
+    for i, us in enumerate(us_list):
+        rows.append((i, "a", datetime.fromtimestamp(us / 1e6, tz=timezone.utc)))
+    # stream 'b': a single event — no gaps, verdict 'continuous'
+    rows.append((100, "b", datetime.fromtimestamp(t0 / 1e6, tz=timezone.utc)))
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    d = tmp_path_factory.mktemp("gap_corpus")
+    events.write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        r["event_type"]: (
+            r["n_events"],
+            r["max_gap_us"],
+            r["n_gaps_over"],
+            r["verdict"],
+        )
+        for r in rollup_ingest_gaps(spark, str(d)).collect()
+    }
+    # naive global recompute in Python
+    gaps = [b - a for a, b in zip(us_list, us_list[1:])]
+    n_over = sum(1 for g in gaps if g > _FRESHNESS_LAG_US)
+    assert got["a"] == (6, max(gaps), n_over, "gappy")
+    assert n_over >= 1  # the planted outage is in the census
+    assert got["b"] == (1, None, 0, "continuous")
