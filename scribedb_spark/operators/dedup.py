@@ -2894,21 +2894,31 @@ def dedup_substring_spans(spark, sf_dir) -> DataFrame:
             F.min("pa").alias("pa_start"),
         )
     )
-    w_pick = Window.partitionBy("doc_id1", "doc_id2").orderBy(
-        F.desc("run_len"), "pa_start", "diag"
+    # skew-tolerant pick — NOT a row_number window over the pair: on
+    # a repetitive corpus one hot pair can own millions of runs (one
+    # per (diag, island)), and a per-pair sort window funnels them
+    # into a single task (the measured 64x SPILL_OUT_OF_MEMORY
+    # boundary; dedup_substring, which only MAXes, sails through).
+    # max + lexicographic min-struct over ties is the same
+    # deterministic pick (run_len DESC, then pa_start, then diag)
+    # with map-side partial aggregation at every step.
+    qual = runs.filter(F.col("run_len") + 2 >= _SUBSTR_RUN_TOKENS)
+    best = qual.groupBy("doc_id1", "doc_id2").agg(
+        F.max("run_len").alias("mr")
     )
     return (
-        runs.withColumn("rn", F.row_number().over(w_pick))
-        .filter(
-            (F.col("rn") == 1)
-            & (F.col("run_len") + 2 >= _SUBSTR_RUN_TOKENS)
-        )
+        qual.join(best, ["doc_id1", "doc_id2"])
+        .filter(F.col("run_len") == F.col("mr"))
+        .groupBy("doc_id1", "doc_id2", "run_len")
+        .agg(F.min(F.struct("pa_start", "diag")).alias("t"))
         .select(
             "doc_id1",
             "doc_id2",
             (F.col("run_len") + 2).cast("long").alias("run_tokens"),
-            F.col("pa_start").cast("long").alias("a_start"),
-            (F.col("pa_start") - F.col("diag")).cast("long").alias("b_start"),
+            F.col("t.pa_start").cast("long").alias("a_start"),
+            (F.col("t.pa_start") - F.col("t.diag")).cast("long").alias(
+                "b_start"
+            ),
         )
     )
 
@@ -2999,13 +3009,23 @@ def dedup_substring_rewrite(spark, sf_dir) -> DataFrame:
     inside codegen. At 100 TB the receipt table is the shuffle-cheap
     side; the corpus is never shuffled (join key = its own key)."""
     spans = dedup_substring_spans(spark, sf_dir)
-    w_vic = Window.partitionBy("doc_id2").orderBy(
-        F.desc("run_tokens"), "b_start", "doc_id1"
-    )
+    # skew-tolerant victim pick (same reasoning as the spans pick): a
+    # document near-dup to thousands of donors would funnel all its
+    # span rows into one window task; max + min-struct aggregates
+    # reproduce the (run_tokens DESC, b_start, doc_id1) pick with
+    # partial aggregation.
+    vmax = spans.groupBy("doc_id2").agg(F.max("run_tokens").alias("mx"))
     one = (
-        spans.withColumn("vrn", F.row_number().over(w_vic))
-        .filter(F.col("vrn") == 1)
-        .select("doc_id1", "doc_id2", "run_tokens", "b_start")
+        spans.join(vmax, "doc_id2")
+        .filter(F.col("run_tokens") == F.col("mx"))
+        .groupBy("doc_id2", "run_tokens")
+        .agg(F.min(F.struct("b_start", "doc_id1")).alias("t"))
+        .select(
+            F.col("t.doc_id1").alias("doc_id1"),
+            "doc_id2",
+            "run_tokens",
+            F.col("t.b_start").alias("b_start"),
+        )
     )
     d = table(spark, "documents", sf_dir).select(
         "doc_id", F.split("text", " ").alias("w")

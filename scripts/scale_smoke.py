@@ -302,8 +302,20 @@ def main() -> None:
         fn = Q.REGISTRY[key].fn
         try:
             t0 = time.perf_counter()
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
             n_base = fn(spark, base).count()
             t_base = time.perf_counter() - t0
+            # a production job sizes shuffle partitions to its input
+            # (AQE coalesces down, never up past the initial number):
+            # scale them with the multiplier so per-task sorts stay
+            # the base size — at 32 fixed, a 64x pair-dense window
+            # stage hits the single-task sort-memory ceiling
+            # (SPILL_OUT_OF_MEMORY) that a real cluster never sees.
+            # Base rows keep 32, so cross-round base_s stays
+            # comparable; within-run ratio remains the scale signal.
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(min(2048, 32 * mult))
+            )
             t0 = time.perf_counter()
             n_scaled = fn(spark, out).count()
             t_scaled = time.perf_counter() - t0
