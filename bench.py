@@ -208,6 +208,7 @@ BENCH_KEYS = [
     "search_eval_overlap",
     "rollup_ingest_gaps",
     "sample_source_budget",
+    "ann_mips_persist",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

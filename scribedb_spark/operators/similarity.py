@@ -2713,13 +2713,37 @@ def _mips_ann_ctes() -> str:
       FROM rer)"""
 
 
-def _mips_ann_frame(spark, sf_dir) -> DataFrame:
-    """(q_id, c_id, ip, rk<=5) served MIPS top-k for the 10 fixture
-    queries — the Spark half of _mips_ann_ctes (shared by the serve
-    key and the recall report)."""
-    from pyspark.sql import Window
-
+def _mips_codes(df: DataFrame) -> DataFrame:
+    """(vec_id, e, q): per-vector max-abs int8 quantization of the
+    augmented column ``a`` as int64 codes — shared by the from-scratch
+    frame and the artifact builders."""
     from scribedb_spark.functions.vector import quantize_int8
+
+    ma = F.array_max(F.transform(F.col("a"), F.abs))
+    return df.select(
+        "vec_id",
+        "e",
+        F.transform(
+            quantize_int8(F.col("a"), ma), lambda x: x.cast("long")
+        ).alias("q"),
+    )
+
+
+def _mips_idot() -> Column:
+    """Exact int64 inner product of the ``q`` and ``cq`` code columns."""
+    return F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _mips_codes_and_assignment(spark, sf_dir):
+    """(d8, cent, asn): the augmented-int8 data codes, the {16} seeded
+    cell codebook (cell, cq) and the exact-integer-dot cell assignment
+    (c_id, ce, cell) — the build stages shared by the from-scratch
+    MIPS-ANN frame and the warehouse artifact builders."""
+    from pyspark.sql import Window
 
     e = table(spark, "embeddings", sf_dir)
     v = e.select("vec_id", to_double_array("embedding").alias("e"))
@@ -2732,41 +2756,38 @@ def _mips_ann_frame(spark, sf_dir) -> DataFrame:
             F.array(F.sqrt(F.col("m2") - vdot(F.col("e"), F.col("e")))),
         ).alias("a"),
     )
-    q_aug = v.filter(F.col("vec_id") < 10).select(
-        "vec_id", "e", F.concat(F.col("e"), F.array(F.lit(0.0))).alias("a")
-    )
-
-    def codes(df: DataFrame) -> DataFrame:
-        ma = F.array_max(F.transform(F.col("a"), F.abs))
-        return df.select(
-            "vec_id",
-            "e",
-            F.transform(
-                quantize_int8(F.col("a"), ma), lambda x: x.cast("long")
-            ).alias("q"),
-        )
-
-    d8 = codes(data_aug)
+    d8 = _mips_codes(data_aug)
     cent = d8.filter(F.col("vec_id") < _SQ_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("q").alias("cq")
-    )
-    idot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
     asn = (
         d8.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cell", idot.alias("idot"))
+        .select("vec_id", "e", "cell", _mips_idot().alias("idot"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), "cell")
     )
+    return d8, cent, asn
+
+
+def _mips_ann_frame(spark, sf_dir) -> DataFrame:
+    """(q_id, c_id, ip, rk<=5) served MIPS top-k for the 10 fixture
+    queries — the Spark half of _mips_ann_ctes (shared by the serve
+    key and the recall report)."""
+    from pyspark.sql import Window
+
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    q_aug = v.filter(F.col("vec_id") < 10).select(
+        "vec_id", "e", F.concat(F.col("e"), F.array(F.lit(0.0))).alias("a")
+    )
+    _d8, cent, asn = _mips_codes_and_assignment(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
     prb = (
-        codes(q_aug)
+        _mips_codes(q_aug)
         .crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cell", idot.alias("idot"))
+        .select("vec_id", "e", "cell", _mips_idot().alias("idot"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MIPS_PROBE)
         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "cell")
@@ -2911,6 +2932,129 @@ def ann_mips_recall_report(spark, sf_dir) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+
+def _mips_persisted_artifacts(spark, sf_dir):
+    """The (codebook, index) pair for MIPS serving from warehouse
+    parquet, building if absent or stale — the build half of
+    ann_mips_persist (the shared-wrapper discipline: the catalog key
+    calls THIS, never the serve computation)."""
+    from scribedb_spark.persist import persisted_artifact
+
+    spec = {
+        "cells": _SQ_CELLS,
+        "probe": _MIPS_PROBE,
+        "reduction": "aug_sqrt_m2",
+    }
+    src = [f"{sf_dir}/embeddings.parquet"]
+
+    def build_codebook():
+        _d8, cent, _asn = _mips_codes_and_assignment(spark, sf_dir)
+        # one file: {16} rows of augmented int64 codes
+        return cent.coalesce(1)
+
+    def build_index():
+        _d8, _cent, asn = _mips_codes_and_assignment(spark, sf_dir)
+        return asn.select(
+            F.col("c_id").alias("vec_id"), F.col("ce").alias("e"), "cell"
+        )
+
+    codebook = persisted_artifact(
+        spark, "mips_codebook", sf_dir, src, build_codebook, spec
+    )
+    index = persisted_artifact(
+        spark, "mips_index", sf_dir, src, build_index, spec
+    )
+    return codebook, index
+
+
+def _mips_serve_from_artifacts(spark, codebook, index) -> DataFrame:
+    """MIPS top-{5} per query ENTIRELY from the reloaded artifacts:
+    query codes re-derive from the index's stored ORIGINAL vectors
+    (the query-side augmentation appends 0, so its int8 code needs
+    only the vector itself — bounded: 10 fixture queries), probe
+    cells come from exact int64 dots against the artifact codebook
+    ({16} rows), candidates from the index's cell routing. The
+    embeddings parquet is never scanned and nothing re-quantizes the
+    corpus."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    books = np.array(
+        [r["cq"] for r in codebook.orderBy("cell").collect()],
+        dtype=np.int64,
+    )
+    qrows = index.filter(F.col("vec_id") < 10).select(
+        "vec_id", "e"
+    ).collect()
+    cells = np.arange(len(books), dtype=np.int64)
+    probe_rows = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        a = np.append(np.array(r["e"], dtype=np.float64), 0.0)
+        ma = float(np.max(np.abs(a)))
+        qcode = np.floor(a / (ma if ma != 0 else 1.0) * 127 + 0.5).astype(
+            np.int64
+        )
+        idots = books @ qcode
+        for cell in np.lexsort((cells, -idots))[:_MIPS_PROBE]:
+            probe_rows.append((int(r["vec_id"]), int(cell), list(r["e"])))
+    queries = spark.createDataFrame(
+        probe_rows, "q_id long, cell long, qv array<double>"
+    )
+    cands = index.select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("cv"), "cell"
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(vdot(F.col("cv"), F.col("qv")), 6).alias("ip"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ip"), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MIPS_K)
+        .select("q_id", "c_id", "ip", "rk")
+    )
+
+
+@register(
+    "ann_mips_persist",
+    oracle=f"""
+    WITH {_mips_ann_ctes()}
+    SELECT q_id, c_id, ip, rk FROM r WHERE rk <= {_MIPS_K}
+    """,
+)
+def ann_mips_persist(spark, sf_dir) -> DataFrame:
+    """The persisted MIPS index — the warehouse slot that completes
+    the ANN persistence family (IVF and PQ have one; the augmented-SQ
+    MIPS index did not): write the {16}-cell augmented codebook and
+    the cell-assigned vector table to warehouse parquet once, reload,
+    and serve the same top-{5} MIPS search ENTIRELY from the reloaded
+    artifacts. A recommendation-serving job in a fresh SparkSession
+    reads two index tables — never the embeddings parquet, never the
+    corpus max-norm pass.
+
+    Exactness: the oracle is ann_mips_topk's from-scratch DuckDB
+    recompute — the hash match proves build -> save -> reload ->
+    serve == from-scratch. The driver-side query quantization is the
+    same IEEE ops (floor(x/ma*127+0.5)) numpy float64 applies
+    bit-identically; probe order reproduces (idot DESC, cell) via a
+    stable lexsort on (-idot, cell). Staleness triple-guarded like
+    every artifact (format, spec, source fingerprint); both slots are
+    registered in rollup_artifact_catalog's expected set.
+
+    Scale: the serve plan's only corpus-sized input is the index
+    (cell is the partition/bucket key — each query shuffles only its
+    probed cells); the codebook collect is {16} rows. Identical cost
+    profile to ann_index_persist's IVF serving."""
+    codebook, index = _mips_persisted_artifacts(spark, sf_dir)
+    return _mips_serve_from_artifacts(spark, codebook, index)
 
 
 # dedup_semantic_ann's oracle embeds SQ_RANKED_CTES from this module;

@@ -854,8 +854,10 @@ def _catalog_expected() -> dict[str, dict]:
     from scribedb_spark.operators.similarity import (
         _IVF_ITERS,
         _IVF_SAMPLE,
+        _MIPS_PROBE,
         _PQ_ITERS,
         _PQ_SAMPLE,
+        _SQ_CELLS,
         N_CELLS,
         PQ_K,
         PQ_M,
@@ -863,6 +865,11 @@ def _catalog_expected() -> dict[str, dict]:
 
     ivf = {"sample": _IVF_SAMPLE, "cells": N_CELLS, "iters": _IVF_ITERS}
     pq = {"sample": _PQ_SAMPLE, "m": PQ_M, "k": PQ_K, "iters": _PQ_ITERS}
+    mips = {
+        "cells": _SQ_CELLS,
+        "probe": _MIPS_PROBE,
+        "reduction": "aug_sqrt_m2",
+    }
     return {
         "lsh_pairs": {"n_hashes": N_HASHES, "bands": N_BANDS},
         "lm_bigram_counts": {"scale": _LM_SCALE},
@@ -876,6 +883,8 @@ def _catalog_expected() -> dict[str, dict]:
         "ivf_index": ivf,
         "pq_codebook": pq,
         "pq_codes": pq,
+        "mips_codebook": mips,
+        "mips_index": mips,
         "iblt_orders_sketch": {
             "cells": _IBLT_CELLS,
             "hashes": _IBLT_HASHES,
@@ -900,12 +909,14 @@ def _catalog_ensure_built(spark, sf_dir) -> None:
     from scribedb_spark.operators.dedup import lsh_pairs_artifact
     from scribedb_spark.operators.similarity import (
         _ivf_persisted_artifacts,
+        _mips_persisted_artifacts,
         _pq_persisted_artifacts,
     )
 
     lsh_pairs_artifact(spark, sf_dir)
     _ivf_persisted_artifacts(spark, sf_dir)
     _pq_persisted_artifacts(spark, sf_dir)
+    _mips_persisted_artifacts(spark, sf_dir)
     _lm_count_artifacts(spark, sf_dir)
     _bm25_postings_artifact(spark, sf_dir)
     _bm25_base_postings_artifact(spark, sf_dir)

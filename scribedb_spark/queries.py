@@ -1986,6 +1986,7 @@ _FRESH_WAVES.update(
             "search_eval_overlap",
             "rollup_ingest_gaps",
             "sample_source_budget",
+            "ann_mips_persist",
         },
         11,
     )

@@ -36,6 +36,7 @@ PERSIST_KEYS = [
     "dedup_index_persist",
     "ann_index_persist",
     "ann_pq_persist",
+    "ann_mips_persist",
     "lm_index_persist",
     "bm25_index_persist",
     "bm25_index_append",

@@ -1481,7 +1481,12 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     comes from the two reloaded count tables, where the from-scratch
     twin scans the corpus once per model branch)."""
     # materialize the artifacts first (first call builds + saves)
-    for k in ("dedup_index_persist", "ann_index_persist", "lm_index_persist"):
+    for k in (
+        "dedup_index_persist",
+        "ann_index_persist",
+        "ann_mips_persist",
+        "lm_index_persist",
+    ):
         qmod.REGISTRY[k].fn(spark, sf_dir).count()
 
     p = plan(qmod, spark, sf_dir, "dedup_index_persist")
@@ -1492,6 +1497,11 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     assert "ivf_index" in p
     assert "embeddings.parquet" not in p
     # queries enter as a bounded in-memory frame, broadcast
+    assert "BroadcastHashJoin" in p
+
+    p = plan(qmod, spark, sf_dir, "ann_mips_persist")
+    assert "mips_index" in p
+    assert "embeddings.parquet" not in p
     assert "BroadcastHashJoin" in p
 
     p = plan(qmod, spark, sf_dir, "lm_index_persist")
