@@ -3130,6 +3130,14 @@ def rollup_source_overlap(spark, sf_dir) -> DataFrame:
     ds = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    return source_overlap_decision(cnt, ds)
+
+
+def source_overlap_decision(cnt: DataFrame, ds: DataFrame) -> DataFrame:
+    """The census decision table from the two maintained monoids —
+    per-source-pair n_pairs and per-source n_docs — factored out so
+    the streaming fold (streaming/diff.stream_source_overlap_maintain)
+    reads the same decision the batch key computes from scratch."""
     da = ds.select(F.col("source").alias("source_a"), F.col("n_docs").alias("n_docs_a"))
     db = ds.select(F.col("source").alias("source_b"), F.col("n_docs").alias("n_docs_b"))
     return (

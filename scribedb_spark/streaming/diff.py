@@ -428,3 +428,113 @@ def stream_freshness_maintain(
         .start()
     )
     return q, holder
+
+
+def stream_source_overlap_maintain(
+    stream_df: DataFrame,
+    query_name: str = "stream_source_overlap",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS the inter-source
+    duplication census (rollup_source_overlap's state) from an INSERT
+    stream of (doc_id, text, source) rows. State per batch:
+
+    - ``holder.sig`` — the source-carrying band-signature table of
+      every document seen (the incrementally-maintained LSH index a
+      production pipeline keeps beside the corpus; grows by exactly
+      the batch's signatures),
+    - ``holder.cnt`` — per (source_a, source_b) near-dup pair counts,
+    - ``holder.ds`` — per-source document counts.
+
+    A candidate pair is DISCOVERED exactly once — in the micro-batch
+    where its LATER document arrives (new-batch signatures join the
+    maintained index for new x old pairs, and self-join for new x new)
+    — so the count fold is exact: after any prefix of batches the
+    census equals the batch twin's from-scratch LSH over all rows
+    seen. ``source_overlap_decision(holder.cnt, holder.ds)`` reads
+    the decision table at any point without re-mining pairs.
+
+    Scale: per batch the work is O(|batch| signatures) + the
+    band-bucket join against the index — the same incremental shape
+    dedup_incremental proves; the count tables are |sources|^2-
+    bounded."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import band_signatures
+
+    class _Holder:
+        sig = None  # (doc_id, band, s, source)
+        cnt = None  # (source_a, source_b, n_pairs)
+        ds = None   # (source, n_docs)
+
+    holder = _Holder()
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        bsig = (
+            band_signatures(rows.select("doc_id", "text"))
+            .join(rows.select("doc_id", "source"), "doc_id")
+            .localCheckpoint()
+        )
+        # new x old (the maintained index) + new x new (within-batch)
+        a = bsig.select(
+            F.col("doc_id").alias("id_a"), "band", "s",
+            F.col("source").alias("sa"),
+        )
+        arms = []
+        if holder.sig is not None:
+            old = holder.sig.select(
+                F.col("doc_id").alias("id_b"), "band", "s",
+                F.col("source").alias("sb"),
+            )
+            arms.append(a.join(old, ["band", "s"]))
+        b = bsig.select(
+            F.col("doc_id").alias("id_b"), "band", "s",
+            F.col("source").alias("sb"),
+        )
+        arms.append(a.join(b, ["band", "s"]).filter(F.col("id_a") < F.col("id_b")))
+        matched = arms[0]
+        for arm in arms[1:]:
+            matched = matched.unionByName(arm)
+        new_pairs = (
+            matched.select(
+                F.least("id_a", "id_b").alias("doc_id1"),
+                F.greatest("id_a", "id_b").alias("doc_id2"),
+                F.least("sa", "sb").alias("source_a"),
+                F.greatest("sa", "sb").alias("source_b"),
+            )
+            .distinct()  # a pair can share several bands
+        )
+        patch_cnt = new_pairs.groupBy("source_a", "source_b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        )
+        patch_ds = rows.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        if holder.sig is None:
+            holder.sig = bsig
+            holder.cnt = patch_cnt.localCheckpoint()
+            holder.ds = patch_ds.localCheckpoint()
+            return
+        holder.sig = holder.sig.unionByName(bsig).localCheckpoint()
+        holder.cnt = (
+            holder.cnt.unionByName(patch_cnt)
+            .groupBy("source_a", "source_b")
+            .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+            .localCheckpoint()
+        )
+        holder.ds = (
+            holder.ds.unionByName(patch_ds)
+            .groupBy("source")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+            .localCheckpoint()
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

@@ -582,3 +582,52 @@ def test_stream_freshness_maintain_matches_batch_twin_on_dead_topic(
     verdicts = {r[0]: r[4] for r in got}
     assert verdicts["heartbeat"] == "stale"
     assert all(v == "fresh" for t, v in verdicts.items() if t != "heartbeat")
+
+
+def test_stream_source_overlap_maintain_matches_batch_twin(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streamed inter-source duplication census: the documents corpus
+    arrives as a 4-file ingest stream; after draining, the maintained
+    (pair counts, doc counts) state's decision table must row-equal
+    the batch twin's from-scratch LSH census over the same corpus —
+    the exactly-once pair-discovery argument (a pair is found in the
+    micro-batch where its later document arrives, and never again)
+    checked against the real banded-LSH pair set."""
+    from scribedb_spark.operators.dedup import (
+        rollup_source_overlap,
+        source_overlap_decision,
+    )
+    from scribedb_spark.sources import table as _table
+    from scribedb_spark.streaming.diff import stream_source_overlap_maintain
+
+    docs = _table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source"
+    )
+    sdir = tmp_path_factory.mktemp("overlap_ingest")
+    docs.repartition(4).write.mode("overwrite").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_source_overlap_maintain(stream)
+    q.awaitTermination(180)
+
+    cols = [
+        "source_a",
+        "source_b",
+        "n_pairs",
+        "n_docs_a",
+        "n_docs_b",
+        "dup_rate_ppm",
+    ]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in source_overlap_decision(holder.cnt, holder.ds).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in rollup_source_overlap(spark, sf_dir).collect()
+    )
+    assert got == want and got
