@@ -209,6 +209,7 @@ BENCH_KEYS = [
     "rollup_ingest_gaps",
     "sample_source_budget",
     "ann_mips_persist",
+    "search_eval_panel",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

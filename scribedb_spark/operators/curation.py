@@ -708,12 +708,20 @@ def text_decontaminate(spark, sf_dir) -> DataFrame:
 _BM25_QUERY_DOC = 42
 _BM25_N_TERMS = 8
 
-#: DuckDB CTE chain ending in sc(doc_id, score_pts) — integer-point
-#: BM25 scores of every document against the rarest {_BM25_N_TERMS}
-#: terms of doc {_BM25_QUERY_DOC}; shared by the text_bm25_topk and
-#: search_hybrid_rrf oracles. All arithmetic is exact int64 (the
-#: rational-idf discipline of text_tfidf_topterms taken further: the
-#: whole BM25 term weight becomes ONE integer floor-division).
+def sql_bm25_sc(query_doc: int) -> str:
+    """DuckDB CTE chain ending in sc(doc_id, score_pts) — integer-
+    point BM25 scores of every document against the rarest
+    {_BM25_N_TERMS} terms of ``query_doc``; shared by the
+    text_bm25_topk / search_hybrid_rrf / drift-panel oracles. All
+    arithmetic is exact int64 (the rational-idf discipline of
+    text_tfidf_topterms taken further: the whole BM25 term weight
+    becomes ONE integer floor-division)."""
+    return SQL_BM25_SC.replace(
+        f"= {_BM25_QUERY_DOC})", f"= {query_doc})"
+    ).replace(f"<> {_BM25_QUERY_DOC} ", f"<> {query_doc} ")
+
+
+#: the default-probe instance of :func:`sql_bm25_sc` (doc {42})
 SQL_BM25_SC = f"""
     w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
           FROM documents),
@@ -2013,3 +2021,129 @@ def search_eval_overlap(spark, sf_dir) -> DataFrame:
             "THEN 'shifted' ELSE 'stable' END"
         ).alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# search_eval_panel — the multi-probe retrieval-drift panel
+# ---------------------------------------------------------------------------
+
+#: fixed probe documents for the drift panel (deterministic, none in
+#: the %101 delta slice, spread across the corpus' id range)
+_EVAL_PANEL_DOCS = [7, 25, 42]
+
+
+def _eval_panel_block(q: int) -> str:
+    """One probe doc's oracle block: base/full top-k + the drift row."""
+    base_sc = sql_bm25_sc(q).replace("FROM documents", "FROM basedocs")
+    return f"""
+    pb{q} AS (
+      WITH basedocs AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % {_LM_DELTA_MOD} <> {_LM_DELTA_REM}),
+      {base_sc}
+      SELECT doc_id, row_number() OVER (ORDER BY score_pts DESC, doc_id) AS rk
+      FROM sc ORDER BY score_pts DESC, doc_id LIMIT {_EVAL_OVERLAP_K}),
+    pf{q} AS (
+      WITH {sql_bm25_sc(q)}
+      SELECT doc_id, row_number() OVER (ORDER BY score_pts DESC, doc_id) AS rk
+      FROM sc ORDER BY score_pts DESC, doc_id LIMIT {_EVAL_OVERLAP_K}),
+    blk{q} AS (
+      SELECT CAST({q} AS BIGINT) AS probe_doc,
+             m.n_common, e.n_entered_delta,
+             m.max_rank_shift, m.sum_rank_shift,
+             CAST(m.n_common * 1000000 // {_EVAL_OVERLAP_K} AS BIGINT)
+               AS overlap_ppm,
+             CASE WHEN m.n_common * 1000000 // {_EVAL_OVERLAP_K}
+                       < {_EVAL_OVERLAP_THRESHOLD_PPM}
+                  THEN 'shifted' ELSE 'stable' END AS verdict
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(COALESCE(MAX(ABS(f.rk - b.rk)), 0) AS BIGINT)
+                     AS max_rank_shift,
+                   CAST(COALESCE(SUM(ABS(f.rk - b.rk)), 0) AS BIGINT)
+                     AS sum_rank_shift
+            FROM pb{q} b JOIN pf{q} f USING (doc_id)) m
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_entered_delta
+                  FROM pf{q}
+                  WHERE doc_id % {_LM_DELTA_MOD} = {_LM_DELTA_REM}) e)"""
+
+
+_EVAL_PANEL_ORACLE = (
+    "WITH "
+    + ",".join(_eval_panel_block(q) for q in _EVAL_PANEL_DOCS)
+    + "\n    "
+    + " UNION ALL ".join(f"SELECT * FROM blk{q}" for q in _EVAL_PANEL_DOCS)
+)
+
+
+def _eval_drift_row(spark, sf_dir: str, probe_doc: int) -> DataFrame:
+    """The one-row drift table for one probe doc — search_eval_overlap
+    generalized over the probe (full side served from the per-doc
+    session cache)."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
+    top_full = _bm25_top_ranks(
+        bm25_scores(spark, sf_dir, query_doc=probe_doc)
+    ).localCheckpoint()
+    top_base = _bm25_top_ranks(
+        bm25_scores_from(base, probe_doc, _BM25_N_TERMS)
+    )
+    j = top_base.select("doc_id", F.col("rk").alias("rk_base")).join(
+        top_full.select("doc_id", F.col("rk").alias("rk_full")), "doc_id"
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.max(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
+        .cast("long")
+        .alias("max_rank_shift"),
+        F.coalesce(F.sum(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
+        .cast("long")
+        .alias("sum_rank_shift"),
+    )
+    e = top_full.filter(
+        F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_entered_delta"))
+    k, thr = _EVAL_OVERLAP_K, _EVAL_OVERLAP_THRESHOLD_PPM
+    return m.crossJoin(F.broadcast(e)).select(
+        F.lit(probe_doc).cast("long").alias("probe_doc"),
+        "n_common",
+        "n_entered_delta",
+        "max_rank_shift",
+        "sum_rank_shift",
+        F.expr(f"CAST(n_common * 1000000L div {k} AS BIGINT)").alias(
+            "overlap_ppm"
+        ),
+        F.expr(
+            f"CASE WHEN n_common * 1000000L div {k} < {thr} "
+            "THEN 'shifted' ELSE 'stable' END"
+        ).alias("verdict"),
+    )
+
+
+@register("search_eval_panel", oracle=_EVAL_PANEL_ORACLE)
+def search_eval_panel(spark, sf_dir) -> DataFrame:
+    """The retrieval-drift PANEL — search_eval_overlap generalized
+    from one probe query to a fixed panel ({3} deterministic probe
+    docs spread across the id range, none in the delta slice): one
+    drift row per probe. A single probe can land in a corner of the
+    term space; an index-refresh gate wants the PANEL's worst and
+    median row before shipping the new snapshot (the eval suite a
+    retrieval team runs is exactly this, at larger P). Per-probe
+    verdicts at the same {700000} ppm threshold; the driver's
+    hash-compare pins all rows.
+
+    Exactness: each row is the proven single-probe computation; the
+    oracle expands one nested-WITH block per probe (base side shadows
+    documents with basedocs) and UNION ALLs the blocks.
+
+    Scale: P x the single-probe cost — each probe's full-corpus side
+    is the per-doc session-cached BM25 score table, the base side one
+    extra bounded scoring pass; everything after the score stage is
+    k-bounded. At production P the probes share one exploded term
+    scan (the df/avgdl stages are probe-independent); this panel
+    keeps the proven per-probe shape."""
+    frames = [
+        _eval_drift_row(spark, sf_dir, q) for q in _EVAL_PANEL_DOCS
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

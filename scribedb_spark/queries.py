@@ -1987,6 +1987,7 @@ _FRESH_WAVES.update(
             "rollup_ingest_gaps",
             "sample_source_budget",
             "ann_mips_persist",
+            "search_eval_panel",
         },
         11,
     )
