@@ -210,6 +210,7 @@ BENCH_KEYS = [
     "sample_source_budget",
     "ann_mips_persist",
     "search_eval_panel",
+    "ann_mips_retrain_gate",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

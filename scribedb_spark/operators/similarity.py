@@ -2891,9 +2891,18 @@ def ann_mips_recall_report(spark, sf_dir) -> DataFrame:
     Scale: the exact pass runs on the BOUNDED 10-query fixture only
     (|queries| x corpus map-only scoring — how production recall
     audits run); the ANN side reads the cell-probe plan."""
+    return _mips_recall_for(
+        spark, sf_dir, _mips_ann_frame(spark, sf_dir).select("q_id", "c_id")
+    )
+
+
+def _mips_recall_for(spark, sf_dir, ann: DataFrame) -> DataFrame:
+    """Per-query recall@{5} of any served (q_id, c_id) MIPS answer set
+    against the exact inner-product baseline — factored out so the
+    retrain gate can audit whatever index the warehouse currently
+    serves (the _recall_report_for discipline applied to MIPS)."""
     from pyspark.sql import Window
 
-    ann = _mips_ann_frame(spark, sf_dir).select("q_id", "c_id")
     e = table(spark, "embeddings", sf_dir)
     v = e.select("vec_id", to_double_array("embedding").alias("e"))
     q = v.filter(F.col("vec_id") < 10).select(
@@ -3055,6 +3064,97 @@ def ann_mips_persist(spark, sf_dir) -> DataFrame:
     profile to ann_index_persist's IVF serving."""
     codebook, index = _mips_persisted_artifacts(spark, sf_dir)
     return _mips_serve_from_artifacts(spark, codebook, index)
+
+
+
+def _mips_retrain_gate_oracle() -> str:
+    """DuckDB twin of ann_mips_retrain_gate's decision row: mean
+    recall of the from-scratch MIPS-ANN (what a fresh or healthy
+    warehouse serves), integer-floored, thresholded — the
+    _retrain_gate_oracle shape over the MIPS recall report."""
+    from scribedb_spark.queries import REGISTRY
+
+    rep = REGISTRY["ann_mips_recall_report"].oracle
+    return f"""
+    WITH rep AS ({rep}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                 SUM(recall_ppm) // COUNT(*) AS mean_ppm
+          FROM rep)
+    SELECT n_queries,
+           CAST(mean_ppm AS BIGINT) AS recall_ppm_measured,
+           CAST({_RETRAIN_THRESHOLD_PPM} AS BIGINT) AS threshold_ppm,
+           CASE WHEN mean_ppm < {_RETRAIN_THRESHOLD_PPM}
+                THEN 'retrain' ELSE 'serve' END AS decision,
+           CAST(CASE WHEN mean_ppm < {_RETRAIN_THRESHOLD_PPM}
+                THEN 1 ELSE 0 END AS BIGINT) AS n_rebuilds,
+           CAST(mean_ppm AS BIGINT) AS recall_ppm_served
+    FROM m
+    """
+
+
+@register("ann_mips_retrain_gate", oracle=_mips_retrain_gate_oracle())
+def ann_mips_retrain_gate(spark, sf_dir) -> DataFrame:
+    """MONITOR -> ACT for the persisted MIPS index — ann_retrain_gate's
+    discipline applied to the warehouse slot ann_mips_persist added
+    (build -> persist -> serve -> monitor -> THIS): measure recall@{5}
+    of the index the WAREHOUSE currently serves against the exact
+    inner-product baseline, and when the mean drops below {600000} ppm
+    drop mips_codebook + mips_index and rebuild from the canonical
+    path, then re-measure. One-row integer decision table, the same
+    columns as the IVF gate. Healthy augmented-SQ recall measures
+    920000/880000 ppm at sf0.001/sf0.01 (ann_mips_recall_report);
+    random cell routing sits near the probe fraction (~250000), so
+    the threshold separates cleanly.
+
+    Exactness: a healthy (or absent -> freshly built) warehouse serves
+    the oracle-proven from-scratch index, so measured == served == the
+    oracle mean with decision 'serve' and zero rebuilds — the fixed
+    point the oracle pins. The degraded path (cell-permuted index ->
+    exactly one rebuild -> recall restored) is pinned by a unit test.
+
+    Scale: the audit is the bounded 10-query exact pass; the act path
+    rewrites only the two MIPS slots, at most once per invocation."""
+    import shutil
+
+    from scribedb_spark.persist import artifact_path
+
+    def measure() -> tuple[int, int]:
+        codebook, index = _mips_persisted_artifacts(spark, sf_dir)
+        rep = _mips_recall_for(
+            spark,
+            sf_dir,
+            _mips_serve_from_artifacts(spark, codebook, index).select(
+                "q_id", "c_id"
+            ),
+        )
+        row = rep.agg(
+            F.sum("recall_ppm").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return int(row["s"]) // int(row["n"]), int(row["n"])
+
+    measured, n_queries = measure()
+    rebuilds = 0
+    served = measured
+    if measured < _RETRAIN_THRESHOLD_PPM:
+        for name in ("mips_codebook", "mips_index"):
+            shutil.rmtree(artifact_path(name, sf_dir), ignore_errors=True)
+        served, _n = measure()
+        rebuilds = 1
+    decision = "retrain" if rebuilds else "serve"
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                measured,
+                _RETRAIN_THRESHOLD_PPM,
+                decision,
+                rebuilds,
+                served,
+            )
+        ],
+        "n_queries long, recall_ppm_measured long, threshold_ppm long, "
+        "decision string, n_rebuilds long, recall_ppm_served long",
+    )
 
 
 # dedup_semantic_ann's oracle embeds SQ_RANKED_CTES from this module;

@@ -1988,6 +1988,7 @@ _FRESH_WAVES.update(
             "sample_source_budget",
             "ann_mips_persist",
             "search_eval_panel",
+            "ann_mips_retrain_gate",
         },
         11,
     )

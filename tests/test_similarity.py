@@ -511,3 +511,53 @@ def test_retrain_gate_degraded_index_triggers_one_rebuild(
     again = S.ann_retrain_gate(spark, sf_dir).collect()[0]
     assert again["decision"] == "serve"
     assert len(persist.BUILD_EVENTS) == before + 2
+
+
+def test_mips_retrain_gate_degraded_index_triggers_one_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ann_retrain_gate's monitor->act loop applied to the MIPS
+    warehouse slots: healthy serves; a cell-permuted mips_index (valid
+    sidecar, wrong routing) measures below threshold, triggers exactly
+    one rebuild of both MIPS artifacts, and recall is restored."""
+    import json
+    import os
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    from scribedb_spark import persist
+    from scribedb_spark.operators import similarity as S
+
+    healthy = S.ann_mips_retrain_gate(spark, sf_dir).collect()[0]
+    assert healthy["decision"] == "serve"
+    assert healthy["n_rebuilds"] == 0
+    assert healthy["recall_ppm_measured"] >= S._RETRAIN_THRESHOLD_PPM
+    assert healthy["recall_ppm_served"] == healthy["recall_ppm_measured"]
+
+    dest = persist.artifact_path("mips_index", sf_dir)
+    side = persist.read_sidecar(dest)
+    mangled = spark.read.parquet(dest).select(
+        "vec_id",
+        "e",
+        ((F.col("cell") + 7) % S._SQ_CELLS).cast("long").alias("cell"),
+    )
+    rows = mangled.collect()
+    schema = mangled.schema
+    shutil.rmtree(dest)
+    spark.createDataFrame(rows, schema).write.parquet(dest)
+    with open(os.path.join(dest, "_ARTIFACT_META.json"), "w") as fh:
+        json.dump(side, fh, sort_keys=True)
+
+    before = len(persist.BUILD_EVENTS)
+    acted = S.ann_mips_retrain_gate(spark, sf_dir).collect()[0]
+    assert acted["decision"] == "retrain"
+    assert acted["n_rebuilds"] == 1
+    assert acted["recall_ppm_measured"] < S._RETRAIN_THRESHOLD_PPM
+    assert acted["recall_ppm_served"] >= S._RETRAIN_THRESHOLD_PPM
+    assert acted["recall_ppm_served"] == healthy["recall_ppm_served"]
+    rebuilt = [n for n, _ in persist.BUILD_EVENTS[before:]]
+    assert rebuilt == ["mips_codebook", "mips_index"]
+
+    again = S.ann_mips_retrain_gate(spark, sf_dir).collect()[0]
+    assert again["decision"] == "serve"
+    assert len(persist.BUILD_EVENTS) == before + 2
