@@ -206,7 +206,8 @@ def text_pii_redact(spark, sf_dir) -> DataFrame:
     WITH bg AS (
       SELECT DISTINCT d.doc_id, w[i] || ' ' || w[i+1] AS bg
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
-      CROSS JOIN (SELECT unnest(range(1, 5000)) AS i) ix
+      CROSS JOIN (SELECT unnest(range(1,
+        (SELECT MAX(len(string_split(text, ' '))) FROM documents))) AS i) ix
       WHERE i <= len(w) - 1),
     dfq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg)
     SELECT doc_id,
@@ -233,11 +234,10 @@ def text_rare_bigrams(spark, sf_dir) -> DataFrame:
     the re-join; the per-doc rollup partial-aggregates again. Two
     real shuffles of (doc_id, bigram) pairs, never raw text.
 
-    Oracle cap: the DuckDB mirror enumerates word positions only up
-    to 5000 (``range(1, 5000)``) while the Spark side is uncapped —
-    valid for this corpus (max doc length << 5000 words; asserted at
-    registration time would cost a pass, so documented instead). A
-    longer corpus needs the range sized from ``max(len(w))``.
+    Oracle bound: the DuckDB mirror sizes its position enumeration
+    from the corpus' own ``MAX(len(w))`` (one uncorrelated scalar
+    subquery), so it never truncates — matching Spark's uncapped
+    lookahead regex on any corpus.
     """
     d = table(spark, "documents", sf_dir).filter(
         F.size(F.split(F.col("text"), " ")) >= 2
@@ -716,9 +716,22 @@ def sql_bm25_sc(query_doc: int) -> str:
     arithmetic is exact int64 (the rational-idf discipline of
     text_tfidf_topterms taken further: the whole BM25 term weight
     becomes ONE integer floor-division)."""
-    return SQL_BM25_SC.replace(
-        f"= {_BM25_QUERY_DOC})", f"= {query_doc})"
-    ).replace(f"<> {_BM25_QUERY_DOC} ", f"<> {query_doc} ")
+    out = SQL_BM25_SC
+    for pat, sub in (
+        (f"= {_BM25_QUERY_DOC})", f"= {query_doc})"),
+        (f"<> {_BM25_QUERY_DOC} ", f"<> {query_doc} "),
+    ):
+        # guard the textual substitution (r11 ADVICE): a future edit
+        # that introduces another occurrence of a pattern (or changes
+        # spacing around the query-doc predicates) must fail loudly
+        # here, not silently produce a wrong oracle
+        assert out.count(pat) == 1, (
+            f"sql_bm25_sc: pattern {pat!r} occurs {out.count(pat)} times "
+            "in SQL_BM25_SC (expected exactly 1) — re-derive the "
+            "substitution points"
+        )
+        out = out.replace(pat, sub)
+    return out
 
 
 #: the default-probe instance of :func:`sql_bm25_sc` (doc {42})

@@ -80,13 +80,16 @@ def min_tokens_filter() -> Column:
     return F.size(F.split(F.col("text"), " ")) >= 3
 
 #: DuckDB twin of shingles3 (a FROM-clause fragment producing
-#: (doc_id, source, tok) distinct shingle rows)
+#: (doc_id, source, tok) distinct shingle rows). Position bound
+#: derived from the corpus' own max token count, not a literal cap
+#: (r11 ADVICE — a fixed 5000 would silently truncate long docs).
 SQL_SHINGLES = """
       SELECT DISTINCT d.doc_id, d.source,
              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
       FROM (SELECT doc_id, source, string_split(text, ' ') AS w
             FROM documents) d
-      CROSS JOIN (SELECT unnest(range(1, 5000)) AS i) ix
+      CROSS JOIN (SELECT unnest(range(1,
+        (SELECT MAX(len(string_split(text, ' '))) FROM documents))) AS i) ix
       WHERE i <= len(w) - 2
 """
 
@@ -2555,13 +2558,19 @@ def positional_shingles(d: DataFrame) -> DataFrame:
     )
 
 
-#: DuckDB twin of positional_shingles (0-based pos)
+#: DuckDB twin of positional_shingles (0-based pos). The unnest bound
+#: is derived from the corpus' own max token count (r11 ADVICE: a
+#: fixed literal cap would silently truncate DuckDB-side shingles on a
+#: longer corpus while Spark processes the full text); MAX(len) over
+#: an empty corpus is NULL and range(1, NULL) is empty — no rows, same
+#: as the Spark side.
 SQL_POS_SHINGLES = """
       SELECT doc_id, i - 1 AS pos,
              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok3
       FROM (SELECT doc_id, string_split(text, ' ') AS w
             FROM documents) d
-      CROSS JOIN (SELECT unnest(range(1, 5000)) AS i) ix
+      CROSS JOIN (SELECT unnest(range(1,
+        (SELECT MAX(len(string_split(text, ' '))) FROM documents))) AS i) ix
       WHERE i <= len(w) - 2
 """
 

@@ -440,8 +440,13 @@ def stream_source_overlap_maintain(
 
     - ``holder.sig`` — the source-carrying band-signature table of
       every document seen (the incrementally-maintained LSH index a
-      production pipeline keeps beside the corpus; grows by exactly
-      the batch's signatures),
+      production pipeline keeps beside the corpus). It is a LAZY
+      UNION of per-batch localCheckpoint'd frames: each batch pins
+      only its OWN signatures (O(|batch|) checkpoint work — r11
+      ADVICE: re-checkpointing the accumulated index every batch is
+      quadratic in total documents streamed) and the union plan just
+      scans the already-pinned blocks when the next batch joins
+      against it,
     - ``holder.cnt`` — per (source_a, source_b) near-dup pair counts,
     - ``holder.ds`` — per-source document counts.
 
@@ -462,11 +467,13 @@ def stream_source_overlap_maintain(
     from scribedb_spark.operators.dedup import band_signatures
 
     class _Holder:
-        sig = None  # (doc_id, band, s, source)
+        sig = None  # (doc_id, band, s, source) — lazy union of parts
         cnt = None  # (source_a, source_b, n_pairs)
         ds = None   # (source, n_docs)
+        _sig_parts: list = []  # per-batch checkpointed frames
 
     holder = _Holder()
+    holder._sig_parts = []
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.localCheckpoint()  # pin: the source view is transient
@@ -512,12 +519,19 @@ def stream_source_overlap_maintain(
         patch_ds = rows.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs")
         )
-        if holder.sig is None:
-            holder.sig = bsig
+        # append the batch's already-checkpointed signatures and
+        # rebuild the lazy union — no re-checkpoint of the
+        # accumulated index (O(|batch|) per batch, not O(total))
+        first = holder.sig is None
+        holder._sig_parts.append(bsig)
+        u = holder._sig_parts[0]
+        for part in holder._sig_parts[1:]:
+            u = u.unionByName(part)
+        holder.sig = u
+        if first:
             holder.cnt = patch_cnt.localCheckpoint()
             holder.ds = patch_ds.localCheckpoint()
             return
-        holder.sig = holder.sig.unionByName(bsig).localCheckpoint()
         holder.cnt = (
             holder.cnt.unionByName(patch_cnt)
             .groupBy("source_a", "source_b")

@@ -92,14 +92,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01", gc: bool = False) -> None:
             )
             note = ""
             if verdict == "compact":
-                persist.compact_artifact(
+                did = persist.compact_artifact(
                     spark,
                     dest,
                     max_files=max(persist._ADVISOR_FLOOR_FILES, ideal),
                     target_files=ideal,
                 )
                 nf_after = len(persist._artifact_data_files(dest))
-                note = f"  COMPACTED {nf} -> {nf_after} files"
+                # only claim a compaction that actually happened (r11
+                # ADVICE): compact_artifact refuses internally on a
+                # race (file count back under max, batch-* appearing)
+                note = (
+                    f"  COMPACTED {nf} -> {nf_after} files"
+                    if did
+                    else f"  compaction skipped ({nf_after} files)"
+                )
             elif verdict == "stream_owned":
                 note = "  stream-owned (skipped)"
             print(f"  {name:22s} {sz / 1024:10.1f} KiB  {nf:>4} files{note}")
