@@ -2543,6 +2543,14 @@ def sample_split_cluster(spark, sf_dir) -> DataFrame:
 #: block) rather than incidental overlap
 _SUBSTR_RUN_TOKENS = 20
 
+#: anchor stride for the spans act-half: a QUALIFYING run spans
+#: >= _SUBSTR_RUN_TOKENS - 2 consecutive matched shingle positions,
+#: and any that many consecutive integers contain a multiple of the
+#: stride — so joining only every stride-th doc_id1 position still
+#: witnesses every qualifying run's diagonal (exact, unlike a
+#: rare-shingle anchor, which can miss a run made of common shingles)
+_SUBSTR_STRIDE = _SUBSTR_RUN_TOKENS - 2
+
 
 def positional_shingles(d: DataFrame) -> DataFrame:
     """(doc_id, pos, tok3) ALL overlapping 3-token shingles in
@@ -2573,6 +2581,176 @@ SQL_POS_SHINGLES = """
         (SELECT MAX(len(string_split(text, ' '))) FROM documents))) AS i) ix
       WHERE i <= len(w) - 2
 """
+
+_REP_PAIRS_CACHE: dict = {}
+
+
+def exact_text_reps(d: DataFrame) -> DataFrame:
+    """(doc_id, rep_id) — each document's EXACT-TEXT representative:
+    the smallest doc_id among documents with byte-identical text.
+    One md5 per document, one metadata-sized groupBy + join — never
+    a text-text comparison. The substring family computes runs per
+    REPRESENTATIVE pair and transfers them to every member pair,
+    which is exact because run structure is a pure function of the
+    two texts: text(d) == text(rep(d)) implies every (diag, pa)
+    match set — hence every run length and coordinate — is
+    identical."""
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    reps = h.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    return h.join(reps, "h").select("doc_id", "rep_id")
+
+
+def substring_rep_pairs(spark, sf_dir: str) -> DataFrame:
+    """(doc_id1, doc_id2, r1, r2) — the LSH candidate pair list with
+    each side's exact-text representative attached, checkpointed once
+    per session (shared by all three substring keys). This is the
+    structural fix for the duplicated-corpus blow-up: an N-fold
+    exact-duplicated corpus inflates candidate PAIRS ~N^2 inside every
+    near-dup bucket (64x measured 4895x pairs, SCALE_SMOKE_r11), but
+    the distinct (r1, r2) set stays at the base corpus' size, so the
+    match-volume join never pays the inflation — exactly the
+    exact-dedup-before-substring-dedup staging of the public
+    suffix-array recipe (Lee et al. 2022 run exact dedup first).
+    COALESCE keeps a doc absent from the rep map as its own
+    representative (defensive: pair docs are a subset of the
+    min-token-filtered corpus the map covers)."""
+    from ..cache import session_cache
+
+    def build():
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+        d = (
+            table(spark, "documents", sf_dir)
+            .select("doc_id", "text")
+            .filter(min_tokens_filter())
+        )
+        rmap = exact_text_reps(d)
+        m1 = rmap.select(
+            F.col("doc_id").alias("doc_id1"), F.col("rep_id").alias("ra")
+        )
+        m2 = rmap.select(
+            F.col("doc_id").alias("doc_id2"), F.col("rep_id").alias("rb")
+        )
+        return (
+            pairs.join(m1, "doc_id1", "left")
+            .join(m2, "doc_id2", "left")
+            .select(
+                "doc_id1",
+                "doc_id2",
+                F.coalesce("ra", "doc_id1").alias("r1"),
+                F.coalesce("rb", "doc_id2").alias("r2"),
+            )
+            .localCheckpoint()
+        )
+
+    return session_cache(
+        _REP_PAIRS_CACHE, spark, ("substr_rep_pairs", sf_dir), build
+    )
+
+
+def _rep_positional_shingles(spark, sf_dir: str) -> DataFrame:
+    """positional_shingles restricted to REPRESENTATIVE documents —
+    the only texts the substring match stages read (an N-fold
+    exact-duplicated corpus explodes 1/N of its positions)."""
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    reps = (
+        exact_text_reps(d)
+        .select(F.col("rep_id").alias("doc_id"))
+        .distinct()
+    )
+    return positional_shingles(d.join(reps, "doc_id"))
+
+
+def substring_matches(spark, sf_dir: str) -> DataFrame:
+    """(r1, r2, diag, pa) — every matched shingle position per
+    REPRESENTATIVE pair (the census key's match stage; the volume its
+    islands window shuffles and wall time must track). No .distinct():
+    positional shingles carry ONE tok3 per (doc, pos) and the rep pair
+    list is distinct, so each match row is a unique (pa, pb) — and
+    (diag, pa) is bijective with it. A distinct here would be a full
+    extra shuffle of the largest intermediate for nothing."""
+    pm = substring_rep_pairs(spark, sf_dir)
+    rp = pm.select("r1", "r2").distinct()
+    psh = _rep_positional_shingles(spark, sf_dir)
+    a = psh.select(
+        F.col("doc_id").alias("r1"), F.col("pos").alias("pa"), "tok3"
+    )
+    b = psh.select(
+        F.col("doc_id").alias("r2"), F.col("pos").alias("pb"), "tok3"
+    )
+    return (
+        rp.join(a, "r1")
+        .join(b, ["r2", "tok3"])
+        .select(
+            "r1", "r2", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
+        )
+    )
+
+
+def substring_anchored_matches(spark, sf_dir: str) -> DataFrame:
+    """(r1, r2, diag, pa) — matched positions on SURVIVING diagonals
+    only: the spans act-half's two-stage match. Stage 1 joins only
+    every {stride}-th doc_id1 position (1/{stride} of the raw match
+    volume) to find candidate diagonals; stage 2 re-derives the FULL
+    match set on those diagonals via an equi-join on (doc, position,
+    shingle) — fanout <= 1 per probed position, so its volume is the
+    matched positions on surviving diagonals, not the raw volume.
+
+    EXACT for the act-half: a qualifying run covers >= {stride}
+    consecutive doc_id1 positions, and any {stride} consecutive
+    integers contain a multiple of {stride}, so every qualifying
+    run's diagonal survives stage 1; stage 2 reproduces that
+    diagonal's complete match set, hence identical islands, run
+    lengths and coordinates. Runs living only on non-surviving
+    diagonals are shorter than the threshold and would be filtered
+    anyway. (A rare-shingle anchor would be cheaper still but is NOT
+    complete — a run built entirely from common shingles has no rare
+    anchor; the stride guarantee costs nothing extra and keeps the
+    DuckDB oracle byte-identical.)"""
+    pm = substring_rep_pairs(spark, sf_dir)
+    rp = pm.select("r1", "r2").distinct()
+    psh = _rep_positional_shingles(spark, sf_dir)
+    a = psh.select(
+        F.col("doc_id").alias("r1"), F.col("pos").alias("pa"), "tok3"
+    )
+    b = psh.select(
+        F.col("doc_id").alias("r2"), F.col("pos").alias("pb"), "tok3"
+    )
+    anch = a.filter(F.col("pa") % _SUBSTR_STRIDE == 0)
+    sd = (
+        rp.join(anch, "r1")
+        .join(b, ["r2", "tok3"])
+        .select(
+            "r1", "r2", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .distinct()
+    )
+    a_exp = sd.join(a, "r1").withColumn(
+        "pb", F.col("pa") - F.col("diag")
+    ).filter(F.col("pb") >= 0)
+    return a_exp.join(b, ["r2", "pb", "tok3"]).select(
+        "r1", "r2", "diag", "pa"
+    )
+
+
+def _substring_runs(m: DataFrame) -> DataFrame:
+    """(r1, r2, diag, run_len, pa_start) — gaps-and-islands over the
+    matched positions: maximal consecutive-position runs per (pair,
+    diagonal). The groupBy key is a superset of the window partition
+    key, so the aggregation reuses the window's shuffle."""
+    w = Window.partitionBy("r1", "r2", "diag").orderBy("pa")
+    return (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("r1", "r2", "diag", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("pa").alias("pa_start"),
+        )
+    )
+
 
 _SUBSTR_ORACLE = f"""
     WITH {_MINHASH_CTES},
@@ -2628,61 +2806,29 @@ def dedup_substring(spark, sf_dir) -> DataFrame:
     integers end to end; the shingle text join is exact string
     equality — no hashing, no floats.
 
-    Scale: shingles are restricted to the candidate pairs' documents
-    and joined through the pair list, so the cost is
-    sum over pairs of (|doc1 shingles| + matched positions) — pair-
-    attributed like every verify stage here, never corpus x corpus
+    Scale: runs are computed once per REPRESENTATIVE pair (exact-text
+    collapse, see substring_rep_pairs — run structure is a pure
+    function of the two texts, so member pairs inherit the rep pair's
+    result verbatim; the r11 64x duplicated-union octave inflated
+    pairs 4895x and exhausted host spill disk in this key's match
+    shuffle, while the rep-pair set stays base-sized). Shingles are
+    restricted to representative documents and joined through the rep
+    pair list, so the cost is sum over DISTINCT-TEXT pairs of
+    (|doc1 shingles| + matched positions) — never corpus x corpus
     (a full suffix array at 100 TB is a dedicated sort job; scoping
     exact-run detection to LSH candidates is the standard two-stage
     compromise: LSH finds WHO overlaps, this finds WHERE and HOW
-    MUCH). The diagonal window shuffles only matched positions,
-    keyed by (pair, diag) — bounded by match volume, uniform unless
-    two documents share massive repetition, which is exactly the
-    signal being measured."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    d = (
-        table(spark, "documents", sf_dir)
-        .select("doc_id", "text")
-        .filter(min_tokens_filter())
-    )
-    psh = positional_shingles(d)
-    a = psh.select(
-        F.col("doc_id").alias("doc_id1"),
-        F.col("pos").alias("pa"),
-        "tok3",
-    )
-    b = psh.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("pos").alias("pb"),
-        "tok3",
-    )
-    m = (
-        pairs.join(a, "doc_id1")
-        .join(b, ["doc_id2", "tok3"])
-        .select(
-            "doc_id1",
-            "doc_id2",
-            (F.col("pa") - F.col("pb")).alias("diag"),
-            "pa",
-        )
-        # no .distinct(): positional shingles carry ONE tok3 per
-        # (doc, pos) and the pair list is distinct, so each match row
-        # is a unique (pa, pb) — and (diag, pa) is bijective with it.
-        # A distinct here would be a full extra shuffle of the match
-        # volume (the largest intermediate) for nothing.
-    )
-    w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("pa")
-    runs = (
-        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-        .groupBy("doc_id1", "doc_id2", "diag", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
-    best = runs.groupBy("doc_id1", "doc_id2").agg(
+    MUCH). The diagonal window shuffles only rep-pair matched
+    positions; the transfer back to member pairs is one hash join of
+    the pair list against the <=1-row-per-rep-pair run table."""
+    pm = substring_rep_pairs(spark, sf_dir)
+    m = substring_matches(spark, sf_dir)
+    best = _substring_runs(m).groupBy("r1", "r2").agg(
         F.max("run_len").alias("mr")
     )
     mrt = F.coalesce(F.col("mr") + 2, F.lit(0)).cast("long")
     return (
-        pairs.join(best, ["doc_id1", "doc_id2"], "left")
+        pm.join(best, ["r1", "r2"], "left")
         .select(
             "doc_id1",
             "doc_id2",
@@ -2860,75 +3006,49 @@ def dedup_substring_spans(spark, sf_dir) -> DataFrame:
     ONE span row per qualifying pair.
 
     Exactness: the same integer islands machinery as dedup_substring
-    plus one MIN and one deterministic row_number pick — no floats.
+    plus one MIN and one deterministic pick — no floats. The two
+    volume reductions are both provably lossless here: exact-text rep
+    collapse (run structure is a pure function of the two texts) and
+    strided anchoring (every qualifying run's diagonal contains an
+    anchor by the pigeonhole on {18} consecutive positions; stage 2
+    re-derives the complete match set on surviving diagonals, and
+    runs confined to non-surviving diagonals are below the threshold
+    by the same pigeonhole) — see substring_anchored_matches. The
+    unchanged DuckDB oracle computes the naive full-volume plan, so
+    the driver hash-check proves both reductions exact on every run.
 
-    Scale: identical cost profile to dedup_substring (the islands
-    aggregation gains a MIN — still one shuffle keyed by matched
-    positions, pair-attributed; 1396x pair inflation measured at 2.0x
-    wall in SCALE_SMOKE_r11)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    d = (
-        table(spark, "documents", sf_dir)
-        .select("doc_id", "text")
-        .filter(min_tokens_filter())
-    )
-    psh = positional_shingles(d)
-    a = psh.select(
-        F.col("doc_id").alias("doc_id1"), F.col("pos").alias("pa"), "tok3"
-    )
-    b = psh.select(
-        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pb"), "tok3"
-    )
-    m = (
-        pairs.join(a, "doc_id1")
-        .join(b, ["doc_id2", "tok3"])
-        .select(
-            "doc_id1",
-            "doc_id2",
-            (F.col("pa") - F.col("pb")).alias("diag"),
-            "pa",
-        )
-        # no .distinct(): positional shingles carry ONE tok3 per
-        # (doc, pos) and the pair list is distinct, so each match row
-        # is a unique (pa, pb) — and (diag, pa) is bijective with it.
-        # A distinct here would be a full extra shuffle of the match
-        # volume (the largest intermediate) for nothing.
-    )
-    w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("pa")
-    runs = (
-        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-        .groupBy("doc_id1", "doc_id2", "diag", "grp")
-        .agg(
-            F.count(F.lit(1)).alias("run_len"),
-            F.min("pa").alias("pa_start"),
-        )
-    )
-    # skew-tolerant pick — NOT a row_number window over the pair: on
-    # a repetitive corpus one hot pair can own millions of runs (one
-    # per (diag, island)), and a per-pair sort window funnels them
-    # into a single task (the measured 64x SPILL_OUT_OF_MEMORY
-    # boundary; dedup_substring, which only MAXes, sails through).
-    # max + lexicographic min-struct over ties is the same
-    # deterministic pick (run_len DESC, then pa_start, then diag)
-    # with map-side partial aggregation at every step.
+    Scale: the r11 64x duplicated-union octave killed this key in the
+    match-volume shuffle (SPILL out of host disk, SCALE_SMOKE_r11 —
+    4895x pair inflation times full per-pair match volume). Now the
+    match stage pays (a) stage-1 anchored volume = raw rep-pair
+    volume / {18}, then (b) matched positions on qualifying-run
+    diagonals only — both over the base-sized rep-pair set. The pick
+    stages stay AGG-based (max + lexicographic min-struct, never a
+    per-pair sort window that funnels a hot pair's runs into one
+    task); the member-pair transfer is one hash join against the
+    <=1-row-per-rep-pair span table."""
+    pm = substring_rep_pairs(spark, sf_dir)
+    m = substring_anchored_matches(spark, sf_dir)
+    runs = _substring_runs(m)
     qual = runs.filter(F.col("run_len") + 2 >= _SUBSTR_RUN_TOKENS)
-    best = qual.groupBy("doc_id1", "doc_id2").agg(
-        F.max("run_len").alias("mr")
-    )
-    return (
-        qual.join(best, ["doc_id1", "doc_id2"])
+    best = qual.groupBy("r1", "r2").agg(F.max("run_len").alias("mr"))
+    rep_spans = (
+        qual.join(best, ["r1", "r2"])
         .filter(F.col("run_len") == F.col("mr"))
-        .groupBy("doc_id1", "doc_id2", "run_len")
+        .groupBy("r1", "r2", "run_len")
         .agg(F.min(F.struct("pa_start", "diag")).alias("t"))
         .select(
-            "doc_id1",
-            "doc_id2",
+            "r1",
+            "r2",
             (F.col("run_len") + 2).cast("long").alias("run_tokens"),
             F.col("t.pa_start").cast("long").alias("a_start"),
             (F.col("t.pa_start") - F.col("t.diag")).cast("long").alias(
                 "b_start"
             ),
         )
+    )
+    return pm.join(rep_spans, ["r1", "r2"]).select(
+        "doc_id1", "doc_id2", "run_tokens", "a_start", "b_start"
     )
 
 
@@ -3057,6 +3177,340 @@ def dedup_substring_rewrite(spark, sf_dir) -> DataFrame:
             (n_before - F.col("run_tokens")).cast("long").alias("n_tokens_after"),
             F.md5(rewritten).alias("text_md5_after"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_rewrite_all — the FULL multi-span receipt (all
+# maximal-disjoint spans per victim, not just the single greedy pick)
+# ---------------------------------------------------------------------------
+
+#: greedy-pick unroll bound: at most this many disjoint spans are
+#: selected per victim (the graph_kcore unrolled-rounds discipline —
+#: Spark has no recursive CTE). Each span is >= _SUBSTR_RUN_TOKENS
+#: tokens, so 4 picks cover every victim shorter than
+#: 5 * _SUBSTR_RUN_TOKENS = 100 tokens outright; the n_residual
+#: column counts candidates still selectable after the unroll, so a
+#: truncated receipt is visible in the row, never silent
+_REWRITE_MAX_SPANS = 4
+
+#: the spans chain shared with _SPANS_ORACLE/_REWRITE_ORACLE, ending
+#: in one deterministic maximal span per qualifying pair
+_SPANS_CHAIN_SQL = f"""
+    psh AS ({SQL_POS_SHINGLES}),
+    m AS (
+      SELECT c.doc_id1, c.doc_id2,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM lsh_cand c
+      JOIN psh a ON a.doc_id = c.doc_id1
+      JOIN psh b ON b.doc_id = c.doc_id2 AND b.tok3 = a.tok3),
+    isl AS (
+      SELECT doc_id1, doc_id2, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_id1, doc_id2, diag ORDER BY pa) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_id1, doc_id2, diag, grp,
+             COUNT(*) AS run_len, MIN(pa) AS pa_start
+      FROM isl GROUP BY doc_id1, doc_id2, diag, grp),
+    pick AS (
+      SELECT doc_id1, doc_id2, run_len, pa_start, diag,
+             row_number() OVER (
+               PARTITION BY doc_id1, doc_id2
+               ORDER BY run_len DESC, pa_start, diag) AS rn
+      FROM runs),
+    spans AS (
+      SELECT doc_id1, doc_id2,
+             CAST(run_len + 2 AS BIGINT) AS run_tokens,
+             CAST(pa_start - diag AS BIGINT) AS b_start
+      FROM pick
+      WHERE rn = 1 AND run_len + 2 >= {_SUBSTR_RUN_TOKENS})"""
+
+#: one greedy round: pick the top remaining span per victim, then
+#: drop candidates overlapping it
+_GREEDY_ROUND_SQL = """
+    p{i} AS (
+      SELECT victim, donor, b, r FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY victim ORDER BY r DESC, b, donor) AS rn
+        FROM c{prev}) WHERE rn = 1),
+    c{i} AS (
+      SELECT c.victim, c.donor, c.b, c.r
+      FROM c{prev} c JOIN p{i}
+        ON p{i}.victim = c.victim
+       AND (c.b >= p{i}.b + p{i}.r OR c.b + c.r <= p{i}.b))"""
+
+_REWRITE_ALL_ORACLE = (
+    f"""
+    WITH {_MINHASH_CTES},
+    {_SPANS_CHAIN_SQL},
+    c0 AS (
+      SELECT doc_id2 AS victim, doc_id1 AS donor,
+             b_start AS b, run_tokens AS r
+      FROM spans),"""
+    + ",".join(
+        _GREEDY_ROUND_SQL.format(i=i + 1, prev=i)
+        for i in range(_REWRITE_MAX_SPANS)
+    )
+    + f""",
+    picked AS ({" UNION ALL ".join(
+        f"SELECT * FROM p{i + 1}" for i in range(_REWRITE_MAX_SPANS)
+    )}),
+    ag AS (
+      SELECT victim, COUNT(*) AS n_spans, SUM(r) AS removed,
+             string_agg(
+               CAST(b AS VARCHAR) || ':' || CAST(r AS VARCHAR)
+                 || ':' || CAST(donor AS VARCHAR), ',' ORDER BY b
+             ) AS spans_csv
+      FROM picked GROUP BY victim),
+    resid AS (
+      SELECT victim, COUNT(*) AS n_resid
+      FROM c{_REWRITE_MAX_SPANS} GROUP BY victim),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    vtok AS (
+      SELECT d.doc_id AS victim, i - 1 AS pos, d.w[i] AS tok
+      FROM dw d
+      JOIN (SELECT DISTINCT victim FROM picked) v ON v.victim = d.doc_id
+      CROSS JOIN (SELECT unnest(range(1,
+        (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1
+        )) AS i) ix
+      WHERE i <= len(d.w)),
+    surv AS (
+      SELECT t.victim, t.pos, t.tok FROM vtok t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM picked p
+        WHERE p.victim = t.victim
+          AND t.pos >= p.b AND t.pos < p.b + p.r)),
+    h AS (
+      SELECT victim,
+             md5(COALESCE(string_agg(tok, ' ' ORDER BY pos), ''))
+               AS md5a
+      FROM surv GROUP BY victim)
+    SELECT ag.victim AS doc_id,
+           CAST(ag.n_spans AS BIGINT) AS n_spans_removed,
+           CAST(ag.removed AS BIGINT) AS removed_tokens,
+           CAST(len(d.w) AS BIGINT) AS n_tokens_before,
+           CAST(len(d.w) - ag.removed AS BIGINT) AS n_tokens_after,
+           ag.spans_csv,
+           CAST(COALESCE(resid.n_resid, 0) AS BIGINT) AS n_residual,
+           COALESCE(h.md5a, md5('')) AS text_md5_after
+    FROM ag
+    JOIN dw d ON d.doc_id = ag.victim
+    LEFT JOIN resid ON resid.victim = ag.victim
+    LEFT JOIN h ON h.victim = ag.victim
+    """
+)
+
+
+@register("dedup_substring_rewrite_all", oracle=_REWRITE_ALL_ORACLE)
+def dedup_substring_rewrite_all(spark, sf_dir) -> DataFrame:
+    """The FULL multi-span rewrite receipt — the remaining depth of
+    the suffix-array recipe (Lee et al. 2022 remove EVERY duplicated
+    span, where dedup_substring_rewrite removes one per victim per
+    pass): per victim, greedily select maximal-length NON-OVERLAPPING
+    spans across all donors (priority: run_tokens DESC, then b_start,
+    then donor id — deterministic), remove them all in one slice, and
+    emit (doc_id, n_spans_removed, removed_tokens, n_tokens_before,
+    n_tokens_after, spans_csv, n_residual, text_md5_after). spans_csv
+    is the b_start:run_tokens:donor list in document order (scalar
+    string — the registry's no-complex-columns rule); n_residual
+    counts candidates still selectable after the {4}-pick unroll
+    (Spark has no recursive CTE; the unroll bound covers any victim
+    under {5 * 20} tokens outright, and a longer victim's truncation
+    is visible in its own row, never silent — the graph_kcore
+    unrolled-rounds discipline).
+
+    Exactness: integer coordinates and counts; the rewritten text is
+    rebuilt token-by-token (positions NOT covered by any picked span,
+    re-joined in position order) so both engines hash the identical
+    string — a fully-covered victim hashes md5('') via the same
+    COALESCE on both sides.
+
+    Scale: the greedy rounds operate on the <=1-row-per-pair span
+    table (metadata-sized); each round is one agg + one hash join —
+    never a per-victim sort window (a victim hit by thousands of
+    donors would funnel its spans into one task; the agg-based
+    min-struct pick keeps partial aggregation). The token rebuild
+    explodes ONLY victim documents and anti-joins the picked spans —
+    at 100 TB the corpus is touched once, keyed by its own primary
+    key."""
+    spans = dedup_substring_spans(spark, sf_dir)
+    cand = spans.select(
+        F.col("doc_id2").alias("victim"),
+        F.col("doc_id1").alias("donor"),
+        F.col("b_start").alias("b"),
+        F.col("run_tokens").alias("r"),
+    ).localCheckpoint()
+    picks = []
+    for _ in range(_REWRITE_MAX_SPANS):
+        p = (
+            cand.groupBy("victim")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("r")).alias("nr"), "b", "donor"
+                    )
+                ).alias("t")
+            )
+            .select(
+                "victim",
+                (-F.col("t.nr")).alias("r"),
+                F.col("t.b").alias("b"),
+                F.col("t.donor").alias("donor"),
+            )
+        )
+        picks.append(p)
+        pk = p.select(
+            "victim", F.col("b").alias("pb"), F.col("r").alias("pr")
+        )
+        cand = (
+            cand.join(pk, "victim")
+            .filter(
+                (F.col("b") >= F.col("pb") + F.col("pr"))
+                | (F.col("b") + F.col("r") <= F.col("pb"))
+            )
+            .drop("pb", "pr")
+        )
+    picked = picks[0]
+    for p in picks[1:]:
+        picked = picked.unionByName(p)
+    picked = picked.localCheckpoint()
+    ag = picked.groupBy("victim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+        F.sum("r").cast("long").alias("removed_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "r", "donor"))),
+                lambda s: F.concat_ws(
+                    ":",
+                    s.b.cast("string"),
+                    s.r.cast("string"),
+                    s.donor.cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("spans_csv"),
+    )
+    resid = cand.groupBy("victim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resid")
+    )
+    dw = table(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    vdocs = dw.join(
+        picked.select("victim").distinct(),
+        dw.doc_id == F.col("victim"),
+    ).select("victim", "w")
+    tok = vdocs.select(
+        "victim", F.posexplode("w").alias("pos", "tok")
+    )
+    surv = tok.alias("t").join(
+        picked.alias("p"),
+        (F.col("t.victim") == F.col("p.victim"))
+        & (F.col("t.pos") >= F.col("p.b"))
+        & (F.col("t.pos") < F.col("p.b") + F.col("p.r")),
+        "left_anti",
+    )
+    h = surv.groupBy("victim").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("md5a")
+    )
+    return (
+        ag.join(dw, ag.victim == dw.doc_id)
+        .join(resid, "victim", "left")
+        .join(h, "victim", "left")
+        .select(
+            F.col("victim").alias("doc_id"),
+            "n_spans_removed",
+            "removed_tokens",
+            F.size("w").cast("long").alias("n_tokens_before"),
+            (F.size("w") - F.col("removed_tokens"))
+            .cast("long")
+            .alias("n_tokens_after"),
+            "spans_csv",
+            F.coalesce("n_resid", F.lit(0)).cast("long").alias(
+                "n_residual"
+            ),
+            F.coalesce("md5a", F.md5(F.lit(""))).alias("text_md5_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_rewrite_persist — the act half PERSISTED: rewrite receipts as
+# a warehouse slot (what a 100 TB curation pipeline writes back and
+# re-serves after the dedup sweep)
+# ---------------------------------------------------------------------------
+
+#: the receipts builder's parameter contract — shared verbatim with
+#: rollup_artifact_catalog's expected set (the catalog-key discipline)
+_REWRITE_RECEIPTS_SPEC = {
+    "run_tokens": _SUBSTR_RUN_TOKENS,
+    "max_spans": _REWRITE_MAX_SPANS,
+    "n_hashes": N_HASHES,
+    "bands": N_BANDS,
+}
+
+
+def rewrite_receipts_artifact(spark, sf_dir) -> DataFrame:
+    """The warehouse-persisted multi-span rewrite receipts, building
+    iff absent or stale — the build half of dedup_rewrite_persist,
+    shared with the warehouse catalog (which must ensure the artifact
+    exists without paying the span-detection serve cost)."""
+    from ..persist import persisted_artifact
+
+    return persisted_artifact(
+        spark,
+        "rewrite_receipts",
+        sf_dir,
+        [f"{sf_dir}/documents.parquet"],
+        # receipts are victim-bounded (<= one row per victim doc):
+        # one file, like every new-slot artifact since the r11 sweep
+        lambda: dedup_substring_rewrite_all(spark, sf_dir).coalesce(1),
+        spec=_REWRITE_RECEIPTS_SPEC,
+    )
+
+
+@register("dedup_rewrite_persist", oracle=_REWRITE_ALL_ORACLE)
+def dedup_rewrite_persist(spark, sf_dir) -> DataFrame:
+    """The PERSISTED rewrite receipts — the warehouse slot for the
+    substring family's act half: run the multi-span greedy rewrite
+    once, write the receipt table beside the corpus snapshot, and
+    serve every later consumer (the shard-materializing rewrite job,
+    its md5 verifier, the dataset card's removed-token accounting)
+    from the RELOADED parquet. The corpus is never re-scanned and the
+    span detection never re-runs while the snapshot is unchanged —
+    receipts are exactly what a 100 TB curation pipeline writes back
+    after the dedup sweep.
+
+    Exactness: the oracle is dedup_substring_rewrite_all's
+    from-scratch DuckDB recompute — the hash match proves
+    build -> save -> reload -> serve == from-scratch (BIGINT counts,
+    csv strings and md5 hex survive the parquet round trip
+    bit-exact). Staleness is triple-guarded (format version, the
+    {run_tokens, max_spans, bands} spec, source fingerprint) and the
+    slot is registered in rollup_artifact_catalog's expected set; a
+    fresh SparkSession serving with ZERO builds is pinned by the
+    two-real-sessions subprocess test.
+
+    Scale: the serve plan is one FileScan of the receipts parquet —
+    victim-bounded rows, no joins, no corpus input."""
+    return rewrite_receipts_artifact(spark, sf_dir).select(
+        "doc_id",
+        "n_spans_removed",
+        "removed_tokens",
+        "n_tokens_before",
+        "n_tokens_after",
+        "spans_csv",
+        "n_residual",
+        "text_md5_after",
     )
 
 

@@ -850,7 +850,11 @@ def _catalog_expected() -> dict[str, dict]:
         _LM_DELTA_REM,
         _LM_SCALE,
     )
-    from scribedb_spark.operators.dedup import N_BANDS, N_HASHES
+    from scribedb_spark.operators.dedup import (
+        _REWRITE_RECEIPTS_SPEC,
+        N_BANDS,
+        N_HASHES,
+    )
     from scribedb_spark.operators.similarity import (
         _IVF_ITERS,
         _IVF_SAMPLE,
@@ -885,6 +889,7 @@ def _catalog_expected() -> dict[str, dict]:
         "pq_codes": pq,
         "mips_codebook": mips,
         "mips_index": mips,
+        "rewrite_receipts": dict(_REWRITE_RECEIPTS_SPEC),
         "iblt_orders_sketch": {
             "cells": _IBLT_CELLS,
             "hashes": _IBLT_HASHES,
@@ -906,7 +911,10 @@ def _catalog_ensure_built(spark, sf_dir) -> None:
         _bm25_postings_artifact,
         _lm_count_artifacts,
     )
-    from scribedb_spark.operators.dedup import lsh_pairs_artifact
+    from scribedb_spark.operators.dedup import (
+        lsh_pairs_artifact,
+        rewrite_receipts_artifact,
+    )
     from scribedb_spark.operators.similarity import (
         _ivf_persisted_artifacts,
         _mips_persisted_artifacts,
@@ -917,6 +925,7 @@ def _catalog_ensure_built(spark, sf_dir) -> None:
     _ivf_persisted_artifacts(spark, sf_dir)
     _pq_persisted_artifacts(spark, sf_dir)
     _mips_persisted_artifacts(spark, sf_dir)
+    rewrite_receipts_artifact(spark, sf_dir)
     _lm_count_artifacts(spark, sf_dir)
     _bm25_postings_artifact(spark, sf_dir)
     _bm25_base_postings_artifact(spark, sf_dir)

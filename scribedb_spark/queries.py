@@ -1993,6 +1993,18 @@ _FRESH_WAVES.update(
         11,
     )
 )
+#: twelfth wave (round 12) — the full multi-span rewrite receipt, its
+#: warehouse slot, and the one-pane gate census
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "dedup_substring_rewrite_all",
+            "dedup_rewrite_persist",
+            "rollup_gate_panel",
+        },
+        12,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

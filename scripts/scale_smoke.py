@@ -176,42 +176,23 @@ def _recall_report_pairs(spark, sfd):
 
 
 def _substring_matches(spark, sfd):
-    """Distinct matched (pair, diag, pos) rows — the volume the
-    islands window of dedup_substring shuffles and wall must track."""
-    from pyspark.sql import functions as F
+    """Matched (rep pair, diag, pos) rows — the volume the census
+    key's islands window shuffles and wall must track (r12: runs are
+    computed per exact-text REPRESENTATIVE pair, so an N-fold
+    duplicated corpus no longer inflates this; the r11 raw-pair probe
+    measured the volume that exhausted host spill at 64x)."""
+    from scribedb_spark.operators.dedup import substring_matches
 
-    from scribedb_spark.operators.dedup import (
-        dedup_minhash_lsh,
-        min_tokens_filter,
-        positional_shingles,
-    )
-    from scribedb_spark.sources import table
+    return substring_matches(spark, sfd).count()
 
-    pairs = dedup_minhash_lsh(spark, sfd)
-    d = (
-        table(spark, "documents", sfd)
-        .select("doc_id", "text")
-        .filter(min_tokens_filter())
-    )
-    psh = positional_shingles(d)
-    a = psh.select(
-        F.col("doc_id").alias("doc_id1"), F.col("pos").alias("pa"), "tok3"
-    )
-    b = psh.select(
-        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pb"), "tok3"
-    )
-    return (
-        pairs.join(a, "doc_id1")
-        .join(b, ["doc_id2", "tok3"])
-        .select(
-            "doc_id1",
-            "doc_id2",
-            (F.col("pa") - F.col("pb")).alias("diag"),
-            "pa",
-        )
-        .distinct()
-        .count()
-    )
+
+def _substring_anchored(spark, sfd):
+    """Matched positions on SURVIVING diagonals — the volume the
+    spans/rewrite act-half shuffles after the r12 strided-anchor
+    two-stage match (qualifying-run diagonals only)."""
+    from scribedb_spark.operators.dedup import substring_anchored_matches
+
+    return substring_anchored_matches(spark, sfd).count()
 
 
 #: candidate/verify-pair counters for the pair-dense keys whose OUTPUT
@@ -231,12 +212,12 @@ PAIR_PROBES = {
     # recall report audits — identical cost driver, identical probe
     "dedup_minhash_band_tune": _recall_report_pairs,
     "dedup_substring": _substring_matches,
-    # the spans key re-runs the same matched-position islands with an
-    # extra MIN — identical pair volume, identical probe
-    "dedup_substring_spans": _substring_matches,
+    # the spans key's islands run over the anchored (surviving-
+    # diagonal) match set — its own, smaller volume
+    "dedup_substring_spans": _substring_anchored,
     # the rewrite's cost IS the span detection (the receipt join is
-    # corpus-key-local) — same matched-position probe
-    "dedup_substring_rewrite": _substring_matches,
+    # corpus-key-local) — same anchored-match probe
+    "dedup_substring_rewrite": _substring_anchored,
     # the retune gate audits the same sampled exact-Jaccard pairs the
     # recall report (and the band tuner) score
     "dedup_retune_gate": _recall_report_pairs,

@@ -1528,6 +1528,14 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     assert "bm25_postings_base" in p
     assert "documents.parquet" in p
 
+    qmod.REGISTRY["dedup_rewrite_persist"].fn(spark, sf_dir).count()
+    p = plan(qmod, spark, sf_dir, "dedup_rewrite_persist")
+    # the receipts ARE the data: one artifact FileScan, zero corpus
+    # scans, no joins — the span detection never re-runs while warm
+    assert "rewrite_receipts" in p
+    assert "documents.parquet" not in p
+    assert "Join" not in p
+
     # compare_iblt_persist returns the DECODED rows (ExistingRDD), so
     # the warehouse pin targets its pre-decode cell pipeline: the base
     # sketch must be the warehouse FileScan, never a re-sketch of the
@@ -1724,6 +1732,11 @@ _INVARIANCE_KEYS = [
     "dedup_substring_rewrite",
     "dedup_retune_gate",
     "search_eval_overlap",
+    # round-12 additions (r11 verdict cheap checks + the new slate)
+    "search_eval_panel",
+    "ann_mips_persist",
+    "dedup_substring_rewrite_all",
+    "dedup_rewrite_persist",
 ]
 
 
