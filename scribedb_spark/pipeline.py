@@ -1155,3 +1155,258 @@ def rollup_gc_census(spark, sf_dir) -> DataFrame:
         "artifact string, stale long, reason string, "
         "deleted long, exists_after long",
     )
+
+
+# ---------------------------------------------------------------------------
+# rollup_gate_panel — ONE census over every monitor -> act decision
+# (the rollup_artifact_catalog discipline applied to DECISIONS)
+# ---------------------------------------------------------------------------
+
+#: (panel gate label, registry key) in panel order — the ONE list the
+#: Spark side and the oracle composer share
+_GATE_PANEL_KEYS = (
+    ("ann_retrain", "ann_retrain_gate"),
+    ("ann_mips_retrain", "ann_mips_retrain_gate"),
+    ("dedup_retune", "dedup_retune_gate"),
+    ("lm_drift", "lm_drift_gate"),
+    ("quality_drift", "rollup_quality_drift"),
+    ("source_freshness", "rollup_source_freshness"),
+    ("ingest_gaps", "rollup_ingest_gaps"),
+    ("source_budget", "sample_source_budget"),
+    ("compaction", "layout_compaction_advisor"),
+)
+
+
+def _gate_panel_oracle() -> str:
+    """The panel oracle: each gate's EXISTING registered oracle,
+    scoped in its own nested-WITH subquery (the search_eval_overlap
+    pattern — CTE names cannot collide across subqueries), reduced to
+    the uniform (gate, measured, threshold, decision) row with the
+    same integer aggregates the Spark side applies, UNION ALL'd in
+    panel order."""
+    # force-register the gate modules so REGISTRY holds their oracles
+    import scribedb_spark.analytics  # noqa: F401
+    import scribedb_spark.operators.curation  # noqa: F401
+    import scribedb_spark.operators.dedup  # noqa: F401
+    import scribedb_spark.operators.similarity  # noqa: F401
+    from scribedb_spark.analytics import _FRESHNESS_LAG_US
+    from scribedb_spark.operators.dedup import (
+        _SOURCE_BUDGET_THRESHOLD_PPM,
+    )
+    from scribedb_spark.persist import _ADVISOR_FLOOR_FILES
+    from scribedb_spark.queries import REGISTRY
+
+    def o(key: str) -> str:
+        return REGISTRY[key].oracle
+
+    def one_row(gate, measured, threshold, key) -> str:
+        return (
+            f"SELECT '{gate}' AS gate, "
+            f"CAST({measured} AS BIGINT) AS measured, "
+            f"CAST({threshold} AS BIGINT) AS threshold, decision "
+            f"FROM ({o(key)}) t"
+        )
+
+    parts = [
+        one_row(
+            "ann_retrain",
+            "recall_ppm_measured",
+            "threshold_ppm",
+            "ann_retrain_gate",
+        ),
+        one_row(
+            "ann_mips_retrain",
+            "recall_ppm_measured",
+            "threshold_ppm",
+            "ann_mips_retrain_gate",
+        ),
+        one_row(
+            "dedup_retune",
+            "recall_ppm_measured",
+            "threshold_ppm",
+            "dedup_retune_gate",
+        ),
+        one_row(
+            "lm_drift", "oov_bigram_ppm", "threshold_ppm", "lm_drift_gate"
+        ),
+        one_row(
+            "quality_drift", "tv_ppm", "threshold_ppm", "rollup_quality_drift"
+        ),
+        f"""SELECT 'source_freshness' AS gate,
+           CAST(MAX(lag_us) AS BIGINT) AS measured,
+           CAST({_FRESHNESS_LAG_US} AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN verdict <> 'fresh' THEN 1 ELSE 0 END) > 0
+                THEN 'stale' ELSE 'fresh' END AS decision
+        FROM ({o("rollup_source_freshness")}) t""",
+        f"""SELECT 'ingest_gaps' AS gate,
+           CAST(SUM(n_gaps_over) AS BIGINT) AS measured,
+           CAST({_FRESHNESS_LAG_US} AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN verdict = 'gappy' THEN 1 ELSE 0 END) > 0
+                THEN 'gappy' ELSE 'continuous' END AS decision
+        FROM ({o("rollup_ingest_gaps")}) t""",
+        f"""SELECT 'source_budget' AS gate,
+           CAST(MIN(effective_ratio_ppm) AS BIGINT) AS measured,
+           CAST({_SOURCE_BUDGET_THRESHOLD_PPM} AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN advice = 'downweight' THEN 1 ELSE 0 END)
+                     > 0
+                THEN 'downweight' ELSE 'keep' END AS decision
+        FROM ({o("sample_source_budget")}) t""",
+        f"""SELECT 'compaction' AS gate,
+           CAST(SUM(CASE WHEN verdict = 'compact' THEN 1 ELSE 0 END)
+                AS BIGINT) AS measured,
+           CAST({_ADVISOR_FLOOR_FILES} AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN verdict = 'compact' THEN 1 ELSE 0 END) > 0
+                THEN 'compact' ELSE 'ok' END AS decision
+        FROM ({o("layout_compaction_advisor")}) t""",
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("rollup_gate_panel", oracle=_gate_panel_oracle())
+def rollup_gate_panel(spark, sf_dir) -> DataFrame:
+    """The OPERATOR'S ONE PANE: every monitor -> act decision in the
+    engine as one census table — (gate, measured, threshold,
+    decision), one row per standing gate: ANN retrain (IVF and MIPS),
+    dedup retune, LM drift, quality drift, source freshness, ingest
+    gaps, source budget and warehouse compaction. This is the
+    rollup_artifact_catalog discipline applied to DECISIONS: the
+    catalog proves the warehouse as a whole is what the code expects;
+    the panel proves the MONITORING as a whole is readable in one
+    query — what an on-call operator actually loads before touching a
+    100 TB corpus snapshot.
+
+    Each row comes from the gate's OWN registered computation (the
+    decision halves are already factored and their inputs
+    session-cached or warehouse-served — lsh_gate_decision,
+    _mips_recall_for, quality_drift_from_hist, freshness_decision,
+    compaction_advice; nothing here re-runs a serve path the gates
+    themselves would not run). Multi-row gates reduce to their
+    headline: freshness -> worst lag + any-stale, gaps -> total
+    over-threshold gaps + any-gappy, budget -> worst source ratio +
+    any-downweight, compaction -> count of compact verdicts. The
+    healthy fixed point reads serve/serve/serve/stable/keep/ok;
+    rebuild counts stay zero when healthy because the panel calls the
+    same gate functions whose acts are build-once-gated.
+
+    Exactness: the oracle composes each gate's EXISTING oracle
+    unchanged inside its own nested-WITH subquery (the
+    search_eval_overlap scoping pattern) and applies the identical
+    integer reductions — a drifted decision, threshold or measurement
+    in ANY gate flips a panel cell, so this one key re-proves the
+    whole monitor family end to end.
+
+    Scale: the panel adds ONLY the 9 one-row reductions on top of
+    measurements the gates already pay (sample-bounded audits,
+    warehouse-served recalls, metadata-sized censuses) — a standing
+    control-plane query at 100 TB."""
+    from scribedb_spark.analytics import (
+        _FRESHNESS_LAG_US,
+        layout_compaction_advisor,
+        rollup_ingest_gaps,
+        rollup_source_freshness,
+    )
+    from scribedb_spark.operators.curation import (
+        lm_drift_gate,
+        rollup_quality_drift,
+    )
+    from scribedb_spark.operators.dedup import (
+        _SOURCE_BUDGET_THRESHOLD_PPM,
+        dedup_retune_gate,
+        sample_source_budget,
+    )
+    from scribedb_spark.operators.similarity import (
+        ann_mips_retrain_gate,
+        ann_retrain_gate,
+    )
+    from scribedb_spark.persist import _ADVISOR_FLOOR_FILES
+
+    def one_row(gate: str, df: DataFrame, measured: str) -> DataFrame:
+        return df.select(
+            F.lit(gate).alias("gate"),
+            F.col(measured).cast("long").alias("measured"),
+            F.col("threshold_ppm").cast("long").alias("threshold"),
+            "decision",
+        )
+
+    fresh = rollup_source_freshness(spark, sf_dir).agg(
+        F.max("lag_us").cast("long").alias("measured"),
+        F.sum(F.when(F.col("verdict") != "fresh", 1).otherwise(0)).alias(
+            "nbad"
+        ),
+    )
+    gaps = rollup_ingest_gaps(spark, sf_dir).agg(
+        F.sum("n_gaps_over").cast("long").alias("measured"),
+        F.sum(F.when(F.col("verdict") == "gappy", 1).otherwise(0)).alias(
+            "nbad"
+        ),
+    )
+    budget = sample_source_budget(spark, sf_dir).agg(
+        F.min("effective_ratio_ppm").cast("long").alias("measured"),
+        F.sum(
+            F.when(F.col("advice") == "downweight", 1).otherwise(0)
+        ).alias("nbad"),
+    )
+    compact = layout_compaction_advisor(spark, sf_dir).agg(
+        F.sum(F.when(F.col("verdict") == "compact", 1).otherwise(0))
+        .cast("long")
+        .alias("measured"),
+    )
+    parts = [
+        one_row(
+            "ann_retrain",
+            ann_retrain_gate(spark, sf_dir),
+            "recall_ppm_measured",
+        ),
+        one_row(
+            "ann_mips_retrain",
+            ann_mips_retrain_gate(spark, sf_dir),
+            "recall_ppm_measured",
+        ),
+        one_row(
+            "dedup_retune",
+            dedup_retune_gate(spark, sf_dir),
+            "recall_ppm_measured",
+        ),
+        one_row("lm_drift", lm_drift_gate(spark, sf_dir), "oov_bigram_ppm"),
+        one_row(
+            "quality_drift", rollup_quality_drift(spark, sf_dir), "tv_ppm"
+        ),
+        fresh.select(
+            F.lit("source_freshness").alias("gate"),
+            "measured",
+            F.lit(_FRESHNESS_LAG_US).cast("long").alias("threshold"),
+            F.when(F.col("nbad") > 0, "stale")
+            .otherwise("fresh")
+            .alias("decision"),
+        ),
+        gaps.select(
+            F.lit("ingest_gaps").alias("gate"),
+            "measured",
+            F.lit(_FRESHNESS_LAG_US).cast("long").alias("threshold"),
+            F.when(F.col("nbad") > 0, "gappy")
+            .otherwise("continuous")
+            .alias("decision"),
+        ),
+        budget.select(
+            F.lit("source_budget").alias("gate"),
+            "measured",
+            F.lit(_SOURCE_BUDGET_THRESHOLD_PPM)
+            .cast("long")
+            .alias("threshold"),
+            F.when(F.col("nbad") > 0, "downweight")
+            .otherwise("keep")
+            .alias("decision"),
+        ),
+        compact.select(
+            F.lit("compaction").alias("gate"),
+            "measured",
+            F.lit(_ADVISOR_FLOOR_FILES).cast("long").alias("threshold"),
+            F.when(F.col("measured") > 0, "compact")
+            .otherwise("ok")
+            .alias("decision"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
