@@ -811,34 +811,50 @@ def _bm25_scores_build(
     return bm25_scores_from(d, query_doc, n_terms)
 
 
-def bm25_scores_from(
-    d: DataFrame, query_doc: int, n_terms: int
-) -> DataFrame:
-    """The BM25 scoring core over any (doc_id, text) frame — factored
-    out so the hypothesis property test can pin the integer formula
-    against a pure-Python recompute on arbitrary corpora."""
+def bm25_postings_from(d: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl) — the BM25-sufficient postings of any
+    (doc_id, text) frame. This is the state the streamed index
+    maintains: doc_ids arrive whole and disjoint, so per-batch
+    postings APPEND is the exact merge (tf is batch-local, dl is a
+    pure per-doc function, and df/avgdl re-derive from the
+    accumulated rows — see stream_search_eval_maintain)."""
     toks = F.split("text", " ")
-    w = d.select("doc_id", F.explode(toks).alias("term"))
-    n_docs, total_tokens = d.select(
-        F.count(F.lit(1)), F.sum(F.size(toks))
-    ).first()
+    return (
+        d.select(
+            "doc_id",
+            F.explode(toks).alias("term"),
+            F.size(toks).alias("dl"),
+        )
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_scores_from_postings(
+    post: DataFrame,
+    n_docs: int,
+    total_tokens: int,
+    query_doc: int,
+    n_terms: int,
+) -> DataFrame:
+    """The BM25 scoring core over a POSTINGS frame (one row per
+    (doc, term)): df is the per-term row count (each doc contributes
+    one row per term), avgdl the rounded integer mean, and the score
+    the module's one-floor-division-per-term int64 formula. The
+    text-frame entry point (bm25_scores_from) and the streamed-index
+    scorer both call THIS, so the two paths cannot drift."""
     avgdl = (int(total_tokens) + int(n_docs) // 2) // int(n_docs)
-    dft = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    dft = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qt = (
-        w.filter(F.col("doc_id") == query_doc)
+        post.filter(F.col("doc_id") == query_doc)
         .select("term")
-        .distinct()
         .join(dft, "term")
         .orderBy("df", "term")
         .limit(n_terms)
     )
-    tfq = (
-        w.filter(F.col("doc_id") != query_doc)
-        .join(F.broadcast(qt), "term")
-        .groupBy("doc_id", "term", "df")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tfq = post.filter(F.col("doc_id") != query_doc).join(
+        F.broadcast(qt), "term"
     )
-    dlen = d.select("doc_id", F.size(toks).alias("dl"))
     num = (
         F.lit(1000000 * 22 * avgdl)
         * F.col("tf")
@@ -850,11 +866,32 @@ def bm25_scores_from(
         + 9 * F.col("dl")
     ) * (2 * F.col("df") + 1)
     return (
-        tfq.join(dlen, "doc_id")
-        .select("doc_id", num.alias("num"), den.alias("den"))
+        tfq.select("doc_id", num.alias("num"), den.alias("den"))
         .select("doc_id", F.expr("num div den").alias("p"))
         .groupBy("doc_id")
         .agg(F.sum("p").cast("long").alias("score_pts"))
+    )
+
+
+def bm25_scores_from(
+    d: DataFrame, query_doc: int, n_terms: int
+) -> DataFrame:
+    """The BM25 scoring core over any (doc_id, text) frame — factored
+    out so the hypothesis property test can pin the integer formula
+    against a pure-Python recompute on arbitrary corpora. One
+    postings build, then the shared postings scorer (r12: the
+    streamed index maintains the same postings, so both paths score
+    through bm25_scores_from_postings)."""
+    toks = F.split("text", " ")
+    n_docs, total_tokens = d.select(
+        F.count(F.lit(1)), F.sum(F.size(toks))
+    ).first()
+    return bm25_scores_from_postings(
+        bm25_postings_from(d),
+        int(n_docs),
+        int(total_tokens),
+        query_doc,
+        n_terms,
     )
 
 
@@ -1971,6 +2008,42 @@ def _bm25_top_ranks(sc: DataFrame) -> DataFrame:
     )
 
 
+def eval_overlap_row(top_base: DataFrame, top_full: DataFrame) -> DataFrame:
+    """The one-row drift table from two (doc_id, rk) top-k rankings —
+    factored out so the batch key and the streamed-index twin
+    (streaming/diff.stream_search_eval_maintain) compute the decision
+    through the same code."""
+    j = top_base.select("doc_id", F.col("rk").alias("rk_base")).join(
+        top_full.select("doc_id", F.col("rk").alias("rk_full")), "doc_id"
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.max(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
+        .cast("long")
+        .alias("max_rank_shift"),
+        F.coalesce(F.sum(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
+        .cast("long")
+        .alias("sum_rank_shift"),
+    )
+    e = top_full.filter(
+        F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_entered_delta"))
+    k, thr = _EVAL_OVERLAP_K, _EVAL_OVERLAP_THRESHOLD_PPM
+    return m.crossJoin(F.broadcast(e)).select(
+        "n_common",
+        "n_entered_delta",
+        "max_rank_shift",
+        "sum_rank_shift",
+        F.expr(f"CAST(n_common * 1000000L div {k} AS BIGINT)").alias(
+            "overlap_ppm"
+        ),
+        F.expr(
+            f"CASE WHEN n_common * 1000000L div {k} < {thr} "
+            "THEN 'shifted' ELSE 'stable' END"
+        ).alias("verdict"),
+    )
+
+
 @register("search_eval_overlap", oracle=_EVAL_OVERLAP_ORACLE)
 def search_eval_overlap(spark, sf_dir) -> DataFrame:
     """RETRIEVAL-DRIFT monitor — the BM25 serving surface's analog of
@@ -2005,35 +2078,7 @@ def search_eval_overlap(spark, sf_dir) -> DataFrame:
     top_base = _bm25_top_ranks(
         bm25_scores_from(base, _BM25_QUERY_DOC, _BM25_N_TERMS)
     )
-    j = top_base.select("doc_id", F.col("rk").alias("rk_base")).join(
-        top_full.select("doc_id", F.col("rk").alias("rk_full")), "doc_id"
-    )
-    m = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_common"),
-        F.coalesce(F.max(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
-        .cast("long")
-        .alias("max_rank_shift"),
-        F.coalesce(F.sum(F.abs(F.col("rk_full") - F.col("rk_base"))), F.lit(0))
-        .cast("long")
-        .alias("sum_rank_shift"),
-    )
-    e = top_full.filter(
-        F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_entered_delta"))
-    k, thr = _EVAL_OVERLAP_K, _EVAL_OVERLAP_THRESHOLD_PPM
-    return m.crossJoin(F.broadcast(e)).select(
-        "n_common",
-        "n_entered_delta",
-        "max_rank_shift",
-        "sum_rank_shift",
-        F.expr(f"CAST(n_common * 1000000L div {k} AS BIGINT)").alias(
-            "overlap_ppm"
-        ),
-        F.expr(
-            f"CASE WHEN n_common * 1000000L div {k} < {thr} "
-            "THEN 'shifted' ELSE 'stable' END"
-        ).alias("verdict"),
-    )
+    return eval_overlap_row(top_base, top_full)
 
 
 # ---------------------------------------------------------------------------

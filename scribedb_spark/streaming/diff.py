@@ -552,3 +552,108 @@ def stream_source_overlap_maintain(
         .start()
     )
     return q, holder
+
+
+def stream_search_eval_maintain(
+    stream_df: DataFrame,
+    base_docs: DataFrame,
+    query_name: str = "stream_search_eval",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS the retrieval-drift
+    eval (search_eval_overlap's decision row) beside an INSERT stream
+    of (doc_id, text) rows — the streaming half of the retrieval
+    monitor family (the postings already had persistence and streamed
+    append; this keeps the EVAL current too). State per batch:
+
+    - ``holder._parts`` — the BM25-sufficient postings
+      (doc_id, term, tf, dl) of every document seen, base included: a
+      LAZY UNION of per-batch localCheckpoint'd frames (each batch
+      pins only its OWN postings — O(|batch|) checkpoint work, the
+      stream_source_overlap signature-index discipline). Ingested
+      doc_ids arrive whole and disjoint, so postings APPEND is the
+      exact merge; df and avgdl re-derive from the accumulated rows,
+    - ``holder.n_docs`` / ``holder.total_tokens`` — the additive
+      scalar monoid avgdl needs,
+    - ``holder.top_base`` — the base corpus' serving top-k, computed
+      ONCE at start (the fixed reference ranking),
+    - ``holder.row`` — the maintained drift row, refreshed per batch.
+
+    The row is computed through the SAME code as the batch key
+    (bm25_scores_from_postings + _bm25_top_ranks + eval_overlap_row),
+    so after draining, the decision row-equals search_eval_overlap's
+    from-scratch recompute over base + all streamed rows — the batch
+    key IS the oracle (its own DuckDB twin proves the chain).
+
+    Scale: per batch the maintenance cost is O(|batch|) tokenize +
+    checkpoint; refreshing the row scores the accumulated postings
+    once (BM25's df/avgdl are global — no monitor can rank from less
+    than the postings), which is exactly the one-postings-scan cost
+    the persisted-index serve path pays, never a corpus re-tokenize."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.curation import (
+        _BM25_N_TERMS,
+        _BM25_QUERY_DOC,
+        _bm25_top_ranks,
+        bm25_postings_from,
+        bm25_scores_from_postings,
+        eval_overlap_row,
+    )
+
+    class _Holder:
+        pass
+
+    holder = _Holder()
+    base = base_docs.select("doc_id", "text").localCheckpoint()
+    n0, t0 = base.select(
+        F.count(F.lit(1)), F.sum(F.size(F.split("text", " ")))
+    ).first()
+    holder.n_docs = int(n0)
+    holder.total_tokens = int(t0)
+    base_post = bm25_postings_from(base).localCheckpoint()
+    holder._parts = [base_post]
+    holder.top_base = _bm25_top_ranks(
+        bm25_scores_from_postings(
+            base_post,
+            holder.n_docs,
+            holder.total_tokens,
+            _BM25_QUERY_DOC,
+            _BM25_N_TERMS,
+        )
+    ).localCheckpoint()
+
+    def drift_row() -> DataFrame:
+        u = holder._parts[0]
+        for part in holder._parts[1:]:
+            u = u.unionByName(part)
+        sc = bm25_scores_from_postings(
+            u,
+            holder.n_docs,
+            holder.total_tokens,
+            _BM25_QUERY_DOC,
+            _BM25_N_TERMS,
+        )
+        return eval_overlap_row(holder.top_base, _bm25_top_ranks(sc))
+
+    holder.drift_row = drift_row
+    holder.row = drift_row()  # pre-ingest: full == base
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        n, t = rows.select(
+            F.count(F.lit(1)), F.sum(F.size(F.split("text", " ")))
+        ).first()
+        holder.n_docs += int(n)
+        holder.total_tokens += int(t)
+        holder._parts.append(bm25_postings_from(rows).localCheckpoint())
+        holder.row = drift_row()
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder

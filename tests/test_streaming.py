@@ -631,3 +631,43 @@ def test_stream_source_overlap_maintain_matches_batch_twin(
         for r in rollup_source_overlap(spark, sf_dir).collect()
     )
     assert got == want and got
+
+
+def test_stream_search_eval_maintain_matches_batch_twin(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streamed retrieval-drift monitoring: the corpus' crawl-delta
+    slice (doc_id % 101 == 13 — the same split search_eval_overlap
+    scores) arrives as a multi-file ingest stream on top of the base
+    corpus; after draining, the maintained drift row EQUALS the batch
+    twin's from-scratch recompute over the full corpus — the postings
+    append + df/avgdl re-derive fold is exact across micro-batches,
+    and the decision (honestly 'shifted' at sf0.001) fires from the
+    stream exactly when the batch key says it must."""
+    from scribedb_spark.operators.curation import (
+        _LM_DELTA_MOD,
+        _LM_DELTA_REM,
+        search_eval_overlap,
+    )
+    from scribedb_spark.sources import table as _table
+    from scribedb_spark.streaming.diff import stream_search_eval_maintain
+
+    docs = _table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
+    delta = docs.filter(F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM)
+    sdir = tmp_path_factory.mktemp("search_eval_ingest")
+    delta.repartition(3).write.mode("overwrite").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_search_eval_maintain(stream, base)
+    # pre-ingest the row must read full == base (perfect overlap)
+    pre = holder.row.collect()[0]
+    assert pre["overlap_ppm"] == 1_000_000 and pre["verdict"] == "stable"
+    q.awaitTermination(180)
+
+    got = holder.row.collect()[0].asDict()
+    want = search_eval_overlap(spark, sf_dir).collect()[0].asDict()
+    assert got == want
