@@ -211,6 +211,10 @@ BENCH_KEYS = [
     "ann_mips_persist",
     "search_eval_panel",
     "ann_mips_retrain_gate",
+    # wave 12
+    "dedup_substring_rewrite_all",
+    "dedup_rewrite_persist",
+    "rollup_gate_panel",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

@@ -1659,6 +1659,89 @@ def test_dedup_substring_rewrite_receipts_are_verifiable(spark, sf_dir):
         assert r["text_md5_after"] == want
 
 
+def test_dedup_substring_rewrite_all_receipts_greedy_and_verifiable(
+    spark, sf_dir
+):
+    """Every multi-span receipt must be reproducible from the raw
+    corpus and the span table via an independent Python recompute of
+    the greedy selection: same picked spans (priority run_tokens
+    DESC, b_start, donor; overlap-free), same residual count, and the
+    rewritten text (all picked spans sliced out) hashes to
+    text_md5_after — the check a production rewrite job runs after
+    materializing the new shard. Also pins the receipt algebra:
+    removed_tokens == sum of picked spans, spans disjoint, spans_csv
+    in document order."""
+    import hashlib
+
+    from scribedb_spark.operators.dedup import (
+        _REWRITE_MAX_SPANS,
+        dedup_substring_rewrite_all,
+        dedup_substring_spans,
+    )
+    from scribedb_spark.sources import table as _table
+
+    receipts = dedup_substring_rewrite_all(spark, sf_dir).collect()
+    assert receipts, "fixture corpus must contain shared runs"
+    victims = [r["doc_id"] for r in receipts]
+    assert len(victims) == len(set(victims))
+
+    cand: dict[int, list] = {}
+    for s in dedup_substring_spans(spark, sf_dir).collect():
+        cand.setdefault(s["doc_id2"], []).append(
+            (s["run_tokens"], s["b_start"], s["doc_id1"])
+        )
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in _table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in receipts:
+        # independent greedy recompute
+        rest = sorted(cand[r["doc_id"]], key=lambda t: (-t[0], t[1], t[2]))
+        picked: list = []
+        for _ in range(_REWRITE_MAX_SPANS):
+            nxt = next(
+                (
+                    c
+                    for c in rest
+                    if all(
+                        c[1] >= b + n or c[1] + c[0] <= b
+                        for (n, b, _d) in picked
+                    )
+                ),
+                None,
+            )
+            if nxt is None:
+                break
+            picked.append(nxt)
+        resid = sum(
+            1
+            for c in rest
+            if c not in picked
+            and all(
+                c[1] >= b + n or c[1] + c[0] <= b for (n, b, _d) in picked
+            )
+        )
+        assert r["n_spans_removed"] == len(picked)
+        assert r["removed_tokens"] == sum(n for (n, _b, _d) in picked)
+        assert r["n_residual"] == resid
+        want_csv = ",".join(
+            f"{b}:{n}:{d}" for (n, b, d) in sorted(picked, key=lambda t: t[1])
+        )
+        assert r["spans_csv"] == want_csv
+        toks = docs[r["doc_id"]]
+        assert r["n_tokens_before"] == len(toks)
+        covered = set()
+        for n, b, _d in picked:
+            covered.update(range(b, b + n))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        assert r["n_tokens_after"] == len(toks) - r["removed_tokens"]
+        assert len(kept) == r["n_tokens_after"]
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r["text_md5_after"] == want
+
+
 def test_rollup_ingest_gaps_day_decomposition_handles_empty_days(
     spark, tmp_path_factory
 ):
@@ -1714,3 +1797,93 @@ def test_rollup_ingest_gaps_day_decomposition_handles_empty_days(
     assert got["a"] == (6, max(gaps), n_over, "gappy")
     assert n_over >= 1  # the planted outage is in the census
     assert got["b"] == (1, None, 0, "continuous")
+
+
+def test_substring_family_exact_on_planted_duplicate_corpus(
+    spark, tmp_path_factory
+):
+    """The r12 volume reductions (exact-text rep collapse + strided
+    anchoring) must be LOSSLESS on a corpus that actually exercises
+    them — the driver corpus has almost no exact dups, so this test
+    plants a heavy-duplication fixture (every base doc appears 4x
+    under distinct doc_ids, near-identical variants included, one
+    fully-boilerplate victim) and asserts all four substring keys
+    hash-match their UNCHANGED naive DuckDB oracles, while the rep
+    map is verifiably non-identity (collapse really engaged)."""
+    import duckdb
+
+    from scribedb_spark.operators.dedup import (
+        exact_text_reps,
+        min_tokens_filter,
+    )
+    from scribedb_spark.sources import table as _table
+
+    boiler = " ".join(f"boiler{k}" for k in range(25))
+    rows = []
+    for i in range(12):
+        filler_a = " ".join(f"w{i}x{j}" for j in range(10))
+        filler_b = " ".join(f"w{i}y{j}" for j in range(10))
+        if i % 3 == 0:  # boilerplate in the middle
+            text = f"{filler_a} {boiler} {filler_b}"
+        elif i % 3 == 1:  # boilerplate at the start
+            text = f"{boiler} {filler_a} {filler_b}"
+        else:  # no boilerplate
+            text = f"{filler_a} {filler_b} " + " ".join(
+                f"w{i}z{j}" for j in range(25)
+            )
+        rows.append((i, text))
+        # near-identical variant: last token changed (high-Jaccard
+        # NON-exact pair — the path collapse must NOT merge)
+        rows.append((100 + i, text.rsplit(" ", 1)[0] + f" tail{i}"))
+    rows.append((55, boiler))  # fully-boilerplate victim (md5('') edge)
+    base = list(rows)
+    for copy in (1, 2, 3):  # exact copies under distinct doc_ids
+        rows.extend((1000 * copy + i, t) for i, t in base)
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"src{i % 4}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    d = tmp_path_factory.mktemp("planted_dups")
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    sfd = str(d)
+
+    # collapse really engages: the rep map is non-identity
+    dd = (
+        _table(spark, "documents", sfd)
+        .select("doc_id", "text")
+        .filter(min_tokens_filter())
+    )
+    rm = exact_text_reps(dd)
+    assert rm.filter("doc_id <> rep_id").count() > 0
+
+    from scribedb_spark import queries as Q
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sfd}/documents.parquet/*.parquet')"
+    )
+    some_rows = False
+    for key in (
+        "dedup_substring",
+        "dedup_substring_spans",
+        "dedup_substring_rewrite",
+        "dedup_substring_rewrite_all",
+    ):
+        qd = Q.REGISTRY[key]
+        sdf = qd.fn(spark, sfd).toPandas()
+        odf = con.execute(qd.oracle).df()
+        cols = sorted(sdf.columns)
+        a = sorted(
+            tuple(str(v) for v in r)
+            for r in sdf[cols].itertuples(index=False)
+        )
+        b = sorted(
+            tuple(str(v) for v in r)
+            for r in odf[cols].itertuples(index=False)
+        )
+        assert a == b, f"{key}: spark != oracle on the planted-dup corpus"
+        if len(a) > 3:
+            some_rows = True
+    assert some_rows  # the fixture produced real shared runs
