@@ -94,6 +94,8 @@ KEYS = [
     "dedup_substring",
     "ann_retrain_gate",
     "sample_mix_curriculum",
+    "dedup_substring_rewrite_all",
+    "rollup_gate_panel",
 ]
 
 def _containment_pairs(mode):
@@ -218,6 +220,9 @@ PAIR_PROBES = {
     # the rewrite's cost IS the span detection (the receipt join is
     # corpus-key-local) — same anchored-match probe
     "dedup_substring_rewrite": _substring_anchored,
+    # the multi-span receipt reads the same span table; its greedy
+    # rounds are span-table-sized — same anchored-match probe
+    "dedup_substring_rewrite_all": _substring_anchored,
     # the retune gate audits the same sampled exact-Jaccard pairs the
     # recall report (and the band tuner) score
     "dedup_retune_gate": _recall_report_pairs,

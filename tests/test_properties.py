@@ -1887,3 +1887,65 @@ def test_substring_family_exact_on_planted_duplicate_corpus(
         if len(a) > 3:
             some_rows = True
     assert some_rows  # the fixture produced real shared runs
+
+
+def test_rewrite_pass_reduces_shared_runs(spark, tmp_path_factory):
+    """The production loop's claim, end to end: APPLYING the
+    multi-span receipts (rewriting each victim from its own
+    spans_csv — exactly what a shard-materializing job does) and
+    re-running detection on the rewritten corpus must strictly reduce
+    cross-document duplication: fewer 'shared_run' pairs and a
+    strictly smaller total shared-run token mass. (A single pass need
+    not reach zero — one span per donor pair is removed per pass; the
+    loop iterates to the fixpoint.)"""
+    from scribedb_spark import queries as Q
+    from scribedb_spark.operators.dedup import dedup_substring_rewrite_all
+
+    boiler = " ".join(f"boiler{k}" for k in range(25))
+    rows = []
+    for i in range(10):
+        filler = " ".join(f"w{i}x{j}" for j in range(18))
+        rows.append((i, f"{filler} {boiler}"))
+    rows.extend((1000 + i, t) for i, t in list(rows))  # exact copies
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    mk = lambda rs: spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rs], schema
+    )
+    d1 = tmp_path_factory.mktemp("rw_pass_before")
+    mk(rows).write.mode("overwrite").parquet(str(d1 / "documents.parquet"))
+
+    receipts = dedup_substring_rewrite_all(spark, str(d1)).collect()
+    assert receipts
+    spans_by_victim = {}
+    for r in receipts:
+        spans = [
+            tuple(map(int, part.split(":")[:2]))
+            for part in r["spans_csv"].split(",")
+        ]
+        spans_by_victim[r["doc_id"]] = spans
+    rewritten = []
+    for i, t in rows:
+        toks = t.split(" ")
+        covered = set()
+        for b, n in spans_by_victim.get(i, []):
+            covered.update(range(b, b + n))
+        kept = [w for p, w in enumerate(toks) if p not in covered]
+        if kept:  # fully-removed docs leave the corpus (empty shard)
+            rewritten.append((i, " ".join(kept)))
+    d2 = tmp_path_factory.mktemp("rw_pass_after")
+    mk(rewritten).write.mode("overwrite").parquet(
+        str(d2 / "documents.parquet")
+    )
+
+    def mass(sfd):
+        out = Q.REGISTRY["dedup_substring"].fn(spark, sfd).collect()
+        shared = [r for r in out if r["verdict"] == "shared_run"]
+        return len(shared), sum(r["max_run_tokens"] for r in shared)
+
+    n1, m1 = mass(str(d1))
+    n2, m2 = mass(str(d2))
+    assert n1 > 0 and m1 > 0
+    assert n2 < n1 and m2 < m1
