@@ -1995,6 +1995,32 @@ _EVAL_OVERLAP_ORACLE = f"""
     """
 
 
+_BASE_POST_CACHE: dict = {}
+
+
+def _base_corpus_postings(spark, sf_dir: str) -> tuple:
+    """(postings, n_docs, total_tokens) of the BASE corpus (the
+    non-delta slice), checkpointed once per session: the drift eval's
+    base side scores several times per round (search_eval_overlap +
+    one per panel probe), and each scoring must read the pinned
+    postings instead of re-exploding the corpus (the bm25_scores
+    cache discipline applied to the base side)."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        d = table(spark, "documents", sf_dir).select("doc_id", "text")
+        base = d.filter(F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
+        post = bm25_postings_from(base).localCheckpoint()
+        n, t = base.select(
+            F.count(F.lit(1)), F.sum(F.size(F.split("text", " ")))
+        ).first()
+        return (post, int(n), int(t))
+
+    return session_cache(
+        _BASE_POST_CACHE, spark, ("bm25_base_post", sf_dir), build
+    )
+
+
 def _bm25_top_ranks(sc: DataFrame) -> DataFrame:
     """(doc_id, rk): the deterministic serving top-k of a BM25 score
     table (TakeOrdered first; the rank window then runs over k rows,
@@ -2072,11 +2098,10 @@ def search_eval_overlap(spark, sf_dir) -> DataFrame:
     is a TakeOrdered, the drift join is 20x20 rows. The standing
     monitor costs one extra BM25 scan per snapshot — nothing is
     quadratic, nothing exceeds k rows after the score stage."""
-    d = table(spark, "documents", sf_dir).select("doc_id", "text")
-    base = d.filter(F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
     top_full = _bm25_top_ranks(bm25_scores(spark, sf_dir)).localCheckpoint()
+    post, n, t = _base_corpus_postings(spark, sf_dir)
     top_base = _bm25_top_ranks(
-        bm25_scores_from(base, _BM25_QUERY_DOC, _BM25_N_TERMS)
+        bm25_scores_from_postings(post, n, t, _BM25_QUERY_DOC, _BM25_N_TERMS)
     )
     return eval_overlap_row(top_base, top_full)
 
@@ -2136,13 +2161,12 @@ def _eval_drift_row(spark, sf_dir: str, probe_doc: int) -> DataFrame:
     """The one-row drift table for one probe doc — search_eval_overlap
     generalized over the probe (full side served from the per-doc
     session cache)."""
-    d = table(spark, "documents", sf_dir).select("doc_id", "text")
-    base = d.filter(F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
     top_full = _bm25_top_ranks(
         bm25_scores(spark, sf_dir, query_doc=probe_doc)
     ).localCheckpoint()
+    post, n, t = _base_corpus_postings(spark, sf_dir)
     top_base = _bm25_top_ranks(
-        bm25_scores_from(base, probe_doc, _BM25_N_TERMS)
+        bm25_scores_from_postings(post, n, t, probe_doc, _BM25_N_TERMS)
     )
     j = top_base.select("doc_id", F.col("rk").alias("rk_base")).join(
         top_full.select("doc_id", F.col("rk").alias("rk_full")), "doc_id"
