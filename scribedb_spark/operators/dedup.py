@@ -1197,30 +1197,41 @@ def dedup_levenshtein(spark, sf_dir) -> DataFrame:
     self-join) + two doc_id equi-joins back to the 150-char heads —
     AQE sizes those (candidates are few; heads are corpus-sized), then
     a map-side levenshtein filter. No full-corpus self-join anywhere.
-    """
+
+    r12: the O(len^2) DP runs once per EXACT-TEXT REPRESENTATIVE pair
+    (lsh_rep_pairs — edit distance is a pure function of the two
+    texts, so member pairs inherit the rep pair's distance verbatim;
+    the filter transfers with it). An N-fold exact-duplicated corpus
+    inflates candidate pairs ~N^2 but the DP volume stays base-sized;
+    the transfer back is one hash join of the pair list against the
+    <=1-row-per-rep-pair distance table. The DuckDB oracle is the
+    naive per-pair recompute, so the driver hash-check proves the
+    collapse lossless on every run."""
     heads = table(spark, "documents", sf_dir).select(
         "doc_id", F.substring("text", 1, 150).alias("head")
     )
-    cand = dedup_minhash_lsh(spark, sf_dir)
-    return (
-        cand.join(
+    pm = lsh_rep_pairs(spark, sf_dir)
+    rp = pm.select("r1", "r2").distinct()
+    dist = (
+        rp.join(
             heads.select(
-                F.col("doc_id").alias("doc_id1"), F.col("head").alias("h1")
+                F.col("doc_id").alias("r1"), F.col("head").alias("h1")
             ),
-            "doc_id1",
+            "r1",
         )
         .join(
             heads.select(
-                F.col("doc_id").alias("doc_id2"), F.col("head").alias("h2")
+                F.col("doc_id").alias("r2"), F.col("head").alias("h2")
             ),
-            "doc_id2",
+            "r2",
         )
         .select(
-            "doc_id1",
-            "doc_id2",
-            F.levenshtein("h1", "h2").alias("edit_dist"),
+            "r1", "r2", F.levenshtein("h1", "h2").alias("edit_dist")
         )
         .filter(F.col("edit_dist") <= 60)
+    )
+    return pm.join(dist, ["r1", "r2"]).select(
+        "doc_id1", "doc_id2", "edit_dist"
     )
 
 
@@ -2600,7 +2611,7 @@ def exact_text_reps(d: DataFrame) -> DataFrame:
     return h.join(reps, "h").select("doc_id", "rep_id")
 
 
-def substring_rep_pairs(spark, sf_dir: str) -> DataFrame:
+def lsh_rep_pairs(spark, sf_dir: str) -> DataFrame:
     """(doc_id1, doc_id2, r1, r2) — the LSH candidate pair list with
     each side's exact-text representative attached, checkpointed once
     per session (shared by all three substring keys). This is the
@@ -2672,7 +2683,7 @@ def substring_matches(spark, sf_dir: str) -> DataFrame:
     list is distinct, so each match row is a unique (pa, pb) — and
     (diag, pa) is bijective with it. A distinct here would be a full
     extra shuffle of the largest intermediate for nothing."""
-    pm = substring_rep_pairs(spark, sf_dir)
+    pm = lsh_rep_pairs(spark, sf_dir)
     rp = pm.select("r1", "r2").distinct()
     psh = _rep_positional_shingles(spark, sf_dir)
     a = psh.select(
@@ -2710,7 +2721,7 @@ def substring_anchored_matches(spark, sf_dir: str) -> DataFrame:
     complete — a run built entirely from common shingles has no rare
     anchor; the stride guarantee costs nothing extra and keeps the
     DuckDB oracle byte-identical.)"""
-    pm = substring_rep_pairs(spark, sf_dir)
+    pm = lsh_rep_pairs(spark, sf_dir)
     rp = pm.select("r1", "r2").distinct()
     psh = _rep_positional_shingles(spark, sf_dir)
     a = psh.select(
@@ -2807,7 +2818,7 @@ def dedup_substring(spark, sf_dir) -> DataFrame:
     equality — no hashing, no floats.
 
     Scale: runs are computed once per REPRESENTATIVE pair (exact-text
-    collapse, see substring_rep_pairs — run structure is a pure
+    collapse, see lsh_rep_pairs — run structure is a pure
     function of the two texts, so member pairs inherit the rep pair's
     result verbatim; the r11 64x duplicated-union octave inflated
     pairs 4895x and exhausted host spill disk in this key's match
@@ -2821,7 +2832,7 @@ def dedup_substring(spark, sf_dir) -> DataFrame:
     MUCH). The diagonal window shuffles only rep-pair matched
     positions; the transfer back to member pairs is one hash join of
     the pair list against the <=1-row-per-rep-pair run table."""
-    pm = substring_rep_pairs(spark, sf_dir)
+    pm = lsh_rep_pairs(spark, sf_dir)
     m = substring_matches(spark, sf_dir)
     best = _substring_runs(m).groupBy("r1", "r2").agg(
         F.max("run_len").alias("mr")
@@ -3027,7 +3038,7 @@ def dedup_substring_spans(spark, sf_dir) -> DataFrame:
     per-pair sort window that funnels a hot pair's runs into one
     task); the member-pair transfer is one hash join against the
     <=1-row-per-rep-pair span table."""
-    pm = substring_rep_pairs(spark, sf_dir)
+    pm = lsh_rep_pairs(spark, sf_dir)
     m = substring_anchored_matches(spark, sf_dir)
     runs = _substring_runs(m)
     qual = runs.filter(F.col("run_len") + 2 >= _SUBSTR_RUN_TOKENS)

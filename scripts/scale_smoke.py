@@ -142,10 +142,18 @@ def _simhash_pairs(spark, sfd):
 
 
 def _levenshtein_pairs(spark, sfd):
-    """LSH candidate pairs the edit-distance verify runs over."""
+    """LSH candidate pairs (the source-census keys' label volume)."""
     from scribedb_spark.operators.dedup import dedup_minhash_lsh
 
     return dedup_minhash_lsh(spark, sfd).count()
+
+
+def _rep_pairs(spark, sfd):
+    """Distinct exact-text REPRESENTATIVE pairs — the volume the
+    collapsed edit-distance verify actually runs the DP over (r12)."""
+    from scribedb_spark.operators.dedup import lsh_rep_pairs
+
+    return lsh_rep_pairs(spark, sfd).select("r1", "r2").distinct().count()
 
 
 def _recall_report_pairs(spark, sfd):
@@ -208,7 +216,7 @@ PAIR_PROBES = {
     "dedup_containment_corpus": _containment_pairs("corpus"),
     "dedup_containment_salted": _containment_pairs("salted"),
     "dedup_simhash": _simhash_pairs,
-    "dedup_levenshtein": _levenshtein_pairs,
+    "dedup_levenshtein": _rep_pairs,
     "dedup_recall_report": _recall_report_pairs,
     # the tuner scores the same sampled co-occurrence pairs the
     # recall report audits — identical cost driver, identical probe

@@ -1870,6 +1870,7 @@ def test_substring_family_exact_on_planted_duplicate_corpus(
         "dedup_substring_spans",
         "dedup_substring_rewrite",
         "dedup_substring_rewrite_all",
+        "dedup_levenshtein",
     ):
         qd = Q.REGISTRY[key]
         sdf = qd.fn(spark, sfd).toPandas()
