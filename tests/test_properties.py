@@ -1950,3 +1950,24 @@ def test_rewrite_pass_reduces_shared_runs(spark, tmp_path_factory):
     n2, m2 = mass(str(d2))
     assert n1 > 0 and m1 > 0
     assert n2 < n1 and m2 < m1
+
+
+def test_gate_panel_healthy_fixed_point_retrains_nothing(spark, sf_dir):
+    """The panel's done-criterion from the r11 verdict, pinned:
+    reading the gate census on a healthy warm warehouse must trigger
+    ZERO retrains (the decision halves measure, never act when
+    healthy), the three index gates must read 'serve', and the census
+    must be deterministic call-to-call (an operator can poll it)."""
+    from scribedb_spark.operators.similarity import TRAIN_EVENTS
+    from scribedb_spark.pipeline import _GATE_PANEL_KEYS, rollup_gate_panel
+
+    first = {r["gate"]: r for r in rollup_gate_panel(spark, sf_dir).collect()}
+    assert set(first) == {g for g, _k in _GATE_PANEL_KEYS}
+    before = len(TRAIN_EVENTS)
+    second = {
+        r["gate"]: r for r in rollup_gate_panel(spark, sf_dir).collect()
+    }
+    assert len(TRAIN_EVENTS) == before, "healthy panel re-read retrained"
+    for g in ("ann_retrain", "ann_mips_retrain", "dedup_retune"):
+        assert second[g]["decision"] == "serve"
+    assert first == second
