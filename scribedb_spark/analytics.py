@@ -18,6 +18,8 @@ Families covered here, extending the §2 inventory:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1819,7 +1821,24 @@ def layout_compaction_advisor(spark, sf_dir) -> DataFrame:
     Scale: the census is driver-side footer metadata only (zero Spark
     jobs beyond the fixture write) — O(#artifacts x #files) stat
     calls at any corpus size, the rollup_artifact_catalog probing
-    discipline."""
+    discipline. The fixture is planted from code constants, so the
+    decision is a session constant: served via cache.gate_decision
+    with an empty dependency list (one fixture round trip per
+    session, not one per panel read)."""
+    from scribedb_spark.cache import gate_decision
+
+    return gate_decision(
+        spark,
+        "layout_compaction_advisor",
+        sf_dir,
+        deps=[],
+        compute=lambda: _compaction_advisor_compute(spark, sf_dir),
+    )
+
+
+def _compaction_advisor_compute(spark, sf_dir) -> DataFrame:
+    """layout_compaction_advisor's fixture census body (plan-pinned
+    via pipeline.GATE_COMPUTE)."""
     import os
     import shutil
     import tempfile
@@ -3975,7 +3994,23 @@ def rollup_source_freshness(spark, sf_dir) -> DataFrame:
     stream_freshness_maintain twin folds micro-batches into the same
     state this computes from scratch). The <= #event_types-row state
     feeds two arms (the per-type rows and the global-max broadcast) —
-    localCheckpoint'd so the events scan runs once, not twice."""
+    localCheckpoint'd so the events scan runs once, not twice.
+    Decision served via cache.gate_decision (fingerprint:
+    events.parquet)."""
+    from scribedb_spark.cache import gate_decision
+
+    return gate_decision(
+        spark,
+        "rollup_source_freshness",
+        sf_dir,
+        deps=[os.path.join(sf_dir, "events.parquet")],
+        compute=lambda: _source_freshness_compute(spark, sf_dir),
+    )
+
+
+def _source_freshness_compute(spark, sf_dir) -> DataFrame:
+    """rollup_source_freshness' measurement body (plan-pinned via
+    pipeline.GATE_COMPUTE)."""
     per = freshness_state(table(spark, "events", sf_dir)).localCheckpoint()
     return freshness_decision(per)
 
@@ -4028,7 +4063,22 @@ def rollup_ingest_gaps(spark, sf_dir) -> DataFrame:
     by one day of one stream; the boundary pass is metadata-sized.
 
     Exactness: integer epoch microseconds, (us, event_id) total
-    order for equal timestamps, integer threshold counts."""
+    order for equal timestamps, integer threshold counts. Decision
+    served via cache.gate_decision (fingerprint: events.parquet)."""
+    from scribedb_spark.cache import gate_decision
+
+    return gate_decision(
+        spark,
+        "rollup_ingest_gaps",
+        sf_dir,
+        deps=[os.path.join(sf_dir, "events.parquet")],
+        compute=lambda: _ingest_gaps_compute(spark, sf_dir),
+    )
+
+
+def _ingest_gaps_compute(spark, sf_dir) -> DataFrame:
+    """rollup_ingest_gaps' measurement body (plan-pinned via
+    pipeline.GATE_COMPUTE)."""
     e = table(spark, "events", sf_dir).select(
         "event_type",
         "event_id",

@@ -19,6 +19,7 @@ drivers would otherwise pin them forever).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 
@@ -38,3 +39,74 @@ def session_cache(
     if key not in cache:
         cache[key] = builder()
     return cache[key]
+
+
+# ---------------------------------------------------------------------------
+# Gate-decision cache: the monitor -> act gates' one-pane serve layer
+# ---------------------------------------------------------------------------
+
+#: (appId, gate_key, sf_dir, deps_fingerprint) -> (rows, schema) of the
+#: gate's tiny decision frame — populated the first time a gate runs,
+#: read by every later call (the gate key itself, rollup_gate_panel,
+#: streaming panes) within the same session
+_DECISION_ROWS: dict = {}
+
+
+def deps_fingerprint(paths: list[str]) -> tuple:
+    """Stat-only fingerprint of a gate's input files: per path, the
+    persist.source_fingerprint of its tree, or 'absent' when the path
+    does not exist (an absent->built warehouse slot must invalidate).
+    Cheap (os.stat only) — this is what makes serving a cached
+    decision HONEST: any mutation of the measured inputs changes the
+    fingerprint and forces a fresh measurement."""
+    from scribedb_spark.persist import source_fingerprint
+
+    return tuple(
+        (p, source_fingerprint([p]) if os.path.exists(p) else "absent")
+        for p in paths
+    )
+
+
+def gate_decision(
+    spark,
+    gate_key: str,
+    sf_dir: str,
+    deps: list[str],
+    compute: Callable[[], Any],
+):
+    """Serve a monitor gate's decision frame from the session cache.
+
+    The monitor -> act gates (ANN/MIPS retrain, dedup retune, LM /
+    quality drift, freshness, gaps, budget, compaction) each produce a
+    <=#streams-row decision table whose measurement step is the
+    expensive half. Within one session the decision is a pure function
+    of the gate's input files (corpus parquet + warehouse artifact
+    dirs), so it is computed ONCE per distinct input fingerprint and
+    every later call — in particular rollup_gate_panel, which reads
+    all nine — serves the collected rows back as a local frame. The
+    retrain gates' act paths stay correct: an act rewrites warehouse
+    artifacts, which changes the fingerprint, so the NEXT call
+    re-measures the rebuilt index instead of serving the stale
+    verdict (pinned by the degraded-index tests in
+    tests/test_similarity.py). Plan-shape tests pin the underlying
+    measurement plans via pipeline.GATE_COMPUTE, not this serve layer.
+    """
+    fp = deps_fingerprint(deps)
+
+    def build():
+        df = compute()
+        # materialize AND keep the local frame: rebuilding a
+        # createDataFrame per read costs ~0.3 s of session RPC, so
+        # the cached value is the ready-to-collect local relation
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    return session_cache(
+        _DECISION_ROWS, spark, (gate_key, sf_dir, fp), build
+    )
+
+
+def clear_gate_decisions() -> None:
+    """Drop every cached gate decision (tests that mutate gate inputs
+    behind identical stat fingerprints — e.g. same-mtime rewrites —
+    use this to force re-measurement)."""
+    _DECISION_ROWS.clear()

@@ -1379,7 +1379,24 @@ def lm_drift_gate(spark, sf_dir) -> DataFrame:
     tables — O(|batch|) work, never a corpus rescan; the base tables
     are the session-cached lm_base_tables build the incremental
     scorer already shares. Mirrors the reference's verdict-driven
-    exit (main.py:263-267) at model-lifecycle scope."""
+    exit (main.py:263-267) at model-lifecycle scope. Decision served
+    via cache.gate_decision (fingerprint: documents.parquet)."""
+    import os
+
+    from scribedb_spark.cache import gate_decision
+
+    return gate_decision(
+        spark,
+        "lm_drift_gate",
+        sf_dir,
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+        compute=lambda: _lm_drift_compute(spark, sf_dir),
+    )
+
+
+def _lm_drift_compute(spark, sf_dir) -> DataFrame:
+    """lm_drift_gate's measurement body (plan-pinned via
+    pipeline.GATE_COMPUTE)."""
     thr = _LM_DRIFT_THRESHOLD_PPM
     cb0, cp0 = lm_base_tables(spark, sf_dir)
     batch = (
@@ -1513,7 +1530,24 @@ def rollup_quality_drift(spark, sf_dir) -> DataFrame:
     (plan-asserted: the serve plan reads no parquet at all); the
     histogram join is over the 10-row grid. O(corpus) scan, O(1)
     everything after — the cheapest possible standing monitor at
-    100 TB."""
+    100 TB. Decision served via cache.gate_decision (fingerprint:
+    documents.parquet)."""
+    import os
+
+    from scribedb_spark.cache import gate_decision
+
+    return gate_decision(
+        spark,
+        "rollup_quality_drift",
+        sf_dir,
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+        compute=lambda: _quality_drift_compute(spark, sf_dir),
+    )
+
+
+def _quality_drift_compute(spark, sf_dir) -> DataFrame:
+    """rollup_quality_drift's measurement body (plan-pinned via
+    pipeline.GATE_COMPUTE)."""
     d = table(spark, "documents", sf_dir)
     # ONE corpus scan: the <=20-row (side, bin) histogram is
     # checkpointed and every downstream arm (both sides' ppm columns

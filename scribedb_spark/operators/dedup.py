@@ -2955,7 +2955,25 @@ def dedup_retune_gate(spark, sf_dir) -> DataFrame:
     Scale: the audit is the SAMPLE-bounded exact pass the recall
     report already pays (~6% of PPJoin cost), the pair list is the
     session-cached index — a standing gate costs one sampled join
-    per corpus snapshot at 100 TB."""
+    per corpus snapshot at 100 TB. Decision served via
+    cache.gate_decision (fingerprint: documents.parquet) — repeated
+    calls (rollup_gate_panel) reuse the measured row."""
+    import os
+
+    from scribedb_spark.cache import gate_decision
+
+    return gate_decision(
+        spark,
+        "dedup_retune_gate",
+        sf_dir,
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+        compute=lambda: _dedup_retune_compute(spark, sf_dir),
+    )
+
+
+def _dedup_retune_compute(spark, sf_dir) -> DataFrame:
+    """dedup_retune_gate's measurement body (plan-pinned via
+    pipeline.GATE_COMPUTE)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
     d = table(spark, "documents", sf_dir)
     tok = d.select(
@@ -3680,7 +3698,24 @@ def sample_source_budget(spark, sf_dir) -> DataFrame:
     LSH graph + one id-keyed corpus join) plus a map-side-partial
     groupBy over the source domain — metadata-sized output, no new
     corpus-sized shuffle (the weights join already carries source-
-    sized strings only after the id join)."""
+    sized strings only after the id join). Decision served via
+    cache.gate_decision (fingerprint: documents.parquet)."""
+    import os
+
+    from scribedb_spark.cache import gate_decision
+
+    return gate_decision(
+        spark,
+        "sample_source_budget",
+        sf_dir,
+        deps=[os.path.join(sf_dir, "documents.parquet")],
+        compute=lambda: _source_budget_compute(spark, sf_dir),
+    )
+
+
+def _source_budget_compute(spark, sf_dir) -> DataFrame:
+    """sample_source_budget's measurement body (plan-pinned via
+    pipeline.GATE_COMPUTE)."""
     w = sample_dedup_weights(spark, sf_dir).select("doc_id", "weight_ppm")
     src = table(spark, "documents", sf_dir).select("doc_id", "source")
     thr = _SOURCE_BUDGET_THRESHOLD_PPM

@@ -32,6 +32,7 @@ vectorized slow-path escape hatch, ~100x a row-at-a-time UDF).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1313,7 +1314,33 @@ def ann_retrain_gate(spark, sf_dir) -> DataFrame:
     touches other warehouse slots, and runs at most once per
     invocation — a retrain storm is structurally impossible. Mirrors
     the reference's verdict-driven exit (main.py:263-267: compare,
-    then ACT on the verdict) at index-lifecycle scope."""
+    then ACT on the verdict) at index-lifecycle scope.
+
+    The decision is served via cache.gate_decision keyed by the stat
+    fingerprint of (embeddings, ivf_codebook, ivf_index): repeated
+    calls — rollup_gate_panel reading the pane — reuse the measured
+    row; any warehouse mutation (including this gate's own act)
+    changes the fingerprint and forces a fresh measurement, which is
+    what keeps the degraded-index test's monitor->act loop honest."""
+    from scribedb_spark.cache import gate_decision
+    from scribedb_spark.persist import artifact_path
+
+    return gate_decision(
+        spark,
+        "ann_retrain_gate",
+        sf_dir,
+        deps=[
+            os.path.join(sf_dir, "embeddings.parquet"),
+            artifact_path("ivf_codebook", sf_dir),
+            artifact_path("ivf_index", sf_dir),
+        ],
+        compute=lambda: _ann_retrain_compute(spark, sf_dir),
+    )
+
+
+def _ann_retrain_compute(spark, sf_dir) -> DataFrame:
+    """ann_retrain_gate's measurement + act body (the plan the
+    plan-shape tests pin via pipeline.GATE_COMPUTE)."""
     import shutil
 
     from scribedb_spark.persist import artifact_path
@@ -3113,7 +3140,28 @@ def ann_mips_retrain_gate(spark, sf_dir) -> DataFrame:
     exactly one rebuild -> recall restored) is pinned by a unit test.
 
     Scale: the audit is the bounded 10-query exact pass; the act path
-    rewrites only the two MIPS slots, at most once per invocation."""
+    rewrites only the two MIPS slots, at most once per invocation.
+    Decision served via cache.gate_decision (fingerprint: embeddings +
+    the two MIPS slots) — see ann_retrain_gate."""
+    from scribedb_spark.cache import gate_decision
+    from scribedb_spark.persist import artifact_path
+
+    return gate_decision(
+        spark,
+        "ann_mips_retrain_gate",
+        sf_dir,
+        deps=[
+            os.path.join(sf_dir, "embeddings.parquet"),
+            artifact_path("mips_codebook", sf_dir),
+            artifact_path("mips_index", sf_dir),
+        ],
+        compute=lambda: _ann_mips_retrain_compute(spark, sf_dir),
+    )
+
+
+def _ann_mips_retrain_compute(spark, sf_dir) -> DataFrame:
+    """ann_mips_retrain_gate's measurement + act body (plan-pinned via
+    pipeline.GATE_COMPUTE)."""
     import shutil
 
     from scribedb_spark.persist import artifact_path

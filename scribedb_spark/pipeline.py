@@ -1177,87 +1177,189 @@ _GATE_PANEL_KEYS = (
 )
 
 
+def _panel_specs() -> dict:
+    """label -> (sql_reducer, spark_reducer): HOW each gate's output
+    collapses to the uniform (gate, measured, threshold, decision)
+    row. _GATE_PANEL_KEYS is the one load-bearing ordered list — BOTH
+    the Spark body and the oracle composer iterate it and look their
+    reducer up here, so adding a gate is one tuple entry plus one
+    reducer, and a missing reducer fails loudly at import instead of
+    silently under-reporting the pane. Single-decision-row gates
+    share the ``simple`` reducer (measured column + the gate's own
+    threshold_ppm); multi-row monitors reduce to their headline with
+    IDENTICAL integer aggregates on both engines. Every row is
+    unit-consistent: measured and threshold are the same quantity
+    (ppm vs ppm, microseconds vs microseconds, counts vs counts —
+    ingest_gaps reports over-threshold-gap COUNT against a zero-count
+    threshold, not a count against a microsecond lag)."""
+    from scribedb_spark.analytics import _FRESHNESS_LAG_US
+    from scribedb_spark.operators.dedup import (
+        _SOURCE_BUDGET_THRESHOLD_PPM,
+    )
+    from scribedb_spark.persist import _ADVISOR_FLOOR_FILES
+
+    def simple(label: str, measured_col: str):
+        def sql(o: str) -> str:
+            return (
+                f"SELECT '{label}' AS gate, "
+                f"CAST({measured_col} AS BIGINT) AS measured, "
+                f"CAST(threshold_ppm AS BIGINT) AS threshold, decision "
+                f"FROM ({o}) t"
+            )
+
+        def spark(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.lit(label).alias("gate"),
+                F.col(measured_col).cast("long").alias("measured"),
+                F.col("threshold_ppm").cast("long").alias("threshold"),
+                "decision",
+            )
+
+        return (sql, spark)
+
+    def fresh_sql(o: str) -> str:
+        return f"""SELECT 'source_freshness' AS gate,
+           CAST(MAX(lag_us) AS BIGINT) AS measured,
+           CAST({_FRESHNESS_LAG_US} AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN verdict <> 'fresh' THEN 1 ELSE 0 END) > 0
+                THEN 'stale' ELSE 'fresh' END AS decision
+        FROM ({o}) t"""
+
+    def fresh_spark(df: DataFrame) -> DataFrame:
+        return (
+            df.agg(
+                F.max("lag_us").cast("long").alias("measured"),
+                F.sum(
+                    F.when(F.col("verdict") != "fresh", 1).otherwise(0)
+                ).alias("nbad"),
+            )
+            .select(
+                F.lit("source_freshness").alias("gate"),
+                "measured",
+                F.lit(_FRESHNESS_LAG_US).cast("long").alias("threshold"),
+                F.when(F.col("nbad") > 0, "stale")
+                .otherwise("fresh")
+                .alias("decision"),
+            )
+        )
+
+    def gaps_sql(o: str) -> str:
+        # count vs count: ANY gap over the lag threshold trips the
+        # gate, so the comparable threshold for the reported
+        # over-threshold-gap count is zero
+        return f"""SELECT 'ingest_gaps' AS gate,
+           CAST(SUM(n_gaps_over) AS BIGINT) AS measured,
+           CAST(0 AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN verdict = 'gappy' THEN 1 ELSE 0 END) > 0
+                THEN 'gappy' ELSE 'continuous' END AS decision
+        FROM ({o}) t"""
+
+    def gaps_spark(df: DataFrame) -> DataFrame:
+        return (
+            df.agg(
+                F.sum("n_gaps_over").cast("long").alias("measured"),
+                F.sum(
+                    F.when(F.col("verdict") == "gappy", 1).otherwise(0)
+                ).alias("nbad"),
+            )
+            .select(
+                F.lit("ingest_gaps").alias("gate"),
+                "measured",
+                F.lit(0).cast("long").alias("threshold"),
+                F.when(F.col("nbad") > 0, "gappy")
+                .otherwise("continuous")
+                .alias("decision"),
+            )
+        )
+
+    def budget_sql(o: str) -> str:
+        return f"""SELECT 'source_budget' AS gate,
+           CAST(MIN(effective_ratio_ppm) AS BIGINT) AS measured,
+           CAST({_SOURCE_BUDGET_THRESHOLD_PPM} AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN advice = 'downweight' THEN 1 ELSE 0 END)
+                     > 0
+                THEN 'downweight' ELSE 'keep' END AS decision
+        FROM ({o}) t"""
+
+    def budget_spark(df: DataFrame) -> DataFrame:
+        return (
+            df.agg(
+                F.min("effective_ratio_ppm").cast("long").alias("measured"),
+                F.sum(
+                    F.when(F.col("advice") == "downweight", 1).otherwise(0)
+                ).alias("nbad"),
+            )
+            .select(
+                F.lit("source_budget").alias("gate"),
+                "measured",
+                F.lit(_SOURCE_BUDGET_THRESHOLD_PPM)
+                .cast("long")
+                .alias("threshold"),
+                F.when(F.col("nbad") > 0, "downweight")
+                .otherwise("keep")
+                .alias("decision"),
+            )
+        )
+
+    def compact_sql(o: str) -> str:
+        return f"""SELECT 'compaction' AS gate,
+           CAST(SUM(CASE WHEN verdict = 'compact' THEN 1 ELSE 0 END)
+                AS BIGINT) AS measured,
+           CAST({_ADVISOR_FLOOR_FILES} AS BIGINT) AS threshold,
+           CASE WHEN SUM(CASE WHEN verdict = 'compact' THEN 1 ELSE 0 END) > 0
+                THEN 'compact' ELSE 'ok' END AS decision
+        FROM ({o}) t"""
+
+    def compact_spark(df: DataFrame) -> DataFrame:
+        return (
+            df.agg(
+                F.sum(F.when(F.col("verdict") == "compact", 1).otherwise(0))
+                .cast("long")
+                .alias("measured"),
+            )
+            .select(
+                F.lit("compaction").alias("gate"),
+                "measured",
+                F.lit(_ADVISOR_FLOOR_FILES).cast("long").alias("threshold"),
+                F.when(F.col("measured") > 0, "compact")
+                .otherwise("ok")
+                .alias("decision"),
+            )
+        )
+
+    return {
+        "ann_retrain": simple("ann_retrain", "recall_ppm_measured"),
+        "ann_mips_retrain": simple(
+            "ann_mips_retrain", "recall_ppm_measured"
+        ),
+        "dedup_retune": simple("dedup_retune", "recall_ppm_measured"),
+        "lm_drift": simple("lm_drift", "oov_bigram_ppm"),
+        "quality_drift": simple("quality_drift", "tv_ppm"),
+        "source_freshness": (fresh_sql, fresh_spark),
+        "ingest_gaps": (gaps_sql, gaps_spark),
+        "source_budget": (budget_sql, budget_spark),
+        "compaction": (compact_sql, compact_spark),
+    }
+
+
 def _gate_panel_oracle() -> str:
     """The panel oracle: each gate's EXISTING registered oracle,
     scoped in its own nested-WITH subquery (the search_eval_overlap
     pattern — CTE names cannot collide across subqueries), reduced to
     the uniform (gate, measured, threshold, decision) row with the
     same integer aggregates the Spark side applies, UNION ALL'd in
-    panel order."""
+    _GATE_PANEL_KEYS order (the one list both sides iterate)."""
     # force-register the gate modules so REGISTRY holds their oracles
     import scribedb_spark.analytics  # noqa: F401
     import scribedb_spark.operators.curation  # noqa: F401
     import scribedb_spark.operators.dedup  # noqa: F401
     import scribedb_spark.operators.similarity  # noqa: F401
-    from scribedb_spark.analytics import _FRESHNESS_LAG_US
-    from scribedb_spark.operators.dedup import (
-        _SOURCE_BUDGET_THRESHOLD_PPM,
-    )
-    from scribedb_spark.persist import _ADVISOR_FLOOR_FILES
     from scribedb_spark.queries import REGISTRY
 
-    def o(key: str) -> str:
-        return REGISTRY[key].oracle
-
-    def one_row(gate, measured, threshold, key) -> str:
-        return (
-            f"SELECT '{gate}' AS gate, "
-            f"CAST({measured} AS BIGINT) AS measured, "
-            f"CAST({threshold} AS BIGINT) AS threshold, decision "
-            f"FROM ({o(key)}) t"
-        )
-
+    specs = _panel_specs()
     parts = [
-        one_row(
-            "ann_retrain",
-            "recall_ppm_measured",
-            "threshold_ppm",
-            "ann_retrain_gate",
-        ),
-        one_row(
-            "ann_mips_retrain",
-            "recall_ppm_measured",
-            "threshold_ppm",
-            "ann_mips_retrain_gate",
-        ),
-        one_row(
-            "dedup_retune",
-            "recall_ppm_measured",
-            "threshold_ppm",
-            "dedup_retune_gate",
-        ),
-        one_row(
-            "lm_drift", "oov_bigram_ppm", "threshold_ppm", "lm_drift_gate"
-        ),
-        one_row(
-            "quality_drift", "tv_ppm", "threshold_ppm", "rollup_quality_drift"
-        ),
-        f"""SELECT 'source_freshness' AS gate,
-           CAST(MAX(lag_us) AS BIGINT) AS measured,
-           CAST({_FRESHNESS_LAG_US} AS BIGINT) AS threshold,
-           CASE WHEN SUM(CASE WHEN verdict <> 'fresh' THEN 1 ELSE 0 END) > 0
-                THEN 'stale' ELSE 'fresh' END AS decision
-        FROM ({o("rollup_source_freshness")}) t""",
-        f"""SELECT 'ingest_gaps' AS gate,
-           CAST(SUM(n_gaps_over) AS BIGINT) AS measured,
-           CAST({_FRESHNESS_LAG_US} AS BIGINT) AS threshold,
-           CASE WHEN SUM(CASE WHEN verdict = 'gappy' THEN 1 ELSE 0 END) > 0
-                THEN 'gappy' ELSE 'continuous' END AS decision
-        FROM ({o("rollup_ingest_gaps")}) t""",
-        f"""SELECT 'source_budget' AS gate,
-           CAST(MIN(effective_ratio_ppm) AS BIGINT) AS measured,
-           CAST({_SOURCE_BUDGET_THRESHOLD_PPM} AS BIGINT) AS threshold,
-           CASE WHEN SUM(CASE WHEN advice = 'downweight' THEN 1 ELSE 0 END)
-                     > 0
-                THEN 'downweight' ELSE 'keep' END AS decision
-        FROM ({o("sample_source_budget")}) t""",
-        f"""SELECT 'compaction' AS gate,
-           CAST(SUM(CASE WHEN verdict = 'compact' THEN 1 ELSE 0 END)
-                AS BIGINT) AS measured,
-           CAST({_ADVISOR_FLOOR_FILES} AS BIGINT) AS threshold,
-           CASE WHEN SUM(CASE WHEN verdict = 'compact' THEN 1 ELSE 0 END) > 0
-                THEN 'compact' ELSE 'ok' END AS decision
-        FROM ({o("layout_compaction_advisor")}) t""",
+        specs[label][0](REGISTRY[key].oracle)
+        for label, key in _GATE_PANEL_KEYS
     ]
     return " UNION ALL ".join(parts)
 
@@ -1297,116 +1399,111 @@ def rollup_gate_panel(spark, sf_dir) -> DataFrame:
 
     Scale: the panel adds ONLY the 9 one-row reductions on top of
     measurements the gates already pay (sample-bounded audits,
-    warehouse-served recalls, metadata-sized censuses) — a standing
-    control-plane query at 100 TB."""
-    from scribedb_spark.analytics import (
-        _FRESHNESS_LAG_US,
-        layout_compaction_advisor,
-        rollup_ingest_gaps,
-        rollup_source_freshness,
-    )
-    from scribedb_spark.operators.curation import (
-        lm_drift_gate,
-        rollup_quality_drift,
-    )
-    from scribedb_spark.operators.dedup import (
-        _SOURCE_BUDGET_THRESHOLD_PPM,
-        dedup_retune_gate,
-        sample_source_budget,
-    )
-    from scribedb_spark.operators.similarity import (
-        ann_mips_retrain_gate,
-        ann_retrain_gate,
-    )
-    from scribedb_spark.persist import _ADVISOR_FLOOR_FILES
+    warehouse-served recalls, metadata-sized censuses) — and since
+    every gate serves its decision through cache.gate_decision, a
+    panel read in a session whose gates already ran costs nine stat
+    fingerprints plus the tiny reductions, never a re-measurement —
+    the standing control-plane read an on-call operator wants at
+    100 TB."""
+    from scribedb_spark.cache import gate_decision
 
-    def one_row(gate: str, df: DataFrame, measured: str) -> DataFrame:
-        return df.select(
-            F.lit(gate).alias("gate"),
-            F.col(measured).cast("long").alias("measured"),
-            F.col("threshold_ppm").cast("long").alias("threshold"),
-            "decision",
-        )
+    return gate_decision(
+        spark,
+        "rollup_gate_panel",
+        sf_dir,
+        deps=_panel_deps(sf_dir),
+        compute=lambda: _panel_frame_registered(spark, sf_dir),
+    )
 
-    fresh = rollup_source_freshness(spark, sf_dir).agg(
-        F.max("lag_us").cast("long").alias("measured"),
-        F.sum(F.when(F.col("verdict") != "fresh", 1).otherwise(0)).alias(
-            "nbad"
-        ),
+
+def _panel_deps(sf_dir: str) -> list[str]:
+    """The union of every panel gate's input files: the corpus tables
+    the monitors read plus the four warehouse index slots the retrain
+    gates measure — the panel's own serve fingerprint."""
+    from scribedb_spark.persist import artifact_path
+
+    return [
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(sf_dir, "events.parquet"),
+        artifact_path("ivf_codebook", sf_dir),
+        artifact_path("ivf_index", sf_dir),
+        artifact_path("mips_codebook", sf_dir),
+        artifact_path("mips_index", sf_dir),
+    ]
+
+
+def _panel_frame_registered(spark, sf_dir) -> DataFrame:
+    """The panel over the REGISTERED gate keys (each itself serving
+    through the decision cache)."""
+    from scribedb_spark.queries import REGISTRY
+
+    return _panel_frame(
+        spark, sf_dir, {k: REGISTRY[k].fn for _l, k in _GATE_PANEL_KEYS}
     )
-    gaps = rollup_ingest_gaps(spark, sf_dir).agg(
-        F.sum("n_gaps_over").cast("long").alias("measured"),
-        F.sum(F.when(F.col("verdict") == "gappy", 1).otherwise(0)).alias(
-            "nbad"
-        ),
-    )
-    budget = sample_source_budget(spark, sf_dir).agg(
-        F.min("effective_ratio_ppm").cast("long").alias("measured"),
-        F.sum(
-            F.when(F.col("advice") == "downweight", 1).otherwise(0)
-        ).alias("nbad"),
-    )
-    compact = layout_compaction_advisor(spark, sf_dir).agg(
-        F.sum(F.when(F.col("verdict") == "compact", 1).otherwise(0))
-        .cast("long")
-        .alias("measured"),
-    )
+
+
+def _panel_frame(spark, sf_dir, gate_fns: dict) -> DataFrame:
+    """Assemble the panel from _GATE_PANEL_KEYS: per (label, key),
+    apply the label's spark reducer to gate_fns[key]'s frame and
+    union in panel order. Shared by the registered (decision-served)
+    panel and gate_panel_compute (the measurement-plan twin the plan
+    tests pin)."""
+    specs = _panel_specs()
     parts = [
-        one_row(
-            "ann_retrain",
-            ann_retrain_gate(spark, sf_dir),
-            "recall_ppm_measured",
-        ),
-        one_row(
-            "ann_mips_retrain",
-            ann_mips_retrain_gate(spark, sf_dir),
-            "recall_ppm_measured",
-        ),
-        one_row(
-            "dedup_retune",
-            dedup_retune_gate(spark, sf_dir),
-            "recall_ppm_measured",
-        ),
-        one_row("lm_drift", lm_drift_gate(spark, sf_dir), "oov_bigram_ppm"),
-        one_row(
-            "quality_drift", rollup_quality_drift(spark, sf_dir), "tv_ppm"
-        ),
-        fresh.select(
-            F.lit("source_freshness").alias("gate"),
-            "measured",
-            F.lit(_FRESHNESS_LAG_US).cast("long").alias("threshold"),
-            F.when(F.col("nbad") > 0, "stale")
-            .otherwise("fresh")
-            .alias("decision"),
-        ),
-        gaps.select(
-            F.lit("ingest_gaps").alias("gate"),
-            "measured",
-            F.lit(_FRESHNESS_LAG_US).cast("long").alias("threshold"),
-            F.when(F.col("nbad") > 0, "gappy")
-            .otherwise("continuous")
-            .alias("decision"),
-        ),
-        budget.select(
-            F.lit("source_budget").alias("gate"),
-            "measured",
-            F.lit(_SOURCE_BUDGET_THRESHOLD_PPM)
-            .cast("long")
-            .alias("threshold"),
-            F.when(F.col("nbad") > 0, "downweight")
-            .otherwise("keep")
-            .alias("decision"),
-        ),
-        compact.select(
-            F.lit("compaction").alias("gate"),
-            "measured",
-            F.lit(_ADVISOR_FLOOR_FILES).cast("long").alias("threshold"),
-            F.when(F.col("measured") > 0, "compact")
-            .otherwise("ok")
-            .alias("decision"),
-        ),
+        specs[label][1](gate_fns[key](spark, sf_dir))
+        for label, key in _GATE_PANEL_KEYS
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def gate_compute_fns() -> dict:
+    """key -> underlying MEASUREMENT function for every gate in
+    _GATE_PANEL_KEYS (plus the panel itself): the frames whose plans
+    the plan-shape tests pin. The registered gate keys serve their
+    decisions through cache.gate_decision (a local one-row frame on a
+    warm cache), so plan assertions about pushdown/scan counts must
+    target these compute bodies instead."""
+    from scribedb_spark.analytics import (
+        _compaction_advisor_compute,
+        _ingest_gaps_compute,
+        _source_freshness_compute,
+    )
+    from scribedb_spark.operators.curation import (
+        _lm_drift_compute,
+        _quality_drift_compute,
+    )
+    from scribedb_spark.operators.dedup import (
+        _dedup_retune_compute,
+        _source_budget_compute,
+    )
+    from scribedb_spark.operators.similarity import (
+        _ann_mips_retrain_compute,
+        _ann_retrain_compute,
+    )
+
+    return {
+        "ann_retrain_gate": _ann_retrain_compute,
+        "ann_mips_retrain_gate": _ann_mips_retrain_compute,
+        "dedup_retune_gate": _dedup_retune_compute,
+        "lm_drift_gate": _lm_drift_compute,
+        "rollup_quality_drift": _quality_drift_compute,
+        "rollup_source_freshness": _source_freshness_compute,
+        "rollup_ingest_gaps": _ingest_gaps_compute,
+        "sample_source_budget": _source_budget_compute,
+        "layout_compaction_advisor": _compaction_advisor_compute,
+        "rollup_gate_panel": gate_panel_compute,
+    }
+
+
+def gate_panel_compute(spark, sf_dir) -> DataFrame:
+    """rollup_gate_panel assembled from the gates' MEASUREMENT bodies
+    (never the decision cache) — the plan the invariance census pins
+    across data scale."""
+    fns = gate_compute_fns()
+    return _panel_frame(
+        spark, sf_dir, {k: fns[k] for _l, k in _GATE_PANEL_KEYS}
+    )

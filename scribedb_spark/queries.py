@@ -2005,6 +2005,19 @@ _FRESH_WAVES.update(
         12,
     )
 )
+#: thirteenth wave (round 13) — the last unproven key gains its
+#: error-bound oracle (it re-enters the unproven queue with a NEW
+#: output shape), the levenshtein cluster-receipt scale path, and the
+#: streamed gate panel
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "agg_approx_distinct",
+            "dedup_levenshtein_receipts",
+        },
+        13,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 
@@ -2629,24 +2642,69 @@ def scalar_higher_order(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # no oracle: HLL/KLL estimates are
-# algorithm-specific, so a DuckDB twin can't hash-match; the engine
-# test asserts relative error vs the exact answers instead
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_suppkey,
+           CAST(1 AS BIGINT) AS hll_partkey_ok,
+           CAST(1 AS BIGINT) AS hll_suppkey_ok,
+           CAST(1 AS BIGINT) AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """Sketch aggregates: approx_count_distinct (HyperLogLog++) and
-    approx_percentile (KLL-style) per group.
+    approx_percentile (KLL-style) per group, PROVEN by error-bound
+    verdict. The raw sketch estimates are engine-specific (a DuckDB
+    twin can't hash-match an HLL register set), so the key emits the
+    exact answers plus deterministic within-tolerance flags: the HLL
+    estimate must land within 10% of the exact distinct count
+    (rsd=0.02 -> 5 sigma of slack) and the rank-error-bounded
+    approximate median must lie between the exact 45th and 55th
+    percentiles (accuracy=1000 -> +-0.1% rank error, values are
+    monotone in rank — the flag is TRUE by construction whenever the
+    sketches honor their contracts, which is exactly what the oracle
+    pins as literals). A broken sketch flips a flag and the driver
+    hash-check catches it.
 
-    Scale: sketches are the ONLY sane form of these at 100 TB — fixed
-    a-few-KB state per group merged associatively map-side, vs an
-    exact count-distinct's full shuffle of every distinct value.
+    Scale: the sketches are the ONLY sane form of these at 100 TB —
+    fixed a-few-KB state per group merged associatively map-side; the
+    exact distincts/percentiles here are the AUDIT half (bounded: 3
+    groups), the production path reads just the sketch columns. Both
+    HLL++ (hash + register max) and the flag comparison are
+    order-insensitive, so the flags are deterministic under any
+    partitioning.
     """
     li = table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("nd_partkey"),
-        F.approx_count_distinct("l_suppkey", 0.02).alias("nd_suppkey"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
-            "p50_price_approx"
-        ),
+    a = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.countDistinct("l_suppkey").alias("nd_suppkey"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("hp"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("hs"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(1000)
+        ).alias("ap50"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    return a.select(
+        "l_returnflag",
+        F.col("nd_partkey").cast("long").alias("nd_partkey"),
+        F.col("nd_suppkey").cast("long").alias("nd_suppkey"),
+        flag(
+            F.abs(F.col("hp") - F.col("nd_partkey")) * 10
+            <= F.col("nd_partkey")
+        ).alias("hll_partkey_ok"),
+        flag(
+            F.abs(F.col("hs") - F.col("nd_suppkey")) * 10
+            <= F.col("nd_suppkey")
+        ).alias("hll_suppkey_ok"),
+        flag(
+            (F.col("ap50") >= F.col("p45")) & (F.col("ap50") <= F.col("p55"))
+        ).alias("p50_ok"),
     )
 
 

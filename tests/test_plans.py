@@ -22,7 +22,13 @@ def qmod():
 
 
 def plan(qmod, spark, sf_dir, key, mode="formatted"):
-    df = qmod.REGISTRY[key].fn(spark, sf_dir)
+    # the monitor gates serve their DECISION through cache.gate_decision
+    # (a local one-row frame on a warm cache); plan assertions target
+    # the underlying measurement bodies via pipeline.gate_compute_fns
+    from scribedb_spark.pipeline import gate_compute_fns
+
+    fn = gate_compute_fns().get(key) or qmod.REGISTRY[key].fn
+    df = fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
@@ -1737,6 +1743,10 @@ _INVARIANCE_KEYS = [
     "ann_mips_persist",
     "dedup_substring_rewrite_all",
     "dedup_rewrite_persist",
+    # round-13 additions: the #1 bench key's MEASUREMENT plan (the
+    # registered key serves cached decisions; gate_compute_fns routes
+    # the capture to the nine-gate compute union)
+    "rollup_gate_panel",
 ]
 
 

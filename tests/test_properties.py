@@ -1971,3 +1971,52 @@ def test_gate_panel_healthy_fixed_point_retrains_nothing(spark, sf_dir):
     for g in ("ann_retrain", "ann_mips_retrain", "dedup_retune"):
         assert second[g]["decision"] == "serve"
     assert first == second
+    # the re-read must be DECISION-SERVED, not re-measured: the panel
+    # and every gate hold a cached local frame after the first read
+    from scribedb_spark.cache import _DECISION_ROWS
+
+    cached_keys = {k[1] for k in _DECISION_ROWS}
+    assert "rollup_gate_panel" in cached_keys
+    for _label, key in _GATE_PANEL_KEYS:
+        assert key in cached_keys, f"{key} decision not cached"
+
+
+def test_gate_decision_cache_invalidates_on_input_change(
+    spark, tmp_path_factory
+):
+    """What makes decision-serving HONEST: a served gate decision is
+    keyed by the stat fingerprint of its inputs, so mutating the
+    measured corpus must force a fresh measurement — a cache that
+    kept serving the old verdict would turn every monitor into a
+    lie. Plant a stable corpus, read the quality gate, then rewrite
+    documents.parquet with a drifted batch slice: the second read
+    must report the NEW distribution, not the cached one."""
+    from scribedb_spark.operators.curation import (
+        _QDRIFT_MOD,
+        _QDRIFT_REM,
+        rollup_quality_drift,
+    )
+
+    d = tmp_path_factory.mktemp("gatecache")
+    n = 400
+    rows = [(i, ("the quick brown fox jumps over the lazy dog " * 4).strip())
+            for i in range(n)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    first = rollup_quality_drift(spark, str(d)).collect()[0]
+    assert first["decision"] == "stable"
+
+    # drift the batch slice: truncate every batch document hard
+    drifted = [
+        (i, "x" if i % _QDRIFT_MOD == _QDRIFT_REM else t)
+        for i, t in rows
+    ]
+    spark.createDataFrame(
+        drifted, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    second = rollup_quality_drift(spark, str(d)).collect()[0]
+    assert second["decision"] == "drift", (
+        "mutated corpus served the stale cached decision"
+    )
+    assert second["tv_ppm"] > first["tv_ppm"]

@@ -146,15 +146,17 @@ def test_enumeration_order_unproven_first(qmod):
 
 
 def test_agg_approx_distinct_tolerance(spark, sf_dir):
-    """Rows-only key: assert the sketches land within tolerance of the
-    exact answers (2% HLL sd -> allow 6%; KLL median within 5% of the
-    exact median's neighborhood)."""
+    """The error-bound verdict key: every flag must read 1 (the
+    sketches honor their contracts), the emitted exact counts must
+    equal an independent exact computation, and the RAW sketch
+    estimates (recomputed here, outside the key) must land within the
+    tighter engine tolerance (2% HLL sd -> allow 6%)."""
     from pyspark.sql import functions as F
     from scribedb_spark import queries as Q
     from scribedb_spark.sources import table
 
     Q.load_extensions()
-    approx = {
+    out = {
         r["l_returnflag"]: r
         for r in Q.REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
     }
@@ -165,16 +167,21 @@ def test_agg_approx_distinct_tolerance(spark, sf_dir):
         .agg(
             F.countDistinct("l_partkey").alias("nd_partkey"),
             F.countDistinct("l_suppkey").alias("nd_suppkey"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("hp"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("hs"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(out) == set(exact)
     for flag, e in exact.items():
-        a = approx[flag]
-        assert abs(a["nd_partkey"] - e["nd_partkey"]) <= max(3, 0.06 * e["nd_partkey"])
-        assert abs(a["nd_suppkey"] - e["nd_suppkey"]) <= max(3, 0.06 * e["nd_suppkey"])
-        assert abs(a["p50_price_approx"] - e["p50"]) <= 0.05 * e["p50"] + 1
+        a = out[flag]
+        assert a["nd_partkey"] == e["nd_partkey"]
+        assert a["nd_suppkey"] == e["nd_suppkey"]
+        assert (
+            a["hll_partkey_ok"] == a["hll_suppkey_ok"] == a["p50_ok"] == 1
+        )
+        assert abs(e["hp"] - e["nd_partkey"]) <= max(3, 0.06 * e["nd_partkey"])
+        assert abs(e["hs"] - e["nd_suppkey"]) <= max(3, 0.06 * e["nd_suppkey"])
 
 
 def test_script_key_lists_exist_in_registry(qmod):
