@@ -215,6 +215,9 @@ BENCH_KEYS = [
     "dedup_substring_rewrite_all",
     "dedup_rewrite_persist",
     "rollup_gate_panel",
+    # wave 13
+    "agg_approx_distinct",
+    "dedup_levenshtein_receipts",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

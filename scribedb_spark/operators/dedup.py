@@ -1207,12 +1207,22 @@ def dedup_levenshtein(spark, sf_dir) -> DataFrame:
     <=1-row-per-rep-pair distance table. The DuckDB oracle is the
     naive per-pair recompute, so the driver hash-check proves the
     collapse lossless on every run."""
+    pm = lsh_rep_pairs(spark, sf_dir)
+    dist = _rep_head_distances(spark, sf_dir, pm)
+    return pm.join(dist, ["r1", "r2"]).select(
+        "doc_id1", "doc_id2", "edit_dist"
+    )
+
+
+def _rep_head_distances(spark, sf_dir, pm: DataFrame) -> DataFrame:
+    """(r1, r2, edit_dist <= 60) — ONE 150-char-prefix levenshtein per
+    distinct representative pair of ``pm`` (the DP volume both
+    levenshtein keys pay; member fanout never reaches it)."""
     heads = table(spark, "documents", sf_dir).select(
         "doc_id", F.substring("text", 1, 150).alias("head")
     )
-    pm = lsh_rep_pairs(spark, sf_dir)
     rp = pm.select("r1", "r2").distinct()
-    dist = (
+    return (
         rp.join(
             heads.select(
                 F.col("doc_id").alias("r1"), F.col("head").alias("h1")
@@ -1230,8 +1240,78 @@ def dedup_levenshtein(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 60)
     )
-    return pm.join(dist, ["r1", "r2"]).select(
-        "doc_id1", "doc_id2", "edit_dist"
+
+
+#: the receipts oracle needs the rep mapping IN SQL: a (md5, length)
+#: rep map over all documents (pair docs' reps agree with the Spark
+#: side's min-token-filtered map because byte-identical texts share
+#: their token count), the pair list with reps attached, the per-rep
+#: distance filter, then the member-pair count per surviving rep pair
+_LEV_RECEIPTS_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    lrh AS (SELECT doc_id, md5(text) AS h, len(text) AS hl
+            FROM documents),
+    lrq AS (SELECT h, hl, MIN(doc_id) AS rep_id FROM lrh GROUP BY h, hl),
+    lrmap AS (SELECT r.doc_id, q.rep_id FROM lrh r
+              JOIN lrq q ON q.h = r.h AND q.hl = r.hl),
+    lpm AS (
+      SELECT c.doc_id1, c.doc_id2,
+             COALESCE(a.rep_id, c.doc_id1) AS r1,
+             COALESCE(b.rep_id, c.doc_id2) AS r2
+      FROM lsh_cand c
+      LEFT JOIN lrmap a ON a.doc_id = c.doc_id1
+      LEFT JOIN lrmap b ON b.doc_id = c.doc_id2),
+    ldist AS (
+      SELECT rp.r1, rp.r2,
+             levenshtein(substr(da.text, 1, 150), substr(db.text, 1, 150))
+               AS edit_dist
+      FROM (SELECT DISTINCT r1, r2 FROM lpm) rp
+      JOIN documents da ON da.doc_id = rp.r1
+      JOIN documents db ON db.doc_id = rp.r2
+      WHERE levenshtein(substr(da.text, 1, 150), substr(db.text, 1, 150))
+            <= 60)
+    SELECT p.r1 AS rep_id1, p.r2 AS rep_id2, d.edit_dist,
+           CAST(COUNT(*) AS BIGINT) AS n_member_pairs
+    FROM lpm p JOIN ldist d ON d.r1 = p.r1 AND d.r2 = p.r2
+    GROUP BY p.r1, p.r2, d.edit_dist
+    """
+
+
+@register("dedup_levenshtein_receipts", oracle=_LEV_RECEIPTS_ORACLE)
+def dedup_levenshtein_receipts(spark, sf_dir) -> DataFrame:
+    """dedup_levenshtein's SCALE output shape: one CLUSTER RECEIPT per
+    verified representative pair — (rep_id1, rep_id2, edit_dist,
+    n_member_pairs) — instead of materializing every member pair.
+    The r12 collapse already made the DP volume rep-sized, but the
+    member-pair OUTPUT still paid the duplication inflation (64x
+    octave: 11.2M output rows, 415 s wall, 97% of it the fanout join
+    + write of rows a downstream dedup ledger immediately
+    re-aggregates). The receipt is the aggregate a ledger actually
+    wants: which distinct-content pairs are near-dups and how many
+    concrete document pairs each verdict covers — member enumeration
+    stays available as dedup_levenshtein when a consumer genuinely
+    needs it.
+
+    Exactness: the oracle rebuilds the same rep map in SQL ((md5,
+    length) grouping, COALESCE for unmapped docs) and counts member
+    pairs per surviving rep pair — integer counts and unit-cost
+    levenshtein on both engines.
+
+    Scale: DP volume = distinct rep pairs (base-corpus-sized under
+    N-fold duplication); output = verified rep pairs; the only
+    member-pair-sized stage is the groupBy COUNT, which partial-
+    aggregates map-side to rep grain before its shuffle — an N-fold
+    duplicated corpus shuffles ~rep-pair rows, not N^2 member rows."""
+    pm = lsh_rep_pairs(spark, sf_dir)
+    dist = _rep_head_distances(spark, sf_dir, pm)
+    cnt = pm.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_member_pairs")
+    )
+    return dist.join(cnt, ["r1", "r2"]).select(
+        F.col("r1").alias("rep_id1"),
+        F.col("r2").alias("rep_id2"),
+        "edit_dist",
+        "n_member_pairs",
     )
 
 
@@ -2605,10 +2685,20 @@ def exact_text_reps(d: DataFrame) -> DataFrame:
     which is exact because run structure is a pure function of the
     two texts: text(d) == text(rep(d)) implies every (diag, pa)
     match set — hence every run length and coordinate — is
-    identical."""
-    h = d.select("doc_id", F.md5("text").alias("h"))
-    reps = h.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
-    return h.join(reps, "h").select("doc_id", "rep_id")
+    identical.
+
+    The grouping key is (md5, length): md5 collisions are practically
+    constructible (r12 ADVICE), and colliding texts necessarily
+    differ in content — requiring equal length too makes an
+    accidental/adversarial collapse of two DISTINCT texts onto one
+    representative require a same-length md5 collision, which no
+    published construction produces against a keyless corpus. The
+    SQL rep maps (receipts oracle) group on the same pair."""
+    h = d.select(
+        "doc_id", F.md5("text").alias("h"), F.length("text").alias("hl")
+    )
+    reps = h.groupBy("h", "hl").agg(F.min("doc_id").alias("rep_id"))
+    return h.join(reps, ["h", "hl"]).select("doc_id", "rep_id")
 
 
 def lsh_rep_pairs(spark, sf_dir: str) -> DataFrame:

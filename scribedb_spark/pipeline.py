@@ -1507,3 +1507,31 @@ def gate_panel_compute(spark, sf_dir) -> DataFrame:
     return _panel_frame(
         spark, sf_dir, {k: fns[k] for _l, k in _GATE_PANEL_KEYS}
     )
+
+
+def gate_panel_from_state(
+    spark, sf_dir, quality_hist: DataFrame, freshness_state: DataFrame
+) -> DataFrame:
+    """The panel with the two CORPUS-STREAM monitors read from
+    MAINTAINED state instead of a from-scratch scan: quality_drift
+    derives from the streamed (is_batch, bin, c) histogram and
+    source_freshness from the streamed per-type (count, max-ts)
+    table (the streaming maintainers' holder states); every other
+    gate reads through its decision-served registry fn as usual.
+    This is the pane an ingest pipeline polls BETWEEN snapshot
+    rebuilds — the streamed rows stay current per micro-batch at
+    O(|batch|) while the warehouse/audit gates stay
+    fingerprint-served. Row-equality with the batch panel after a
+    drain is pinned by the streaming test."""
+    from scribedb_spark.analytics import freshness_decision
+    from scribedb_spark.operators.curation import quality_drift_from_hist
+    from scribedb_spark.queries import REGISTRY
+
+    fns = {k: REGISTRY[k].fn for _l, k in _GATE_PANEL_KEYS}
+    fns["rollup_quality_drift"] = (
+        lambda s, _sd: quality_drift_from_hist(s, quality_hist)
+    )
+    fns["rollup_source_freshness"] = (
+        lambda _s, _sd: freshness_decision(freshness_state)
+    )
+    return _panel_frame(spark, sf_dir, fns)

@@ -637,17 +637,41 @@ def stream_search_eval_maintain(
 
     holder.drift_row = drift_row
     holder.row = drift_row()  # pre-ingest: full == base
+    # replay guard state: every doc_id accumulated so far (doc_id-only
+    # rows — tiny beside the postings)
+    holder._seen = base.select("doc_id").distinct().localCheckpoint()
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.localCheckpoint()  # pin: the source view is transient
         if not rows.take(1):
             return
+        # LOUD replay guard: the postings append is an exact merge
+        # ONLY under at-most-once ingestion of whole disjoint docs —
+        # a replayed or duplicated batch would silently double-count
+        # tf/df/n_docs/total_tokens. Same discipline as --mode iblt's
+        # input validation: fail the query, never corrupt the state.
+        dup = (
+            rows.select("doc_id")
+            .join(holder._seen, "doc_id")
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                "stream_search_eval_maintain: batch replays already-"
+                f"ingested doc_id {dup[0]['doc_id']} — postings state "
+                "requires at-most-once ingestion of disjoint doc_ids"
+            )
         n, t = rows.select(
             F.count(F.lit(1)), F.sum(F.size(F.split("text", " ")))
         ).first()
         holder.n_docs += int(n)
         holder.total_tokens += int(t)
         holder._parts.append(bm25_postings_from(rows).localCheckpoint())
+        holder._seen = (
+            holder._seen.unionByName(rows.select("doc_id").distinct())
+            .distinct()
+            .localCheckpoint()
+        )
         holder.row = drift_row()
 
     q = (
@@ -657,3 +681,51 @@ def stream_search_eval_maintain(
         .start()
     )
     return q, holder
+
+
+def stream_gate_panel_maintain(
+    doc_stream: DataFrame,
+    base_hist: DataFrame,
+    event_stream: DataFrame,
+    query_prefix: str = "stream_gate_panel",
+) -> tuple:
+    """Streamed half of rollup_gate_panel: maintain the two
+    corpus-stream monitors' states per micro-batch (the quality
+    histogram from an INSERT stream of incoming documents, the
+    freshness per-type table from the events stream — the existing
+    maintainers, composed) and expose ``holder.panel(spark, sf_dir)``:
+    the full nine-row pane with those two rows derived from MAINTAINED
+    state and every other gate read through its decision-served
+    registry fn (pipeline.gate_panel_from_state). This is the pane an
+    ingest pipeline polls between snapshot rebuilds: the streamed
+    rows stay current at O(|batch|) per micro-batch, the
+    warehouse/audit gates stay fingerprint-served, and after a drain
+    the pane ROW-EQUALS the batch rollup_gate_panel over the same
+    corpus (pinned by the streaming test — the batch key, whose own
+    DuckDB oracle the driver checks, is the oracle here).
+
+    The remaining gates have no streamed half by design:
+    rollup_ingest_gaps needs full ordering (documented impossible
+    under bounded state), the retrain/retune gates monitor WAREHOUSE
+    artifacts (their lifecycle is build events, not row streams), and
+    compaction/budget are metadata censuses.
+
+    Returns ((quality_query, freshness_query), holder)."""
+
+    q1, qh = stream_quality_maintain(
+        doc_stream, base_hist, query_name=f"{query_prefix}_quality"
+    )
+    q2, fh = stream_freshness_maintain(
+        event_stream, query_name=f"{query_prefix}_freshness"
+    )
+
+    class _Holder:
+        quality = qh
+        freshness = fh
+
+        def panel(self, spark, sf_dir) -> DataFrame:
+            from scribedb_spark.pipeline import gate_panel_from_state
+
+            return gate_panel_from_state(spark, sf_dir, qh.h, fh.state)
+
+    return (q1, q2), _Holder()

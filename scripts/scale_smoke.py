@@ -96,6 +96,7 @@ KEYS = [
     "sample_mix_curriculum",
     "dedup_substring_rewrite_all",
     "rollup_gate_panel",
+    "dedup_levenshtein_receipts",
 ]
 
 def _containment_pairs(mode):
@@ -217,6 +218,9 @@ PAIR_PROBES = {
     "dedup_containment_salted": _containment_pairs("salted"),
     "dedup_simhash": _simhash_pairs,
     "dedup_levenshtein": _rep_pairs,
+    # the receipt key's DP volume is the same rep-pair set; its output
+    # and shuffles are rep-sized by design (r13)
+    "dedup_levenshtein_receipts": _rep_pairs,
     "dedup_recall_report": _recall_report_pairs,
     # the tuner scores the same sampled co-occurrence pairs the
     # recall report audits — identical cost driver, identical probe

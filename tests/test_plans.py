@@ -1745,8 +1745,10 @@ _INVARIANCE_KEYS = [
     "dedup_rewrite_persist",
     # round-13 additions: the #1 bench key's MEASUREMENT plan (the
     # registered key serves cached decisions; gate_compute_fns routes
-    # the capture to the nine-gate compute union)
+    # the capture to the nine-gate compute union), and the
+    # levenshtein cluster receipt (rep-grain output shape)
     "rollup_gate_panel",
+    "dedup_levenshtein_receipts",
 ]
 
 

@@ -671,3 +671,101 @@ def test_stream_search_eval_maintain_matches_batch_twin(
     got = holder.row.collect()[0].asDict()
     want = search_eval_overlap(spark, sf_dir).collect()[0].asDict()
     assert got == want
+
+
+def test_stream_search_eval_maintain_rejects_replayed_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r12: the postings append is an exact merge only under
+    at-most-once ingestion — a replayed batch must FAIL THE QUERY
+    loudly (the --mode iblt input-validation discipline), never
+    silently double-count tf/df/n_docs/total_tokens."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from scribedb_spark.operators.curation import (
+        _LM_DELTA_MOD,
+        _LM_DELTA_REM,
+    )
+    from scribedb_spark.sources import table as _table
+    from scribedb_spark.streaming.diff import stream_search_eval_maintain
+
+    docs = _table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % _LM_DELTA_MOD != _LM_DELTA_REM)
+    delta = docs.filter(
+        F.col("doc_id") % _LM_DELTA_MOD == _LM_DELTA_REM
+    ).localCheckpoint()
+    sdir = tmp_path_factory.mktemp("search_eval_replay")
+    # the same delta twice: the second file REPLAYS the first's docs
+    delta.coalesce(1).write.mode("overwrite").parquet(str(sdir))
+    delta.coalesce(1).write.mode("append").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_search_eval_maintain(
+        stream, base, query_name="search_eval_replay"
+    )
+    with pytest.raises(StreamingQueryException, match="replays"):
+        q.awaitTermination(180)
+        raise AssertionError("replayed batch was ingested silently")
+
+
+def test_stream_gate_panel_maintain_matches_batch_panel(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streamed gate panel: stream the quality batch slice (documents)
+    and the full events history as multi-file ingest streams; after
+    draining, holder.panel() must ROW-EQUAL the batch
+    rollup_gate_panel over the same corpus — the two streamed rows
+    derive from maintained state, the other seven from their
+    decision-served gates, and the batch key (driver-oracle-proven)
+    is the oracle."""
+    from scribedb_spark import queries as Q
+    from scribedb_spark.operators.curation import (
+        _QDRIFT_MOD,
+        _QDRIFT_REM,
+        quality_bin_hist,
+        quality_bins,
+    )
+    from scribedb_spark.sources import table as _table
+    from scribedb_spark.streaming.diff import stream_gate_panel_maintain
+
+    Q.load_extensions()
+    docs = _table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % _QDRIFT_MOD != _QDRIFT_REM)
+    arriving = docs.filter(F.col("doc_id") % _QDRIFT_MOD == _QDRIFT_REM)
+    events = _table(spark, "events", sf_dir)
+
+    ddir = tmp_path_factory.mktemp("panel_docs_ingest")
+    arriving.repartition(3).write.mode("overwrite").parquet(str(ddir))
+    edir = tmp_path_factory.mktemp("panel_events_ingest")
+    events.repartition(3).write.mode("overwrite").parquet(str(edir))
+
+    doc_stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ddir))
+    )
+    event_stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(edir))
+    )
+    base_hist = quality_bin_hist(quality_bins(base, is_batch=F.lit(False)))
+    (q1, q2), holder = stream_gate_panel_maintain(
+        doc_stream, base_hist, event_stream
+    )
+    q1.awaitTermination(180)
+    q2.awaitTermination(180)
+
+    cols = ["gate", "measured", "threshold", "decision"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in holder.panel(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in Q.REGISTRY["rollup_gate_panel"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
