@@ -2020,3 +2020,32 @@ def test_gate_decision_cache_invalidates_on_input_change(
         "mutated corpus served the stale cached decision"
     )
     assert second["tv_ppm"] > first["tv_ppm"]
+
+
+def test_levenshtein_receipts_consistent_with_member_enumeration(
+    spark, sf_dir
+):
+    """The receipt form is EXACTLY the member enumeration aggregated
+    to rep grain: per verified rep pair, n_member_pairs sums to the
+    member key's row count, and every member pair's edit_dist equals
+    its rep pair's (distance is a pure function of the two texts)."""
+    from scribedb_spark import queries as Q
+    from scribedb_spark.operators.dedup import lsh_rep_pairs
+
+    Q.load_extensions()
+    receipts = Q.REGISTRY["dedup_levenshtein_receipts"].fn(
+        spark, sf_dir
+    ).collect()
+    members = Q.REGISTRY["dedup_levenshtein"].fn(spark, sf_dir).collect()
+    assert sum(r["n_member_pairs"] for r in receipts) == len(members)
+
+    rep_of = {
+        (r["doc_id1"], r["doc_id2"]): (r["r1"], r["r2"])
+        for r in lsh_rep_pairs(spark, sf_dir).collect()
+    }
+    dist_of = {
+        (r["rep_id1"], r["rep_id2"]): r["edit_dist"] for r in receipts
+    }
+    for m in members:
+        rep = rep_of[(m["doc_id1"], m["doc_id2"])]
+        assert dist_of[rep] == m["edit_dist"]
