@@ -1686,6 +1686,26 @@ def test_pq_append_steady_state_encodes_delta_only(qmod, spark, sf_dir):
     assert p.count("embeddings.parquet") <= 3
 
 
+def test_gate_panel_served_plan_reads_no_corpus(qmod, spark, sf_dir):
+    """The REGISTERED panel on a warm decision cache must be pure
+    serve: a local relation union, zero parquet scans, zero joins —
+    if a gate silently stops caching, corpus scans reappear here.
+    (The measurement plans are pinned separately via
+    gate_compute_fns; this pins the serve path the operator actually
+    polls.)"""
+    fn = qmod.REGISTRY["rollup_gate_panel"].fn
+    fn(spark, sf_dir).collect()  # warm every gate + the panel itself
+    df = fn(spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Scan parquet" not in p
+    assert "Join" not in p
+    assert "ExistingRDD" in p or "LocalTableScan" in p
+
+
 def test_quality_drift_single_scan_then_metadata_only(qmod, spark, sf_dir):
     """rollup_quality_drift: the corpus is scanned exactly once (at
     the <=20-row histogram checkpoint); the SERVE plan derives both
