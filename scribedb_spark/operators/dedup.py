@@ -1208,20 +1208,20 @@ def dedup_levenshtein(spark, sf_dir) -> DataFrame:
     naive per-pair recompute, so the driver hash-check proves the
     collapse lossless on every run."""
     pm = lsh_rep_pairs(spark, sf_dir)
-    dist = _rep_head_distances(spark, sf_dir, pm)
+    dist = _rep_head_distances(spark, sf_dir)
     return pm.join(dist, ["r1", "r2"]).select(
         "doc_id1", "doc_id2", "edit_dist"
     )
 
 
-def _rep_head_distances(spark, sf_dir, pm: DataFrame) -> DataFrame:
+def _rep_head_distances(spark, sf_dir) -> DataFrame:
     """(r1, r2, edit_dist <= 60) — ONE 150-char-prefix levenshtein per
-    distinct representative pair of ``pm`` (the DP volume both
-    levenshtein keys pay; member fanout never reaches it)."""
+    oriented representative pair (the DP volume both levenshtein keys
+    pay; member fanout never reaches it)."""
     heads = table(spark, "documents", sf_dir).select(
         "doc_id", F.substring("text", 1, 150).alias("head")
     )
-    rp = pm.select("r1", "r2").distinct()
+    rp = oriented_rep_pairs(spark, sf_dir)
     return (
         rp.join(
             heads.select(
@@ -1303,7 +1303,7 @@ def dedup_levenshtein_receipts(spark, sf_dir) -> DataFrame:
     aggregates map-side to rep grain before its shuffle — an N-fold
     duplicated corpus shuffles ~rep-pair rows, not N^2 member rows."""
     pm = lsh_rep_pairs(spark, sf_dir)
-    dist = _rep_head_distances(spark, sf_dir, pm)
+    dist = _rep_head_distances(spark, sf_dir)
     cnt = pm.groupBy("r1", "r2").agg(
         F.count(F.lit(1)).cast("long").alias("n_member_pairs")
     )
@@ -2701,50 +2701,123 @@ def exact_text_reps(d: DataFrame) -> DataFrame:
     return h.join(reps, ["h", "hl"]).select("doc_id", "rep_id")
 
 
-def lsh_rep_pairs(spark, sf_dir: str) -> DataFrame:
-    """(doc_id1, doc_id2, r1, r2) — the LSH candidate pair list with
-    each side's exact-text representative attached, checkpointed once
-    per session (shared by all three substring keys). This is the
-    structural fix for the duplicated-corpus blow-up: an N-fold
-    exact-duplicated corpus inflates candidate PAIRS ~N^2 inside every
-    near-dup bucket (64x measured 4895x pairs, SCALE_SMOKE_r11), but
-    the distinct (r1, r2) set stays at the base corpus' size, so the
-    match-volume join never pays the inflation — exactly the
-    exact-dedup-before-substring-dedup staging of the public
-    suffix-array recipe (Lee et al. 2022 run exact dedup first).
-    COALESCE keeps a doc absent from the rep map as its own
-    representative (defensive: pair docs are a subset of the
-    min-token-filtered corpus the map covers)."""
+def _rep_pair_state(spark, sf_dir: str) -> dict:
+    """{'rmap': (doc_id, rep_id), 'rp': oriented (r1, r2)} — the two
+    SMALL checkpointed pieces every rep-collapsed key derives from,
+    built once per session. This is the r13 collapse-BEFORE-candidates
+    fix: r12 collapsed runs/distances to representative pairs but
+    still MATERIALIZED the member-pair LSH list first (the band
+    self-join over all documents) — at the 256x duplicated-union
+    octave a single hot band bucket's quadratic pair expansion OOMs
+    one task's heap (SCALE_SMOKE_r13 boundary record). Here the band
+    join runs over REPRESENTATIVE signatures only, so bucket sizes —
+    and the whole candidate stage — stay base-corpus-sized at ANY
+    duplication factor; member pairs are derived lazily (see
+    lsh_rep_pairs) only where a consumer genuinely enumerates them.
+
+    Exactness of the rep-level candidate set: sig(doc) is a pure
+    function of text, so sig(member) == sig(rep) and two documents
+    band-collide iff their reps do (or share a rep — identical texts
+    collide in every band, hence the self-pairs for groups of >= 2).
+    ORIENTATION: downstream run/span coordinates are computed per
+    ORIENTED rep pair (r1 = rep of the smaller doc_id), and an
+    orientation (x, y) occurs among member pairs iff min(doc_id in
+    X) < max(doc_id in Y) — derivable from per-group id ranges, no
+    member enumeration. The unchanged member-grain DuckDB oracles
+    hash-prove all of this on every driver run."""
     from ..cache import session_cache
 
     def build():
-        pairs = dedup_minhash_lsh(spark, sf_dir)
         d = (
             table(spark, "documents", sf_dir)
             .select("doc_id", "text")
             .filter(min_tokens_filter())
         )
-        rmap = exact_text_reps(d)
-        m1 = rmap.select(
-            F.col("doc_id").alias("doc_id1"), F.col("rep_id").alias("ra")
+        rmap = exact_text_reps(d).localCheckpoint()
+        stats = rmap.groupBy("rep_id").agg(
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
         )
-        m2 = rmap.select(
-            F.col("doc_id").alias("doc_id2"), F.col("rep_id").alias("rb")
+        reps = rmap.select(
+            F.col("rep_id").alias("doc_id")
+        ).distinct()
+        sig = band_signatures_cached(spark, sf_dir).join(
+            reps, "doc_id", "left_semi"
         )
-        return (
-            pairs.join(m1, "doc_id1", "left")
-            .join(m2, "doc_id2", "left")
-            .select(
-                "doc_id1",
-                "doc_id2",
-                F.coalesce("ra", "doc_id1").alias("r1"),
-                F.coalesce("rb", "doc_id2").alias("r2"),
-            )
-            .localCheckpoint()
+        a = sig.select(F.col("doc_id").alias("ra"), "band", "s")
+        b = sig.select(F.col("doc_id").alias("rb"), "band", "s")
+        u = (
+            a.join(b, ["band", "s"])
+            .filter(F.col("ra") < F.col("rb"))
+            .select("ra", "rb")
+            .distinct()
         )
+        sa = stats.select(
+            F.col("rep_id").alias("ra"),
+            F.col("mn").alias("a_mn"),
+            F.col("mx").alias("a_mx"),
+        )
+        sb = stats.select(
+            F.col("rep_id").alias("rb"),
+            F.col("mn").alias("b_mn"),
+            F.col("mx").alias("b_mx"),
+        )
+        j = u.join(sa, "ra").join(sb, "rb")
+        o1 = j.filter(F.col("a_mn") < F.col("b_mx")).select(
+            F.col("ra").alias("r1"), F.col("rb").alias("r2")
+        )
+        o2 = j.filter(F.col("b_mn") < F.col("a_mx")).select(
+            F.col("rb").alias("r1"), F.col("ra").alias("r2")
+        )
+        selfp = stats.filter(F.col("n") >= 2).select(
+            F.col("rep_id").alias("r1"), F.col("rep_id").alias("r2")
+        )
+        rp = o1.unionByName(o2).unionByName(selfp).localCheckpoint()
+        return {"rmap": rmap, "rp": rp}
 
     return session_cache(
-        _REP_PAIRS_CACHE, spark, ("substr_rep_pairs", sf_dir), build
+        _REP_PAIRS_CACHE, spark, ("substr_rep_state", sf_dir), build
+    )
+
+
+def oriented_rep_pairs(spark, sf_dir: str) -> DataFrame:
+    """The distinct oriented representative pair set — what the match
+    and distance stages iterate. Base-corpus-sized at any exact
+    duplication factor (see _rep_pair_state)."""
+    return _rep_pair_state(spark, sf_dir)["rp"]
+
+
+def lsh_rep_pairs(spark, sf_dir: str) -> DataFrame:
+    """(doc_id1, doc_id2, r1, r2) — the LSH candidate MEMBER pair
+    list with each side's exact-text representative attached,
+    derived LAZILY from the checkpointed (rmap, oriented rep pairs)
+    state: expand each oriented rep pair by its member groups and
+    keep da < db (each member pair matches exactly its own
+    orientation's row). Identical to the member-level band self-join
+    (sig(member) == sig(rep)), but the N^2-inflated volume now exists
+    only as JOIN FANOUT streamed through the consumer's own
+    aggregation/transfer — never a materialized checkpoint, never a
+    hot band bucket (the r13 256x fix). Consumers that only need the
+    rep-pair set read oriented_rep_pairs instead."""
+    st = _rep_pair_state(spark, sf_dir)
+    a = st["rmap"].select(
+        F.col("rep_id").alias("r1"), F.col("doc_id").alias("da")
+    )
+    b = st["rmap"].select(
+        F.col("rep_id").alias("r2"), F.col("doc_id").alias("db")
+    )
+    return (
+        st["rp"]
+        .join(a, "r1")
+        .join(b, "r2")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_id1"),
+            F.col("db").alias("doc_id2"),
+            "r1",
+            "r2",
+        )
     )
 
 
@@ -2758,7 +2831,7 @@ def _rep_positional_shingles(spark, sf_dir: str) -> DataFrame:
         .filter(min_tokens_filter())
     )
     reps = (
-        exact_text_reps(d)
+        _rep_pair_state(spark, sf_dir)["rmap"]
         .select(F.col("rep_id").alias("doc_id"))
         .distinct()
     )
@@ -2773,8 +2846,7 @@ def substring_matches(spark, sf_dir: str) -> DataFrame:
     list is distinct, so each match row is a unique (pa, pb) — and
     (diag, pa) is bijective with it. A distinct here would be a full
     extra shuffle of the largest intermediate for nothing."""
-    pm = lsh_rep_pairs(spark, sf_dir)
-    rp = pm.select("r1", "r2").distinct()
+    rp = oriented_rep_pairs(spark, sf_dir)
     psh = _rep_positional_shingles(spark, sf_dir)
     a = psh.select(
         F.col("doc_id").alias("r1"), F.col("pos").alias("pa"), "tok3"
@@ -2811,8 +2883,7 @@ def substring_anchored_matches(spark, sf_dir: str) -> DataFrame:
     complete — a run built entirely from common shingles has no rare
     anchor; the stride guarantee costs nothing extra and keeps the
     DuckDB oracle byte-identical.)"""
-    pm = lsh_rep_pairs(spark, sf_dir)
-    rp = pm.select("r1", "r2").distinct()
+    rp = oriented_rep_pairs(spark, sf_dir)
     psh = _rep_positional_shingles(spark, sf_dir)
     a = psh.select(
         F.col("doc_id").alias("r1"), F.col("pos").alias("pa"), "tok3"
