@@ -258,22 +258,27 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     the shared session cache) — it is the artifact every downstream
     dedup/graph key reads, exactly as a production pipeline persists
     it beside the corpus snapshot rather than re-mining pairs per
-    consumer."""
+    consumer.
+
+    r13: the list is BUILT from the rep-level candidate state
+    (collapse-before-candidates, see _rep_pair_state) — the band
+    self-join runs over representative signatures only and member
+    pairs stream out of the expansion join, so the build never hits
+    the hot-band-bucket quadratic expansion that OOMed the 256x
+    octave's member-level join. The expansion emits each pair exactly
+    once (one oriented rep-pair row per member pair), so no .distinct
+    is needed; output set is identical (sig(member) == sig(rep)) and
+    every consumer oracle (_MINHASH_ORACLE is the naive member-level
+    join) keeps hash-proving it. The checkpoint itself stays member-
+    grain — the contract every consumer (components, weights, source
+    census, retune audit) reads; its SIZE is linear in true pair
+    volume, which is the consumer families' own output grain."""
     from scribedb_spark.cache import session_cache
 
     def build():
-        # both sides of the bucket self-join read the session-cached
-        # signature table (the broadcast and shuffle exchanges differ,
-        # so ReuseExchange can't dedupe a per-plan build; the cache is
-        # shared with dedup_lsh_star / dedup_incremental)
-        sig = band_signatures_cached(spark, sf_dir)
-        a = sig.select(F.col("doc_id").alias("doc_id1"), "band", "s")
-        b = sig.select(F.col("doc_id").alias("doc_id2"), "band", "s")
         return (
-            a.join(b, on=["band", "s"])
-            .filter(F.col("doc_id1") < F.col("doc_id2"))
+            lsh_rep_pairs(spark, sf_dir)
             .select("doc_id1", "doc_id2")
-            .distinct()
             .localCheckpoint()
         )
 
