@@ -3755,35 +3755,93 @@ def rollup_source_overlap(spark, sf_dir) -> DataFrame:
     rows n_a*n_b. Every downstream mix tool gets integers.
 
     Exactness: the pair list is the session-cached LSH index both
-    engines recompute identically (md5-band minhash); labels are
-    exact string joins on doc_id; the rate is one guarded integer
-    floor-division (operands bounded: pairs*1e6 < 2^63 far past 16x).
+    engines recompute identically (md5-band minhash); the member-
+    grain DuckDB oracle labels every pair with string joins, and the
+    Spark side COUNTS the same census at rep grain (below) — the
+    driver hash-check proves the counting identity per run. The rate
+    is one guarded integer floor-division (operands bounded:
+    pairs*1e6 < 2^63 far past 16x).
 
-    Scale: two hash joins of the O(pairs) list against the
-    (doc_id, source) projection keyed by the corpus primary key, one
-    partial-agg groupBy over the <= |sources|^2 domain, then
-    broadcast joins of the <= |sources|-row count table — pair-
-    attributed like every consumer of the pair index, with
-    metadata-sized output at 100 TB."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    Scale — the census COLLAPSES (r13): the unordered source census
+    does not need member enumeration, because within a rep pair the
+    member sources factor. Per-rep source counts gsc(r, s) = |{d in
+    group r: source(d) = s}| give, for each unordered CROSS rep pair
+    {A, B}, exactly gsc(A, s1) * gsc(B, s2) member pairs per source
+    combination (every cross member pair occurs once across the two
+    orientations), and for each SELF pair (r, r): C(c, 2) same-source
+    plus c1*c2 cross-source within the group. So the plan is one
+    linear (rep, source) groupBy plus joins of the base-sized rep-pair
+    set against the <= |groups x sources| count table — the 256x
+    octave's member-grain labeling (989M pairs, 1520 s) collapses to
+    rep-grain seconds, with the member-grain oracle still proving the
+    identity. Pure per-pair-quantity transfers must still NOT collapse
+    source labels (they vary per member); counting them this way is
+    exact BECAUSE it never transfers, it multiplies."""
+    st = _rep_pair_state(spark, sf_dir)
     d = table(spark, "documents", sf_dir)
     src = d.select("doc_id", "source")
-    lab = (
-        pairs.join(
-            src.select(F.col("doc_id").alias("doc_id1"), F.col("source").alias("s1")),
-            "doc_id1",
+    gsc = (
+        st["rmap"]
+        .join(src, "doc_id")
+        .groupBy("rep_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rp = st["rp"]
+    cross = (
+        rp.filter(F.col("r1") != F.col("r2"))
+        .select(
+            F.least("r1", "r2").alias("ra"),
+            F.greatest("r1", "r2").alias("rb"),
         )
-        .join(
-            src.select(F.col("doc_id").alias("doc_id2"), F.col("source").alias("s2")),
-            "doc_id2",
-        )
+        .distinct()
+    )
+    ga = gsc.select(
+        F.col("rep_id").alias("ra"),
+        F.col("source").alias("s1"),
+        F.col("c").alias("ca"),
+    )
+    gb = gsc.select(
+        F.col("rep_id").alias("rb"),
+        F.col("source").alias("s2"),
+        F.col("c").alias("cb"),
+    )
+    cross_n = (
+        cross.join(ga, "ra")
+        .join(gb, "rb")
         .select(
             F.least("s1", "s2").alias("source_a"),
             F.greatest("s1", "s2").alias("source_b"),
+            (F.col("ca") * F.col("cb")).alias("n"),
         )
     )
-    cnt = lab.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    selfg = rp.filter(F.col("r1") == F.col("r2")).select(
+        F.col("r1").alias("rep_id")
+    )
+    sa = gsc.join(selfg, "rep_id").select(
+        "rep_id", F.col("source").alias("s1"), F.col("c").alias("ca")
+    )
+    sb = gsc.join(selfg, "rep_id").select(
+        "rep_id", F.col("source").alias("s2"), F.col("c").alias("cb")
+    )
+    self_n = (
+        sa.join(sb, "rep_id")
+        .filter(F.col("s1") <= F.col("s2"))
+        .select(
+            F.col("s1").alias("source_a"),
+            F.col("s2").alias("source_b"),
+            F.when(
+                F.col("s1") == F.col("s2"),
+                F.expr("ca * (ca - 1) div 2"),
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    cnt = (
+        cross_n.unionByName(self_n)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("n").cast("long").alias("n_pairs"))
     )
     ds = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
