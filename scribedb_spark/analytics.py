@@ -2618,6 +2618,7 @@ def compare_cell_incremental(spark, sf_dir) -> DataFrame:
         spark,
         (sf_dir,),
         lambda: grid_terms(o, 1).localCheckpoint(),
+        deps=[f"{sf_dir}/orders.parquet"],
     )
     delta_keys = F.col("o_orderkey") % 2000 == 0
     old_rows = o.filter(delta_keys)
@@ -3728,7 +3729,11 @@ def _iblt_orders_base(spark, sf_dir: str):
         )
 
     return session_cache(
-        _IBLT_BASE_CACHE, spark, ("iblt_base_render", sf_dir), build
+        _IBLT_BASE_CACHE,
+        spark,
+        ("iblt_base_render", sf_dir),
+        build,
+        deps=[f"{sf_dir}/orders.parquet"],
     )
 
 
@@ -3746,7 +3751,11 @@ def _iblt_orders_state(spark, sf_dir: str):
         ).localCheckpoint()
 
     cells = session_cache(
-        _IBLT_BASE_CACHE, spark, ("iblt_base_cells", sf_dir), build_cells
+        _IBLT_BASE_CACHE,
+        spark,
+        ("iblt_base_cells", sf_dir),
+        build_cells,
+        deps=[f"{sf_dir}/orders.parquet"],
     )
     return base, cells
 

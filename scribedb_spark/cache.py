@@ -24,18 +24,39 @@ from typing import Any, Callable
 
 
 def session_cache(
-    cache: dict, spark, key_tail: tuple, builder: Callable[[], Any]
+    cache: dict,
+    spark,
+    key_tail: tuple,
+    builder: Callable[[], Any],
+    deps: list[str] | None = None,
 ) -> Any:
     """Return ``cache[(appId, *key_tail)]``, building it on first use.
 
     Evicts every entry belonging to a different applicationId before
     the lookup, so at most one session's artifacts are ever held and
     nothing from a stopped SparkContext is pinned.
+
+    ``deps`` (optional) lists the SOURCE FILES the built artifact is a
+    pure function of (e.g. the corpus parquet a signature table reads).
+    When given, their stat fingerprint is folded into the cache key and
+    same-name entries with a DIFFERENT fingerprint are evicted — so an
+    in-session rewrite of the source invalidates the artifact instead
+    of silently serving pre-mutation state (the honesty property
+    ``gate_decision`` documents must hold TRANSITIVELY through the
+    session caches a gate's measurement body reads). Cost per lookup:
+    one os.stat per dep file.
     """
     app = spark.sparkContext.applicationId
     for stale in [k for k in cache if k[0] != app]:
         cache.pop(stale, None)
     key = (app,) + tuple(key_tail)
+    if deps is not None:
+        fp = deps_fingerprint(deps)
+        for old in [
+            k for k in cache if k[:-1] == key and k[-1] != fp
+        ]:
+            cache.pop(old, None)
+        key = key + (fp,)
     if key not in cache:
         cache[key] = builder()
     return cache[key]
@@ -45,10 +66,12 @@ def session_cache(
 # Gate-decision cache: the monitor -> act gates' one-pane serve layer
 # ---------------------------------------------------------------------------
 
-#: (appId, gate_key, sf_dir, deps_fingerprint) -> (rows, schema) of the
-#: gate's tiny decision frame — populated the first time a gate runs,
-#: read by every later call (the gate key itself, rollup_gate_panel,
-#: streaming panes) within the same session
+#: (appId, gate_key, sf_dir, deps_fingerprint) -> the gate's tiny
+#: decision frame, MATERIALIZED as a local DataFrame
+#: (spark.createDataFrame(rows, schema), held per applicationId) —
+#: populated the first time a gate runs, read by every later call
+#: (the gate key itself, rollup_gate_panel, streaming panes) within
+#: the same session
 _DECISION_ROWS: dict = {}
 
 

@@ -799,8 +799,10 @@ def bm25_scores(
         _BM25_CACHE,
         spark,
         ("bm25", sf_dir, query_doc, n_terms),
-        lambda: _bm25_scores_build(spark, sf_dir, query_doc, n_terms)
-        .localCheckpoint(),
+        lambda: _bm25_scores_build(
+            spark, sf_dir, query_doc, n_terms
+        ).localCheckpoint(),
+        deps=[f"{sf_dir}/documents.parquet"],
     )
 
 
@@ -1228,7 +1230,13 @@ def lm_base_tables(spark, sf_dir: str):
         ).localCheckpoint()
         return cb0, cp0
 
-    return session_cache(_LM_BASE_CACHE, spark, ("lm_base", sf_dir), build)
+    return session_cache(
+        _LM_BASE_CACHE,
+        spark,
+        ("lm_base", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
 
 
 @register(
@@ -2051,7 +2059,11 @@ def _base_corpus_postings(spark, sf_dir: str) -> tuple:
         return (post, int(n), int(t))
 
     return session_cache(
-        _BASE_POST_CACHE, spark, ("bm25_base_post", sf_dir), build
+        _BASE_POST_CACHE,
+        spark,
+        ("bm25_base_post", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
     )
 
 

@@ -241,7 +241,13 @@ def band_signatures_cached(spark, sf_dir: str) -> DataFrame:
         )
         return band_signatures(d).localCheckpoint()
 
-    return session_cache(_LSH_SIG_CACHE, spark, ("lsh_sigs", sf_dir), build)
+    return session_cache(
+        _LSH_SIG_CACHE,
+        spark,
+        ("lsh_sigs", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -270,9 +276,14 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     is needed; output set is identical (sig(member) == sig(rep)) and
     every consumer oracle (_MINHASH_ORACLE is the naive member-level
     join) keeps hash-proving it. The checkpoint itself stays member-
-    grain — the contract every consumer (components, weights, source
-    census, retune audit) reads; its SIZE is linear in true pair
-    volume, which is the consumer families' own output grain."""
+    grain — but as of r14 only the consumers that genuinely
+    enumerate edges read it (the graph keys, the persisted pair
+    artifact, the member-grain levenshtein key): components,
+    weights, cluster stats, survivor pick, split and the
+    recall/retune audits all derive from REP-grain state instead
+    (_rep_component_state / candidate_hit_flags) and never touch
+    this list. Its SIZE stays linear in true pair volume — the
+    graph consumers' own output grain."""
     from scribedb_spark.cache import session_cache
 
     def build():
@@ -282,7 +293,13 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
             .localCheckpoint()
         )
 
-    return session_cache(_LSH_PAIRS_CACHE, spark, ("lsh_pairs", sf_dir), build)
+    return session_cache(
+        _LSH_PAIRS_CACHE,
+        spark,
+        ("lsh_pairs", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
 
 
 @register("dedup_index_persist", oracle=_MINHASH_ORACLE)
@@ -932,10 +949,14 @@ def dedup_components(spark, sf_dir) -> DataFrame:
     reachable), the form a dedup pipeline actually consumes — keep
     one doc per component, drop the rest. The grouping engine
     (partition-local union-find contraction + large-star/small-star
-    rounds) is `connected_components` above; the DuckDB twin is a
-    recursive CTE over the same pair edges.
+    rounds) is `connected_components` above, run at REPRESENTATIVE
+    grain and expanded to members by one rep-map join (see
+    _rep_component_state — exact because exact-text members are
+    pairwise LSH-connected and rep_id is the group min); the DuckDB
+    twin is a recursive CTE over the naive MEMBER pair edges, so the
+    driver hash-check proves the collapse on every run.
     """
-    return connected_components(dedup_minhash_lsh(spark, sf_dir))
+    return member_components(spark, sf_dir)
 
 
 _DEDUP_WEIGHTS_ORACLE = f"""
@@ -973,12 +994,15 @@ def sample_dedup_weights(spark, sf_dir) -> DataFrame:
     (1000000 div size) — exact in every engine, and directly usable
     as sampling numerators.
 
-    Scale: components run on the near-dup-bounded pair graph; the
-    only corpus-sized stage is the final id-keyed left join of the
-    documents id column against the (component, size) table — ids
-    only, never text."""
-    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
-    sz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    Scale: components and sizes come from the REP-grain state
+    (_rep_component_state — member pairs never enumerate; sizes are
+    group-count sums, not member-row counts); the only corpus-sized
+    stages are the rep-map expansion join and the final id-keyed left
+    join of the documents id column — ids only, never text."""
+    comp = member_components(spark, sf_dir)
+    sz = _rep_component_state(spark, sf_dir)["rsize"].withColumnRenamed(
+        "cluster_size", "n"
+    )
     d = table(spark, "documents", sf_dir).select("doc_id")
     out = (
         d.join(comp, "doc_id", "left")
@@ -1353,22 +1377,30 @@ def dedup_survivor_pick(spark, sf_dir) -> DataFrame:
     keep-the-most-complete-copy policy; swapping in
     text_quality_score as the ranking column is the same plan.
 
-    Scale: components come from the LSH pair graph (never all
-    pairs); the ranking join adds one broadcast-able per-doc metadata
-    column, and the survivor window partitions by component —
-    frames are duplicate-group-sized. Output is the dedup ledger:
-    every grouped doc with its component, its group's survivor, and
-    a keep/drop verdict."""
-    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    Scale: components come from the REP-grain state (never a member
+    pair enumeration — see _rep_component_state); the ranking join
+    adds one per-doc metadata column, and the survivor pick is an
+    AGG-based lexicographic min-struct over (-n_chars, doc_id) —
+    identical to the row_number(ORDER BY n_chars DESC, doc_id) pick
+    but with map-side partial aggregation, so a megadup component's
+    members combine locally instead of funneling through one sort
+    window partition (the substring family's pick discipline).
+    Output is the dedup ledger: every grouped doc with its
+    component, its group's survivor, and a keep/drop verdict."""
+    comp = member_components(spark, sf_dir)
     d = table(spark, "documents", sf_dir).select("doc_id", "n_chars")
     m = comp.join(d, "doc_id")
-    w = Window.partitionBy("component").orderBy(
-        F.desc("n_chars"), F.col("doc_id")
-    )
     r = (
-        m.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("component", F.col("doc_id").alias("survivor_id"))
+        m.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("b")
+        )
+        .select("component", F.col("b.d").alias("survivor_id"))
     )
     return m.join(r, "component").select(
         "doc_id",
@@ -1743,6 +1775,14 @@ def containment_best(
             spark,
             ("contain",) + cache_key,
             lambda: containment_stages(docs),
+            # cache_key is (table_name, sf_dir) for every registry
+            # caller: tie the cached stages to the corpus file so an
+            # in-session rewrite invalidates them
+            deps=(
+                [f"{cache_key[-1]}/{cache_key[0]}.parquet"]
+                if len(cache_key) == 2
+                else None
+            ),
         )
     else:
         g, ex = containment_stages(docs)
@@ -2076,7 +2116,13 @@ def span_hashes_cached(spark, sf_dir: str) -> DataFrame:
         d = _table(spark, "documents", sf_dir).select("doc_id", "text")
         return span_hashes(d).localCheckpoint()
 
-    return session_cache(_SPAN_CACHE, spark, ("spans", sf_dir), build)
+    return session_cache(
+        _SPAN_CACHE,
+        spark,
+        ("spans", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
 
 
 def span_hashes(d: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
@@ -2209,34 +2255,93 @@ def dedup_cluster_stats(spark, sf_dir) -> DataFrame:
     the one-table answer to "how duplicated is this crawl?", read
     before choosing dedup aggressiveness (a heavy tail of giant
     clusters argues for survivor-pick + weights; mostly pairs argues
-    exact dedup already caught the bulk). Consumes the session-cached
-    pair index and the same component labels as ``dedup_components``
-    / ``sample_dedup_weights``.
+    exact dedup already caught the bulk). Consumes the REP-grain
+    component state and the same component labels as
+    ``dedup_components`` / ``sample_dedup_weights``.
 
     Exactness: pure integer counts over the identical component
-    labels both engines (recursive min-label CTE in DuckDB).
+    labels both engines (recursive min-label CTE in DuckDB over the
+    naive member pair graph — the hash match proves the rep-grain
+    collapse).
 
-    Scale: two tiny aggregations downstream of the cached pair graph
-    (components are corpus-sized, sizes are cluster-count-sized, the
-    distribution is at most max-cluster-size rows); the singleton
-    row costs two O(1)-result count jobs. Output is histogram-sized
+    Scale: the whole computation is rep-component-sized — sizes come
+    from _rep_component_state's (component, cluster_size) table
+    (group-count sums; member pairs never enumerate, member rows
+    never shuffle), the distribution is at most max-cluster-size
+    rows, and the singleton row costs one corpus count plus one
+    O(1)-result sum over the size table. Output is histogram-sized
     — safe to collect anywhere."""
-    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
-    dist = (
-        comp.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_clusters"),
-            F.sum("cluster_size").cast("long").alias("n_docs"),
-        )
+    rsize = _rep_component_state(spark, sf_dir)["rsize"]
+    dist = rsize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
     )
     n_total = table(spark, "documents", sf_dir).count()
-    n_edged = comp.count()
+    n_edged = rsize.agg(F.sum("cluster_size")).first()[0] or 0
     singles = int(n_total - n_edged)
     if singles > 0:
         dist = dist.unionByName(
-            comp.sparkSession.createDataFrame(
+            spark.createDataFrame(
+                [(1, singles, singles)],
+                "cluster_size long, n_clusters long, n_docs long",
+            )
+        )
+    return dist
+
+
+def cluster_stats_from_group_state(
+    grp: DataFrame, gsig: DataFrame, n_total: int
+) -> DataFrame:
+    """``dedup_cluster_stats``' size distribution derived from
+    MAINTAINED rep-group state — the streamed reader of the r14
+    rep-grain collapse (stream_components_maintain):
+
+    - ``grp``  = (h, hl, rep_id, n): one row per exact-text group
+      (md5 + length key, exact_text_reps' hardening) with its min
+      doc_id and member count — a (min, sum) monoid fold over
+      batches,
+    - ``gsig`` = (h, hl, band, s): band signatures per GROUP —
+      signatures are a pure function of text, so one exemplar per
+      novel text serves every member forever,
+    - ``n_total`` = all documents seen (singleton accounting).
+
+    Same machinery as _rep_component_state, state-shaped inputs: the
+    band self-join runs over GROUP signatures (base-corpus-sized at
+    any duplication), components over rep ids, sizes by group-count
+    sums. Nothing is member-pair-sized."""
+    sg = gsig.join(grp.select("h", "hl", "rep_id"), ["h", "hl"]).select(
+        "rep_id", "band", "s"
+    )
+    a = sg.select(F.col("rep_id").alias("r1"), "band", "s")
+    b = sg.select(F.col("rep_id").alias("r2"), "band", "s")
+    edges = (
+        a.join(b, ["band", "s"])
+        .filter(F.col("r1") < F.col("r2"))
+        .select("r1", "r2")
+        .distinct()
+    )
+    rc = connected_components(edges, id1="r1", id2="r2", out_id="rep_id")
+    lone = (
+        grp.filter(F.col("n") >= 2)
+        .select("rep_id")
+        .join(rc, "rep_id", "left_anti")
+        .select("rep_id", F.col("rep_id").alias("component"))
+    )
+    rcomp = rc.unionByName(lone)
+    rsize = (
+        rcomp.join(grp.select("rep_id", "n"), "rep_id")
+        .groupBy("component")
+        .agg(F.sum("n").cast("long").alias("cluster_size"))
+    )
+    dist = rsize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    n_edged = rsize.agg(F.sum("cluster_size")).first()[0] or 0
+    singles = int(n_total - n_edged)
+    if singles > 0:
+        dist = dist.unionByName(
+            grp.sparkSession.createDataFrame(
                 [(1, singles, singles)],
                 "cluster_size long, n_clusters long, n_docs long",
             )
@@ -2332,6 +2437,25 @@ def sampled_jaccards(tok: DataFrame) -> DataFrame:
     )
 
 
+def _recall_curve_from_labels(lab: DataFrame) -> DataFrame:
+    """(bucket, hit) labeled true pairs -> the per-decile measured
+    recall next to the theoretical band S-curve — the shared back
+    half of the pair-list and rep-grain recall reports."""
+    rep = lab.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("hit").cast("long").alias("n_caught"),
+    )
+    return rep.withColumn(
+        "m", F.expr("least(cast(2 * bucket + 1 as double) / 20.0, 1.0)")
+    ).select(
+        "bucket",
+        "n_true_pairs",
+        "n_caught",
+        F.expr("(n_caught * 1000000) div n_true_pairs").alias("recall_ppm"),
+        F.expr(_RECALL_THEORY).alias("theory_ppm"),
+    )
+
+
 def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
     """The measured band S-curve over any (doc_id, tok) distinct
     shingle frame and (doc_id1, doc_id2) LSH pair list — factored out
@@ -2347,19 +2471,7 @@ def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
         F.expr("j_ppm div 100000").alias("bucket"),
         F.coalesce("hit", F.lit(0)).alias("hit"),
     )
-    rep = lab.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_true_pairs"),
-        F.sum("hit").cast("long").alias("n_caught"),
-    )
-    return rep.withColumn(
-        "m", F.expr("least(cast(2 * bucket + 1 as double) / 20.0, 1.0)")
-    ).select(
-        "bucket",
-        "n_true_pairs",
-        "n_caught",
-        F.expr("(n_caught * 1000000) div n_true_pairs").alias("recall_ppm"),
-        F.expr(_RECALL_THEORY).alias("theory_ppm"),
-    )
+    return _recall_curve_from_labels(lab)
 
 
 @register("dedup_recall_report", oracle=_recall_report_oracle())
@@ -2386,9 +2498,10 @@ def dedup_recall_report(spark, sf_dir) -> DataFrame:
     ann_recall_report's brute-force side): the inverted-index join
     costs |sample shingle postings| x posting length, ~{6}% of the
     full PPJoin cost, with no quadratic hot-bucket term on the
-    sample side. The LSH side reads the session-cached pair index.
-    Output is <= 9 decile rows."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    sample side. The LSH side probes the REP-grain candidate set
+    (candidate_hit_flags — base-corpus-sized at any duplication; the
+    member pair list never materializes for the audit). Output is
+    <= 9 decile rows."""
     d = table(spark, "documents", sf_dir)
     # materialize the inverted shingle index once (sizes, the sample
     # postings, and the co-occurrence join all read it — without the
@@ -2396,7 +2509,13 @@ def dedup_recall_report(spark, sf_dir) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
     ).localCheckpoint()
-    return lsh_recall_report(pairs, tok)
+    jac = sampled_jaccards(tok).filter(
+        F.col("j_ppm") >= _RECALL_MIN_J_PPM
+    )
+    lab = candidate_hit_flags(spark, sf_dir, jac).select(
+        F.expr("j_ppm div 100000").alias("bucket"), "hit"
+    )
+    return _recall_curve_from_labels(lab)
 
 
 #: every (bands, rows_per_band) factorization of the {16}-hash
@@ -2599,14 +2718,15 @@ def sample_split_cluster(spark, sf_dir) -> DataFrame:
     dedup_components), and the split hash is the shared md5-substr
     integer idiom — bit-identical in both engines.
 
-    Scale: reads the session-cached LSH pair index, runs the
-    O(log^2 n) star-contraction components, LEFT-joins the corpus id
+    Scale: reads the REP-grain component state (the O(log^2 n)
+    star-contraction runs over rep edges; member pairs never
+    enumerate — see _rep_component_state), LEFT-joins the corpus id
     list (ids only — text never shuffles) and applies one codegen'd
     hash expression. The no-pair-straddles property is
     plan-independent (split is a pure function of component) and
     test-asserted against the pair list."""
     d = table(spark, "documents", sf_dir).select("doc_id")
-    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    comp = member_components(spark, sf_dir)
     allc = d.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", "doc_id").alias("component"),
@@ -2758,22 +2878,25 @@ def _rep_pair_state(spark, sf_dir: str) -> dict:
             .select("ra", "rb")
             .distinct()
         )
+        # orientation (ra, rb): ALWAYS present — rep_id is its group's
+        # min doc_id (exact_text_reps uses F.min), so min(members of
+        # ra's group) = ra < rb <= max(members of rb's group) holds for
+        # every band-join row unconditionally. (If rep selection ever
+        # stops being group-min, reinstate the a_mn < b_mx filter.)
+        # The reverse orientation (rb, ra) needs some member of rb's
+        # group below some member of ra's group: b_mn < a_mx.
         sa = stats.select(
-            F.col("rep_id").alias("ra"),
-            F.col("mn").alias("a_mn"),
-            F.col("mx").alias("a_mx"),
+            F.col("rep_id").alias("ra"), F.col("mx").alias("a_mx")
         )
         sb = stats.select(
-            F.col("rep_id").alias("rb"),
-            F.col("mn").alias("b_mn"),
-            F.col("mx").alias("b_mx"),
+            F.col("rep_id").alias("rb"), F.col("mn").alias("b_mn")
         )
-        j = u.join(sa, "ra").join(sb, "rb")
-        o1 = j.filter(F.col("a_mn") < F.col("b_mx")).select(
-            F.col("ra").alias("r1"), F.col("rb").alias("r2")
-        )
-        o2 = j.filter(F.col("b_mn") < F.col("a_mx")).select(
-            F.col("rb").alias("r1"), F.col("ra").alias("r2")
+        o1 = u.select(F.col("ra").alias("r1"), F.col("rb").alias("r2"))
+        o2 = (
+            u.join(sa, "ra")
+            .join(sb, "rb")
+            .filter(F.col("b_mn") < F.col("a_mx"))
+            .select(F.col("rb").alias("r1"), F.col("ra").alias("r2"))
         )
         selfp = stats.filter(F.col("n") >= 2).select(
             F.col("rep_id").alias("r1"), F.col("rep_id").alias("r2")
@@ -2782,7 +2905,11 @@ def _rep_pair_state(spark, sf_dir: str) -> dict:
         return {"rmap": rmap, "rp": rp}
 
     return session_cache(
-        _REP_PAIRS_CACHE, spark, ("substr_rep_state", sf_dir), build
+        _REP_PAIRS_CACHE,
+        spark,
+        ("substr_rep_state", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
     )
 
 
@@ -2823,6 +2950,128 @@ def lsh_rep_pairs(spark, sf_dir: str) -> DataFrame:
             "r1",
             "r2",
         )
+    )
+
+
+_REP_COMP_CACHE: dict = {}
+
+
+def _rep_component_state(spark, sf_dir: str) -> dict:
+    """{'rcomp': (rep_id, component), 'rsize': (component,
+    cluster_size)} — connected components of the LSH candidate graph
+    at REPRESENTATIVE grain, built once per session. This is the r14
+    collapse of the last member-grain LSH consumers (components,
+    weights, cluster stats, survivor pick, split): components and
+    sizes are pure functions of the REP graph, because exact-text
+    members share band signatures — every member of a group is
+    pairwise LSH-connected to every member of any band-colliding
+    group, and to its own group via the self-pair clique. Hence
+    member components == rep components expanded by group, and the
+    member-grain component LABEL (min member doc_id reachable)
+    equals the rep-grain label (min rep_id reachable) because rep_id
+    is its group's min doc_id (exact_text_reps). cluster_size = sum
+    of group member counts over the rep component.
+
+    Scale: nothing on this path enumerates member pairs — the 989M
+    member-pair checkpoint of the 256x octave is no longer on any
+    component consumer's path, and a megadup template (c ~ 1e6
+    identical members at 100 TB) costs ONE rep node here instead of
+    pushing c^2/2 expansion rows through a single join key (the
+    hot-bucket mechanism r13 fixed in candidate generation, one
+    level downstream — r13 verdict #1). The unchanged member-grain
+    DuckDB oracles of every consumer hash-prove the collapse exact
+    on every driver run."""
+    from ..cache import session_cache
+
+    def build():
+        st = _rep_pair_state(spark, sf_dir)
+        edges = st["rp"].filter(F.col("r1") != F.col("r2"))
+        rc = connected_components(
+            edges, id1="r1", id2="r2", out_id="rep_id"
+        )
+        # groups of >= 2 members are in the member pair graph even
+        # with no external rep edge (the group is a clique): each
+        # such rep not already labeled is its own component
+        selfr = (
+            st["rp"]
+            .filter(F.col("r1") == F.col("r2"))
+            .select(F.col("r1").alias("rep_id"))
+        )
+        lone = selfr.join(rc, "rep_id", "left_anti").select(
+            "rep_id", F.col("rep_id").alias("component")
+        )
+        rcomp = rc.unionByName(lone).localCheckpoint()
+        gn = st["rmap"].groupBy("rep_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        rsize = (
+            rcomp.join(gn, "rep_id")
+            .groupBy("component")
+            .agg(F.sum("n").cast("long").alias("cluster_size"))
+            .localCheckpoint()
+        )
+        return {"rcomp": rcomp, "rsize": rsize}
+
+    return session_cache(
+        _REP_COMP_CACHE,
+        spark,
+        ("rep_comp", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+def member_components(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, component) for every document appearing in at least
+    one LSH candidate pair — row-identical to
+    ``connected_components(dedup_minhash_lsh(...))`` but derived at
+    rep grain (see _rep_component_state): one hash join of the rep
+    map against the rep component table, never a member-pair
+    enumeration."""
+    st = _rep_pair_state(spark, sf_dir)
+    rc = _rep_component_state(spark, sf_dir)["rcomp"]
+    return st["rmap"].join(rc, "rep_id").select("doc_id", "component")
+
+
+def candidate_hit_flags(spark, sf_dir: str, probes: DataFrame) -> DataFrame:
+    """``probes`` (doc_id1 < doc_id2, + any payload columns) gains a
+    ``hit`` column (1/0): whether each probe pair is an LSH candidate,
+    decided at REP grain — (d1, d2) is a candidate iff their exact-
+    text reps band-collide, or coincide with group size >= 2 (the
+    self-pair clique; two distinct docs sharing a rep imply n >= 2).
+    The membership join probes the base-corpus-sized rep pair set
+    instead of the member-pair expansion, so the recall/retune audits
+    never enumerate member pairs either (r13 verdict #1's 'retune
+    audit' item). Probes whose doc has no signatures (< 3 tokens —
+    absent from the rep map) read hit 0, matching the pair list."""
+    st = _rep_pair_state(spark, sf_dir)
+    rset = (
+        st["rp"]
+        .select(
+            F.least("r1", "r2").alias("ru"),
+            F.greatest("r1", "r2").alias("rv"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    m1 = st["rmap"].select(
+        F.col("doc_id").alias("doc_id1"), F.col("rep_id").alias("rep1")
+    )
+    m2 = st["rmap"].select(
+        F.col("doc_id").alias("doc_id2"), F.col("rep_id").alias("rep2")
+    )
+    j = (
+        probes.join(m1, "doc_id1", "left")
+        .join(m2, "doc_id2", "left")
+        .join(
+            rset,
+            (F.least("rep1", "rep2") == F.col("ru"))
+            & (F.greatest("rep1", "rep2") == F.col("rv")),
+            "left",
+        )
+    )
+    return j.select(
+        *probes.columns, F.coalesce("hit", F.lit(0)).alias("hit")
     )
 
 
@@ -3043,6 +3292,12 @@ def lsh_gate_decision(pairs: DataFrame, tok: DataFrame) -> DataFrame:
     lab = jac.join(
         pairs.withColumn("hit", F.lit(1)), ["doc_id1", "doc_id2"], "left"
     ).select(F.coalesce("hit", F.lit(0)).alias("hit"))
+    return _gate_decision_from_labels(lab)
+
+
+def _gate_decision_from_labels(lab: DataFrame) -> DataFrame:
+    """(hit,) labeled audited pairs -> the one-row retune decision —
+    the shared back half of the pair-list and rep-grain gate paths."""
     thr = _GATE_THRESHOLD_PPM
     return (
         lab.agg(
@@ -3139,13 +3394,18 @@ def dedup_retune_gate(spark, sf_dir) -> DataFrame:
 
 def _dedup_retune_compute(spark, sf_dir) -> DataFrame:
     """dedup_retune_gate's measurement body (plan-pinned via
-    pipeline.GATE_COMPUTE)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    pipeline.GATE_COMPUTE). The audited sample pairs probe the
+    REP-grain candidate set (candidate_hit_flags) — the audit never
+    materializes the member pair list."""
     d = table(spark, "documents", sf_dir)
     tok = d.select(
         "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
     ).localCheckpoint()
-    return lsh_gate_decision(pairs, tok)
+    jac = sampled_jaccards(tok).filter(
+        F.col("j_ppm") >= _GATE_MIN_J_PPM
+    )
+    lab = candidate_hit_flags(spark, sf_dir, jac).select("hit")
+    return _gate_decision_from_labels(lab)
 
 
 # ---------------------------------------------------------------------------

@@ -762,6 +762,7 @@ def _ivf_trained(spark, sf_dir, vq):
         spark,
         ("ivf", sf_dir, _IVF_SAMPLE, N_CELLS, _IVF_ITERS),
         build,
+        deps=[f"{sf_dir}/embeddings.parquet"],
     )
 
 
@@ -1086,6 +1087,7 @@ def _append_base_index(spark, sf_dir):
         spark,
         ("append", sf_dir, _IVF_SAMPLE, N_CELLS, _IVF_ITERS),
         build,
+        deps=[f"{sf_dir}/embeddings.parquet"],
     )
 
 
@@ -1442,6 +1444,7 @@ def _pq_trained(spark, sf_dir, vq):
         spark,
         ("pq", sf_dir, _PQ_SAMPLE, PQ_M, PQ_K, _PQ_ITERS),
         build,
+        deps=[f"{sf_dir}/embeddings.parquet"],
     )
 
 
@@ -1793,6 +1796,7 @@ def _pq_append_base(spark, sf_dir):
         spark,
         ("pq_append_base", sf_dir, _PQ_SAMPLE, PQ_M, PQ_K, _PQ_ITERS),
         build,
+        deps=[f"{sf_dir}/embeddings.parquet"],
     )
 
 
@@ -1965,7 +1969,8 @@ def ann_prefix_topk(spark, sf_dir) -> DataFrame:
         return vq_, q_ids_, Qp_
 
     vq, q_ids, Qp = session_cache(
-        _ANN_TRAIN_CACHE, spark, ("prefix", sf_dir, _PREFIX_DIMS), build_index
+        _ANN_TRAIN_CACHE, spark, ("prefix", sf_dir, _PREFIX_DIMS), build_index,
+        deps=[f"{sf_dir}/embeddings.parquet"],
     )
     bc_q = spark.sparkContext.broadcast((q_ids, Qp))
 

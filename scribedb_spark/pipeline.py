@@ -511,9 +511,8 @@ def pipeline_dedup_cascade(spark, sf_dir) -> DataFrame:
     from scribedb_spark.operators.dedup import (
         _url_variants,
         canonical_url,
-        connected_components,
-        dedup_minhash_lsh,
         dedup_paragraph,
+        member_components,
         tokens_distinct,
     )
 
@@ -545,7 +544,8 @@ def pipeline_dedup_cascade(spark, sf_dir) -> DataFrame:
         .select("doc_id", F.lit(3).alias("prio"))
     )
     # stage 4: MinHash-LSH near-dup non-minimal cluster members
-    comp = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    # (rep-grain components — member pairs never enumerate)
+    comp = member_components(spark, sf_dir)
     n1 = comp.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id", F.lit(4).alias("prio")
     )
@@ -1528,10 +1528,16 @@ def gate_panel_from_state(
     from scribedb_spark.queries import REGISTRY
 
     fns = {k: REGISTRY[k].fn for _l, k in _GATE_PANEL_KEYS}
-    fns["rollup_quality_drift"] = (
-        lambda s, _sd: quality_drift_from_hist(s, quality_hist)
-    )
-    fns["rollup_source_freshness"] = (
-        lambda _s, _sd: freshness_decision(freshness_state)
-    )
+    # the maintainers initialize holder.state = None and only set it
+    # on the first non-empty micro-batch — polling the pane before any
+    # rows arrive must fall back to the decision-served registry fn,
+    # not raise on a None frame
+    if quality_hist is not None:
+        fns["rollup_quality_drift"] = (
+            lambda s, _sd: quality_drift_from_hist(s, quality_hist)
+        )
+    if freshness_state is not None:
+        fns["rollup_source_freshness"] = (
+            lambda _s, _sd: freshness_decision(freshness_state)
+        )
     return _panel_frame(spark, sf_dir, fns)

@@ -2866,6 +2866,7 @@ def _merkle_levels_cached(spark, sf_dir, side, df_fn):
         spark,
         (sf_dir, side),
         lambda: merkle_levels(df_fn(), _MERKLE_COLS, ["o_orderkey"]),
+        deps=[f"{sf_dir}/orders.parquet"],
     )
 
 

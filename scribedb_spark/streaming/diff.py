@@ -554,6 +554,138 @@ def stream_source_overlap_maintain(
     return q, holder
 
 
+def stream_components_maintain(
+    stream_df: DataFrame,
+    query_name: str = "stream_components",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS the near-dup
+    component census at REP-GROUP grain from an INSERT stream of
+    (doc_id, text) rows — the streaming twin of the r14 rep-grain
+    collapse (dedup_components / dedup_cluster_stats). State:
+
+    - ``holder.grp`` — (h, hl, rep_id, n): one row per exact-text
+      group (md5 + length key) holding its min doc_id and member
+      count. Folds by union + (min, sum) re-agg — a commutative
+      monoid, so after any prefix of batches the table equals a
+      from-scratch group-by over all rows seen. A later-arriving
+      smaller doc_id correctly BECOMES the group rep (min fold);
+      signatures are unaffected because they are keyed by the group,
+      not the rep.
+    - ``holder.gsig`` — (h, hl, band, s) band signatures per group,
+      a LAZY UNION of per-batch checkpointed parts (the
+      stream_source_overlap_maintain discipline): signatures are a
+      pure function of text, so each NOVEL text is signed exactly
+      once from one exemplar and never touched again — re-signing
+      every member would be the member-grain cost the collapse
+      removes. Per-batch work is O(new groups), not O(batch) on a
+      duplicate-heavy stream.
+    - ``holder.n_total`` — all documents seen (the singleton row's
+      denominator; sub-3-token docs carry no signatures and count
+      only here, matching the batch key).
+
+    ``holder.stats()`` derives the cluster-size distribution at any
+    point via cluster_stats_from_group_state (group-signature band
+    join -> rep components -> group-count sums) — after a drain it
+    ROW-EQUALS the batch dedup_cluster_stats over the same corpus,
+    whose own DuckDB oracle is the naive member-pair recursive CTE
+    (pinned by the streaming drain test)."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import (
+        band_signatures,
+        min_tokens_filter,
+    )
+
+    class _Holder:
+        grp = None   # (h, hl, rep_id, n)
+        gsig = None  # (h, hl, band, s) — lazy union of parts
+        n_total = 0
+        _sig_parts: list = []
+
+        def stats(self) -> DataFrame:
+            from scribedb_spark.operators.dedup import (
+                cluster_stats_from_group_state,
+            )
+
+            return cluster_stats_from_group_state(
+                self.grp, self.gsig, self.n_total
+            )
+
+    holder = _Holder()
+    holder._sig_parts = []
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        n = rows.count()
+        if n == 0:
+            return
+        holder.n_total += n
+        docs = rows.filter(min_tokens_filter()).select(
+            "doc_id",
+            "text",
+            F.md5("text").alias("h"),
+            F.length("text").alias("hl"),
+        )
+        patch = docs.groupBy("h", "hl").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        if holder.grp is None:
+            new_groups = patch
+            holder.grp = patch.localCheckpoint()
+        else:
+            new_groups = patch.join(
+                holder.grp.select("h", "hl"), ["h", "hl"], "left_anti"
+            )
+            holder.grp = (
+                holder.grp.unionByName(patch)
+                .groupBy("h", "hl")
+                .agg(
+                    F.min("rep_id").alias("rep_id"),
+                    F.sum("n").cast("long").alias("n"),
+                )
+                .localCheckpoint()
+            )
+        # sign each NOVEL text once: one exemplar member per new group
+        # (agg min-struct — doc_id is unique, text never compares)
+        ex = (
+            docs.join(new_groups.select("h", "hl"), ["h", "hl"], "left_semi")
+            .groupBy("h", "hl")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("doc_id").alias("d"), F.col("text").alias("t")
+                    )
+                ).alias("b")
+            )
+            .select(
+                "h",
+                "hl",
+                F.col("b.d").alias("doc_id"),
+                F.col("b.t").alias("text"),
+            )
+        )
+        bsig = (
+            band_signatures(ex.select("doc_id", "text"))
+            .join(ex.select("doc_id", "h", "hl"), "doc_id")
+            .select("h", "hl", "band", "s")
+            .localCheckpoint()
+        )
+        holder._sig_parts.append(bsig)
+        u = holder._sig_parts[0]
+        for part in holder._sig_parts[1:]:
+            u = u.unionByName(part)
+        holder.gsig = u
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder
+
+
 def stream_search_eval_maintain(
     stream_df: DataFrame,
     base_docs: DataFrame,

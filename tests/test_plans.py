@@ -1177,10 +1177,13 @@ def test_quality_gate_key_only_anti_join(qmod, spark, sf_dir):
 def test_dedup_weights_id_only_corpus_join(qmod, spark, sf_dir):
     """sample_dedup_weights: the only corpus-sized stage joins the
     documents ID column (ReadSchema pruned to doc_id — text never
-    reaches the weight join); cluster sizes partial-aggregate."""
+    reaches the weight join); components and sizes arrive from the
+    checkpointed REP-grain state (r14 collapse — no member-pair
+    materialization, no window, sizes pre-aggregated at build)."""
     p = plan(qmod, spark, sf_dir, "sample_dedup_weights")
     assert "ReadSchema: struct<doc_id:bigint>" in p
-    assert "partial_count" in p
+    assert "Scan ExistingRDD" in p  # rep map + rep component state
+    assert "Window" not in p
 
 
 def test_mad_outliers_two_windows_broadcast_stats(qmod, spark, sf_dir):

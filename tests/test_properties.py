@@ -2022,6 +2022,45 @@ def test_gate_decision_cache_invalidates_on_input_change(
     assert second["tv_ppm"] > first["tv_ppm"]
 
 
+def test_gate_inner_session_caches_invalidate_on_input_change(
+    spark, tmp_path_factory
+):
+    """The honesty property must hold TRANSITIVELY: dedup_retune_gate's
+    measurement body reads session-cached corpus artifacts (the rep
+    pair state, band signatures) — if those were keyed only by
+    (appId, sf_dir), an in-session corpus rewrite would force a gate
+    re-measure that silently consumed PRE-mutation pair state (r13
+    ADVICE). Plant a no-duplicate corpus (zero audited pairs ->
+    'retune'), rewrite documents.parquet to an all-identical corpus,
+    and require the second read to measure recall 1.0 -> 'serve':
+    stale inner caches would miss every new true pair and keep
+    reading 'retune'."""
+    from scribedb_spark.queries import REGISTRY
+
+    d = tmp_path_factory.mktemp("gateinner")
+    # 60 pairwise-dissimilar docs: no J >= 0.7 sampled pairs
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(12))) for i in range(60)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    first = REGISTRY["dedup_retune_gate"].fn(spark, str(d)).collect()[0]
+    assert first["decision"] == "retune" and first["n_true_pairs"] == 0
+
+    dup = [(i, "the quick brown fox jumps over the lazy dog now")
+           for i in range(60)]
+    spark.createDataFrame(dup, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    second = REGISTRY["dedup_retune_gate"].fn(spark, str(d)).collect()[0]
+    assert second["n_true_pairs"] > 0, (
+        "mutated corpus measured against stale cached pair state"
+    )
+    assert second["decision"] == "serve"
+    assert second["recall_ppm_measured"] == 1_000_000
+
+
 def test_levenshtein_receipts_consistent_with_member_enumeration(
     spark, sf_dir
 ):

@@ -633,6 +633,49 @@ def test_stream_source_overlap_maintain_matches_batch_twin(
     assert got == want and got
 
 
+def test_stream_components_maintain_matches_batch_twin(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streamed near-dup component census: the documents corpus
+    arrives as a 4-file ingest stream (arbitrary id order, so group
+    reps are frequently discovered AFTER larger members — exercising
+    the min-fold rep handoff); after draining, the maintained
+    rep-group state's cluster-size distribution must row-equal the
+    batch dedup_cluster_stats over the same corpus — whose own DuckDB
+    oracle is the naive member-pair recursive CTE, so the equality
+    transitively proves the streamed rep-grain fold against the
+    member-grain ground truth."""
+    from scribedb_spark.operators.dedup import dedup_cluster_stats
+    from scribedb_spark.sources import table as _table
+    from scribedb_spark.streaming.diff import stream_components_maintain
+
+    docs = _table(spark, "documents", sf_dir).select("doc_id", "text")
+    sdir = tmp_path_factory.mktemp("components_ingest")
+    docs.repartition(4).write.mode("overwrite").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_components_maintain(stream)
+    q.awaitTermination(180)
+
+    cols = ["cluster_size", "n_clusters", "n_docs"]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in holder.stats().collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in dedup_cluster_stats(spark, sf_dir).collect()
+    )
+    assert got == want and got
+    # the signature state is GROUP-sized: one signature set per
+    # distinct text, never per member (the streamed analog of the
+    # rep-grain collapse's volume claim)
+    n_groups = holder.grp.count()
+    assert holder.gsig.count() <= 4 * n_groups
+
+
 def test_stream_search_eval_maintain_matches_batch_twin(
     spark, sf_dir, tmp_path_factory
 ):
