@@ -831,37 +831,7 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     candidates re-rank by exact float cosine (shared fold, ROUND 6 +
     id tie-breaks), top-5. Recall floor vs numpy brute force pinned
     in tests/test_similarity.py."""
-    import numpy as np
-
-    vq = _ivf_vq(spark, sf_dir)
-    srows, books, assigned = _ivf_trained(spark, sf_dir, vq)
-    # queries sit inside the vec_id-sorted sample: derive their probe
-    # cells driver-side with the same integer metric (no second scan)
-    qs = [(r["vec_id"], r["q"], r["e"]) for r in srows if r["vec_id"] < 10]
-    probe_rows = []
-    for qid, qcode, qe in qs:
-        d2q = ((np.array(qcode, dtype=np.int64)[None, :] - books) ** 2).sum(
-            axis=1
-        )
-        cells = np.arange(len(books), dtype=np.int64)
-        order = np.lexsort((cells, d2q))[:N_PROBE]
-        for cell in order:
-            probe_rows.append((int(qid), int(cell), list(qe)))
-    queries = spark.createDataFrame(
-        probe_rows, "q_id long, cell int, qv array<double>"
-    )
-    cands = assigned.select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("cv"), "cell"
-    )
-    scored = (
-        cands.join(F.broadcast(queries), "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
-        )
-    )
+    scored = _ivf_scored(spark, sf_dir)
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
@@ -2368,6 +2338,45 @@ def sq_ranked_ctes(cells_sql: str = str(_SQ_CELLS)) -> str:
 
 SQ_RANKED_CTES = sq_ranked_ctes(SQ_SCALED_CELLS_SQL)
 
+
+
+def _ivf_scored(spark, sf_dir) -> DataFrame:
+    """ann_ivf_sq_topk's CANDIDATE stage — (q_id, c_id, score) for
+    every vector in every query's probed cells, before the top-k
+    window. Factored out so the scale smoke can measure the scored-
+    candidate volume (the quantity IVF wall time must track: probed
+    cell occupancy, never the corpus square)."""
+    import numpy as np
+
+    vq = _ivf_vq(spark, sf_dir)
+    srows, books, assigned = _ivf_trained(spark, sf_dir, vq)
+    # queries sit inside the vec_id-sorted sample: derive their probe
+    # cells driver-side with the same integer metric (no second scan)
+    qs = [(r["vec_id"], r["q"], r["e"]) for r in srows if r["vec_id"] < 10]
+    probe_rows = []
+    for qid, qcode, qe in qs:
+        d2q = ((np.array(qcode, dtype=np.int64)[None, :] - books) ** 2).sum(
+            axis=1
+        )
+        cells = np.arange(len(books), dtype=np.int64)
+        order = np.lexsort((cells, d2q))[:N_PROBE]
+        for cell in order:
+            probe_rows.append((int(qid), int(cell), list(qe)))
+    queries = spark.createDataFrame(
+        probe_rows, "q_id long, cell int, qv array<double>"
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("cv"), "cell"
+    )
+    return (
+        cands.join(F.broadcast(queries), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
 
 
 @register(

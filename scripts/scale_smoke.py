@@ -197,6 +197,32 @@ def _substring_matches(spark, sfd):
     return substring_matches(spark, sfd).count()
 
 
+def _rep_edges(spark, sfd):
+    """Distinct unordered REP pairs — the graph the r14-collapsed
+    component consumers actually traverse (base-corpus-sized at any
+    exact-duplication factor; the member pair count these keys used
+    to pay is the _levenshtein_pairs probe)."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import oriented_rep_pairs
+
+    return (
+        oriented_rep_pairs(spark, sfd)
+        .select(F.least("r1", "r2").alias("u"), F.greatest("r1", "r2").alias("v"))
+        .distinct()
+        .count()
+    )
+
+
+def _ivf_scored_volume(spark, sfd):
+    """Scored (query, candidate) pairs in the probed IVF cells — the
+    volume cell-probe ANN wall time must track (probed-cell occupancy,
+    never the corpus square)."""
+    from scribedb_spark.operators.similarity import _ivf_scored
+
+    return _ivf_scored(spark, sfd).count()
+
+
 def _substring_anchored(spark, sfd):
     """Matched positions on SURVIVING diagonals — the volume the
     spans/rewrite act-half shuffles after the r12 strided-anchor
@@ -242,6 +268,16 @@ PAIR_PROBES = {
     "rollup_source_overlap": _levenshtein_pairs,
     # the budget key runs components over the same pair graph
     "sample_source_budget": _levenshtein_pairs,
+    # the r14-collapsed component consumers traverse the REP graph
+    # only — their probe is the rep edge count (stays base-sized
+    # under exact duplication), never the member pair count
+    "dedup_components": _rep_edges,
+    "sample_dedup_weights": _rep_edges,
+    "dedup_cluster_stats": _rep_edges,
+    "sample_split_cluster": _rep_edges,
+    "dedup_survivor_pick": _rep_edges,
+    # cell-probe ANN: scored candidates in probed cells
+    "ann_ivf_sq_topk": _ivf_scored_volume,
 }
 
 

@@ -2061,6 +2061,63 @@ def test_gate_inner_session_caches_invalidate_on_input_change(
     assert second["recall_ppm_measured"] == 1_000_000
 
 
+def test_megadup_group_collapses_to_one_rep_node(
+    spark, tmp_path_factory
+):
+    """The 100 TB megadup shape: ONE template duplicated c times
+    dwarfing everything else (c^2/2 ~ 4.5M member pairs here). The
+    r14 rep-grain consumers must answer from the rep graph — the
+    megadup group is ONE node there — with exact member-grain
+    numbers: cluster stats reads a single c-cluster, weights read
+    1000000 div c, the survivor is the min doc_id, and the split
+    moves the whole cluster together. The one remaining enumerator
+    (the member pair list, kept for the graph keys) still counts
+    exactly C(c,2) + cross pairs."""
+    from scribedb_spark.operators.dedup import (
+        _rep_component_state,
+        dedup_cluster_stats,
+        dedup_survivor_pick,
+        sample_dedup_weights,
+    )
+
+    d = tmp_path_factory.mktemp("megadup")
+    c, n_singles = 3000, 40
+    mega = [(i, "the quick brown fox jumps over the lazy dog again")
+            for i in range(c)]
+    singles = [
+        (c + i, " ".join(f"uniq{i}w{j}" for j in range(10)))
+        for i in range(n_singles)
+    ]
+    spark.createDataFrame(
+        mega + singles, "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    stats = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dedup_cluster_stats(spark, str(d)).collect()
+    }
+    assert stats[c] == (1, c)
+    assert stats[1] == (n_singles, n_singles)
+
+    # the rep state holds ONE row for the megadup group
+    rst = _rep_component_state(spark, str(d))
+    assert rst["rsize"].filter("cluster_size = %d" % c).count() == 1
+
+    w = sample_dedup_weights(spark, str(d))
+    assert w.filter(
+        (F.col("cluster_size") == c) & (F.col("weight_ppm") == 1_000_000 // c)
+    ).count() == c
+    assert w.filter("cluster_size = 1 and weight_ppm = 1000000").count() == (
+        n_singles
+    )
+
+    surv = dedup_survivor_pick(spark, str(d))
+    assert surv.filter("keep = 1").count() == 1  # one survivor
+    assert surv.filter("survivor_id = 0").count() == c  # min doc_id wins
+
+
 def test_levenshtein_receipts_consistent_with_member_enumeration(
     spark, sf_dir
 ):
