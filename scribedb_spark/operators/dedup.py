@@ -2438,12 +2438,15 @@ def sampled_jaccards(tok: DataFrame) -> DataFrame:
 
 
 def _recall_curve_from_labels(lab: DataFrame) -> DataFrame:
-    """(bucket, hit) labeled true pairs -> the per-decile measured
-    recall next to the theoretical band S-curve — the shared back
-    half of the pair-list and rep-grain recall reports."""
+    """(bucket, hit, n_pairs) labeled true pairs -> the per-decile
+    measured recall next to the theoretical band S-curve — the shared
+    back half of the pair-list and rep-grain recall reports. Member-
+    grain callers pass n_pairs = 1 per row; the rep-grain path passes
+    the member-pair count each rep row stands for (weighted sums ==
+    the member enumeration exactly)."""
     rep = lab.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_true_pairs"),
-        F.sum("hit").cast("long").alias("n_caught"),
+        F.sum("n_pairs").cast("long").alias("n_true_pairs"),
+        F.sum(F.col("n_pairs") * F.col("hit")).cast("long").alias("n_caught"),
     )
     return rep.withColumn(
         "m", F.expr("least(cast(2 * bucket + 1 as double) / 20.0, 1.0)")
@@ -2453,6 +2456,122 @@ def _recall_curve_from_labels(lab: DataFrame) -> DataFrame:
         "n_caught",
         F.expr("(n_caught * 1000000) div n_true_pairs").alias("recall_ppm"),
         F.expr(_RECALL_THEORY).alias("theory_ppm"),
+    )
+
+
+def sampled_rep_jaccards(spark, sf_dir: str) -> DataFrame:
+    """(j_ppm, n_pairs, hit) — the sampled exact-Jaccard audit frame
+    at REP grain: one row per co-occurring pair of exact-text GROUPS
+    (plus one self row per sampled group of >= 2), carrying the
+    member-pair count the row stands for and whether the pair is an
+    LSH candidate. This is the r14 collapse applied to the audits'
+    EXACT side: the 256x octave filled the host disk inside the
+    member-grain sampled-postings join (sample and postings both
+    inflate N-fold on identical text, so the co-occurrence join pays
+    ~N^2 — SCALE_SMOKE_r14's honest boundary row), while every
+    quantity the audits aggregate is a pure function of the two
+    TEXTS times a member COUNT:
+
+    - J(a, b) = J(rep(a), rep(b)) — shingle sets are text-pure;
+    - hit(a, b) = hit(rep(a), rep(b)) — candidacy is signature-pure;
+    - the member-pair count with >= 1 sampled endpoint is a product
+      of per-group (members, sampled) counts: cross groups
+      s1*c2 + c1*s2 - s1*s2 (inclusion-exclusion), within a group
+      C(c,2) - C(c-s,2) at J = 1.0 — exactly rollup_source_overlap's
+      count-by-products argument, which is exact because counts
+      transfer, never rows.
+
+    The postings join runs over REP texts only, with the sample-side
+    restriction mapped to groups CONTAINING a sampled member — at
+    duplication 1 that is the same ~{6}% bound as the member-grain
+    sample, and at any duplication the join is base-corpus-sized.
+    The unchanged member-grain DuckDB oracles of the recall report,
+    the retune gate and the band tuner hash-prove the collapse on
+    every driver run. (Weighted masses stay inside int64 through
+    ~256x; a 1024x octave would need the tuner's p_ppm mass split.)
+    """
+    st = _rep_pair_state(spark, sf_dir)
+    sampled = (
+        F.col("doc_id") % _RECALL_SAMPLE_MOD == _RECALL_SAMPLE_REM
+    ).cast("long")
+    gstat = (
+        st["rmap"]
+        .groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(sampled).alias("s"))
+        .localCheckpoint()  # one row per distinct text
+    )
+    reps = gstat.select(F.col("rep_id").alias("doc_id"))
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .join(reps, "doc_id")
+    )
+    tok = d.select(
+        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
+    ).localCheckpoint()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sreps = gstat.filter(F.col("s") >= 1).select(
+        F.col("rep_id").alias("s_id")
+    )
+    samp = tok.withColumnRenamed("doc_id", "s_id").join(sreps, "s_id")
+    inter = (
+        samp.join(tok, "tok")
+        .filter(F.col("s_id") != F.col("doc_id"))
+        .select(
+            F.least("s_id", "doc_id").alias("r_lo"),
+            F.greatest("s_id", "doc_id").alias("r_hi"),
+            "tok",
+        )
+        .groupBy("r_lo", "r_hi")
+        .agg(F.count_distinct("tok").alias("i"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("r_lo"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("r_hi"), F.col("sz").alias("sz2"))
+    g1 = gstat.select(
+        F.col("rep_id").alias("r_lo"),
+        F.col("c").alias("c1"),
+        F.col("s").alias("s1"),
+    )
+    g2 = gstat.select(
+        F.col("rep_id").alias("r_hi"),
+        F.col("c").alias("c2"),
+        F.col("s").alias("s2"),
+    )
+    cross = (
+        inter.join(z1, "r_lo")
+        .join(z2, "r_hi")
+        .join(g1, "r_lo")
+        .join(g2, "r_hi")
+        .select(
+            "r_lo",
+            "r_hi",
+            F.expr("(i * 1000000) div (sz1 + sz2 - i)").alias("j_ppm"),
+            F.expr("s1 * c2 + c1 * s2 - s1 * s2")
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+    selfp = gstat.filter((F.col("c") >= 2) & (F.col("s") >= 1)).select(
+        F.col("rep_id").alias("r_lo"),
+        F.col("rep_id").alias("r_hi"),
+        F.lit(1_000_000).cast("long").alias("j_ppm"),
+        F.expr("(c * (c - 1)) div 2 - ((c - s) * (c - s - 1)) div 2")
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    rset = (
+        st["rp"]
+        .select(
+            F.least("r1", "r2").alias("r_lo"),
+            F.greatest("r1", "r2").alias("r_hi"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        cross.unionByName(selfp)
+        .join(rset, ["r_lo", "r_hi"], "left")
+        .select("j_ppm", "n_pairs", F.coalesce("hit", F.lit(0)).alias("hit"))
     )
 
 
@@ -2470,6 +2589,7 @@ def lsh_recall_report(pairs: DataFrame, tok: DataFrame) -> DataFrame:
     ).select(
         F.expr("j_ppm div 100000").alias("bucket"),
         F.coalesce("hit", F.lit(0)).alias("hit"),
+        F.lit(1).cast("long").alias("n_pairs"),
     )
     return _recall_curve_from_labels(lab)
 
@@ -2493,27 +2613,20 @@ def dedup_recall_report(spark, sf_dir) -> DataFrame:
     bucket-derived double — bit-identical across engines, floored to
     ppm (no pow(), the libm rule).
 
-    Scale: the exact side is the expensive half, deliberately
-    SAMPLE-bounded exactly like a production recall audit (and like
-    ann_recall_report's brute-force side): the inverted-index join
-    costs |sample shingle postings| x posting length, ~{6}% of the
-    full PPJoin cost, with no quadratic hot-bucket term on the
-    sample side. The LSH side probes the REP-grain candidate set
-    (candidate_hit_flags — base-corpus-sized at any duplication; the
-    member pair list never materializes for the audit). Output is
-    <= 9 decile rows."""
-    d = table(spark, "documents", sf_dir)
-    # materialize the inverted shingle index once (sizes, the sample
-    # postings, and the co-occurrence join all read it — without the
-    # checkpoint each reference re-scans and re-explodes documents)
-    tok = d.select(
-        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
-    ).localCheckpoint()
-    jac = sampled_jaccards(tok).filter(
+    Scale: the whole audit runs at REP grain (sampled_rep_jaccards —
+    the r14 collapse): the exact side's inverted-index join reads
+    representative texts only with the sample restriction mapped to
+    sampled GROUPS (the same ~{6}% bound at duplication 1,
+    base-corpus-bounded at any duplication), candidacy probes the
+    rep pair set, and member-pair counts transfer as per-group count
+    products — the member pair list never materializes for the
+    audit, and no stage inflates with exact duplication (the
+    member-grain plan filled host disk at 256x, SCALE_SMOKE_r14's
+    boundary row). Output is <= 9 decile rows."""
+    lab = sampled_rep_jaccards(spark, sf_dir).filter(
         F.col("j_ppm") >= _RECALL_MIN_J_PPM
-    )
-    lab = candidate_hit_flags(spark, sf_dir, jac).select(
-        F.expr("j_ppm div 100000").alias("bucket"), "hit"
+    ).select(
+        F.expr("j_ppm div 100000").alias("bucket"), "hit", "n_pairs"
     )
     return _recall_curve_from_labels(lab)
 
@@ -2610,15 +2723,13 @@ def dedup_minhash_band_tune(spark, sf_dir) -> DataFrame:
     identical arithmetic text in both engines — no pow()); recall and
     cost are integer floor-divisions of those masses.
 
-    Scale: one inverted-index pass over the ~{6}% doc sample (the
-    recall report's bounded-audit cost, reused), then a 5-config
-    broadcast cross join over pair-count rows and a 5-row window.
-    The output is design-space-sized, safe to collect anywhere."""
-    d = table(spark, "documents", sf_dir)
-    tok = d.select(
-        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
-    ).localCheckpoint()
-    jac = sampled_jaccards(tok)
+    Scale: the sampled-Jaccard stage runs at REP grain
+    (sampled_rep_jaccards — the r14 collapse; member-pair counts ride
+    along as integer weights, so every mass below is the member-grain
+    sum exactly), then a 5-config broadcast cross join over pair-count
+    rows and a 5-row window. The output is design-space-sized, safe
+    to collect anywhere."""
+    jac = sampled_rep_jaccards(spark, sf_dir).select("j_ppm", "n_pairs")
     cfg = spark.createDataFrame(list(_TUNE_CONFIGS), "b int, r int")
     p = " ".join(
         f"WHEN b = {b} AND r = {r} "
@@ -2626,13 +2737,16 @@ def dedup_minhash_band_tune(spark, sf_dir) -> DataFrame:
         for b, r in _TUNE_CONFIGS
     )
     pp = jac.crossJoin(F.broadcast(cfg)).select(
-        "b", "r", "j_ppm", F.expr(f"CASE {p} END").alias("p_ppm")
+        "b", "r", "j_ppm", "n_pairs", F.expr(f"CASE {p} END").alias("p_ppm")
     )
     true_pair = F.col("j_ppm") >= _RECALL_MIN_J_PPM
+    wmass = F.col("n_pairs") * F.col("p_ppm")
     agg = pp.groupBy("b", "r").agg(
-        F.sum(true_pair.cast("int")).cast("long").alias("n_true_pairs"),
-        F.sum(F.when(true_pair, F.col("p_ppm")).otherwise(0)).alias("tp_mass"),
-        F.sum("p_ppm").alias("all_mass"),
+        F.sum(F.when(true_pair, F.col("n_pairs")).otherwise(0))
+        .cast("long")
+        .alias("n_true_pairs"),
+        F.sum(F.when(true_pair, wmass).otherwise(0)).alias("tp_mass"),
+        F.sum(wmass).alias("all_mass"),
     )
     sc = agg.select(
         "b",
@@ -3033,48 +3147,6 @@ def member_components(spark, sf_dir: str) -> DataFrame:
     return st["rmap"].join(rc, "rep_id").select("doc_id", "component")
 
 
-def candidate_hit_flags(spark, sf_dir: str, probes: DataFrame) -> DataFrame:
-    """``probes`` (doc_id1 < doc_id2, + any payload columns) gains a
-    ``hit`` column (1/0): whether each probe pair is an LSH candidate,
-    decided at REP grain — (d1, d2) is a candidate iff their exact-
-    text reps band-collide, or coincide with group size >= 2 (the
-    self-pair clique; two distinct docs sharing a rep imply n >= 2).
-    The membership join probes the base-corpus-sized rep pair set
-    instead of the member-pair expansion, so the recall/retune audits
-    never enumerate member pairs either (r13 verdict #1's 'retune
-    audit' item). Probes whose doc has no signatures (< 3 tokens —
-    absent from the rep map) read hit 0, matching the pair list."""
-    st = _rep_pair_state(spark, sf_dir)
-    rset = (
-        st["rp"]
-        .select(
-            F.least("r1", "r2").alias("ru"),
-            F.greatest("r1", "r2").alias("rv"),
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    m1 = st["rmap"].select(
-        F.col("doc_id").alias("doc_id1"), F.col("rep_id").alias("rep1")
-    )
-    m2 = st["rmap"].select(
-        F.col("doc_id").alias("doc_id2"), F.col("rep_id").alias("rep2")
-    )
-    j = (
-        probes.join(m1, "doc_id1", "left")
-        .join(m2, "doc_id2", "left")
-        .join(
-            rset,
-            (F.least("rep1", "rep2") == F.col("ru"))
-            & (F.greatest("rep1", "rep2") == F.col("rv")),
-            "left",
-        )
-    )
-    return j.select(
-        *probes.columns, F.coalesce("hit", F.lit(0)).alias("hit")
-    )
-
-
 def _rep_positional_shingles(spark, sf_dir: str) -> DataFrame:
     """positional_shingles restricted to REPRESENTATIVE documents —
     the only texts the substring match stages read (an N-fold
@@ -3291,18 +3363,26 @@ def lsh_gate_decision(pairs: DataFrame, tok: DataFrame) -> DataFrame:
     jac = sampled_jaccards(tok).filter(F.col("j_ppm") >= _GATE_MIN_J_PPM)
     lab = jac.join(
         pairs.withColumn("hit", F.lit(1)), ["doc_id1", "doc_id2"], "left"
-    ).select(F.coalesce("hit", F.lit(0)).alias("hit"))
+    ).select(
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+        F.lit(1).cast("long").alias("n_pairs"),
+    )
     return _gate_decision_from_labels(lab)
 
 
 def _gate_decision_from_labels(lab: DataFrame) -> DataFrame:
-    """(hit,) labeled audited pairs -> the one-row retune decision —
-    the shared back half of the pair-list and rep-grain gate paths."""
+    """(hit, n_pairs) labeled audited pairs -> the one-row retune
+    decision — the shared back half of the pair-list (n_pairs = 1)
+    and weighted rep-grain gate paths."""
     thr = _GATE_THRESHOLD_PPM
     return (
         lab.agg(
-            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_caught"),
+            F.coalesce(F.sum("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.coalesce(F.sum(F.col("n_pairs") * F.col("hit")), F.lit(0))
+            .cast("long")
+            .alias("n_caught"),
         )
         .select(
             "n_true_pairs",
@@ -3394,17 +3474,13 @@ def dedup_retune_gate(spark, sf_dir) -> DataFrame:
 
 def _dedup_retune_compute(spark, sf_dir) -> DataFrame:
     """dedup_retune_gate's measurement body (plan-pinned via
-    pipeline.GATE_COMPUTE). The audited sample pairs probe the
-    REP-grain candidate set (candidate_hit_flags) — the audit never
-    materializes the member pair list."""
-    d = table(spark, "documents", sf_dir)
-    tok = d.select(
-        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
-    ).localCheckpoint()
-    jac = sampled_jaccards(tok).filter(
+    pipeline.GATE_COMPUTE). The whole audit runs at REP grain
+    (sampled_rep_jaccards): exact Jaccard over representative texts,
+    candidacy from the rep pair set, member-pair counts by group
+    products — nothing member-pair-sized anywhere."""
+    lab = sampled_rep_jaccards(spark, sf_dir).filter(
         F.col("j_ppm") >= _GATE_MIN_J_PPM
-    )
-    lab = candidate_hit_flags(spark, sf_dir, jac).select("hit")
+    ).select("hit", "n_pairs")
     return _gate_decision_from_labels(lab)
 
 

@@ -158,32 +158,14 @@ def _rep_pairs(spark, sfd):
 
 
 def _recall_report_pairs(spark, sfd):
-    """Co-occurring sample pairs the exact-Jaccard side evaluates."""
-    from pyspark.sql import functions as F
+    """Audited rep-grain rows the exact-Jaccard side evaluates (r14:
+    the audits run over sampled_rep_jaccards — one row per
+    co-occurring GROUP pair, base-corpus-sized at any duplication;
+    the member-grain sampled-postings probe this replaces filled the
+    host disk at 256x, the same boundary as the audit itself)."""
+    from scribedb_spark.operators.dedup import sampled_rep_jaccards
 
-    from scribedb_spark.operators.dedup import (
-        _RECALL_SAMPLE_MOD,
-        _RECALL_SAMPLE_REM,
-        shingles3,
-    )
-    from scribedb_spark.sources import table
-
-    tok = table(spark, "documents", sfd).select(
-        "doc_id", F.explode(shingles3(F.col("text"))).alias("tok")
-    )
-    samp = tok.filter(
-        F.col("doc_id") % _RECALL_SAMPLE_MOD == _RECALL_SAMPLE_REM
-    ).select(F.col("doc_id").alias("s_id"), "tok")
-    return (
-        samp.join(tok, "tok")
-        .filter(F.col("s_id") != F.col("doc_id"))
-        .select(
-            F.least("s_id", "doc_id").alias("doc_id1"),
-            F.greatest("s_id", "doc_id").alias("doc_id2"),
-        )
-        .distinct()
-        .count()
-    )
+    return sampled_rep_jaccards(spark, sfd).count()
 
 
 def _substring_matches(spark, sfd):

@@ -1802,12 +1802,16 @@ def test_plan_shape_invariant_across_scale(qmod, spark, key):
     shuffle-producing exchanges, broadcasts, explodes, sorts, scans.
     A key whose plan grows an extra shuffle/explode with data size has
     a data-dependent cost structure that would degrade further at
-    1000x. Statistics-driven broadcast<->shuffle strategy flips are
-    NOT shape changes — auto-broadcast is disabled for the capture so
-    only explicit (domain-bounded) broadcast hints remain and any
-    remaining difference is structural."""
+    1000x. Statistics-driven strategy flips are NOT shape changes —
+    auto-broadcast AND the runtime bloom-filter join-pruning
+    injection (which adds a SinglePartition bloom subquery only when
+    the probe side's stats cross its size threshold) are disabled for
+    the capture, so only explicit (domain-bounded) broadcast hints
+    remain and any remaining difference is structural."""
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bf = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     try:
         shapes = {
             sf: _plan_shape(
@@ -1817,6 +1821,9 @@ def test_plan_shape_invariant_across_scale(qmod, spark, key):
         }
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", bf
+        )
     assert shapes["sf0.001"] == shapes["sf0.1"], (
         f"{key}: plan shape changed with data size: {shapes}"
     )
