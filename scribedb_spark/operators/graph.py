@@ -150,6 +150,67 @@ def graph_pagerank(spark, sf_dir) -> DataFrame:
     )
 
 
+_REP_GRAPH_CACHE: dict = {}
+
+
+def _rep_graph(spark, sf_dir):
+    """(redges, gcount, selfr, rmap) — the CLIQUE-QUOTIENT view of
+    the LSH candidate graph, built once per session (r14): exact-text
+    duplicate groups are cliques whose members all share one
+    neighborhood, so the member graph is exactly the REP graph with
+    each node g expanded to a c_g-clique and each rep edge (g, h) to
+    a complete bipartite join. Uniform-per-group algorithms (min-label
+    propagation, H-index coreness, triangle counting) therefore run
+    on the quotient with MULTIPLICITIES and expand once at the end —
+    the member pair list (989M rows at the 256x octave) never
+    materializes for them, and a megadup template is ONE quotient
+    node. Pieces:
+
+    - ``redges``: distinct unordered rep pairs (doc_id1 < doc_id2,
+      no self loops) — base-corpus-sized at any duplication factor,
+    - ``gcount``: (rep_id, c) member count per group,
+    - ``selfr``: reps of groups with c >= 2 (in the member graph even
+      without external edges — the group clique),
+    - ``rmap``: (doc_id, rep_id) for the final expansion join.
+    """
+    from scribedb_spark.cache import session_cache
+    from scribedb_spark.operators.dedup import _rep_pair_state
+
+    def build():
+        st = _rep_pair_state(spark, sf_dir)
+        redges = (
+            st["rp"]
+            .filter(F.col("r1") != F.col("r2"))
+            .select(
+                F.least("r1", "r2").alias("doc_id1"),
+                F.greatest("r1", "r2").alias("doc_id2"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        gcount = (
+            st["rmap"]
+            .groupBy("rep_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint()
+        )
+        selfr = (
+            st["rp"]
+            .filter(F.col("r1") == F.col("r2"))
+            .select(F.col("r1").alias("rep_id"))
+            .localCheckpoint()
+        )
+        return redges, gcount, selfr, st["rmap"]
+
+    return session_cache(
+        _REP_GRAPH_CACHE,
+        spark,
+        ("rep_graph", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
 def _triangle_oracle() -> str:
     from scribedb_spark.operators.dedup import _MINHASH_CTES
 
@@ -168,8 +229,8 @@ def _triangle_oracle() -> str:
     """
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-node triangle counts over an undirected edge list
+def _oriented_triangle_join(edges: DataFrame) -> DataFrame:
+    """(a, b, c) triangle rows of an undirected edge list
     ``(doc_id1, doc_id2)`` with ``doc_id1 < doc_id2`` and no
     duplicate rows, via the degree-ordered node-iterator algorithm.
 
@@ -222,7 +283,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         (F.col("b_deg") == F.col("c_deg")) & (F.col("b") < F.col("c"))
     )
     z = oe.select(F.col("s").alias("b"), F.col("d").alias("c"))
-    tri = x.join(y, "a").where(b_before_c).join(z, ["b", "c"])
+    return x.join(y, "a").where(b_before_c).join(z, ["b", "c"])
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected (doc_id1 <
+    doc_id2, deduped) edge list — the degree-ordered enumeration of
+    :func:`_oriented_triangle_join` exploded per corner (factored so
+    the rep-grain key can instead weight each triangle by group-count
+    products). Property-tested against a Python recompute, incl. a
+    30%-hub fixture."""
+    tri = _oriented_triangle_join(edges)
     pern = tri.select(
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
     )
@@ -235,15 +306,79 @@ def graph_triangle_count(spark, sf_dir) -> DataFrame:
     (dedup_minhash_lsh edges) — the local-clustering signal that
     separates genuine duplicate CLUSTERS (dense, triangle-rich) from
     chains of borderline pairs (sparse): a curation pass can demand
-    triangle support before collapsing a group. Degree-ordered wedge
-    enumeration (see :func:`triangle_counts`) keeps the plan
-    skew-safe; the edge list is checkpointed so the LSH stage runs
-    once, not five times.
-    """
-    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+    triangle support before collapsing a group.
 
-    e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
-    return triangle_counts(e)
+    r14: runs on the CLIQUE-QUOTIENT graph (_rep_graph). A member's
+    triangle count is uniform within its exact-text group and
+    decomposes exactly over the quotient — for m in group g:
+
+        C(c_g - 1, 2)                     (both corners groupmates)
+      + (c_g - 1) * sum_{h~g} c_h         (one groupmate, one neighbor)
+      + sum_{h~g} C(c_h, 2)               (both corners in one neighbor)
+      + sum_{rep triangles (g,h,k)} c_h*c_k   (corners in two neighbors)
+
+    because groups are cliques and rep adjacency expands to complete
+    bipartite joins (every cross pair IS an edge). The degree-ordered
+    wedge enumeration (:func:`_oriented_triangle_join`) runs over REP
+    edges only — base-corpus-sized at any duplication; the member
+    pair list never materializes. The unchanged member-grain DuckDB
+    oracle hash-proves the decomposition on every driver run; only
+    groups with a positive count expand (matching the member plan's
+    triangle-participating output)."""
+    redges, gcount, selfr, rmap = _rep_graph(spark, sf_dir)
+    tri = _oriented_triangle_join(redges)
+    ga = gcount.select(F.col("rep_id").alias("a"), F.col("c").alias("ca"))
+    gb = gcount.select(F.col("rep_id").alias("b"), F.col("c").alias("cb"))
+    gc3 = gcount.select(F.col("rep_id").alias("c"), F.col("c").alias("cc"))
+    t3 = tri.join(ga, "a").join(gb, "b").join(gc3, "c")
+    tcontrib = (
+        t3.select(F.col("a").alias("g"), (F.col("cb") * F.col("cc")).alias("t"))
+        .unionByName(
+            t3.select(
+                F.col("b").alias("g"), (F.col("ca") * F.col("cc")).alias("t")
+            )
+        )
+        .unionByName(
+            t3.select(
+                F.col("c").alias("g"), (F.col("ca") * F.col("cb")).alias("t")
+            )
+        )
+        .groupBy("g")
+        .agg(F.sum("t").alias("t"))
+    )
+    und = redges.select(
+        F.col("doc_id1").alias("g"), F.col("doc_id2").alias("h")
+    ).unionByName(
+        redges.select(F.col("doc_id2").alias("g"), F.col("doc_id1").alias("h"))
+    )
+    sc = (
+        und.join(gcount.select(F.col("rep_id").alias("h"), "c"), "h")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("s"),
+            F.sum(F.expr("(c * (c - 1)) div 2")).alias("p"),
+        )
+    )
+    n = (
+        gcount.withColumnRenamed("rep_id", "g")
+        .join(tcontrib, "g", "left")
+        .join(sc, "g", "left")
+        .select(
+            "g",
+            (
+                F.expr("((c - 1) * (c - 2)) div 2")
+                + (F.col("c") - 1) * F.coalesce("s", F.lit(0))
+                + F.coalesce("p", F.lit(0))
+                + F.coalesce("t", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_triangles"),
+        )
+        .filter(F.col("n_triangles") > 0)
+    )
+    return rmap.join(
+        n.withColumnRenamed("g", "rep_id"), "rep_id"
+    ).select("doc_id", "n_triangles")
 
 
 #: witnesses above this degree are excluded from common-neighbor
@@ -430,12 +565,66 @@ def graph_kcore(spark, sf_dir) -> DataFrame:
     keyed on the neighbor plus one per-node window+max on the SAME
     node-id partitioning (Spark reuses the exchange), rounds fixed
     and small (coreness error after r rounds decays geometrically in
-    practice). The pair list is the session-cached LSH index every
-    other graph key reads — built once per session."""
-    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+    practice).
 
-    e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
-    return h_index_rounds(e, _KCORE_ROUNDS)
+    r14: the rounds run on the CLIQUE-QUOTIENT graph (_rep_graph)
+    with MULTIPLICITIES. Every member of an exact-text group has the
+    identical neighbor multiset — (c_g - 1) groupmates plus all c_h
+    members of each band-colliding group — so H-index values stay
+    uniform per group by induction, and each round reduces to a
+    WEIGHTED H over quotient rows (value, count): sort a group's
+    neighbor rows by value descending with running count, H = max of
+    min(value, cumulative count) — the classic H-index identity with
+    ties collapsed into one weighted row. The member pair list never
+    materializes; a megadup clique is one self-row (v, v, c-1). The
+    unchanged member-grain oracle (per-neighbor row_number form)
+    hash-proves the weighted identity per driver run."""
+    redges, gcount, selfr, rmap = _rep_graph(spark, sf_dir)
+    und = redges.select(
+        F.col("doc_id1").alias("v"), F.col("doc_id2").alias("u")
+    ).unionByName(
+        redges.select(F.col("doc_id2").alias("v"), F.col("doc_id1").alias("u"))
+    )
+    ext = und.join(
+        gcount.select(F.col("rep_id").alias("u"), F.col("c").alias("cnt")),
+        "u",
+    ).select("v", "u", "cnt")
+    nodes = (
+        und.select("v")
+        .unionByName(selfr.select(F.col("rep_id").alias("v")))
+        .distinct()
+    )
+    self_rows = (
+        nodes.join(gcount, nodes["v"] == gcount["rep_id"])
+        .filter(F.col("c") >= 2)
+        .select("v", F.col("v").alias("u"), (F.col("c") - 1).alias("cnt"))
+    )
+    nbr = ext.unionByName(self_rows).localCheckpoint()
+    deg = nbr.groupBy("v").agg(F.sum("cnt").cast("long").alias("h"))
+    h = deg
+    w = (
+        Window.partitionBy("v")
+        .orderBy(F.desc("hv"), "u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        hv = h.select(F.col("v").alias("u"), F.col("h").alias("hv"))
+        h = (
+            nbr.join(hv, "u")
+            .withColumn("cum", F.sum("cnt").over(w))
+            .groupBy("v")
+            .agg(
+                F.max(F.least(F.col("hv"), F.col("cum")))
+                .cast("long")
+                .alias("h")
+            )
+        )
+    rk = deg.withColumnRenamed("h", "degree").join(
+        h.withColumnRenamed("h", "core_est"), "v"
+    )
+    return rmap.join(
+        rk.withColumnRenamed("v", "rep_id"), "rep_id"
+    ).select("doc_id", "degree", "core_est")
 
 
 _LPA_ROUNDS = 3
@@ -467,14 +656,11 @@ def _label_prop_oracle() -> str:
     """
 
 
-def min_label_rounds(edges: DataFrame, n_rounds: int) -> DataFrame:
-    """(doc_id, community, community_size) after ``n_rounds`` of
-    synchronous min-label propagation over an undirected
-    ``(doc_id1, doc_id2)`` edge list: label_0(v) = v,
-    label_t(v) = min(label_{t-1}(v), min over neighbors) — so after
-    r rounds label(v) is EXACTLY the minimum doc_id within graph
-    distance r of v (property-tested against a Python BFS). Factored
-    out so tests can pin arbitrary graphs."""
+def _min_label_core(edges: DataFrame, n_rounds: int) -> DataFrame:
+    """(v, lab) after ``n_rounds`` of synchronous min-label rounds —
+    the iteration of :func:`min_label_rounds` without the final
+    size window (shared with the rep-grain key, whose sizes are
+    group-count sums, not row counts)."""
     und = edges.select(
         F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b")
     ).unionAll(
@@ -500,6 +686,18 @@ def min_label_rounds(edges: DataFrame, n_rounds: int) -> DataFrame:
                 F.least(F.col("lab"), F.col("nmin")).alias("lab"),
             )
         )
+    return lab
+
+
+def min_label_rounds(edges: DataFrame, n_rounds: int) -> DataFrame:
+    """(doc_id, community, community_size) after ``n_rounds`` of
+    synchronous min-label propagation over an undirected
+    ``(doc_id1, doc_id2)`` edge list: label_0(v) = v,
+    label_t(v) = min(label_{t-1}(v), min over neighbors) — so after
+    r rounds label(v) is EXACTLY the minimum doc_id within graph
+    distance r of v (property-tested against a Python BFS). Factored
+    out so tests can pin arbitrary graphs."""
+    lab = _min_label_core(edges, n_rounds)
     w = Window.partitionBy("lab")
     return lab.select(
         F.col("v").alias("doc_id"),
@@ -531,10 +729,37 @@ def graph_label_propagation(spark, sf_dir) -> DataFrame:
 
     Scale: each round is one edges-to-labels hash join keyed on the
     neighbor plus a per-node min — the same node-id partitioning
-    every round (exchange reuse, the graph_kcore discipline); {3}
-    fixed rounds, no iteration-to-fixpoint. The edge list is the
-    session-cached LSH pair index every other graph key reads."""
-    from scribedb_spark.operators.dedup import dedup_minhash_lsh
+    every round; {3} fixed rounds, no iteration-to-fixpoint.
 
-    e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
-    return min_label_rounds(e, _LPA_ROUNDS)
+    r14: the rounds run on the CLIQUE-QUOTIENT graph (_rep_graph).
+    Member distance between two groups equals rep distance (rep
+    adjacency expands to complete bipartite, so any rep path realizes
+    as a member path of the same length and vice versa), and
+    groupmates sit at distance 1 via the group clique — hence a
+    member's r-hop ball is exactly the members of groups within r rep
+    hops, and its min label is the min REP in that ball (rep = group
+    min; the member itself is >= its own rep). So: {3} min-label
+    rounds over REP edges, lone cliques labeled by their rep, one
+    expansion join — the member pair list never materializes, and
+    community sizes are group-count sums. The unchanged member-grain
+    recursive oracle hash-proves the quotient argument per run."""
+    redges, gcount, selfr, rmap = _rep_graph(spark, sf_dir)
+    rl = _min_label_core(redges, _LPA_ROUNDS)
+    lone = selfr.join(
+        rl, selfr["rep_id"] == rl["v"], "left_anti"
+    ).select(F.col("rep_id").alias("v"), F.col("rep_id").alias("lab"))
+    rlab = rl.unionByName(lone)
+    sz = (
+        rlab.join(gcount, rlab["v"] == gcount["rep_id"])
+        .groupBy("lab")
+        .agg(F.sum("c").cast("long").alias("community_size"))
+    )
+    return (
+        rmap.join(rlab.withColumnRenamed("v", "rep_id"), "rep_id")
+        .join(sz, "lab")
+        .select(
+            "doc_id",
+            F.col("lab").cast("long").alias("community"),
+            "community_size",
+        )
+    )

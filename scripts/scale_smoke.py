@@ -260,6 +260,13 @@ PAIR_PROBES = {
     "dedup_survivor_pick": _rep_edges,
     # cell-probe ANN: scored candidates in probed cells
     "ann_ivf_sq_topk": _ivf_scored_volume,
+    # r14 quotient-graph keys traverse REP edges with multiplicities
+    "graph_kcore": _rep_edges,
+    "graph_label_propagation": _rep_edges,
+    "graph_triangle_count": _rep_edges,
+    # common-neighbors output IS member pairs (missed-dup candidates)
+    # — its cost tracks the member pair list it still reads
+    "graph_common_neighbors": _levenshtein_pairs,
 }
 
 
