@@ -468,6 +468,124 @@ def graph_common_neighbors(spark, sf_dir) -> DataFrame:
     )
 
 
+def _cn_receipts_oracle() -> str:
+    from scribedb_spark.operators.dedup import _MINHASH_CTES
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    cund AS (SELECT doc_id1 AS a, doc_id2 AS b FROM lsh_cand
+             UNION ALL SELECT doc_id2, doc_id1 FROM lsh_cand),
+    cdeg AS (SELECT a AS node, COUNT(*) AS d FROM cund GROUP BY 1),
+    cwit AS (
+      SELECT u.b AS w, u.a
+      FROM cund u JOIN cdeg ON cdeg.node = u.b
+      WHERE cdeg.d <= {_CN_MAX_WITNESS_DEG}),
+    ccn AS (
+      SELECT x.a AS doc_id1, y.a AS doc_id2,
+             COUNT(DISTINCT x.w) AS n_common
+      FROM cwit x JOIN cwit y ON x.w = y.w AND x.a < y.a
+      GROUP BY 1, 2),
+    cmissed AS (
+      SELECT c.doc_id1, c.doc_id2, c.n_common
+      FROM ccn c
+      LEFT JOIN lsh_cand e
+        ON e.doc_id1 = c.doc_id1 AND e.doc_id2 = c.doc_id2
+      WHERE e.doc_id1 IS NULL AND c.n_common >= {_CN_MIN_COMMON}),
+    crh AS (SELECT doc_id, md5(text) AS h, len(text) AS hl
+            FROM documents),
+    crq AS (SELECT h, hl, MIN(doc_id) AS rep_id FROM crh GROUP BY h, hl),
+    crmap AS (SELECT r.doc_id, q.rep_id FROM crh r
+              JOIN crq q ON q.h = r.h AND q.hl = r.hl)
+    SELECT LEAST(a.rep_id, b.rep_id) AS rep_id1,
+           GREATEST(a.rep_id, b.rep_id) AS rep_id2,
+           CAST(MIN(m.n_common) AS BIGINT) AS n_common,
+           CAST(COUNT(*) AS BIGINT) AS n_member_pairs
+    FROM cmissed m
+    JOIN crmap a ON a.doc_id = m.doc_id1
+    JOIN crmap b ON b.doc_id = m.doc_id2
+    GROUP BY 1, 2
+    """
+
+
+@register("graph_common_neighbors_receipts", oracle=_cn_receipts_oracle())
+def graph_common_neighbors_receipts(spark, sf_dir) -> DataFrame:
+    """graph_common_neighbors' SCALE output shape (the r14 receipt
+    discipline, cf. dedup_levenshtein_receipts): one row per
+    NON-adjacent pair of exact-text GROUPS sharing >= {2} degree-
+    capped common witnesses — (rep_id1, rep_id2, n_common,
+    n_member_pairs) — instead of materializing every missed member
+    pair. The member key's output IS member pairs, so under N-fold
+    duplication it inflates N^2 per group pair; the receipt carries
+    the same evidence (which distinct-content pairs the bands missed,
+    how many concrete document pairs each verdict covers) at quotient
+    size, and a re-verify pass expands only the receipts it acts on.
+
+    Exactness over the quotient: a witness must be adjacent to both
+    endpoints, so for m1 in g1, m2 in g2 (g1 != g2, non-adjacent —
+    same-group member pairs are clique-adjacent and adjacency is
+    signature-pure) the witness set is exactly the members of groups
+    k with k~g1 AND k~g2; member degree is uniform per group
+    ((c_k - 1) + sum of colliding groups' counts), so the degree cap
+    in/excludes whole groups; hence n_common = sum of qualifying
+    witness groups' counts — identical for every member pair — and
+    the missed-pair count is c_g1 * c_g2. The oracle runs the naive
+    MEMBER plan and aggregates to rep grain (MIN over the uniform
+    n_common, COUNT(*) member pairs), so the driver hash-check proves
+    the uniformity argument itself on every run.
+
+    Scale: everything is quotient-sized — one degree aggregate, a
+    cap-bounded wedge self-join over rep edges, a two-column anti
+    join, and two count attaches; no member enumeration anywhere."""
+    redges, gcount, selfr, rmap = _rep_graph(spark, sf_dir)
+    und = redges.select(
+        F.col("doc_id1").alias("g"), F.col("doc_id2").alias("k")
+    ).unionByName(
+        redges.select(F.col("doc_id2").alias("g"), F.col("doc_id1").alias("k"))
+    )
+    gck = gcount.select(F.col("rep_id").alias("k"), F.col("c").alias("ck"))
+    s = und.join(gck, "k").groupBy("g").agg(F.sum("ck").alias("s"))
+    degm = (
+        gcount.join(s, gcount["rep_id"] == s["g"], "left")
+        .select(
+            F.col("rep_id").alias("k"),
+            F.col("c").alias("ck"),
+            (F.col("c") - 1 + F.coalesce("s", F.lit(0))).alias("d"),
+        )
+        .filter(F.col("d") <= _CN_MAX_WITNESS_DEG)
+        .select("k", "ck")
+    )
+    wed = und.select(F.col("k"), F.col("g")).join(degm, "k")
+    x = wed.select("k", F.col("g").alias("g1"), "ck")
+    y = wed.select("k", F.col("g").alias("g2"))
+    cn = (
+        x.join(y, "k")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.sum("ck").cast("long").alias("n_common"))
+    )
+    missed = (
+        cn.select(
+            F.col("g1").alias("doc_id1"),
+            F.col("g2").alias("doc_id2"),
+            "n_common",
+        )
+        .join(redges, ["doc_id1", "doc_id2"], "left_anti")
+        .filter(F.col("n_common") >= _CN_MIN_COMMON)
+    )
+    c1 = gcount.select(F.col("rep_id").alias("doc_id1"), F.col("c").alias("c1"))
+    c2 = gcount.select(F.col("rep_id").alias("doc_id2"), F.col("c").alias("c2"))
+    return (
+        missed.join(c1, "doc_id1")
+        .join(c2, "doc_id2")
+        .select(
+            F.col("doc_id1").alias("rep_id1"),
+            F.col("doc_id2").alias("rep_id2"),
+            "n_common",
+            (F.col("c1") * F.col("c2")).cast("long").alias("n_member_pairs"),
+        )
+    )
+
+
 _KCORE_ROUNDS = 3
 
 

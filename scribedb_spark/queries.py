@@ -2018,6 +2018,16 @@ _FRESH_WAVES.update(
         13,
     )
 )
+#: fourteenth wave (round 14) — the quotient-graph receipt twin of
+#: the missed-duplicate link-prediction key
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "graph_common_neighbors_receipts",
+        },
+        14,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

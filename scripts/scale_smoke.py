@@ -267,6 +267,8 @@ PAIR_PROBES = {
     # common-neighbors output IS member pairs (missed-dup candidates)
     # — its cost tracks the member pair list it still reads
     "graph_common_neighbors": _levenshtein_pairs,
+    # its receipt twin is fully quotient-sized
+    "graph_common_neighbors_receipts": _rep_edges,
 }
 
 
