@@ -218,6 +218,8 @@ BENCH_KEYS = [
     # wave 13
     "agg_approx_distinct",
     "dedup_levenshtein_receipts",
+    # wave 14
+    "graph_common_neighbors_receipts",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /
