@@ -557,25 +557,60 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
     At 100 TB widen the signature (64-bit, 4x16-bit bands -> 65536
     block values per band) so per-block candidate sets stay bounded;
     the construction is identical.
-    """
-    quarters = simhash_quarters(spark, sf_dir)
+
+    r14: the quarter-bucket self-join runs over exact-text
+    REPRESENTATIVE signatures only (collapse-before-candidates —
+    SimHash is a pure function of text, so members collide iff their
+    reps do), and verified rep pairs expand to member pairs by two
+    rep-map joins plus the within-group cliques at hamming 0. An
+    exact-duplicated corpus no longer inflates any quarter bucket
+    quadratically (the same hot-bucket fix as the LSH band join);
+    the unchanged member-grain oracle hash-proves the collapse."""
+    rmap = text_rep_map(spark, sf_dir)
+    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+    quarters = simhash_quarters(spark, sf_dir).join(
+        reps, "doc_id", "left_semi"
+    )
     a = quarters.select(
-        F.col("doc_id").alias("doc_id1"), F.col("simhash").alias("sh1"), "q", "qv"
+        F.col("doc_id").alias("r1"), F.col("simhash").alias("sh1"), "q", "qv"
     )
     b = quarters.select(
-        F.col("doc_id").alias("doc_id2"), F.col("simhash").alias("sh2"), "q", "qv"
+        F.col("doc_id").alias("r2"), F.col("simhash").alias("sh2"), "q", "qv"
     )
     ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
-    return (
+    rp = (
         a.join(b, ["q", "qv"])
-        .filter(F.col("doc_id1") < F.col("doc_id2"))
+        .filter(F.col("r1") < F.col("r2"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= 3)
         # a pair can collide in several quarters: dedup after the
         # cheap hamming filter so distinct() sees only survivors
-        .select("doc_id1", "doc_id2", "hamming")
+        .select("r1", "r2", "hamming")
         .distinct()
     )
+    m1 = rmap.select(F.col("rep_id").alias("r1"), F.col("doc_id").alias("da"))
+    m2 = rmap.select(F.col("rep_id").alias("r2"), F.col("doc_id").alias("db"))
+    cross = (
+        rp.join(m1, "r1")
+        .join(m2, "r2")
+        .select(
+            F.least("da", "db").alias("doc_id1"),
+            F.greatest("da", "db").alias("doc_id2"),
+            "hamming",
+        )
+    )
+    s1 = rmap.select("rep_id", F.col("doc_id").alias("da"))
+    s2 = rmap.select("rep_id", F.col("doc_id").alias("db"))
+    selfp = (
+        s1.join(s2, "rep_id")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_id1"),
+            F.col("db").alias("doc_id2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(selfp)
 
 
 _NGRAM_ORACLE = """
@@ -600,10 +635,15 @@ _NGRAM_ORACLE = """
     """
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    """Character-3-gram jaccard near-dup pairs (>= 0.9) within a
-    source block, with prefix filtering.
+def _ngram_ppjoin_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id1, doc_id2, jaccard) — the PPJoin-bounded char-3-gram
+    Jaccard pairs (>= 0.9, same source) of a (doc_id, source, text)
+    frame: the engine of ``dedup_ngram_jaccard``, factored so the r14
+    collapse can run it over source-scoped exact-text REPRESENTATIVES
+    only. PPJoin exactness holds for whatever corpus it is given
+    (prefix/positional/length bounds are valid under ANY global
+    frequency order), so restricting the input to representatives and
+    expanding afterwards loses nothing.
 
     All-pairs-per-block verification was measured at 145 s at sf0.1
     (622k pairs x interpreted array_intersect); the prefix filter
@@ -612,11 +652,6 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     the near-dup clusters before any intersection runs. Exact — no
     false negatives.
     """
-    d = (
-        table(spark, "documents", sf_dir)
-        .select("doc_id", "source", "text")
-        .filter(F.length("text") >= 3)  # sequence() would run backwards
-    )
     # overlapping char trigrams via zero-width lookahead — codegen'd,
     # measured 5x over the interpreted transform(substr) form
     grams = F.array_distinct(
@@ -709,6 +744,82 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
         .filter(raw >= 0.9)
         .select("doc_id1", "doc_id2", F.round(raw, 6).alias("jaccard"))
     )
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Character-3-gram jaccard near-dup pairs (>= 0.9) within a
+    source block — PPJoin-bounded candidates, exact verification
+    (:func:`_ngram_ppjoin_pairs`).
+
+    r14: the PPJoin runs over SOURCE-SCOPED exact-text
+    REPRESENTATIVES — one exemplar per (text, source) group — and the
+    verified rep pairs expand to member pairs by two rep-map joins,
+    plus the within-group cliques at jaccard 1.0. Exact because the
+    gram set is a pure function of text (J(a, b) = J(rep_a, rep_b)),
+    the source-equality block is a pure function of the (text,
+    source) group, and identical-text pairs score exactly 1.0 >= 0.9
+    in the member plan too. Source-scoped (NOT the plain text rep
+    map): the pair predicate reads the source column, and members of
+    one exact-text group may span sources — the r13 lsh_rep_pairs
+    rule that per-pair quantities may collapse but source labels may
+    not, satisfied here by folding source INTO the group key. The
+    unchanged member-grain oracle hash-proves it per driver run.
+
+    Scale: the quadratic-ish PPJoin candidate/verify stages are now
+    rep-corpus-sized at any exact-duplication factor (the r14
+    collapse-before-candidates discipline); the expansion joins are
+    output-sized — the key's own contract (it emits member pairs)."""
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") >= 3)  # sequence() would run backwards
+    )
+    srh = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.length("text").alias("hl"),
+    )
+    srq = (
+        srh.groupBy("h", "hl", "source")
+        .agg(F.min("doc_id").alias("srep"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    srmap = (
+        srh.join(srq, ["h", "hl", "source"])
+        .select("doc_id", "srep")
+        .localCheckpoint()
+    )
+    reps = srq.select(F.col("srep").alias("doc_id"))
+    rp = _ngram_ppjoin_pairs(d.join(reps, "doc_id", "left_semi"))
+    m1 = srmap.select(
+        F.col("srep").alias("doc_id1"), F.col("doc_id").alias("da")
+    )
+    m2 = srmap.select(
+        F.col("srep").alias("doc_id2"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rp.join(m1, "doc_id1")
+        .join(m2, "doc_id2")
+        .select(
+            F.least("da", "db").alias("doc_id1"),
+            F.greatest("da", "db").alias("doc_id2"),
+            "jaccard",
+        )
+    )
+    s1 = srmap.select("srep", F.col("doc_id").alias("da"))
+    s2 = srmap.select("srep", F.col("doc_id").alias("db"))
+    selfp = (
+        s1.join(s2, "srep")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_id1"),
+            F.col("db").alias("doc_id2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(selfp)
 
 
 @register(
@@ -2940,6 +3051,33 @@ def exact_text_reps(d: DataFrame) -> DataFrame:
     return h.join(reps, ["h", "hl"]).select("doc_id", "rep_id")
 
 
+_TEXT_REP_CACHE: dict = {}
+
+
+def text_rep_map(spark, sf_dir: str) -> DataFrame:
+    """The checkpointed (doc_id, rep_id) exact-text rep map, built
+    once per session — shared by the LSH rep state and the collapses
+    that need ONLY the map (dedup_simhash), so a map-only consumer
+    never triggers the band-signature build as a side effect."""
+    from ..cache import session_cache
+
+    def build():
+        d = (
+            table(spark, "documents", sf_dir)
+            .select("doc_id", "text")
+            .filter(min_tokens_filter())
+        )
+        return exact_text_reps(d).localCheckpoint()
+
+    return session_cache(
+        _TEXT_REP_CACHE,
+        spark,
+        ("text_reps", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
 def _rep_pair_state(spark, sf_dir: str) -> dict:
     """{'rmap': (doc_id, rep_id), 'rp': oriented (r1, r2)} — the two
     SMALL checkpointed pieces every rep-collapsed key derives from,
@@ -2967,12 +3105,7 @@ def _rep_pair_state(spark, sf_dir: str) -> dict:
     from ..cache import session_cache
 
     def build():
-        d = (
-            table(spark, "documents", sf_dir)
-            .select("doc_id", "text")
-            .filter(min_tokens_filter())
-        )
-        rmap = exact_text_reps(d).localCheckpoint()
+        rmap = text_rep_map(spark, sf_dir)
         stats = rmap.groupBy("rep_id").agg(
             F.min("doc_id").alias("mn"),
             F.max("doc_id").alias("mx"),
