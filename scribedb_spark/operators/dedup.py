@@ -1851,6 +1851,46 @@ def containment_stages(docs: DataFrame):
     return g, ex
 
 
+def _containment_rep_state(docs: DataFrame) -> dict:
+    """The r15 rep collapse's build-once pieces for a (doc_id, source,
+    text) frame: SOURCE-SCOPED exact-text groups (key (md5, length,
+    source) — the collision-hardened text key with source folded in,
+    because the containment pair predicate reads the source column and
+    members of one exact-text group may span sources: the
+    lsh_rep_pairs rule that per-pair quantities collapse but source
+    labels may not, satisfied like dedup_ngram_jaccard by grouping on
+    source too). ``grp`` carries each group's member count and the
+    SECOND-smallest member id (srep itself is the group min, so the
+    within-group argmin-excluding-self is srep or mn2 — no member
+    enumeration, no window); ``g``/``ex`` are the containment_stages
+    token tables over REPRESENTATIVE documents only."""
+    srh = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.length("text").alias("hl"),
+    )
+    srq = (
+        srh.groupBy("h", "hl", "source")
+        .agg(F.min("doc_id").alias("srep"), F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    srmap = (
+        srh.join(srq, ["h", "hl", "source"])
+        .select("doc_id", "srep")
+        .localCheckpoint()
+    )
+    mn2 = (
+        srmap.filter(F.col("doc_id") != F.col("srep"))
+        .groupBy("srep")
+        .agg(F.min("doc_id").alias("mn2"))
+    )
+    grp = srq.select("srep", "c").join(mn2, "srep", "left")
+    reps = srq.select(F.col("srep").alias("doc_id"))
+    g, ex = containment_stages(docs.join(reps, "doc_id", "left_semi"))
+    return {"srmap": srmap, "grp": grp, "g": g, "ex": ex}
+
+
 def containment_best(
     docs: DataFrame,
     incoming=None,
@@ -1872,20 +1912,40 @@ def containment_best(
     rows, never drops them, so results are identical (pinned by a
     hot-token fixture test).
 
-    When ``spark`` and ``cache_key`` are given, the (g, ex) stages
-    come from the per-session cache — they are identical for every
-    containment variant over the same corpus, so the three registry
-    keys share one build instead of recomputing the
-    tokenize/explode/frequency pipeline each (the round-7 bench's
-    two most expensive keys were exactly that double-compute)."""
+    r15 collapse-before-candidates: every stage through verification
+    runs over one exemplar per (text, source) group
+    (:func:`_containment_rep_state`) — containment C(A in B) is a
+    pure function of the two texts, so rep-pair scores transfer to
+    members verbatim, and an exact-duplicated corpus no longer
+    inflates the prefix x full-token join or the intersection count
+    (the 16x octave measured 515-570 s member-grain with one
+    out-of-resource failure — r14 VERDICT item 2). The per-doc BEST
+    row expands at output grain with no window: best score = max of
+    the group's best external ROUNDED score mx_e and the within-group
+    duplicate's 1.0 (identical text => identical token set => C =
+    1.0, gated on the group having >= 2 members and >= 1 token — a
+    tokenless group has no oracle pairs at all); the id tiebreak over
+    argmax external groups is min(r2) because rep = group min, and
+    the within-group argmin excluding the doc itself is srep (or mn2
+    when the doc IS the rep). The unchanged brute-force member-grain
+    oracle and the hypothesis property tests (which generate
+    duplicate texts) hash-prove the collapse.
+
+    When ``spark`` and ``cache_key`` are given, the rep state (group
+    map + rep-restricted token stages) comes from the per-session
+    cache — identical for every containment variant over the same
+    corpus, so the three registry keys share one build instead of
+    recomputing the tokenize/explode/frequency pipeline each (the
+    round-7 bench's two most expensive keys were exactly that
+    double-compute)."""
     if spark is not None and cache_key is not None:
         from scribedb_spark.cache import session_cache
 
-        g, ex = session_cache(
+        st = session_cache(
             _CONTAIN_STAGE_CACHE,
             spark,
-            ("contain",) + cache_key,
-            lambda: containment_stages(docs),
+            ("contain_rep",) + cache_key,
+            lambda: _containment_rep_state(docs),
             # cache_key is (table_name, sf_dir) for every registry
             # caller: tie the cached stages to the corpus file so an
             # in-session rewrite invalidates them
@@ -1896,8 +1956,19 @@ def containment_best(
             ),
         )
     else:
-        g, ex = containment_stages(docs)
-    left = ex.filter(incoming) if incoming is not None else ex
+        st = _containment_rep_state(docs)
+    g, ex = st["g"], st["ex"]
+    srmap, grp = st["srmap"], st["grp"]
+    mem = srmap.filter(incoming) if incoming is not None else srmap
+    if incoming is not None:
+        # candidate LEFT side = groups with >= 1 incoming member (the
+        # group-level image of the member-level batch restriction)
+        g1 = mem.select("srep").distinct()
+        left = ex.join(
+            g1.select(F.col("srep").alias("doc_id")), "doc_id", "left_semi"
+        )
+    else:
+        left = ex
     pref = left.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
     ).select("doc_id", "source", "tok", "n", "pos")
@@ -1972,14 +2043,43 @@ def containment_best(
         .filter(c >= _CONTAIN_T)
         .select("doc_id1", "doc_id2", F.round(c, 6).alias("containment"))
     )
-    wb = Window.partitionBy("doc_id1").orderBy(
-        F.desc("containment"), "doc_id2"
+    # per-group best EXTERNAL container: max rounded score, min rep id
+    # among argmax groups (min member of an argmax group IS its rep) —
+    # one agg min-struct, never a window (CLAUDE.md pick discipline).
+    # Rounded score in the struct because the oracle's tiebreak window
+    # orders by the rounded column.
+    ext = scored.groupBy(F.col("doc_id1").alias("srep")).agg(
+        F.max(
+            F.struct(
+                F.col("containment").alias("s"),
+                (-F.col("doc_id2")).alias("nr"),
+            )
+        ).alias("mx")
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") == 1)
-        .select("doc_id1", "doc_id2", "containment")
+    e = (
+        mem.join(grp, "srep")
+        .join(
+            sz.select(F.col("doc_id").alias("srep"), F.col("n").alias("nrep")),
+            "srep",
+            "left",
+        )
+        .join(ext, "srep", "left")
     )
+    int_ok = (F.col("c") >= 2) & (F.col("nrep") >= 1)
+    id_int = F.when(F.col("doc_id") == F.col("srep"), F.col("mn2")).otherwise(
+        F.col("srep")
+    )
+    mx_e = F.col("mx.s")
+    best = F.greatest(F.when(int_ok, F.lit(1.0)), mx_e)
+    doc2 = F.least(
+        F.when(int_ok & (best == 1.0), id_int),
+        F.when(mx_e == best, -F.col("mx.nr")),
+    )
+    return e.select(
+        F.col("doc_id").alias("doc_id1"),
+        doc2.alias("doc_id2"),
+        best.alias("containment"),
+    ).filter(F.col("containment").isNotNull())
 
 
 @register("dedup_containment", oracle=_CONTAIN_ORACLE)
