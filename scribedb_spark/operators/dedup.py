@@ -2939,8 +2939,41 @@ def dedup_minhash_band_tune(spark, sf_dir) -> DataFrame:
     along as integer weights, so every mass below is the member-grain
     sum exactly), then a 5-config broadcast cross join over pair-count
     rows and a 5-row window. The output is design-space-sized, safe
-    to collect anywhere."""
+    to collect anywhere. Weighted masses accumulate SPLIT in
+    thousands (see band_tune_from_jaccards) so the r14 ~256x int64
+    ceiling is gone."""
     jac = sampled_rep_jaccards(spark, sf_dir).select("j_ppm", "n_pairs")
+    return band_tune_from_jaccards(spark, jac)
+
+
+#: hard weight ceiling for the split band-tune masses: with
+#: sum(n_pairs) = N, the recombination terms are bounded by ~2000 * N
+#: (rm < n_true <= N plus lo <= 999 * N), so N < 4e15 keeps every
+#: intermediate inside int64 with margin — ~5 octaves past the 1024x
+#: profile the r14 note worried about. Exceeding it raises loudly
+#: instead of overflowing silently (r14 ADVICE).
+_TUNE_MASS_LIMIT = 4_000_000_000_000_000
+
+
+def band_tune_from_jaccards(spark, jac: DataFrame) -> DataFrame:
+    """The (bands, rows_per_band) design-space reducer over a
+    (j_ppm, n_pairs) weighted audit frame — the back half of
+    dedup_minhash_band_tune, factored so the 1024x-weight-profile
+    test can drive it with planted mega-weights.
+
+    int64 mass split (r15): n_pairs * p_ppm sums overflow int64 once
+    sum(n_pairs) approaches 9.2e12 (~a 1024x duplication octave —
+    the r14 headroom note). The masses therefore accumulate as two
+    sums in thousands, hi = sum(n_pairs * (p_ppm div 1000)) and
+    lo = sum(n_pairs * (p_ppm mod 1000)), each bounded by
+    1000 * sum(n_pairs), and every floor-division
+    (hi*1000 + lo) div d recombines WITHOUT forming the full mass:
+    (hi*1000 + lo) div d == (hi div d)*1000 + ((hi mod d)*1000 + lo)
+    div d — exact by Euclidean division, so the member-grain DuckDB
+    oracle (whose HUGEINT sums never overflow) stays byte-identical.
+    Safe while sum(n_pairs) < 4e15 (_TUNE_MASS_LIMIT); beyond that
+    the guard column raises loudly (raise_error) instead of silently
+    wrapping."""
     cfg = spark.createDataFrame(list(_TUNE_CONFIGS), "b int, r int")
     p = " ".join(
         f"WHEN b = {b} AND r = {r} "
@@ -2951,25 +2984,45 @@ def dedup_minhash_band_tune(spark, sf_dir) -> DataFrame:
         "b", "r", "j_ppm", "n_pairs", F.expr(f"CASE {p} END").alias("p_ppm")
     )
     true_pair = F.col("j_ppm") >= _RECALL_MIN_J_PPM
-    wmass = F.col("n_pairs") * F.col("p_ppm")
+    hi = F.col("n_pairs") * F.expr("p_ppm div 1000")
+    lo = F.col("n_pairs") * (F.col("p_ppm") % 1000)
     agg = pp.groupBy("b", "r").agg(
         F.sum(F.when(true_pair, F.col("n_pairs")).otherwise(0))
         .cast("long")
         .alias("n_true_pairs"),
-        F.sum(F.when(true_pair, wmass).otherwise(0)).alias("tp_mass"),
-        F.sum(wmass).alias("all_mass"),
+        F.sum("n_pairs").cast("long").alias("n_all_pairs"),
+        F.sum(F.when(true_pair, hi).otherwise(0)).alias("tp_hi"),
+        F.sum(F.when(true_pair, lo).otherwise(0)).alias("tp_lo"),
+        F.sum(hi).alias("all_hi"),
+        F.sum(lo).alias("all_lo"),
     )
+
+    def _div_split(hi_col: str, lo_col: str, d: str):
+        # floor((hi*1000 + lo) / d) without materializing hi*1000+lo
+        return F.expr(
+            f"({hi_col} div ({d})) * 1000"
+            f" + ((({hi_col} % ({d})) * 1000 + {lo_col}) div ({d}))"
+        )
+
+    guard = F.when(
+        F.col("n_all_pairs") > _TUNE_MASS_LIMIT,
+        F.expr(
+            "raise_error('dedup_minhash_band_tune: audited pair weight"
+            " exceeds the int64-safe mass bound — split p_ppm masses"
+            " further before this octave')"
+        ).cast("long"),
+    )
+    nt = "(case when n_true_pairs = 0 then 1 else n_true_pairs end)"
     sc = agg.select(
         "b",
         "r",
         "n_true_pairs",
-        F.expr(
-            "tp_mass div (case when n_true_pairs = 0 then 1"
-            " else n_true_pairs end)"
-        )
+        F.coalesce(guard, _div_split("tp_hi", "tp_lo", nt))
         .cast("long")
         .alias("est_recall_ppm"),
-        F.expr("all_mass div 1000000").cast("long").alias("est_candidates"),
+        _div_split("all_hi", "all_lo", "1000000")
+        .cast("long")
+        .alias("est_candidates"),
     )
     from pyspark.sql import Window
 

@@ -1201,6 +1201,100 @@ def test_lsh_recall_report_matches_python(spark, docs, caught):
     assert got == want
 
 
+def _py_collision_ppm(s: int, b: int, r: int) -> int:
+    """Python-int mirror of _collision_ppm_text's fixed-point chain."""
+    sr = s
+    for _ in range(r - 1):
+        sr = sr * s // 1_000_000
+    q = 1_000_000 - sr
+    qb = q
+    for _ in range(b - 1):
+        qb = qb * q // 1_000_000
+    return 1_000_000 - qb
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1_000_000),  # j_ppm
+            st.integers(1, 10_000_000_000),  # n_pairs (mega-weights)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_band_tune_split_masses_match_bigint_reference(spark, rows):
+    """band_tune_from_jaccards' hi/lo thousand-split accumulation must
+    equal unbounded-integer reference math on arbitrary weighted audit
+    frames — including weight profiles whose naive n_pairs * p_ppm sum
+    exceeds int64 (the r14 ~256x ceiling; a 1024x duplication octave
+    pushes sum(n_pairs) past 9.2e12 at p_ppm = 1e6)."""
+    from scribedb_spark.operators.dedup import (
+        _RECALL_MIN_J_PPM,
+        _TUNE_CONFIGS,
+        _TUNE_TARGET_PPM,
+        band_tune_from_jaccards,
+    )
+
+    jac = spark.createDataFrame(rows, "j_ppm long, n_pairs long")
+    got = {
+        (x.n_bands, x.rows_per_band): (
+            x.n_true_pairs,
+            x.est_recall_ppm,
+            x.est_candidates,
+            x.recommended,
+        )
+        for x in band_tune_from_jaccards(spark, jac).collect()
+    }
+    scored = {}
+    for b, r in _TUNE_CONFIGS:
+        nt = tp = am = 0
+        for j, n in rows:
+            p = _py_collision_ppm(j, b, r)
+            am += n * p
+            if j >= _RECALL_MIN_J_PPM:
+                nt += n
+                tp += n * p
+        scored[(b, r)] = (nt, tp // (nt or 1), am // 1_000_000)
+    order = sorted(
+        scored.items(),
+        key=lambda kv: (
+            -(kv[1][1] >= _TUNE_TARGET_PPM),
+            kv[1][2] if kv[1][1] >= _TUNE_TARGET_PPM else -kv[1][1],
+            kv[1][2],
+            kv[0][0],
+        ),
+    )
+    rec = order[0][0]
+    want = {
+        cfg: (nt, erec, ecand, 1 if cfg == rec else 0)
+        for cfg, (nt, erec, ecand) in scored.items()
+    }
+    assert got == want
+
+
+def test_band_tune_mass_guard_raises_past_limit(spark):
+    """Past _TUNE_MASS_LIMIT the tuner must fail loudly (raise_error),
+    never silently wrap (r14 ADVICE overflow note)."""
+    import pytest
+
+    from scribedb_spark.operators.dedup import (
+        _TUNE_MASS_LIMIT,
+        band_tune_from_jaccards,
+    )
+
+    jac = spark.createDataFrame(
+        [(900_000, _TUNE_MASS_LIMIT + 1)], "j_ppm long, n_pairs long"
+    )
+    with pytest.raises(Exception, match="int64-safe mass bound"):
+        band_tune_from_jaccards(spark, jac).collect()
+
+
 def test_iblt_nullsafe_fingerprint_detects_null_swaps(spark):
     """Rows differing ONLY by NULL placement or by ':'-adjacent value
     shifts must fingerprint differently (round-9 advice fix: the old
