@@ -597,10 +597,14 @@ def stream_components_maintain(
     )
 
     class _Holder:
-        grp = None   # (h, hl, rep_id, n)
-        gsig = None  # (h, hl, band, s) — lazy union of parts
-        n_total = 0
-        _sig_parts: list = []
+        def __init__(self) -> None:
+            # instance state in __init__ (r14 ADVICE: a class-level
+            # mutable default list would be shared across maintainers)
+            self.grp = None   # (h, hl, rep_id, n)
+            self.gsig = None  # (h, hl, band, s) — lazy union of parts
+            self.n_total = 0
+            self._sig_parts: list = []
+            self._seen = None  # (doc_id) — replay-guard state
 
         def stats(self) -> DataFrame:
             from scribedb_spark.operators.dedup import (
@@ -612,13 +616,33 @@ def stream_components_maintain(
             )
 
     holder = _Holder()
-    holder._sig_parts = []
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.localCheckpoint()  # pin: the source view is transient
         n = rows.count()
         if n == 0:
             return
+        # LOUD replay guard (same discipline as
+        # stream_search_eval_maintain): the (min, sum) group fold and
+        # n_total are exact ONLY under at-most-once ingestion — a
+        # replayed batch would silently inflate member counts, the
+        # singleton row and every cluster size. Fail the query, never
+        # corrupt the state.
+        if holder._seen is not None:
+            dup = rows.select("doc_id").join(holder._seen, "doc_id").take(1)
+            if dup:
+                raise ValueError(
+                    "stream_components_maintain: batch replays already-"
+                    f"ingested doc_id {dup[0]['doc_id']} — group-count "
+                    "state requires at-most-once ingestion of disjoint "
+                    "doc_ids"
+                )
+            holder._seen = (
+                holder._seen.unionByName(rows.select("doc_id"))
+                .localCheckpoint()
+            )
+        else:
+            holder._seen = rows.select("doc_id").localCheckpoint()
         holder.n_total += n
         docs = rows.filter(min_tokens_filter()).select(
             "doc_id",

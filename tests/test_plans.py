@@ -1772,6 +1772,14 @@ _INVARIANCE_KEYS = [
     # levenshtein cluster receipt (rep-grain output shape)
     "rollup_gate_panel",
     "dedup_levenshtein_receipts",
+    # round-15 additions (r14 ADVICE): the reworked quotient-graph
+    # keys and the common-neighbors receipt twin — their multi-join
+    # rep-grain plans get the same scale-invariance pin as every
+    # other reworked expensive key
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "graph_common_neighbors_receipts",
 ]
 
 

@@ -716,6 +716,42 @@ def test_stream_search_eval_maintain_matches_batch_twin(
     assert got == want
 
 
+def test_stream_components_maintain_rejects_replayed_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r14: the components maintainer's (min, sum) group fold
+    and n_total are exact only under at-most-once ingestion — a
+    replayed batch must FAIL THE QUERY loudly (the
+    stream_search_eval_maintain discipline), never silently inflate
+    member counts, the singleton row, or cluster sizes."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from scribedb_spark.sources import table as _table
+    from scribedb_spark.streaming.diff import stream_components_maintain
+
+    docs = (
+        _table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .limit(60)
+        .localCheckpoint()
+    )
+    sdir = tmp_path_factory.mktemp("components_replay")
+    # the same slice twice: the second file REPLAYS the first's docs
+    docs.coalesce(1).write.mode("overwrite").parquet(str(sdir))
+    docs.coalesce(1).write.mode("append").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_components_maintain(
+        stream, query_name="components_replay"
+    )
+    with pytest.raises(StreamingQueryException, match="replays"):
+        q.awaitTermination(180)
+        raise AssertionError("replayed batch was ingested silently")
+
+
 def test_stream_search_eval_maintain_rejects_replayed_batch(
     spark, sf_dir, tmp_path_factory
 ):
