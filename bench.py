@@ -263,7 +263,12 @@ def headline_line(
     stdout tail window and made BENCH_r05/r06 unparseable.
     ``stable_total`` is the pinned STABLE_KEYS subset sum — the
     cross-round comparison number (the full total swings with
-    shared-host contention on artifact-building keys)."""
+    shared-host contention on artifact-building keys).
+    ``headline_per_canary`` = value / stable_total: the canary is the
+    ambient-noise meter (identical untouched plans), so dividing by
+    it normalizes driver-stamped rounds onto one scale — r13's
+    206.1 s at canary 10.18 and r14's 133.5 s at 8.40 become 20.2 vs
+    15.9 without a manual correction (r14 VERDICT item 6)."""
     rec = {
         "metric": "headline_total",
         "value": total,
@@ -275,6 +280,8 @@ def headline_line(
     if stable_total is not None:
         rec["stable_total"] = stable_total
         rec["n_stable"] = n_stable
+        if stable_total > 0:
+            rec["headline_per_canary"] = round(total / stable_total, 3)
     return json.dumps(rec)
 
 

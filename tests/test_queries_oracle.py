@@ -239,6 +239,18 @@ def test_bench_headline_line_fits_driver_tail_window():
     assert parsed["unit"] == "sec"
     assert parsed["n_keys"] == 99999
     assert parsed["stable_total"] == 99999.999
+    # canary normalization (r14 VERDICT item 6): driver-stamped rounds
+    # compare on value / stable_total without a manual correction
+    assert parsed["headline_per_canary"] == 1.0
+    line2 = bench.headline_line(150.0, 0.1, 200, 10.0, 16)
+    assert json.loads(line2)["headline_per_canary"] == 15.0
+    # zero/absent canary never divides
+    assert "headline_per_canary" not in json.loads(
+        bench.headline_line(150.0, 0.1, 200, 0.0, 16)
+    )
+    assert "headline_per_canary" not in json.loads(
+        bench.headline_line(150.0, 0.1, 200)
+    )
     # the pinned stable subset must stay inside the benched set
     assert set(bench.STABLE_KEYS) <= set(bench.BENCH_KEYS)
 
