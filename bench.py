@@ -220,6 +220,8 @@ BENCH_KEYS = [
     "dedup_levenshtein_receipts",
     # wave 14
     "graph_common_neighbors_receipts",
+    # wave 15
+    "multimodal_decode_bmp",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

@@ -2028,6 +2028,16 @@ _FRESH_WAVES.update(
         14,
     )
 )
+#: fifteenth wave (round 15) — the real in-container BMP decode path
+#: (r14 VERDICT item 7: env-gate removed for uncompressed 24-bit BMP)
+_FRESH_WAVES.update(
+    dict.fromkeys(
+        {
+            "multimodal_decode_bmp",
+        },
+        15,
+    )
+)
 _FRESH_KEYS = frozenset(_FRESH_WAVES)
 
 

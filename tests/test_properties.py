@@ -1295,6 +1295,50 @@ def test_band_tune_mass_guard_raises_past_limit(spark):
         band_tune_from_jaccards(spark, jac).collect()
 
 
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_codec_roundtrip_any_geometry(w, h, data):
+    """bmp_decode must invert bmp_encode for every geometry —
+    including widths whose 3-byte rows need 1-3 padding bytes — and
+    must read a top-down (negative height) header correctly. The
+    decoder is header-driven: corrupting the magic must raise, and
+    unsupported bit depths must raise rather than mis-parse."""
+    import struct
+
+    import pytest
+
+    from scribedb_spark.operators.multimodal import bmp_decode, bmp_encode
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+            )
+        )
+    )
+    blob = bmp_encode(w, h, pixels)
+    assert bmp_decode(blob) == (w, h, pixels)
+    # top-down variant: negate the height field; rows arrive unflipped,
+    # so the decoder must NOT flip them (re-encode row-reversed pixels)
+    row = 3 * w
+    flipped = b"".join(
+        pixels[r * row : (r + 1) * row] for r in range(h - 1, -1, -1)
+    )
+    td = bytearray(bmp_encode(w, h, flipped))
+    td[22:26] = struct.pack("<i", -h)
+    assert bmp_decode(bytes(td)) == (w, h, pixels)
+    with pytest.raises(ValueError, match="magic"):
+        bmp_decode(b"XX" + blob[2:])
+    bad = bytearray(blob)
+    bad[28:30] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="24-bit"):
+        bmp_decode(bytes(bad))
+
+
 def test_iblt_nullsafe_fingerprint_detects_null_swaps(spark):
     """Rows differing ONLY by NULL placement or by ':'-adjacent value
     shifts must fingerprint differently (round-9 advice fix: the old
