@@ -330,6 +330,35 @@ def run_remote_hash_chunks(conn, bundles: list[RemoteHashSQL]) -> list[str]:
     return [run_remote_hash(conn, b) for b in bundles]
 
 
+def run_remote_hash_chunks_incremental(
+    conn,
+    bundles: list[RemoteHashSQL],
+    prev: list[str] | None,
+    dirty: set[int] | None,
+) -> list[str]:
+    """Chunk re-hash with re-use: the remote-side analog of
+    fp_incremental_update's delta-driven recompute. A caller that
+    knows which chunks a mutation touched (CDC feed, audit log, the
+    previous compare's NOK set) passes the prior hashes and the dirty
+    chunk ids; only dirty chunks — plus chunks with no prior hash
+    (window growth) — pay a remote hash query, clean chunks re-use
+    ``prev`` verbatim. ``prev=None`` or ``dirty=None`` degrades to
+    the full sequential run.
+
+    Exactness requires ``dirty`` to be a SUPERSET of the chunks whose
+    window contents changed, under stable chunk windows: same total
+    ORDER BY, same bucket size, equal row count. An insert or delete
+    shifts every later row across chunk boundaries — for those, pass
+    dirty = all chunks at-or-after the edit point (the same rule
+    compare.fp_incremental_update documents for the local fold)."""
+    if prev is None or dirty is None:
+        return run_remote_hash_chunks(conn, bundles)
+    return [
+        prev[i] if i < len(prev) and i not in dirty else run_remote_hash(conn, b)
+        for i, b in enumerate(bundles)
+    ]
+
+
 def hybrid_compare(
     conn,
     kind: str,

@@ -141,6 +141,81 @@ def test_chunked_remote_hashes_match_fp_chain(spark, sf_dir):
         assert h == local[i], f"chunk {i}"
 
 
+def test_incremental_remote_hash_reuses_clean_chunks(sf_dir):
+    """r14 VERDICT item 8: under a one-chunk mutation, the incremental
+    runner must re-execute ONLY the touched chunk's bundle (counted at
+    the DBAPI cursor), re-use every clean chunk's prior hash verbatim,
+    and still agree hash-for-hash with a full from-scratch re-run."""
+    from scribedb_spark.compat import (
+        chunked_bundles,
+        run_remote_hash_chunks,
+        run_remote_hash_chunks_incremental,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "create table nat as select * from "
+        f"read_parquet('{sf_dir}/nation.parquet')"
+    )
+    q = (
+        "select '(' || concat_ws(',', cast(n_nationkey as varchar), n_name)"
+        " || ')' as v from nat order by n_nationkey"
+    )
+    n_rows = con.execute("select count(*) from nat").fetchone()[0]
+    bundles = chunked_bundles("duckdb", q, "sdbs_inc", n_rows, 10)
+    assert len(bundles) >= 3
+    before = run_remote_hash_chunks(con, bundles)
+
+    # mutate one row in chunk 1 (offsets 10..19 of the key order) —
+    # equal row count, so every other chunk window is untouched
+    key = con.execute(
+        "select n_nationkey from nat order by n_nationkey"
+        " limit 1 offset 12"
+    ).fetchone()[0]
+    con.execute(
+        f"update nat set n_name = n_name || '_x' where n_nationkey = {key}"
+    )
+
+    class _CountingConn:
+        def __init__(self, inner):
+            self._inner = inner
+            self.hash_queries = 0
+
+        def cursor(self):
+            outer = self
+
+            class _Cur:
+                def __init__(self, cur):
+                    self._cur = cur
+
+                def execute(self, sql, *a, **k):
+                    if "list_reduce" in sql:
+                        outer.hash_queries += 1
+                    return self._cur.execute(sql, *a, **k)
+
+                def fetchone(self):
+                    return self._cur.fetchone()
+
+            return _Cur(outer._inner.cursor())
+
+    counting = _CountingConn(con)
+    got = run_remote_hash_chunks_incremental(
+        counting, bundles, prev=before, dirty={1}
+    )
+    assert counting.hash_queries == 1  # only the touched chunk re-hashed
+    full = run_remote_hash_chunks(con, bundles)
+    assert got == full
+    assert got[1] != before[1]  # the mutation is visible
+    for i, h in enumerate(before):
+        if i != 1:
+            assert got[i] == h  # clean chunks re-used verbatim
+    # degraded modes: no prior state -> full run
+    assert run_remote_hash_chunks_incremental(con, bundles, None, {1}) == full
+    assert (
+        run_remote_hash_chunks_incremental(con, bundles, before, None) == full
+    )
+
+
 def test_hybrid_compare_remote_vs_spark(spark, sf_dir):
     """hybrid_compare: DuckDB-side pushed hashing vs Spark-side
     fp_chain, per-chunk verdicts with zero data movement. Equal data
