@@ -635,7 +635,9 @@ _NGRAM_ORACLE = """
     """
 
 
-def _ngram_ppjoin_pairs(d: DataFrame) -> DataFrame:
+def _ngram_ppjoin_pairs(
+    d: DataFrame, return_candidates: bool = False
+) -> DataFrame:
     """(doc_id1, doc_id2, jaccard) — the PPJoin-bounded char-3-gram
     Jaccard pairs (>= 0.9, same source) of a (doc_id, source, text)
     frame: the engine of ``dedup_ngram_jaccard``, factored so the r14
@@ -643,7 +645,9 @@ def _ngram_ppjoin_pairs(d: DataFrame) -> DataFrame:
     only. PPJoin exactness holds for whatever corpus it is given
     (prefix/positional/length bounds are valid under ANY global
     frequency order), so restricting the input to representatives and
-    expanding afterwards loses nothing.
+    expanding afterwards loses nothing. ``return_candidates`` exposes
+    the distinct candidate-pair frame (what the verify stage pays for)
+    to the scale smoke's pair probe.
 
     All-pairs-per-block verification was measured at 145 s at sf0.1
     (622k pairs x interpreted array_intersect); the prefix filter
@@ -718,6 +722,8 @@ def _ngram_ppjoin_pairs(d: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
         .distinct()
     )
+    if return_candidates:
+        return cand
     # exact verification, fully distributed: count the gram
     # intersection of each candidate pair by joining the pair list
     # back to the EXPLODED gram rows (flat codegen'd shuffle joins —
@@ -744,6 +750,30 @@ def _ngram_ppjoin_pairs(d: DataFrame) -> DataFrame:
         .filter(raw >= 0.9)
         .select("doc_id1", "doc_id2", F.round(raw, 6).alias("jaccard"))
     )
+
+
+def _ngram_source_rep_state(d: DataFrame) -> tuple:
+    """(rep-restricted docs, (doc_id, srep) map) — the SOURCE-SCOPED
+    exact-text rep stage of dedup_ngram_jaccard, factored so the scale
+    smoke's candidate probe runs the identical collapse."""
+    srh = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.length("text").alias("hl"),
+    )
+    srq = (
+        srh.groupBy("h", "hl", "source")
+        .agg(F.min("doc_id").alias("srep"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    srmap = (
+        srh.join(srq, ["h", "hl", "source"])
+        .select("doc_id", "srep")
+        .localCheckpoint()
+    )
+    reps = srq.select(F.col("srep").alias("doc_id"))
+    return d.join(reps, "doc_id", "left_semi"), srmap
 
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
@@ -775,24 +805,8 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
         .select("doc_id", "source", "text")
         .filter(F.length("text") >= 3)  # sequence() would run backwards
     )
-    srh = d.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("h"),
-        F.length("text").alias("hl"),
-    )
-    srq = (
-        srh.groupBy("h", "hl", "source")
-        .agg(F.min("doc_id").alias("srep"), F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )
-    srmap = (
-        srh.join(srq, ["h", "hl", "source"])
-        .select("doc_id", "srep")
-        .localCheckpoint()
-    )
-    reps = srq.select(F.col("srep").alias("doc_id"))
-    rp = _ngram_ppjoin_pairs(d.join(reps, "doc_id", "left_semi"))
+    d_reps, srmap = _ngram_source_rep_state(d)
+    rp = _ngram_ppjoin_pairs(d_reps)
     m1 = srmap.select(
         F.col("srep").alias("doc_id1"), F.col("doc_id").alias("da")
     )

@@ -127,12 +127,20 @@ def _containment_pairs(mode):
 
 
 def _simhash_pairs(spark, sfd):
-    """Quarter-bucket candidate pairs BEFORE the hamming verify."""
+    """Quarter-bucket candidate pairs BEFORE the hamming verify — at
+    REP grain, the volume the r14-collapsed key's verify actually
+    pays (the old member-grain probe was itself quadratic on a
+    duplicated corpus)."""
     from pyspark.sql import functions as F
 
-    from scribedb_spark.operators.dedup import simhash_quarters
+    from scribedb_spark.operators.dedup import (
+        simhash_quarters,
+        text_rep_map,
+    )
 
-    q = simhash_quarters(spark, sfd)
+    rmap = text_rep_map(spark, sfd)
+    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+    q = simhash_quarters(spark, sfd).join(reps, "doc_id", "left_semi")
     a = q.select(F.col("doc_id").alias("doc_id1"), "q", "qv")
     b = q.select(F.col("doc_id").alias("doc_id2"), "q", "qv")
     return (
@@ -140,6 +148,26 @@ def _simhash_pairs(spark, sfd):
         .filter(F.col("doc_id1") < F.col("doc_id2"))
         .count()
     )
+
+
+def _ngram_pairs(spark, sfd):
+    """PPJoin candidate pairs at source-scoped REP grain — the r14
+    collapse's verify volume for dedup_ngram_jaccard."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.dedup import (
+        _ngram_ppjoin_pairs,
+        _ngram_source_rep_state,
+    )
+    from scribedb_spark.sources import table
+
+    d = (
+        table(spark, "documents", sfd)
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") >= 3)
+    )
+    d_reps, _ = _ngram_source_rep_state(d)
+    return _ngram_ppjoin_pairs(d_reps, return_candidates=True).count()
 
 
 def _levenshtein_pairs(spark, sfd):
@@ -225,6 +253,7 @@ PAIR_PROBES = {
     "dedup_containment_corpus": _containment_pairs("corpus"),
     "dedup_containment_salted": _containment_pairs("salted"),
     "dedup_simhash": _simhash_pairs,
+    "dedup_ngram_jaccard": _ngram_pairs,
     "dedup_levenshtein": _rep_pairs,
     # the receipt key's DP volume is the same rep-pair set; its output
     # and shuffles are rep-sized by design (r13)
