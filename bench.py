@@ -222,6 +222,7 @@ BENCH_KEYS = [
     "graph_common_neighbors_receipts",
     # wave 15
     "multimodal_decode_bmp",
+    "multimodal_resize_bmp",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

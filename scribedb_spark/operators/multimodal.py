@@ -211,6 +211,113 @@ def multimodal_decode_bmp(spark, sf_dir) -> DataFrame:
     return decode_image(blobs)
 
 
+#: pixel-grid stride for the real BMP resize (keep every 2nd row/col)
+_BMP_RESIZE_STRIDE = 2
+
+BMP_RESIZE_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int,"
+    " new_width int, new_height int, resized_md5 string"
+)
+
+
+def bmp_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL image resize on the REAL pixel grid: decode the BMP blob
+    (header-driven), keep every 2nd row and column of the top-down
+    BGR raster (nearest-neighbor downsample by 2), re-ENCODE the
+    result as a BMP and re-DECODE it — the emitted geometry and
+    stream hash come from the roundtripped bytes, so the row covers
+    encode AND decode of the resized image, padding included (a
+    half-width image usually changes the row-padding class)."""
+    import hashlib
+
+    s = _BMP_RESIZE_STRIDE
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "orig_width": [], "orig_height": [],
+            "new_width": [], "new_height": [], "resized_md5": [],
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            w, h, pix = bmp_decode(bytes(blob))
+            rows = []
+            for r in range(0, h, s):
+                row = pix[r * 3 * w : (r + 1) * 3 * w]
+                rows.append(
+                    b"".join(row[3 * c : 3 * c + 3] for c in range(0, w, s))
+                )
+            small = b"".join(rows)
+            nw, nh = (w + s - 1) // s, (h + s - 1) // s
+            w2, h2, pix2 = bmp_decode(bmp_encode(nw, nh, small))
+            if (w2, h2, pix2) != (nw, nh, small):
+                raise ValueError("BMP resize roundtrip mismatch")
+            out["doc_id"].append(doc_id)
+            out["orig_width"].append(w)
+            out["orig_height"].append(h)
+            out["new_width"].append(w2)
+            out["new_height"].append(h2)
+            out["resized_md5"].append(
+                hashlib.md5(pix2.hex().encode()).hexdigest()
+            )
+        yield pd.DataFrame(out).astype(
+            {
+                c: "int32"
+                for c in ("orig_width", "orig_height", "new_width", "new_height")
+            }
+        )
+
+
+@register(
+    "multimodal_resize_bmp",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % {_BMP_W_MOD} AS INT) AS w,
+             CAST(2 + doc_id % {_BMP_H_MOD} AS INT) AS h,
+             md5(text) AS dh
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, rr.r AS r, cc.c AS c, kk.k AS k,
+             substr(dh, 2 * ((3 * (rr.r * w + cc.c) + kk.k) % 16) + 1, 2)
+               AS hx
+      FROM p
+      CROSS JOIN (SELECT unnest(range(0, {2 + _BMP_H_MOD})) AS r) rr
+      CROSS JOIN (SELECT unnest(range(0, {2 + _BMP_W_MOD})) AS c) cc
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS k) kk
+      WHERE rr.r < h AND rr.r % {_BMP_RESIZE_STRIDE} = 0
+        AND cc.c < w AND cc.c % {_BMP_RESIZE_STRIDE} = 0),
+    hx AS (
+      SELECT doc_id, MIN(w) AS w, MIN(h) AS h,
+             md5(string_agg(hx, '' ORDER BY r, c, k)) AS resized_md5
+      FROM px GROUP BY doc_id)
+    SELECT doc_id,
+           w AS orig_width, h AS orig_height,
+           CAST((w + {_BMP_RESIZE_STRIDE - 1}) // {_BMP_RESIZE_STRIDE} AS INT)
+             AS new_width,
+           CAST((h + {_BMP_RESIZE_STRIDE - 1}) // {_BMP_RESIZE_STRIDE} AS INT)
+             AS new_height,
+           resized_md5
+    FROM hx
+    """,
+)
+def multimodal_resize_bmp(spark, sf_dir) -> DataFrame:
+    """REAL pixel-grid resize end-to-end (the act-half of
+    multimodal_decode_bmp; multimodal_resize's byte-stride kernel
+    stands in for codecs this container lacks — THIS key needs none):
+    fixture BMP -> header-driven decode -> every-2nd-row/col raster
+    subsample -> re-encode -> re-decode -> geometry + stream hash of
+    the roundtripped bytes. The oracle rebuilds the selected pixels'
+    hex pairs arithmetically from the cycled digest (byte (r, c, k)
+    of the raster is digest[(3*(r*w+c)+k) mod 16]) and aggregates
+    them in raster order.
+
+    Scale: map-only, two Arrow-batched stages, zero shuffle — pixel
+    bytes never leave the executor."""
+    d = table(spark, "documents", sf_dir).select("doc_id", "text")
+    blobs = d.mapInPandas(
+        bmp_fixture_batches, schema="doc_id long, blob binary"
+    )
+    return blobs.mapInPandas(bmp_resize_batches, schema=BMP_RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, blob_col: str = "blob", stride: int = 1000) -> DataFrame:
     """Real video frame sampling — requires ffmpeg bindings, absent
     here; same mapInPandas shape as fake_decode_batches."""

@@ -2034,6 +2034,7 @@ _FRESH_WAVES.update(
     dict.fromkeys(
         {
             "multimodal_decode_bmp",
+            "multimodal_resize_bmp",
         },
         15,
     )

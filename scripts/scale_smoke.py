@@ -313,29 +313,40 @@ SHIFTS = {
 
 
 def build_scaled(spark, base: str, out: str, mult: int) -> None:
+    """Union mult key-shifted copies of each fact table into ``out``.
+    Copies are written in <= 64-branch union batches (append mode) so
+    a 1024x octave never plans a 1024-way union; SPARK_GRAFT_SMOKE_TABLES
+    (comma list) restricts WHICH tables get the multiplier — the other
+    fact tables are written 1x, so a documents-only 1024x audit octave
+    doesn't pay for 614M lineitem rows it never reads."""
     from pyspark.sql import functions as F
 
     from scribedb_spark.sources import TPCH_TABLES, table
 
+    scale_env = os.environ.get("SPARK_GRAFT_SMOKE_TABLES")
+    scale_tables = set(scale_env.split(",")) if scale_env else set(SHIFTS)
     os.makedirs(out, exist_ok=True)
     for t in TPCH_TABLES:
         dst = f"{out}/{t}.parquet"
         if os.path.exists(dst + "/_SUCCESS"):
             continue
         df = table(spark, t, base)
-        if t in SHIFTS:
-            parts = []
-            for i in range(mult):
-                c = df
-                for col, step in SHIFTS[t]:
-                    c = c.withColumn(col, F.col(col) + F.lit(i * step))
-                parts.append(c)
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-        else:  # dimension tables keep their keys (FKs stay valid)
-            u = df
-        u.write.mode("overwrite").parquet(dst)
+        if t in SHIFTS and t in scale_tables:
+            first = True
+            for lo in range(0, mult, 64):
+                parts = []
+                for i in range(lo, min(lo + 64, mult)):
+                    c = df
+                    for col, step in SHIFTS[t]:
+                        c = c.withColumn(col, F.col(col) + F.lit(i * step))
+                    parts.append(c)
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                u.write.mode("overwrite" if first else "append").parquet(dst)
+                first = False
+        else:  # dimension tables (and unscaled facts) keep their rows
+            df.write.mode("overwrite").parquet(dst)
 
 
 def main() -> None:
