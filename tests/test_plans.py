@@ -1000,6 +1000,18 @@ def test_containment_salted_join_carries_salt_key(qmod, spark, sf_dir):
     assert "xxhash64" in p
 
 
+def test_multimodal_bmp_keys_are_map_only(qmod, spark, sf_dir):
+    """The real-codec BMP keys must stay MAP-ONLY: one parquet scan
+    feeding Arrow-batched python stages, zero Exchange of any kind —
+    pixel bytes never shuffle (the r15 scale claim in their
+    docstrings, made literal)."""
+    for key in ("multimodal_decode_bmp", "multimodal_resize_bmp"):
+        p = plan(qmod, spark, sf_dir, key)
+        assert "Exchange" not in p, key
+        assert p.count("Scan parquet") == 2, key  # 1 scan x (tree + detail)
+        assert "MapInPandas" in p, key
+
+
 def test_pk_violations_partial_agg_having_after_final(qmod, spark, sf_dir):
     """profile_pk_violations: one hash aggregation with map-side
     partial counts; the HAVING filter applies after the final
