@@ -223,6 +223,8 @@ BENCH_KEYS = [
     # wave 15
     "multimodal_decode_bmp",
     "multimodal_resize_bmp",
+    "dedup_ngram_receipts",
+    "dedup_simhash_receipts",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

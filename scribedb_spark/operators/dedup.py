@@ -473,7 +473,11 @@ def dedup_incremental(spark, sf_dir) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_sql() -> str:
+def _simhash_pair_ctes() -> str:
+    """CTE chain ending in ``smp`` — the member-grain SimHash pair
+    list (doc_id1, doc_id2, hamming <= 3): the shared oracle engine of
+    ``dedup_simhash`` and the rep-map aggregation of
+    ``dedup_simhash_receipts``."""
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
         for k in range(_SIMHASH_BITS)
@@ -482,15 +486,23 @@ def _simhash_sql() -> str:
         f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
     )
     return f"""
-    WITH tok AS ({SQL_SHINGLES}),
+    tok AS ({SQL_SHINGLES}),
     h AS (
       SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
     bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
-    sh AS (SELECT doc_id, {bit_join} AS simhash FROM bits)
-    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    shv AS (SELECT doc_id, {bit_join} AS simhash FROM bits),
+    smp AS (
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+    """
+
+
+def _simhash_sql() -> str:
+    return f"""
+    WITH {_simhash_pair_ctes()}
+    SELECT doc_id1, doc_id2, hamming FROM smp
     """
 
 
@@ -544,6 +556,36 @@ def simhash_quarters(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "simhash", F.col("b.q").alias("q"), F.col("b.qv").alias("qv"))
 
 
+def _simhash_rep_pairs(spark, sf_dir) -> DataFrame:
+    """(r1 < r2, hamming <= 3) — the verified SimHash pairs over
+    exact-text REPRESENTATIVES only: the pigeonhole quarter-bucket
+    join of ``dedup_simhash``, factored so the member-enumerating key
+    and the rep-grain receipt key share one candidate/verify stage.
+    Base-corpus-sized at any exact-duplication factor."""
+    rmap = text_rep_map(spark, sf_dir)
+    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+    quarters = simhash_quarters(spark, sf_dir).join(
+        reps, "doc_id", "left_semi"
+    )
+    a = quarters.select(
+        F.col("doc_id").alias("r1"), F.col("simhash").alias("sh1"), "q", "qv"
+    )
+    b = quarters.select(
+        F.col("doc_id").alias("r2"), F.col("simhash").alias("sh2"), "q", "qv"
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
+    return (
+        a.join(b, ["q", "qv"])
+        .filter(F.col("r1") < F.col("r2"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        # a pair can collide in several quarters: dedup after the
+        # cheap hamming filter so distinct() sees only survivors
+        .select("r1", "r2", "hamming")
+        .distinct()
+    )
+
+
 @register("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark, sf_dir) -> DataFrame:
     """SimHash near-dup: 16-bit signature (sign of per-bit weight
@@ -567,27 +609,7 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
     quadratically (the same hot-bucket fix as the LSH band join);
     the unchanged member-grain oracle hash-proves the collapse."""
     rmap = text_rep_map(spark, sf_dir)
-    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
-    quarters = simhash_quarters(spark, sf_dir).join(
-        reps, "doc_id", "left_semi"
-    )
-    a = quarters.select(
-        F.col("doc_id").alias("r1"), F.col("simhash").alias("sh1"), "q", "qv"
-    )
-    b = quarters.select(
-        F.col("doc_id").alias("r2"), F.col("simhash").alias("sh2"), "q", "qv"
-    )
-    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
-    rp = (
-        a.join(b, ["q", "qv"])
-        .filter(F.col("r1") < F.col("r2"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        # a pair can collide in several quarters: dedup after the
-        # cheap hamming filter so distinct() sees only survivors
-        .select("r1", "r2", "hamming")
-        .distinct()
-    )
+    rp = _simhash_rep_pairs(spark, sf_dir)
     m1 = rmap.select(F.col("rep_id").alias("r1"), F.col("doc_id").alias("da"))
     m2 = rmap.select(F.col("rep_id").alias("r2"), F.col("doc_id").alias("db"))
     cross = (
@@ -613,8 +635,91 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
     return cross.unionByName(selfp)
 
 
-_NGRAM_ORACLE = """
-    WITH sh AS (
+#: the receipts oracle aggregates dedup_simhash's member-grain pair
+#: list onto the (md5, length) exact-text rep map — built over ALL
+#: documents, which agrees with the Spark side's min-token-filtered
+#: map on every pair-participating doc because byte-identical texts
+#: share their token count (a rep group is entirely in or out of the
+#: shingle stage, so the group min is computed over the same set)
+_SIMHASH_RECEIPTS_ORACLE = f"""
+    WITH {_simhash_pair_ctes()},
+    shr_h AS (SELECT doc_id, md5(text) AS h, len(text) AS hl
+              FROM documents),
+    shr_q AS (SELECT h, hl, MIN(doc_id) AS rep_id
+              FROM shr_h GROUP BY h, hl),
+    shr_m AS (SELECT r.doc_id, q.rep_id FROM shr_h r
+              JOIN shr_q q ON q.h = r.h AND q.hl = r.hl)
+    SELECT LEAST(a.rep_id, b.rep_id) AS rep_id1,
+           GREATEST(a.rep_id, b.rep_id) AS rep_id2,
+           MAX(p.hamming) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_member_pairs
+    FROM smp p
+    JOIN shr_m a ON a.doc_id = p.doc_id1
+    JOIN shr_m b ON b.doc_id = p.doc_id2
+    GROUP BY 1, 2
+    """
+
+
+@register("dedup_simhash_receipts", oracle=_SIMHASH_RECEIPTS_ORACLE)
+def dedup_simhash_receipts(spark, sf_dir) -> DataFrame:
+    """dedup_simhash's SCALE output shape: one CLUSTER RECEIPT per
+    verified representative pair — (rep_id1, rep_id2, hamming,
+    n_member_pairs) — instead of materializing every member pair
+    (the levenshtein-receipts discipline, r13). The r15 collapse made
+    the quarter-bucket candidate/verify stages rep-corpus-sized, but
+    dedup_simhash's OUTPUT still pays the duplication inflation by
+    contract (SCALE_SMOKE_r15: its 256x wall is counting a 9.47
+    billion-member-pair expansion). The receipt is what a dedup
+    ledger actually consumes: which distinct-content pairs are
+    near-dups and how many concrete document pairs each verdict
+    covers.
+
+    Member counts come from group-size PRODUCTS, never an expansion:
+    a cross rep pair (A, B) covers |A| * |B| member pairs (every
+    member combination is a distinct unordered pair), and a group of
+    n identical texts covers C(n, 2) within-group pairs at hamming 0
+    — the rollup_source_overlap counting argument. The oracle
+    aggregates the naive member-grain pair list onto a SQL rebuild of
+    the rep map, so the driver hash-check proves the product counting
+    lossless on every run.
+
+    Scale: every stage is rep-grain or group-count-grain; output =
+    verified rep pairs. Nothing in the plan is member-pair-sized at
+    any duplication factor."""
+    rmap = text_rep_map(spark, sf_dir)
+    gs = rmap.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n"))
+    rp = _simhash_rep_pairs(spark, sf_dir)
+    cross = (
+        rp.join(
+            gs.select(F.col("rep_id").alias("r1"), F.col("n").alias("n1")),
+            "r1",
+        )
+        .join(
+            gs.select(F.col("rep_id").alias("r2"), F.col("n").alias("n2")),
+            "r2",
+        )
+        .select(
+            F.col("r1").alias("rep_id1"),
+            F.col("r2").alias("rep_id2"),
+            "hamming",
+            (F.col("n1") * F.col("n2")).cast("long").alias("n_member_pairs"),
+        )
+    )
+    selfp = gs.filter(F.col("n") >= 2).select(
+        F.col("rep_id").alias("rep_id1"),
+        F.col("rep_id").alias("rep_id2"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_member_pairs"),
+    )
+    return cross.unionByName(selfp)
+
+
+#: shared CTE chain ending in ``nmp`` — the member-grain char-3-gram
+#: jaccard pair list (>= 0.9, same source): the oracle engine of
+#: dedup_ngram_jaccard and the rep-map aggregation of
+#: dedup_ngram_receipts
+_NGRAM_PAIR_CTES = """
+    sh AS (
       SELECT DISTINCT doc_id, substr(text, i, 3) AS g
       FROM documents, (SELECT unnest(range(1, 10000)) AS i) ix
       WHERE i <= length(text) - 2),
@@ -625,13 +730,19 @@ _NGRAM_ORACLE = """
       JOIN documents da ON da.doc_id = a.doc_id
       JOIN documents db ON db.doc_id = b.doc_id
       WHERE da.source = db.source
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_id1, doc_id2,
-           ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
-    FROM pairs
-    JOIN sz sa ON sa.doc_id = doc_id1
-    JOIN sz sb ON sb.doc_id = doc_id2
-    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9
+      GROUP BY a.doc_id, b.doc_id),
+    nmp AS (
+      SELECT doc_id1, doc_id2,
+             ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = doc_id1
+      JOIN sz sb ON sb.doc_id = doc_id2
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9)
+    """
+
+_NGRAM_ORACLE = f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT doc_id1, doc_id2, jaccard FROM nmp
     """
 
 
@@ -832,6 +943,91 @@ def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
             F.col("db").alias("doc_id2"),
             F.lit(1.0).alias("jaccard"),
         )
+    )
+    return cross.unionByName(selfp)
+
+
+#: the receipts oracle aggregates the member-grain jaccard pair list
+#: onto a SQL rebuild of the SOURCE-SCOPED (md5, length, source) rep
+#: map — source folded into the group key because the pair predicate
+#: reads it (the r13 rule: per-pair quantities may collapse, source
+#: labels may not). Same len >= 3 scope as the Spark side; all pair
+#: docs satisfy it (a doc under 3 chars yields no 3-grams).
+_NGRAM_RECEIPTS_ORACLE = f"""
+    WITH {_NGRAM_PAIR_CTES},
+    ngr_h AS (SELECT doc_id, source, md5(text) AS h, len(text) AS hl
+              FROM documents WHERE len(text) >= 3),
+    ngr_q AS (SELECT h, hl, source, MIN(doc_id) AS srep
+              FROM ngr_h GROUP BY h, hl, source),
+    ngr_m AS (SELECT r.doc_id, q.srep FROM ngr_h r
+              JOIN ngr_q q ON q.h = r.h AND q.hl = r.hl
+                          AND q.source = r.source)
+    SELECT LEAST(a.srep, b.srep) AS rep_id1,
+           GREATEST(a.srep, b.srep) AS rep_id2,
+           MAX(p.jaccard) AS jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_member_pairs
+    FROM nmp p
+    JOIN ngr_m a ON a.doc_id = p.doc_id1
+    JOIN ngr_m b ON b.doc_id = p.doc_id2
+    GROUP BY 1, 2
+    """
+
+
+@register("dedup_ngram_receipts", oracle=_NGRAM_RECEIPTS_ORACLE)
+def dedup_ngram_receipts(spark, sf_dir) -> DataFrame:
+    """dedup_ngram_jaccard's SCALE output shape: one CLUSTER RECEIPT
+    per verified source-scoped representative pair — (rep_id1,
+    rep_id2, jaccard, n_member_pairs) — instead of materializing
+    every member pair (the levenshtein/simhash-receipts discipline).
+    The r15 collapse made the PPJoin candidate/verify stages
+    rep-corpus-sized; this key removes the last member-pair-sized
+    stage, the output expansion itself, for consumers that want the
+    dedup ledger rather than the enumeration.
+
+    Member counts are group-size PRODUCTS over the source-scoped rep
+    map (cross pair: |A| * |B|; within-group: C(n, 2) at jaccard
+    1.0) — exact because counting never transfers a per-pair quantity
+    across source labels (the labels live INSIDE the group key). The
+    oracle aggregates the naive member-grain pair list onto a SQL
+    rebuild of the same rep map, so the driver hash-check proves the
+    product counting lossless on every run.
+
+    Scale: PPJoin over reps + two metadata-sized groupBys; output =
+    verified rep pairs. Nothing is member-pair-sized at any exact
+    duplication factor."""
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") >= 3)
+    )
+    d_reps, srmap = _ngram_source_rep_state(d)
+    gs = srmap.groupBy("srep").agg(F.count(F.lit(1)).alias("n"))
+    rp = _ngram_ppjoin_pairs(d_reps)
+    cross = (
+        rp.join(
+            gs.select(
+                F.col("srep").alias("doc_id1"), F.col("n").alias("n1")
+            ),
+            "doc_id1",
+        )
+        .join(
+            gs.select(
+                F.col("srep").alias("doc_id2"), F.col("n").alias("n2")
+            ),
+            "doc_id2",
+        )
+        .select(
+            F.col("doc_id1").alias("rep_id1"),
+            F.col("doc_id2").alias("rep_id2"),
+            "jaccard",
+            (F.col("n1") * F.col("n2")).cast("long").alias("n_member_pairs"),
+        )
+    )
+    selfp = gs.filter(F.col("n") >= 2).select(
+        F.col("srep").alias("rep_id1"),
+        F.col("srep").alias("rep_id2"),
+        F.lit(1.0).alias("jaccard"),
+        F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("n_member_pairs"),
     )
     return cross.unionByName(selfp)
 

@@ -2030,11 +2030,15 @@ _FRESH_WAVES.update(
 )
 #: fifteenth wave (round 15) — the real in-container BMP decode path
 #: (r14 VERDICT item 7: env-gate removed for uncompressed 24-bit BMP)
+#: plus the rep-grain receipt twins of the two pair families the r15
+#: collapse left member-grain only at their OUTPUT stage
 _FRESH_WAVES.update(
     dict.fromkeys(
         {
             "multimodal_decode_bmp",
             "multimodal_resize_bmp",
+            "dedup_ngram_receipts",
+            "dedup_simhash_receipts",
         },
         15,
     )

@@ -1792,6 +1792,11 @@ _INVARIANCE_KEYS = [
     "graph_label_propagation",
     "graph_triangle_count",
     "graph_common_neighbors_receipts",
+    # round-15 additions: the rep-grain receipt twins of the r15
+    # pair-family collapses — their product-counting plans must stay
+    # member-pair-free at any corpus size
+    "dedup_ngram_receipts",
+    "dedup_simhash_receipts",
 ]
 
 

@@ -2283,3 +2283,60 @@ def test_levenshtein_receipts_consistent_with_member_enumeration(
     for m in members:
         rep = rep_of[(m["doc_id1"], m["doc_id2"])]
         assert dist_of[rep] == m["edit_dist"]
+
+
+def test_dedup_ngram_receipts_aggregate_member_enumeration(spark, sf_dir):
+    """dedup_ngram_receipts is EXACTLY dedup_ngram_jaccard aggregated
+    to source-scoped rep grain: product member counts sum to the
+    member key's row count, and every member pair's jaccard equals
+    its rep pair's receipt row (jaccard is a pure function of the two
+    texts; source lives inside the group key)."""
+    from scribedb_spark import queries as Q
+    from scribedb_spark.operators.dedup import _ngram_source_rep_state
+    from scribedb_spark.sources import table
+
+    Q.load_extensions()
+    receipts = Q.REGISTRY["dedup_ngram_receipts"].fn(spark, sf_dir).collect()
+    members = Q.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    assert receipts and members
+    assert sum(r["n_member_pairs"] for r in receipts) == len(members)
+
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") >= 3)
+    )
+    _, srmap = _ngram_source_rep_state(d)
+    rep = {r["doc_id"]: r["srep"] for r in srmap.collect()}
+    jac_of = {
+        (r["rep_id1"], r["rep_id2"]): r["jaccard"] for r in receipts
+    }
+    for m in members:
+        r1, r2 = sorted((rep[m["doc_id1"]], rep[m["doc_id2"]]))
+        assert jac_of[(r1, r2)] == m["jaccard"]
+
+
+def test_dedup_simhash_receipts_aggregate_member_enumeration(spark, sf_dir):
+    """dedup_simhash_receipts is EXACTLY dedup_simhash aggregated to
+    exact-text rep grain: product member counts sum to the member
+    key's row count, and every member pair's hamming equals its rep
+    pair's receipt row (the signature is a pure function of text)."""
+    from scribedb_spark import queries as Q
+    from scribedb_spark.operators.dedup import text_rep_map
+
+    Q.load_extensions()
+    receipts = Q.REGISTRY["dedup_simhash_receipts"].fn(spark, sf_dir).collect()
+    members = Q.REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+    assert receipts and members
+    assert sum(r["n_member_pairs"] for r in receipts) == len(members)
+
+    rep = {
+        r["doc_id"]: r["rep_id"]
+        for r in text_rep_map(spark, sf_dir).collect()
+    }
+    ham_of = {
+        (r["rep_id1"], r["rep_id2"]): r["hamming"] for r in receipts
+    }
+    for m in members:
+        r1, r2 = sorted((rep[m["doc_id1"]], rep[m["doc_id2"]]))
+        assert ham_of[(r1, r2)] == m["hamming"]
