@@ -69,23 +69,50 @@ def dedup_cross_corpus(spark, sf_dir) -> DataFrame:
     count aggregation, which partial-aggregates map-side. No hint is
     forced: at this test scale eval is 10% of the corpus and a
     broadcast would be wrong to hard-code.
+
+    r15: both shingle explodes run over exact-text REPRESENTATIVES
+    (text_rep_map — the same >= 3-token scope as this key's own
+    filter). n_shared is a pure function of (text, eval shingle set):
+    every member shares exactly its rep's count; the eval set is a
+    DISTINCT over eval texts, so eval-side duplication cannot change
+    it. Reps with zero shared shingles drop in the inner join and so
+    do their members in the expansion — identical inclusion
+    semantics. The unchanged member-grain oracle hash-proves it; an
+    N-fold duplicated corpus explodes base-sized shingles on both
+    sides and pays the duplication only in the final per-doc
+    expansion join (output is per-doc by contract).
     """
+    from scribedb_spark.operators.dedup import text_rep_map
+
     d = table(spark, "documents", sf_dir).filter(min_tokens_filter())
-    sh = d.select(
-        "doc_id", "source", F.explode(shingles3(F.col("text"))).alias("tok")
+    rmap = text_rep_map(spark, sf_dir)
+    m = d.select("doc_id", "source").join(rmap, "doc_id")
+    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+    rep_sh = (
+        d.select("doc_id", F.explode(shingles3(F.col("text"))).alias("tok"))
+        .join(reps, "doc_id", "left_semi")
+        .withColumnRenamed("doc_id", "rep_id")
     )
-    ev = (
-        sh.filter(F.col("source").isin(*EVAL_SOURCES))
-        .select("tok")
+    # distinct eval shingles == distinct shingles of distinct eval
+    # TEXTS: reps of groups with any eval-source member
+    ev_reps = (
+        m.filter(F.col("source").isin(*EVAL_SOURCES))
+        .select("rep_id")
         .distinct()
     )
-    tr = sh.filter(~F.col("source").isin(*EVAL_SOURCES))
-    return (
-        tr.join(ev, "tok")
+    ev = rep_sh.join(ev_reps, "rep_id", "left_semi").select("tok").distinct()
+    tr_members = m.filter(~F.col("source").isin(*EVAL_SOURCES))
+    tr_reps = tr_members.select("rep_id").distinct()
+    tr_sh = rep_sh.join(tr_reps, "rep_id", "left_semi")
+    shared = (
+        tr_sh.join(ev, "tok")
         # shingles3 is per-doc distinct, so plain count = distinct
         # shared shingles
-        .groupBy("doc_id", "source")
+        .groupBy("rep_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tr_members.join(shared, "rep_id").select(
+        "doc_id", "source", "n_shared"
     )
 
 

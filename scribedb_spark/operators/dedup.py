@@ -2433,12 +2433,27 @@ def dedup_paragraph(spark, sf_dir) -> DataFrame:
     documents scan total, plan-asserted) and feeds both the
     frequency aggregation and the join back; both shuffles key on
     the content hash (uniform by construction — no skew, unlike raw
-    tokens); the final per-doc rollup is a partial-agg groupBy on
-    doc_id. At 100 TB this is exactly three hash shuffles over flat
-    rows, and the paragraph-hash frequency table is reusable as a
-    persisted boilerplate index for incremental ingest (the
-    dedup_bloom_prefilter pattern)."""
-    d = table(spark, "documents", sf_dir)
+    tokens); the final per-doc rollup is a partial-agg groupBy. At
+    100 TB this is exactly three hash shuffles over flat rows, and
+    the paragraph-hash frequency table is reusable as a persisted
+    boilerplate index for incremental ingest (the
+    dedup_bloom_prefilter pattern).
+
+    r15: the paragraph table is built over exact-text
+    REPRESENTATIVES only (text_rep_map_all — unfiltered scope: every
+    doc emits paragraphs). Per-paragraph doc frequency is exact at
+    rep grain because paragraph membership is a pure function of
+    text: ndocs(h) = sum of GROUP SIZES over the rep groups whose
+    text contains h (every member contains h iff its rep does), and
+    the per-doc stats are pure functions of (text, frequency table),
+    so they compute once per rep and transfer to members by one
+    rep-map join — output stays per-doc by contract. The unchanged
+    member-grain oracle hash-proves the collapse; an N-fold
+    duplicated corpus explodes base-sized paragraphs."""
+    rmap = text_rep_map_all(spark, sf_dir)
+    gs = rmap.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+    d = table(spark, "documents", sf_dir).join(reps, "doc_id", "left_semi")
     toks = F.split("text", " ")
     idx = F.explode(
         F.sequence(
@@ -2446,15 +2461,23 @@ def dedup_paragraph(spark, sf_dir) -> DataFrame:
             F.floor((F.size(toks) - 1) / _PARA_TOKENS).cast("int"),
         )
     )
-    w = d.select("doc_id", toks.alias("w"), idx.alias("para_idx"))
+    w = d.select(
+        F.col("doc_id").alias("rep_id"), toks.alias("w"), idx.alias("para_idx")
+    )
     seg = F.slice("w", F.col("para_idx") * _PARA_TOKENS + 1, _PARA_TOKENS)
     fp = w.select(
-        "doc_id", "para_idx", F.md5(F.array_join(seg, " ")).alias("h")
+        "rep_id", "para_idx", F.md5(F.array_join(seg, " ")).alias("h")
     ).localCheckpoint()
-    nd = fp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
-    per = (
+    nd = (
+        fp.select("rep_id", "h")
+        .distinct()
+        .join(gs, "rep_id")
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("ndocs"))
+    )
+    per_rep = (
         fp.join(nd, "h")
-        .groupBy("doc_id")
+        .groupBy("rep_id")
         .agg(
             F.count(F.lit(1)).alias("n_paras"),
             F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
@@ -2463,7 +2486,7 @@ def dedup_paragraph(spark, sf_dir) -> DataFrame:
         )
     )
     ratio = F.col("n_dup_paras") / F.col("n_paras")
-    return per.select(
+    return rmap.join(per_rep, "rep_id").select(
         "doc_id",
         "n_paras",
         "n_dup_paras",
@@ -2597,8 +2620,66 @@ def dedup_span(spark, sf_dir) -> DataFrame:
     table doubles as a persisted substring index for incremental
     decontamination (join new docs' spans against it, no corpus
     rescan) — exactly how ``text_decontaminate`` consumes
-    ``span_hashes``."""
-    return span_report_from(span_hashes_cached(spark, sf_dir))
+    ``span_hashes``.
+
+    r15: the span table is built over exact-text REPRESENTATIVES
+    only (text_rep_map_all; the >= {8}-token scope applies inside the
+    span stage and is a pure text function, so rep groups are
+    entirely in or out). Per-span doc frequency at rep grain is the
+    group-size sum over rep groups containing the span (span
+    membership is pure text); runs and counts are pure functions of
+    (text, frequency table), so the islands window and the rollup
+    run once per rep and transfer to members by one rep-map join.
+    The unchanged member-grain oracle hash-proves it; an N-fold
+    duplicated corpus explodes and windows base-sized spans."""
+    rmap = text_rep_map_all(spark, sf_dir)
+    gs = rmap.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+    d = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .join(reps, "doc_id", "left_semi")
+    )
+    sp = (
+        span_hashes(d)
+        .withColumnRenamed("doc_id", "rep_id")
+        .localCheckpoint()
+    )
+    nd = (
+        sp.select("rep_id", "h")
+        .distinct()
+        .join(gs, "rep_id")
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("ndocs"))
+    )
+    dd = sp.join(nd, "h").select(
+        "rep_id", "pos", (F.col("ndocs") > 1).alias("dup")
+    )
+    win = Window.partitionBy("rep_id").orderBy("pos")
+    runs = (
+        dd.filter("dup")
+        .select(
+            "rep_id", (F.col("pos") - F.row_number().over(win)).alias("grp")
+        )
+        .groupBy("rep_id", "grp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("rep_id")
+        .agg(F.max("cnt").alias("max_run"))
+    )
+    per = dd.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_spans"),
+    )
+    rep_report = per.join(runs, "rep_id", "left")
+    return rmap.join(rep_report, "rep_id").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.when(F.col("max_run").isNull(), F.lit(0))
+        .otherwise(F.col("max_run") + _SPAN_TOKENS - 1)
+        .cast("long")
+        .alias("max_dup_tokens"),
+    )
 
 
 def span_dedup_report(d: DataFrame, k: int = _SPAN_TOKENS) -> DataFrame:
@@ -3415,6 +3496,29 @@ def exact_text_reps(d: DataFrame) -> DataFrame:
 
 
 _TEXT_REP_CACHE: dict = {}
+_TEXT_REP_ALL_CACHE: dict = {}
+
+
+def text_rep_map_all(spark, sf_dir: str) -> DataFrame:
+    """The UNFILTERED (doc_id, rep_id) exact-text rep map — every
+    document, no min-token scope. For collapses of keys whose own
+    scope differs from the LSH family's >= 3-token filter
+    (dedup_paragraph emits a row for every document; dedup_span's
+    >= 8-token scope applies inside its span stage). Checkpointed
+    once per session like text_rep_map."""
+    from ..cache import session_cache
+
+    def build():
+        d = table(spark, "documents", sf_dir).select("doc_id", "text")
+        return exact_text_reps(d).localCheckpoint()
+
+    return session_cache(
+        _TEXT_REP_ALL_CACHE,
+        spark,
+        ("text_reps_all", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
 
 
 def text_rep_map(spark, sf_dir: str) -> DataFrame:

@@ -298,6 +298,11 @@ PAIR_PROBES = {
     "graph_common_neighbors": _levenshtein_pairs,
     # its receipt twin is fully quotient-sized
     "graph_common_neighbors_receipts": _rep_edges,
+    # r15 receipt twins: verify volume is the same rep-grain
+    # candidate set as their member-enumerating keys; output and
+    # every shuffle are rep-sized by design (product counting)
+    "dedup_ngram_receipts": _ngram_pairs,
+    "dedup_simhash_receipts": _simhash_pairs,
 }
 
 

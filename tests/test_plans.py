@@ -1794,9 +1794,14 @@ _INVARIANCE_KEYS = [
     "graph_common_neighbors_receipts",
     # round-15 additions: the rep-grain receipt twins of the r15
     # pair-family collapses — their product-counting plans must stay
-    # member-pair-free at any corpus size
+    # member-pair-free at any corpus size — and the three per-doc
+    # text keys whose heavy stages collapsed to rep grain (paragraph
+    # / span frequency tables, cross-corpus shingle join)
     "dedup_ngram_receipts",
     "dedup_simhash_receipts",
+    "dedup_paragraph",
+    "dedup_span",
+    "dedup_cross_corpus",
 ]
 
 
