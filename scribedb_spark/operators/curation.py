@@ -694,24 +694,45 @@ def text_decontaminate(spark, sf_dir) -> DataFrame:
     engines), integer counts, one IEEE division ROUND-6ed at emit;
     verdict thresholds compare the raw double identically.
 
-    Scale: reuses ``span_hashes`` (one map-only explode, linear in
-    corpus tokens); the benchmark side reduces to a DISTINCT hash
-    set that is benchmark-sized, joined on uniform md5 keys — no
-    skew, no broadcast forced (a real eval suite is small but grows
-    with the benchmark, so the join is left to AQE). The span
-    frequency table from ``dedup_span`` doubles as the persisted
-    index for incremental decontamination of new batches."""
-    from scribedb_spark.operators.dedup import span_hashes_cached
+    Scale: one map-only span explode, linear in corpus tokens; the
+    benchmark side reduces to a DISTINCT hash set that is
+    benchmark-sized, joined on uniform md5 keys — no skew, no
+    broadcast forced (a real eval suite is small but grows with the
+    benchmark, so the join is left to AQE). The span frequency table
+    from ``dedup_span`` doubles as the persisted index for
+    incremental decontamination of new batches.
 
-    sp = span_hashes_cached(spark, sf_dir)
-    is_bench = F.col("doc_id") % 101 == 7
-    bg = sp.filter(is_bench).select("h").distinct().withColumn(
-        "hit", F.lit(1)
+    r15: the span explode runs over exact-text REPRESENTATIVES
+    (rep_span_hashes_cached, shared with dedup_span). The benchmark
+    label is per-DOC (doc_id % 101), not per-text, so the collapse
+    routes labels through the rep map: the benchmark hash set =
+    distinct spans of the DISTINCT TEXTS having a benchmark member
+    (set-equal to the member build — duplication adds no spans), and
+    a train doc's hit counts are pure functions of (text, benchmark
+    set), computed once per train-participating rep and transferred
+    to members by one rep-map join. The unchanged member-grain
+    oracle hash-proves it."""
+    from scribedb_spark.operators.dedup import (
+        rep_span_hashes_cached,
+        text_rep_map_all,
     )
-    per = (
-        sp.filter(~is_bench)
+
+    rmap = text_rep_map_all(spark, sf_dir)
+    is_bench = F.col("doc_id") % 101 == 7
+    bench_reps = rmap.filter(is_bench).select("rep_id").distinct()
+    train_members = rmap.filter(~is_bench)
+    train_reps = train_members.select("rep_id").distinct()
+    sp = rep_span_hashes_cached(spark, sf_dir)
+    bg = (
+        sp.join(bench_reps, "rep_id", "left_semi")
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_rep = (
+        sp.join(train_reps, "rep_id", "left_semi")
         .join(bg, "h", "left")
-        .groupBy("doc_id")
+        .groupBy("rep_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0)))
@@ -721,7 +742,7 @@ def text_decontaminate(spark, sf_dir) -> DataFrame:
         .filter(F.col("n_hit_spans") > 0)
     )
     ratio = F.col("n_hit_spans") / F.col("n_spans")
-    return per.select(
+    return train_members.join(per_rep, "rep_id").select(
         "doc_id",
         "n_spans",
         "n_hit_spans",

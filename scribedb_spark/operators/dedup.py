@@ -2543,27 +2543,41 @@ _SPAN_ORACLE = f"""
     """
 
 
-#: session cache for the checkpointed overlapping-span table — the
+#: session cache for the checkpointed rep-grain span table — the
 #: substring index shared by dedup_span and text_decontaminate
-#: (cache.py discipline: (applicationId, ...) keys, stale-app eviction)
-_SPAN_CACHE: dict = {}
+#: (cache.py discipline: (applicationId, ...) keys, stale-app
+#: eviction; superseded the member-grain `spans` cache in r15 — both
+#: consumers collapsed)
+_REP_SPAN_CACHE: dict = {}
 
 
-def span_hashes_cached(spark, sf_dir: str) -> DataFrame:
-    """The checkpointed (doc_id, pos, h) span table for the documents
-    corpus, built once per session — the in-session analog of the
-    persisted substring index both span consumers read at 100 TB."""
+def rep_span_hashes_cached(spark, sf_dir: str) -> DataFrame:
+    """The checkpointed (rep_id, pos, h) span table over exact-text
+    REPRESENTATIVES only — base-corpus-sized at any duplication
+    factor; shared by the r15-collapsed dedup_span and
+    text_decontaminate (span presence/counts are pure text functions,
+    so per-rep span rows carry every member's)."""
     from scribedb_spark.cache import session_cache
     from scribedb_spark.sources import table as _table
 
     def build():
-        d = _table(spark, "documents", sf_dir).select("doc_id", "text")
-        return span_hashes(d).localCheckpoint()
+        rmap = text_rep_map_all(spark, sf_dir)
+        reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+        d = (
+            _table(spark, "documents", sf_dir)
+            .select("doc_id", "text")
+            .join(reps, "doc_id", "left_semi")
+        )
+        return (
+            span_hashes(d)
+            .withColumnRenamed("doc_id", "rep_id")
+            .localCheckpoint()
+        )
 
     return session_cache(
-        _SPAN_CACHE,
+        _REP_SPAN_CACHE,
         spark,
-        ("spans", sf_dir),
+        ("rep_spans", sf_dir),
         build,
         deps=[f"{sf_dir}/documents.parquet"],
     )
@@ -2634,17 +2648,7 @@ def dedup_span(spark, sf_dir) -> DataFrame:
     duplicated corpus explodes and windows base-sized spans."""
     rmap = text_rep_map_all(spark, sf_dir)
     gs = rmap.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_docs"))
-    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
-    d = (
-        table(spark, "documents", sf_dir)
-        .select("doc_id", "text")
-        .join(reps, "doc_id", "left_semi")
-    )
-    sp = (
-        span_hashes(d)
-        .withColumnRenamed("doc_id", "rep_id")
-        .localCheckpoint()
-    )
+    sp = rep_span_hashes_cached(spark, sf_dir)
     nd = (
         sp.select("rep_id", "h")
         .distinct()

@@ -1802,6 +1802,7 @@ _INVARIANCE_KEYS = [
     "dedup_paragraph",
     "dedup_span",
     "dedup_cross_corpus",
+    "text_decontaminate",
 ]
 
 
