@@ -839,6 +839,122 @@ def stream_search_eval_maintain(
     return q, holder
 
 
+def stream_decontaminate_maintain(
+    stream_df: DataFrame,
+    bench_docs: DataFrame,
+    query_name: str = "stream_decontaminate",
+) -> tuple:
+    """Start a foreachBatch sink that MAINTAINS benchmark
+    decontamination (text_decontaminate's report) over an INSERT
+    stream of train (doc_id, text) rows — the incremental half the
+    batch key's docstring promises ("join new docs' spans against the
+    persisted index, no corpus rescan"). State:
+
+    - ``holder.bench`` — the DISTINCT benchmark span-hash set, built
+      ONCE from ``bench_docs`` (the decontamination contract: the
+      benchmark is fixed before the crawl streams through; a
+      benchmark update means a new maintainer, exactly like a
+      codebook retrain),
+    - ``holder._parts`` — lazy union of per-batch FLAGGED-doc report
+      frames (contamination-sized, the batch key's own output bound),
+    - ``holder._seen`` — doc_id replay guard (the search-eval
+      discipline: a replayed batch would duplicate report rows —
+      fail the query loudly, never corrupt the state).
+
+    Exactness: a doc's (n_spans, n_hit_spans, verdict) is a pure
+    function of its own text and the fixed benchmark set, so the
+    union of per-batch reports after a drain EQUALS the batch twin's
+    from-scratch report over the same train corpus row-for-row —
+    regardless of batch boundaries or arrival order. The batch key's
+    DuckDB oracle proves the shared span/threshold chain.
+
+    Scale: per batch the cost is one O(|batch|) span explode joined
+    against the benchmark-sized hash set (AQE broadcasts it when
+    small); nothing corpus-sized is ever rescanned or re-checkpointed.
+    ``holder.report()`` assembles the accumulated report lazily."""
+    from pyspark.sql import functions as F
+
+    from scribedb_spark.operators.curation import _DECON_QUARANTINE
+    from scribedb_spark.operators.dedup import span_hashes
+
+    class _Holder:
+        def __init__(self, bench: DataFrame):
+            self.bench = bench
+            self._parts: list = []
+            self._seen = None
+
+        def report(self) -> DataFrame:
+            if not self._parts:
+                return self.bench.sparkSession.createDataFrame(
+                    [],
+                    "doc_id long, n_spans long, n_hit_spans long, "
+                    "hit_ratio double, verdict string",
+                )
+            u = self._parts[0]
+            for part in self._parts[1:]:
+                u = u.unionByName(part)
+            return u
+
+    bg = (
+        span_hashes(bench_docs.select("doc_id", "text"))
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint()
+    )
+    holder = _Holder(bg)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.localCheckpoint()  # pin: the source view is transient
+        if not rows.take(1):
+            return
+        ids = rows.select("doc_id").distinct()
+        if holder._seen is not None:
+            dup = ids.join(holder._seen, "doc_id").take(1)
+            if dup:
+                raise ValueError(
+                    "stream_decontaminate_maintain: batch replays "
+                    f"already-ingested doc_id {dup[0]['doc_id']} — the "
+                    "report union requires at-most-once ingestion"
+                )
+        per = (
+            span_hashes(rows.select("doc_id", "text"))
+            .join(holder.bench, "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hit_spans"),
+            )
+            .filter(F.col("n_hit_spans") > 0)
+        )
+        ratio = F.col("n_hit_spans") / F.col("n_spans")
+        part = per.select(
+            "doc_id",
+            "n_spans",
+            "n_hit_spans",
+            F.round(ratio, 6).alias("hit_ratio"),
+            F.when(ratio >= _DECON_QUARANTINE, "quarantine")
+            .otherwise("review")
+            .alias("verdict"),
+        ).localCheckpoint()
+        holder._parts.append(part)
+        holder._seen = (
+            ids
+            if holder._seen is None
+            else holder._seen.unionByName(ids).distinct()
+        ).localCheckpoint()
+
+    q = (
+        stream_df.writeStream.foreachBatch(per_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, holder
+
+
 def stream_gate_panel_maintain(
     doc_stream: DataFrame,
     base_hist: DataFrame,

@@ -848,3 +848,107 @@ def test_stream_gate_panel_maintain_matches_batch_panel(
         for r in Q.REGISTRY["rollup_gate_panel"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_stream_decontaminate_maintain_matches_batch_twin(
+    spark, tmp_path_factory
+):
+    """Streamed benchmark decontamination: a PLANTED-contamination
+    corpus (two exact benchmark copies -> quarantine, one 8-token
+    prefix leak -> review, a sub-span-length doc and an unrelated
+    train-train duplicate as controls) streams its train split in
+    multi-file micro-batches against the fixed benchmark span set;
+    after the drain the accumulated report ROW-EQUALS the batch
+    twin's from-scratch text_decontaminate over the same corpus —
+    per-doc reports are pure functions of (text, benchmark set), so
+    batch boundaries cannot change them."""
+    from scribedb_spark.operators.curation import text_decontaminate
+    from scribedb_spark.streaming.diff import stream_decontaminate_maintain
+
+    bench_a = " ".join(f"a{i}" for i in range(12))
+    bench_b = " ".join(f"b{i}" for i in range(12))
+
+    def uniq(i):
+        return " ".join(f"u{i}x{j}" for j in range(12))
+
+    rows = []
+    for i in range(150):
+        if i % 101 == 7:
+            text = bench_a if i == 7 else bench_b
+        elif i in (10, 20):
+            text = bench_a  # exact benchmark copy -> quarantine
+        elif i == 30:  # one shared 8-token span -> review
+            text = " ".join(bench_a.split()[:8]) + " " + " ".join(
+                f"t{j}" for j in range(6)
+            )
+        elif i == 40:
+            text = "too short for spans"  # < 8 tokens: no row
+        elif i == 50:
+            text = uniq(60)  # train-train duplicate: no bench hit
+        else:
+            text = uniq(i)
+        rows.append((i, text, "en", "s", len(text)))
+    d = tmp_path_factory.mktemp("decon_stream")
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    train = docs.filter(F.col("doc_id") % 101 != 7)
+    sdir = tmp_path_factory.mktemp("decon_ingest")
+    train.repartition(4).write.mode("overwrite").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_decontaminate_maintain(stream, bench)
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in holder.report().collect())
+    want = sorted(
+        tuple(r) for r in text_decontaminate(spark, str(d)).collect()
+    )
+    assert got == want
+    verdicts = {r[0]: r[4] for r in got}
+    assert verdicts[10] == verdicts[20] == "quarantine"
+    assert verdicts[30] == "review"
+    assert 40 not in verdicts and 50 not in verdicts
+
+
+def test_stream_decontaminate_maintain_rejects_replayed_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """The report union is exact only under at-most-once ingestion —
+    a replayed batch must FAIL THE QUERY loudly (the
+    stream_search_eval_maintain discipline), never silently duplicate
+    report rows."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from scribedb_spark.sources import table as _table
+    from scribedb_spark.streaming.diff import stream_decontaminate_maintain
+
+    docs = (
+        _table(spark, "documents", sf_dir)
+        .select("doc_id", "text", F.lit("en").alias("lang"))
+        .limit(40)
+        .localCheckpoint()
+    )
+    bench = docs.limit(5)
+    sdir = tmp_path_factory.mktemp("decon_replay")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(sdir))
+    docs.coalesce(1).write.mode("append").parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    q, holder = stream_decontaminate_maintain(
+        stream, bench, query_name="decon_replay"
+    )
+    with pytest.raises(StreamingQueryException, match="replays"):
+        q.awaitTermination(180)
+        raise AssertionError("replayed batch was ingested silently")
