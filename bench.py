@@ -225,6 +225,7 @@ BENCH_KEYS = [
     "multimodal_resize_bmp",
     "dedup_ngram_receipts",
     "dedup_simhash_receipts",
+    "paragraph_index_persist",
 ]
 
 #: pinned noise-robust subset: pure-compute keys with no checkpoint /

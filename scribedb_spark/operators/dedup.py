@@ -2451,30 +2451,77 @@ def dedup_paragraph(spark, sf_dir) -> DataFrame:
     member-grain oracle hash-proves the collapse; an N-fold
     duplicated corpus explodes base-sized paragraphs."""
     rmap = text_rep_map_all(spark, sf_dir)
-    gs = rmap.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_docs"))
-    reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
-    d = table(spark, "documents", sf_dir).join(reps, "doc_id", "left_semi")
-    toks = F.split("text", " ")
-    idx = F.explode(
-        F.sequence(
-            F.lit(0),
-            F.floor((F.size(toks) - 1) / _PARA_TOKENS).cast("int"),
+    fp = _rep_paragraph_fps(spark, sf_dir)
+    nd = _paragraph_freqs(rmap, fp)
+    return _paragraph_report(rmap, fp, nd)
+
+
+_REP_PARA_CACHE: dict = {}
+
+
+def _rep_paragraph_fps(spark, sf_dir: str) -> DataFrame:
+    """The checkpointed (rep_id, para_idx, h) paragraph-fingerprint
+    table over exact-text REPRESENTATIVES — base-corpus-sized at any
+    duplication; shared by dedup_paragraph, the persisted boilerplate
+    index build, and its serve path."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        rmap = text_rep_map_all(spark, sf_dir)
+        reps = rmap.select(F.col("rep_id").alias("doc_id")).distinct()
+        d = table(spark, "documents", sf_dir).join(
+            reps, "doc_id", "left_semi"
         )
+        toks = F.split("text", " ")
+        idx = F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(toks) - 1) / _PARA_TOKENS).cast("int"),
+            )
+        )
+        w = d.select(
+            F.col("doc_id").alias("rep_id"),
+            toks.alias("w"),
+            idx.alias("para_idx"),
+        )
+        seg = F.slice(
+            "w", F.col("para_idx") * _PARA_TOKENS + 1, _PARA_TOKENS
+        )
+        return w.select(
+            "rep_id", "para_idx", F.md5(F.array_join(seg, " ")).alias("h")
+        ).localCheckpoint()
+
+    return session_cache(
+        _REP_PARA_CACHE,
+        spark,
+        ("rep_paras", sf_dir),
+        build,
+        deps=[f"{sf_dir}/documents.parquet"],
     )
-    w = d.select(
-        F.col("doc_id").alias("rep_id"), toks.alias("w"), idx.alias("para_idx")
-    )
-    seg = F.slice("w", F.col("para_idx") * _PARA_TOKENS + 1, _PARA_TOKENS)
-    fp = w.select(
-        "rep_id", "para_idx", F.md5(F.array_join(seg, " ")).alias("h")
-    ).localCheckpoint()
-    nd = (
+
+
+def _paragraph_freqs(rmap: DataFrame, fp: DataFrame) -> DataFrame:
+    """(h, ndocs) — the paragraph-hash document-frequency table at
+    rep grain: group-size sums over the rep groups containing each
+    fingerprint (exact member doc counts; paragraph membership is a
+    pure text function). THE boilerplate index — what
+    paragraph_index_persist writes to the warehouse."""
+    gs = rmap.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
         fp.select("rep_id", "h")
         .distinct()
         .join(gs, "rep_id")
         .groupBy("h")
         .agg(F.sum("n_docs").alias("ndocs"))
     )
+
+
+def _paragraph_report(
+    rmap: DataFrame, fp: DataFrame, nd: DataFrame
+) -> DataFrame:
+    """dedup_paragraph's per-doc verdict rollup from the rep
+    fingerprints and a (h, ndocs) frequency table (freshly aggregated
+    or warehouse-reloaded — the shared serve half)."""
     per_rep = (
         fp.join(nd, "h")
         .groupBy("rep_id")
@@ -2496,6 +2543,59 @@ def dedup_paragraph(spark, sf_dir) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+#: builder-parameter spec shared verbatim with pipeline._catalog_expected
+_PARA_INDEX_SPEC = {"para_tokens": _PARA_TOKENS, "grain": "rep_weighted"}
+
+
+def paragraph_index_artifact(spark, sf_dir):
+    """The warehouse-persisted (h, ndocs) boilerplate frequency
+    table, building iff absent or stale — the build half of
+    paragraph_index_persist, shared with the warehouse catalog.
+    ndocs sums are a monoid, so ingest batches can append-merge like
+    the LM count tables."""
+    from scribedb_spark.persist import persisted_artifact
+
+    def build():
+        rmap = text_rep_map_all(spark, sf_dir)
+        return _paragraph_freqs(rmap, _rep_paragraph_fps(spark, sf_dir))
+
+    return persisted_artifact(
+        spark,
+        "paragraph_index",
+        sf_dir,
+        [f"{sf_dir}/documents.parquet"],
+        build,
+        spec=_PARA_INDEX_SPEC,
+    )
+
+
+@register("paragraph_index_persist", oracle=_PARA_ORACLE)
+def paragraph_index_persist(spark, sf_dir) -> DataFrame:
+    """The persisted BOILERPLATE INDEX: write the paragraph-hash
+    document-frequency table (h, ndocs) to warehouse parquet once,
+    then serve dedup_paragraph's drop/trim/keep verdicts from the
+    RELOAD — the serve plan re-fingerprints at rep grain (map-only,
+    from the session-checkpointed fingerprint table) and joins the
+    reloaded frequencies; the corpus-wide frequency AGGREGATION never
+    re-runs (plan-asserted: the serve side reads the artifact parquet
+    and no documents scan). This is the incremental-ingest lifecycle
+    the dedup_paragraph docstring promises: new batches fingerprint
+    map-only and join the standing index (ndocs is append-mergeable —
+    a monoid like the LM/BM25 count tables).
+
+    Exactness: integer ndocs round-trip parquet bit-exact; the oracle
+    recomputes everything from raw text (same output contract and
+    oracle as dedup_paragraph), so the hash match proves
+    fingerprint -> persist -> reload -> verdict == from-scratch.
+
+    Scale: the artifact is vocabulary-sized (distinct paragraph
+    hashes), the serve join keys on uniform md5 — no skew; everything
+    corpus-sized stays in the one rep-grain fingerprint pass."""
+    rmap = text_rep_map_all(spark, sf_dir)
+    fp = _rep_paragraph_fps(spark, sf_dir)
+    return _paragraph_report(rmap, fp, paragraph_index_artifact(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

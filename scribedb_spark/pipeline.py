@@ -851,6 +851,7 @@ def _catalog_expected() -> dict[str, dict]:
         _LM_SCALE,
     )
     from scribedb_spark.operators.dedup import (
+        _PARA_INDEX_SPEC,
         _REWRITE_RECEIPTS_SPEC,
         N_BANDS,
         N_HASHES,
@@ -890,6 +891,7 @@ def _catalog_expected() -> dict[str, dict]:
         "mips_codebook": mips,
         "mips_index": mips,
         "rewrite_receipts": dict(_REWRITE_RECEIPTS_SPEC),
+        "paragraph_index": dict(_PARA_INDEX_SPEC),
         "iblt_orders_sketch": {
             "cells": _IBLT_CELLS,
             "hashes": _IBLT_HASHES,
@@ -913,6 +915,7 @@ def _catalog_ensure_built(spark, sf_dir) -> None:
     )
     from scribedb_spark.operators.dedup import (
         lsh_pairs_artifact,
+        paragraph_index_artifact,
         rewrite_receipts_artifact,
     )
     from scribedb_spark.operators.similarity import (
@@ -926,6 +929,7 @@ def _catalog_ensure_built(spark, sf_dir) -> None:
     _pq_persisted_artifacts(spark, sf_dir)
     _mips_persisted_artifacts(spark, sf_dir)
     rewrite_receipts_artifact(spark, sf_dir)
+    paragraph_index_artifact(spark, sf_dir)
     _lm_count_artifacts(spark, sf_dir)
     _bm25_postings_artifact(spark, sf_dir)
     _bm25_base_postings_artifact(spark, sf_dir)

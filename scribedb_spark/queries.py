@@ -2039,6 +2039,7 @@ _FRESH_WAVES.update(
             "multimodal_resize_bmp",
             "dedup_ngram_receipts",
             "dedup_simhash_receipts",
+            "paragraph_index_persist",
         },
         15,
     )

@@ -41,6 +41,8 @@ PERSIST_KEYS = [
     "bm25_index_persist",
     "bm25_index_append",
     "compare_iblt_persist",
+    "dedup_rewrite_persist",
+    "paragraph_index_persist",
 ]
 
 

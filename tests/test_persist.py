@@ -28,6 +28,7 @@ PERSIST_KEYS = [
     "bm25_index_append",
     "compare_iblt_persist",
     "dedup_rewrite_persist",
+    "paragraph_index_persist",
 ]
 
 

@@ -1361,11 +1361,11 @@ def test_span_and_bm25_stages_shared_across_keys(qmod, spark, sf_dir):
     no shared stage is ever built twice in a session)."""
     from scribedb_spark.operators import curation, dedup
 
-    dedup._SPAN_CACHE.clear()
+    dedup._REP_SPAN_CACHE.clear()
     curation._BM25_CACHE.clear()
     qmod.REGISTRY["dedup_span"].fn(spark, sf_dir).count()
     qmod.REGISTRY["text_decontaminate"].fn(spark, sf_dir).count()
-    assert len(dedup._SPAN_CACHE) == 1
+    assert len(dedup._REP_SPAN_CACHE) == 1
     qmod.REGISTRY["text_bm25_topk"].fn(spark, sf_dir).count()
     qmod.REGISTRY["search_hybrid_rrf"].fn(spark, sf_dir).count()
     assert len(curation._BM25_CACHE) == 1
@@ -1556,6 +1556,16 @@ def test_persist_serve_plans_pinned_to_warehouse(qmod, spark, sf_dir):
     assert "rewrite_receipts" in p
     assert "documents.parquet" not in p
     assert "Join" not in p
+
+    qmod.REGISTRY["paragraph_index_persist"].fn(spark, sf_dir).count()
+    p = plan(qmod, spark, sf_dir, "paragraph_index_persist")
+    # verdicts serve from the RELOADED frequency table + the
+    # session-checkpointed rep fingerprints: no documents scan, no
+    # frequency re-aggregation (the one sum in the plan would be the
+    # group-size fold the artifact already materialized)
+    assert "paragraph_index" in p
+    assert "documents.parquet" not in p
+    assert "partial_sum(ndocs" not in p and "partial_sum(n_docs" not in p
 
     # compare_iblt_persist returns the DECODED rows (ExistingRDD), so
     # the warehouse pin targets its pre-decode cell pipeline: the base
