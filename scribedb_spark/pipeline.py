@@ -968,7 +968,7 @@ def rollup_artifact_catalog(spark, sf_dir) -> DataFrame:
     BUILD HALVES (build-if-stale only — never their serve
     computations; a no-op when the warehouse is fresh, the normal
     case), then the sidecars are read driver-side (one tiny JSON per
-    artifact, the catalog is metadata-sized: 10 rows here, one row
+    artifact, the catalog is metadata-sized: 14 rows here, one row
     per index even at 100 TB) and each artifact's data presence is
     probed from the parquet footers driver-side (row counts are
     footer metadata — zero Spark jobs, no data pages read; a missing
