@@ -1503,6 +1503,43 @@ def gate_compute_fns() -> dict:
     }
 
 
+def plan_compute_fns() -> dict:
+    """key -> underlying BUILD-plan body for every registry key whose
+    registered fn serves a session-cached artifact: the monitor gates
+    (decision frames via cache.gate_decision) plus the r15 pair-table
+    families (verified rep-pair / scored tables via the
+    _LSH_PAIRS_CACHE discipline). Plan-shape assertions and the plan
+    dumps must capture THESE bodies — the registered fns return
+    checkpoint scans on a warm cache."""
+    from scribedb_spark.operators.dedup import (
+        _containment_batch_compute,
+        _containment_corpus_compute,
+        _containment_salted_compute,
+        _lev_member_compute,
+        _lev_receipts_compute,
+        _ngram_jaccard_compute,
+        _ngram_receipts_compute,
+        _simhash_member_compute,
+        _simhash_receipts_compute,
+    )
+
+    fns = dict(gate_compute_fns())
+    fns.update(
+        {
+            "dedup_containment": _containment_batch_compute,
+            "dedup_containment_corpus": _containment_corpus_compute,
+            "dedup_containment_salted": _containment_salted_compute,
+            "dedup_levenshtein": _lev_member_compute,
+            "dedup_levenshtein_receipts": _lev_receipts_compute,
+            "dedup_ngram_jaccard": _ngram_jaccard_compute,
+            "dedup_ngram_receipts": _ngram_receipts_compute,
+            "dedup_simhash": _simhash_member_compute,
+            "dedup_simhash_receipts": _simhash_receipts_compute,
+        }
+    )
+    return fns
+
+
 def gate_panel_compute(spark, sf_dir) -> DataFrame:
     """rollup_gate_panel assembled from the gates' MEASUREMENT bodies
     (never the decision cache) — the plan the invariance census pins

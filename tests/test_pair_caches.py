@@ -1,0 +1,134 @@
+"""r15 optimization: the non-LSH pair families (ngram, simhash,
+levenshtein head distances, containment) serve their verified
+rep-pair / scored tables from the session cache — the
+_LSH_PAIRS_CACHE build-once discipline. These tests pin:
+
+- build-once: one cache entry per family after both twins ran;
+- serve honesty: an in-session corpus REWRITE invalidates every
+  family's cached pair state (deps= stat fingerprints), so the second
+  read answers from the new corpus, never stale pairs (the
+  gate-honesty rule, transitively — cf.
+  test_gate_inner_session_caches_invalidate_on_input_change).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from scribedb_spark.session import get_spark
+
+    return get_spark(app_name="pair-cache-tests", shuffle_partitions=4)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pair_family_caches_build_once_and_serve(spark):
+    from scribedb_spark import queries as Q
+    from scribedb_spark.operators import dedup
+
+    Q.load_extensions()
+    dedup._NGRAM_PAIRS_CACHE.clear()
+    dedup._SIMHASH_PAIRS_CACHE.clear()
+    dedup._LEV_DIST_CACHE.clear()
+    dedup._CONTAIN_SCORED_CACHE.clear()
+
+    first = sorted(
+        map(tuple, Q.REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect())
+    )
+    Q.REGISTRY["dedup_ngram_receipts"].fn(spark, SF_DIR).count()
+    assert len(dedup._NGRAM_PAIRS_CACHE) == 1  # twins share one build
+
+    Q.REGISTRY["dedup_simhash"].fn(spark, SF_DIR).count()
+    Q.REGISTRY["dedup_simhash_receipts"].fn(spark, SF_DIR).count()
+    assert len(dedup._SIMHASH_PAIRS_CACHE) == 1
+
+    Q.REGISTRY["dedup_levenshtein"].fn(spark, SF_DIR).count()
+    Q.REGISTRY["dedup_levenshtein_receipts"].fn(spark, SF_DIR).count()
+    assert len(dedup._LEV_DIST_CACHE) == 1
+
+    # each containment variant caches its own scored table (its tag
+    # keeps the batch / corpus / salted candidate plans distinct)
+    Q.REGISTRY["dedup_containment_corpus"].fn(spark, SF_DIR).count()
+    Q.REGISTRY["dedup_containment_salted"].fn(spark, SF_DIR).count()
+    assert len(dedup._CONTAIN_SCORED_CACHE) == 2
+
+    # warm serve is row-identical to the first (building) call
+    second = sorted(
+        map(tuple, Q.REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect())
+    )
+    assert second == first
+
+
+def test_pair_family_caches_invalidate_on_corpus_rewrite(
+    spark, tmp_path_factory
+):
+    """Plant a pairwise-dissimilar corpus (zero near-dup pairs), run
+    every cached family, rewrite documents.parquet to an
+    all-identical corpus IN the same directory, and require each
+    family's second read to see the new pairs — a stale cache would
+    keep answering zero."""
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    import hashlib
+
+    d = tmp_path_factory.mktemp("paircaches")
+    n = 20
+    # hash-derived words: two documents share almost no char-3-grams,
+    # so no pair can reach the 0.9 jaccard / containment thresholds
+    # (plain "tokIxJ" words shared enough grams to cross 0.9)
+    rows = [
+        (
+            i,
+            "s%d" % (i % 2),
+            " ".join(
+                hashlib.md5(b"%d-%d" % (i, j)).hexdigest()[:8]
+                for j in range(12)
+            ),
+        )
+        for i in range(n)
+    ]
+    schema = "doc_id long, source string, text string"
+    spark.createDataFrame(rows, schema).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    assert REGISTRY["dedup_ngram_jaccard"].fn(spark, str(d)).count() == 0
+    assert REGISTRY["dedup_containment_corpus"].fn(spark, str(d)).count() == 0
+    REGISTRY["dedup_simhash"].fn(spark, str(d)).count()
+    REGISTRY["dedup_levenshtein"].fn(spark, str(d)).count()
+
+    dup = [
+        (i, "s%d" % (i % 2), "the quick brown fox jumps over the lazy dog")
+        for i in range(n)
+    ]
+    spark.createDataFrame(dup, schema).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    # ngram: one identical-text group per source -> within-group
+    # cliques at jaccard 1.0
+    ng = REGISTRY["dedup_ngram_jaccard"].fn(spark, str(d)).collect()
+    per_src = n // 2
+    assert len(ng) == 2 * (per_src * (per_src - 1) // 2)
+    assert all(r["jaccard"] == 1.0 for r in ng)
+
+    # simhash: ONE rep group (unscoped by source) -> C(n, 2) at 0
+    sh = REGISTRY["dedup_simhash"].fn(spark, str(d)).collect()
+    assert len(sh) == n * (n - 1) // 2
+    assert all(r["hamming"] == 0 for r in sh)
+
+    # levenshtein: every within-group pair at edit distance 0
+    lev = REGISTRY["dedup_levenshtein"].fn(spark, str(d)).collect()
+    assert len(lev) == n * (n - 1) // 2
+    assert all(r["edit_dist"] == 0 for r in lev)
+
+    # containment: every doc reports a within-group container at 1.0
+    ct = REGISTRY["dedup_containment_corpus"].fn(spark, str(d)).collect()
+    assert len(ct) == n
+    assert all(r["containment"] == 1.0 for r in ct)

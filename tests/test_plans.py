@@ -22,12 +22,13 @@ def qmod():
 
 
 def plan(qmod, spark, sf_dir, key, mode="formatted"):
-    # the monitor gates serve their DECISION through cache.gate_decision
-    # (a local one-row frame on a warm cache); plan assertions target
-    # the underlying measurement bodies via pipeline.gate_compute_fns
-    from scribedb_spark.pipeline import gate_compute_fns
+    # cache-served keys (monitor gates' decision frames, the r15
+    # pair-table families) return checkpoint scans on a warm cache;
+    # plan assertions target the underlying BUILD bodies via
+    # pipeline.plan_compute_fns
+    from scribedb_spark.pipeline import plan_compute_fns
 
-    fn = gate_compute_fns().get(key) or qmod.REGISTRY[key].fn
+    fn = plan_compute_fns().get(key) or qmod.REGISTRY[key].fn
     df = fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
@@ -167,8 +168,11 @@ def test_similarity_verify_join_not_corpus_broadcast(qmod, spark, sf_dir):
     grows with corpus size, so a hinted broadcast OOMs at 100 TB).
     With no hints in the logical plan and auto-broadcast disabled,
     every join must degrade to SMJ — proving strategy is left to AQE."""
+    from scribedb_spark.pipeline import plan_compute_fns
+
+    compute = plan_compute_fns()
     for key in ("join_similarity", "dedup_ngram_jaccard"):
-        df = qmod.REGISTRY[key].fn(spark, sf_dir)
+        df = (compute.get(key) or qmod.REGISTRY[key].fn)(spark, sf_dir)
         logical = df._jdf.queryExecution().logical().toString()
         assert "ResolvedHint" not in logical, key
         assert "UnresolvedHint" not in logical, key
@@ -315,6 +319,13 @@ spark = get_spark(app_name="cache-hygiene")
 spark.sparkContext.setLogLevel("ERROR")
 for key in ("fp_chain", "dedup_ngram_jaccard", "join_similarity"):
     Q.REGISTRY[key].fn(spark, {sf_dir!r}).count()
+# the r15 pair-table session caches hold localCheckpoints ON PURPOSE
+# (build-once, evicted on input change); the hygiene property is that
+# blocks are reclaimable once dereferenced — evict, then drain
+from scribedb_spark.operators import dedup as _dd
+for c in (_dd._NGRAM_PAIRS_CACHE, _dd._SIMHASH_PAIRS_CACHE,
+          _dd._LEV_DIST_CACHE, _dd._CONTAIN_SCORED_CACHE):
+    c.clear()
 jmap = spark.sparkContext._jsc.getPersistentRDDs
 # 420 x 0.5 s: the ContextCleaner is ASYNC and slows arbitrarily when
 # the host is oversubscribed (another JVM shutting down, a parallel
@@ -966,7 +977,9 @@ def test_containment_no_hints_batch_filtered_prefix(qmod, spark, sf_dir):
     frequency tables grow with the corpus — the round-4 rule), and
     the incoming-batch predicate restricts the prefix side before
     the asymmetric join."""
-    df = qmod.REGISTRY["dedup_containment"].fn(spark, sf_dir)
+    from scribedb_spark.operators.dedup import _containment_batch_compute
+
+    df = _containment_batch_compute(spark, sf_dir)
     logical = df._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     p = plan(qmod, spark, sf_dir, "dedup_containment")
@@ -978,7 +991,9 @@ def test_containment_corpus_no_hints_no_batch_filter(qmod, spark, sf_dir):
     """dedup_containment_corpus: the corpus sweep keeps the
     no-forced-broadcast rule and has NO batch predicate — every doc's
     prefix participates."""
-    df = qmod.REGISTRY["dedup_containment_corpus"].fn(spark, sf_dir)
+    from scribedb_spark.operators.dedup import _containment_corpus_compute
+
+    df = _containment_corpus_compute(spark, sf_dir)
     logical = df._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     p = plan(qmod, spark, sf_dir, "dedup_containment_corpus")
@@ -992,7 +1007,9 @@ def test_containment_salted_join_carries_salt_key(qmod, spark, sf_dir):
     sub-keys) and the corpus-sized full-token side must compute its
     salt from xxhash64(doc_id) — while keeping the no-forced-
     broadcast rule."""
-    df = qmod.REGISTRY["dedup_containment_salted"].fn(spark, sf_dir)
+    from scribedb_spark.operators.dedup import _containment_salted_compute
+
+    df = _containment_salted_compute(spark, sf_dir)
     logical = df._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     p = plan(qmod, spark, sf_dir, "dedup_containment_salted")
