@@ -2783,8 +2783,19 @@ def _mips_codes_and_assignment(spark, sf_dir):
     """(d8, cent, asn): the augmented-int8 data codes, the {16} seeded
     cell codebook (cell, cq) and the exact-integer-dot cell assignment
     (c_id, ce, cell) — the build stages shared by the from-scratch
-    MIPS-ANN frame and the warehouse artifact builders."""
-    from pyspark.sql import Window
+    MIPS-ANN frame and the warehouse artifact builders.
+
+    r15 (guide §2.3/§4.2): the assignment is ONE Arrow/numpy pass —
+    exact int64 matmul, argmax first-occurrence over cell-ascending
+    columns == the (idot DESC, cell ASC) row_number pick it replaces
+    (codes are int8-range, dim+1 <= 65, so |dot| <= 127^2*65 << 2^63:
+    no overflow) — the same discipline as the IVF index build. The
+    previous shape crossJoined the corpus with the {16}-cell codebook,
+    ran one INTERPRETED F.aggregate fold per (vector, cell) and a
+    row_number window over 16 rows per vector (a corpus-sized sort +
+    shuffle); the map-only pass shuffles nothing."""
+    import numpy as np
+    import pandas as pd
 
     e = table(spark, "embeddings", sf_dir)
     v = e.select("vec_id", to_double_array("embedding").alias("e"))
@@ -2801,21 +2812,102 @@ def _mips_codes_and_assignment(spark, sf_dir):
     cent = d8.filter(F.col("vec_id") < _SQ_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("q").alias("cq")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
-    asn = (
-        d8.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cell", _mips_idot().alias("idot"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), "cell")
+    # bounded codebook collect ({16} rows — the <=128-row discipline),
+    # cell-ascending so argmax ties resolve to the smallest cell
+    crows = cent.orderBy("cell").collect()
+    cells_arr = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([r["cq"] for r in crows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cells_arr, C))
+
+    def assign_batches(batches):
+        cvals, Cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            ips = Qm @ Cm.T  # (n, cells) exact int64 inner products
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf["vec_id"],
+                    "ce": pdf["e"],
+                    "cell": cvals[ips.argmax(axis=1)],
+                }
+            )
+
+    asn = d8.select("vec_id", "e", "q").mapInPandas(
+        assign_batches, schema="c_id long, ce array<double>, cell long"
     )
     return d8, cent, asn
+
+
+#: session cache for the MIPS index state (codebook + cell-assigned
+#: vector table) — the build every MIPS key re-ran per invocation
+#: (r15 optimization: the _ivf_trained build-once discipline applied
+#: to the augmented-dimension family)
+_MIPS_STATE_CACHE: dict = {}
+
+
+def _mips_state(spark, sf_dir) -> dict:
+    """Session-cached {'cent', 'asn'} checkpoints of
+    :func:`_mips_codes_and_assignment` — built once per (session,
+    embeddings fingerprint) and served to the topk key, the recall
+    report and the warehouse artifact builders. deps= ties the entry
+    to the embeddings file (gate-honesty rule: an in-session rewrite
+    forces re-assignment)."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        _d8, cent, asn = _mips_codes_and_assignment(spark, sf_dir)
+        return {
+            "cent": cent.localCheckpoint(),
+            "asn": asn.localCheckpoint(),
+        }
+
+    return session_cache(
+        _MIPS_STATE_CACHE,
+        spark,
+        ("mips_state", sf_dir),
+        build,
+        deps=[f"{sf_dir}/embeddings.parquet"],
+    )
 
 
 def _mips_ann_frame(spark, sf_dir) -> DataFrame:
     """(q_id, c_id, ip, rk<=5) served MIPS top-k for the 10 fixture
     queries — the Spark half of _mips_ann_ctes (shared by the serve
-    key and the recall report)."""
+    key and the recall report). The index state serves from the
+    session cache (r15)."""
+    st = _mips_state(spark, sf_dir)
+    return _mips_frame_from(spark, sf_dir, st["cent"], st["asn"])
+
+
+def _mips_ann_frame_compute(spark, sf_dir) -> DataFrame:
+    """The full MIPS BUILD plan (codes + assignment + probe + rerank,
+    no state cache) — the plan-shape tests' capture target."""
+    _d8, cent, asn = _mips_codes_and_assignment(spark, sf_dir)
+    return _mips_frame_from(spark, sf_dir, cent, asn)
+
+
+def _mips_topk_compute(spark, sf_dir) -> DataFrame:
+    """ann_mips_topk's full BUILD plan (no state cache) — the
+    plan-shape tests' capture target."""
+    return _mips_ann_frame_compute(spark, sf_dir).select(
+        "q_id", "c_id", "ip", "rk"
+    )
+
+
+def _mips_recall_compute(spark, sf_dir) -> DataFrame:
+    """ann_mips_recall_report's full BUILD plan (no state cache) —
+    the plan-shape tests' capture target."""
+    return _mips_recall_for(
+        spark,
+        sf_dir,
+        _mips_ann_frame_compute(spark, sf_dir).select("q_id", "c_id"),
+        exact=_mips_exact_topk_compute(spark, sf_dir),
+    )
+
+
+def _mips_frame_from(spark, sf_dir, cent, asn) -> DataFrame:
     from pyspark.sql import Window
 
     e = table(spark, "embeddings", sf_dir)
@@ -2823,7 +2915,6 @@ def _mips_ann_frame(spark, sf_dir) -> DataFrame:
     q_aug = v.filter(F.col("vec_id") < 10).select(
         "vec_id", "e", F.concat(F.col("e"), F.array(F.lit(0.0))).alias("a")
     )
-    _d8, cent, asn = _mips_codes_and_assignment(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
     prb = (
         _mips_codes(q_aug)
@@ -2937,11 +3028,31 @@ def ann_mips_recall_report(spark, sf_dir) -> DataFrame:
     )
 
 
-def _mips_recall_for(spark, sf_dir, ann: DataFrame) -> DataFrame:
-    """Per-query recall@{5} of any served (q_id, c_id) MIPS answer set
-    against the exact inner-product baseline — factored out so the
-    retrain gate can audit whatever index the warehouse currently
-    serves (the _recall_report_for discipline applied to MIPS)."""
+#: session cache for the exact MIPS top-{5} baseline (10 fixture
+#: queries x k rows) — a pure function of the embeddings file that
+#: the recall report and the retrain gate's audit re-ranked per call
+#: (r15 optimization)
+_MIPS_EXACT_CACHE: dict = {}
+
+
+def _mips_exact_topk(spark, sf_dir) -> DataFrame:
+    """Session-cached exact inner-product top-{5} (q_id, c_id) per
+    fixture query — the baseline side of every MIPS recall audit.
+    deps= ties the entry to the embeddings file."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _MIPS_EXACT_CACHE,
+        spark,
+        ("mips_exact", sf_dir),
+        lambda: _mips_exact_topk_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/embeddings.parquet"],
+    )
+
+
+def _mips_exact_topk_compute(spark, sf_dir) -> DataFrame:
+    """The exact-baseline BUILD plan (bounded: 10 queries x corpus
+    map-only scoring + one top-k window)."""
     from pyspark.sql import Window
 
     e = table(spark, "embeddings", sf_dir)
@@ -2959,11 +3070,24 @@ def _mips_recall_for(spark, sf_dir, ann: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("ip"), "c_id")
-    exact = (
+    return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MIPS_K)
         .select("q_id", "c_id")
     )
+
+
+def _mips_recall_for(
+    spark, sf_dir, ann: DataFrame, exact: DataFrame | None = None
+) -> DataFrame:
+    """Per-query recall@{5} of any served (q_id, c_id) MIPS answer set
+    against the exact inner-product baseline — factored out so the
+    retrain gate can audit whatever index the warehouse currently
+    serves (the _recall_report_for discipline applied to MIPS). The
+    baseline serves from the session cache unless an uncached frame
+    is passed (plan capture)."""
+    if exact is None:
+        exact = _mips_exact_topk(spark, sf_dir)
     hits = (
         exact.join(ann, ["q_id", "c_id"])
         .groupBy("q_id")
@@ -3000,12 +3124,14 @@ def _mips_persisted_artifacts(spark, sf_dir):
     src = [f"{sf_dir}/embeddings.parquet"]
 
     def build_codebook():
-        _d8, cent, _asn = _mips_codes_and_assignment(spark, sf_dir)
-        # one file: {16} rows of augmented int64 codes
-        return cent.coalesce(1)
+        # one file: {16} rows of augmented int64 codes; the state
+        # serves from the session cache shared with the topk/recall
+        # keys (r15) — a rebuild after an embeddings rewrite still
+        # re-measures because deps= evicts the cached state first
+        return _mips_state(spark, sf_dir)["cent"].coalesce(1)
 
     def build_index():
-        _d8, _cent, asn = _mips_codes_and_assignment(spark, sf_dir)
+        asn = _mips_state(spark, sf_dir)["asn"]
         return asn.select(
             F.col("c_id").alias("vec_id"), F.col("ce").alias("e"), "cell"
         )

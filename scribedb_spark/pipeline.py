@@ -1523,9 +1523,16 @@ def plan_compute_fns() -> dict:
         _simhash_receipts_compute,
     )
 
+    from scribedb_spark.operators.similarity import (
+        _mips_recall_compute,
+        _mips_topk_compute,
+    )
+
     fns = dict(gate_compute_fns())
     fns.update(
         {
+            "ann_mips_topk": _mips_topk_compute,
+            "ann_mips_recall_report": _mips_recall_compute,
             "dedup_containment": _containment_batch_compute,
             "dedup_containment_corpus": _containment_corpus_compute,
             "dedup_containment_salted": _containment_salted_compute,

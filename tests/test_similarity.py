@@ -561,3 +561,81 @@ def test_mips_retrain_gate_degraded_index_triggers_one_rebuild(
     again = S.ann_mips_retrain_gate(spark, sf_dir).collect()[0]
     assert again["decision"] == "serve"
     assert len(persist.BUILD_EVENTS) == before + 2
+
+
+def test_mips_numpy_assignment_matches_window_pick(spark, sf_dir):
+    """r15 optimization: the Arrow/numpy cell assignment (exact int64
+    matmul + first-occurrence argmax over cell-ascending columns) must
+    equal the (idot DESC, cell ASC) row_number pick it replaced."""
+    from pyspark.sql import Window
+
+    from scribedb_spark.operators import similarity as S
+
+    d8, cent, asn = S._mips_codes_and_assignment(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("idot"), "cell")
+    ref = (
+        d8.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", S._mips_idot().alias("idot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    got = {r["c_id"]: r["cell"] for r in asn.select("c_id", "cell").collect()}
+    want = {r["vec_id"]: r["cell"] for r in ref.collect()}
+    assert got == want
+
+
+def test_mips_state_cache_builds_once_and_invalidates(
+    spark, tmp_path, monkeypatch
+):
+    """r15 optimization: the MIPS index state and the exact top-k
+    baseline serve from session caches (one build shared by topk +
+    recall report); an embeddings rewrite evicts both via the deps=
+    stat fingerprint (the gate-honesty rule)."""
+    import shutil
+
+    from scribedb_spark.operators import similarity as S
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", d / "embeddings.parquet")
+    sfd = str(d)
+
+    S._MIPS_STATE_CACHE.clear()
+    S._MIPS_EXACT_CACHE.clear()
+    builds = []
+    orig = S._mips_codes_and_assignment
+    monkeypatch.setattr(
+        S,
+        "_mips_codes_and_assignment",
+        lambda *a, **k: builds.append(1) or orig(*a, **k),
+    )
+
+    S.ann_mips_topk(spark, sfd).count()
+    assert len(builds) == 1
+    first = sorted(
+        map(tuple, S.ann_mips_recall_report(spark, sfd).collect())
+    )
+    assert len(builds) == 1  # recall report served the cached state
+    assert len(S._MIPS_EXACT_CACHE) == 1
+
+    # rewrite the embeddings file in place: half the corpus
+    import duckdb
+
+    con = duckdb.connect()
+    sub = con.execute(
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet' "
+        "WHERE vec_id < 250"
+    ).arrow()
+    (d / "embeddings.parquet").unlink()
+    con.register("sub", sub)
+    con.execute(
+        f"COPY sub TO '{d / 'embeddings.parquet'}' (FORMAT PARQUET)"
+    )
+    con.close()
+
+    second = sorted(
+        map(tuple, S.ann_mips_recall_report(spark, sfd).collect())
+    )
+    assert len(builds) == 2  # fingerprint change forced a rebuild
+    assert second != first  # answered from the new corpus
