@@ -1151,17 +1151,10 @@ def _ngram_receipt_rows(st: dict) -> DataFrame:
     return cross.unionByName(selfp)
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
-    SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
-    """,
-)
-def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.42 over all pairs (exact).
+def _embedding_cosine_compute(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.42 over all pairs (exact)
+    — the BUILD body (plan-shape capture target and the semantic state
+    cache's builder).
 
     Blocked all-pairs execution, fully distributed: vectors hash into
     B blocks; each of the B(B+1)/2 block PAIRS becomes one
@@ -1240,6 +1233,54 @@ def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
     return replicated.groupBy("pi", "pj").applyInPandas(
         block_pair_kernel, schema="vec_id1 long, vec_id2 long"
     )
+
+
+#: session cache for the exact semantic-dedup state — the blocked
+#: cosine pair table and its connected-components labels, which
+#: dedup_embedding_cosine and dedup_semantic_clusters re-built per
+#: invocation (the CC star rounds are EAGER: every call paid their
+#: actions again; r15 optimization, the pair-table cache discipline)
+_SEMANTIC_STATE_CACHE: dict = {}
+
+
+def _semantic_state(spark, sf_dir) -> dict:
+    """Session-cached {'pairs', 'comp'} checkpoints of the exact
+    cosine pair kernel and its component labels. deps= ties the entry
+    to the embeddings file (gate-honesty rule: an in-session rewrite
+    forces the kernel and the star rounds to re-run)."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        pairs = _embedding_cosine_compute(spark, sf_dir).localCheckpoint()
+        comp = connected_components(
+            pairs, id1="vec_id1", id2="vec_id2", out_id="vec_id"
+        ).localCheckpoint()
+        return {"pairs": pairs, "comp": comp}
+
+    return session_cache(
+        _SEMANTIC_STATE_CACHE,
+        spark,
+        ("semantic_state", sf_dir),
+        build,
+        deps=[f"{sf_dir}/embeddings.parquet"],
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+    SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.42 over all pairs
+    (exact), served from the session-cached semantic state — see
+    :func:`_embedding_cosine_compute` for the blocked-kernel build
+    this key shares with ``dedup_semantic_clusters``."""
+    return _semantic_state(spark, sf_dir)["pairs"]
 
 
 _COMPONENTS_ORACLE = f"""
@@ -1503,10 +1544,13 @@ def dedup_semantic_clusters(spark, sf_dir) -> DataFrame:
     refuses above $SPARK_GRAFT_EXACT_PAIRWISE_MAX vectors (see
     ``similarity.guard_exact_pairwise``).
     """
-    pairs = dedup_embedding_cosine(spark, sf_dir)
-    comp = connected_components(
-        pairs, id1="vec_id1", id2="vec_id2", out_id="vec_id"
-    )
+    comp = _semantic_state(spark, sf_dir)["comp"]
+    return _semantic_ledger(spark, sf_dir, comp)
+
+
+def _semantic_ledger(spark, sf_dir, comp: DataFrame) -> DataFrame:
+    """(vec_id, cluster, keep) from any (vec_id, component) table —
+    the id-only final join both semantic ledgers share."""
     ids = table(spark, "embeddings", sf_dir).select("vec_id")
     cluster = F.coalesce(F.col("component"), F.col("vec_id"))
     return ids.join(comp, "vec_id", "left").select(
@@ -1514,6 +1558,16 @@ def dedup_semantic_clusters(spark, sf_dir) -> DataFrame:
         cluster.alias("cluster"),
         (cluster == F.col("vec_id")).cast("int").alias("keep"),
     )
+
+
+def _semantic_clusters_compute(spark, sf_dir) -> DataFrame:
+    """dedup_semantic_clusters' full BUILD plan (no state cache) —
+    the plan-shape tests' capture target."""
+    pairs = _embedding_cosine_compute(spark, sf_dir)
+    comp = connected_components(
+        pairs, id1="vec_id1", id2="vec_id2", out_id="vec_id"
+    )
+    return _semantic_ledger(spark, sf_dir, comp)
 
 
 #: cell-blocked semantic-dedup CTE chain through `comp` (component
@@ -1565,15 +1619,80 @@ def _semantic_ann_oracle() -> str:
     )
 
 
-def _register_semantic_ann():
-    """Deferred registration: the oracle embeds similarity.py's shared
-    IVF-SQ CTEs, and dedup.py loads before similarity.py in
-    load_extensions — resolve at import completion instead."""
+#: session cache for the ANN semantic-dedup component labels — the
+#: cell-blocked candidate kernel + CC rounds dedup_semantic_ann and
+#: pipeline_semantic re-ran per invocation (r15 optimization)
+_SEMANTIC_ANN_CACHE: dict = {}
+
+
+def _semantic_ann_comp_compute(spark, sf_dir) -> DataFrame:
+    """(vec_id, component) labels of the IVF-SQ cell-blocked cosine
+    pair graph — the ANN ledger's BUILD body (cache builder and plan
+    capture target)."""
+    import numpy as np
+    import pandas as pd
+
     from scribedb_spark.functions.vector import to_double_array
     from scribedb_spark.operators.similarity import (
         scaled_cells,
         sq_assign_cells,
     )
+
+    e = table(spark, "embeddings", sf_dir)
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    # corpus-scaled cell count (bounded scalar count, one O(1) job)
+    cells = scaled_cells(e.count())
+    asg = sq_assign_cells(v, cells).select("cell", "vec_id", "e")
+
+    def cell_pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id1": pd.Series(dtype="int64"),
+                "id2": pd.Series(dtype="int64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        bi, bj = np.where(S >= 0.42)
+        keep = ids[bi] < ids[bj]
+        return pd.DataFrame({"id1": ids[bi][keep], "id2": ids[bj][keep]})
+
+    pairs = (
+        asg.groupBy("cell")
+        .applyInPandas(cell_pair_kernel, schema="id1 long, id2 long")
+        .distinct()
+    )
+    return connected_components(pairs, id1="id1", id2="id2", out_id="vec_id")
+
+
+def _semantic_ann_comp(spark, sf_dir) -> DataFrame:
+    """Session-cached checkpoint of the ANN component labels —
+    deps= ties the entry to the embeddings file."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _SEMANTIC_ANN_CACHE,
+        spark,
+        ("semantic_ann_comp", sf_dir),
+        lambda: _semantic_ann_comp_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/embeddings.parquet"],
+    )
+
+
+def _semantic_ann_compute(spark, sf_dir) -> DataFrame:
+    """dedup_semantic_ann's full BUILD plan (no state cache) — the
+    plan-shape tests' capture target."""
+    return _semantic_ledger(spark, sf_dir, _semantic_ann_comp_compute(spark, sf_dir))
+
+
+def _register_semantic_ann():
+    """Deferred registration: the oracle embeds similarity.py's shared
+    IVF-SQ CTEs, and dedup.py loads before similarity.py in
+    load_extensions — resolve at import completion instead."""
 
     @register("dedup_semantic_ann", oracle=_semantic_ann_oracle())
     def dedup_semantic_ann(spark, sf_dir) -> DataFrame:
@@ -1595,46 +1714,10 @@ def _register_semantic_ann():
         dedup within clusters). The only wide shuffle is the
         (cell, id, embedding) replication, n*A rows; components run
         on the verified pair graph; the corpus-sized final join
-        carries ids only (plan-asserted, like the exact twin)."""
-        import numpy as np
-        import pandas as pd
-
-        e = table(spark, "embeddings", sf_dir)
-        v = e.select("vec_id", to_double_array("embedding").alias("e"))
-        # corpus-scaled cell count (bounded scalar count, one O(1) job)
-        cells = scaled_cells(e.count())
-        asg = sq_assign_cells(v, cells).select("cell", "vec_id", "e")
-
-        def cell_pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {
-                    "id1": pd.Series(dtype="int64"),
-                    "id2": pd.Series(dtype="int64"),
-                }
-            )
-            if len(pdf) < 2:
-                return empty
-            ids = pdf["vec_id"].to_numpy()
-            V = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn @ Vn.T
-            bi, bj = np.where(S >= 0.42)
-            keep = ids[bi] < ids[bj]
-            return pd.DataFrame({"id1": ids[bi][keep], "id2": ids[bj][keep]})
-
-        pairs = (
-            asg.groupBy("cell")
-            .applyInPandas(cell_pair_kernel, schema="id1 long, id2 long")
-            .distinct()
-        )
-        comp = connected_components(pairs, id1="id1", id2="id2", out_id="vec_id")
-        ids = e.select("vec_id")
-        cluster = F.coalesce(F.col("component"), F.col("vec_id"))
-        return ids.join(comp, "vec_id", "left").select(
-            "vec_id",
-            cluster.alias("cluster"),
-            (cluster == F.col("vec_id")).cast("int").alias("keep"),
-        )
+        carries ids only (plan-asserted, like the exact twin). The
+        component labels serve from the session cache (r15) —
+        :func:`_semantic_ann_comp_compute` is the build body."""
+        return _semantic_ledger(spark, sf_dir, _semantic_ann_comp(spark, sf_dir))
 
 
 @register(

@@ -1515,10 +1515,13 @@ def plan_compute_fns() -> dict:
         _containment_batch_compute,
         _containment_corpus_compute,
         _containment_salted_compute,
+        _embedding_cosine_compute,
         _lev_member_compute,
         _lev_receipts_compute,
         _ngram_jaccard_compute,
         _ngram_receipts_compute,
+        _semantic_ann_compute,
+        _semantic_clusters_compute,
         _simhash_member_compute,
         _simhash_receipts_compute,
     )
@@ -1542,9 +1545,36 @@ def plan_compute_fns() -> dict:
             "dedup_ngram_receipts": _ngram_receipts_compute,
             "dedup_simhash": _simhash_member_compute,
             "dedup_simhash_receipts": _simhash_receipts_compute,
+            "dedup_embedding_cosine": _embedding_cosine_compute,
+            "dedup_semantic_clusters": _semantic_clusters_compute,
+            "dedup_semantic_ann": _semantic_ann_compute,
+            "pipeline_semantic": _pipeline_semantic_compute,
         }
     )
     return fns
+
+
+def _pipeline_semantic_compute(spark, sf_dir) -> DataFrame:
+    """pipeline_semantic's full BUILD plan (the ANN ledger built from
+    scratch, no state cache) — the plan-shape tests' capture target."""
+    from scribedb_spark.operators.dedup import _semantic_ann_compute
+
+    kept = curate(table(spark, "documents", sf_dir)).select(
+        "doc_id", "source", "n_tokens"
+    )
+    ledger = _semantic_ann_compute(spark, sf_dir)
+    keep_ids = ledger.filter(F.col("keep") == 1).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        kept.join(keep_ids, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
 
 
 def gate_panel_compute(spark, sf_dir) -> DataFrame:

@@ -132,3 +132,66 @@ def test_pair_family_caches_invalidate_on_corpus_rewrite(
     ct = REGISTRY["dedup_containment_corpus"].fn(spark, str(d)).collect()
     assert len(ct) == n
     assert all(r["containment"] == 1.0 for r in ct)
+
+
+def test_semantic_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15: the exact and ANN semantic-dedup states serve from the
+    session cache (pairs + CC built once for dedup_embedding_cosine /
+    dedup_semantic_clusters / dedup_semantic_ann / pipeline_semantic);
+    an embeddings rewrite evicts them (deps= stat fingerprint)."""
+    import shutil
+
+    from scribedb_spark.operators import dedup as dd
+
+    d = tmp_path_factory.mktemp("semcache")
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet", d / "embeddings.parquet"
+    )
+    sfd = str(d)
+
+    dd._SEMANTIC_STATE_CACHE.clear()
+    dd._SEMANTIC_ANN_CACHE.clear()
+    builds = []
+    orig = dd._embedding_cosine_compute
+    monkeypatch.setattr(
+        dd,
+        "_embedding_cosine_compute",
+        lambda *a, **k: builds.append(1) or orig(*a, **k),
+    )
+
+    from scribedb_spark.queries import REGISTRY
+
+    first = sorted(
+        map(
+            tuple,
+            REGISTRY["dedup_semantic_clusters"].fn(spark, sfd).collect(),
+        )
+    )
+    REGISTRY["dedup_embedding_cosine"].fn(spark, sfd).count()
+    assert len(builds) == 1  # clusters + pairs keys shared one kernel run
+    REGISTRY["dedup_semantic_ann"].fn(spark, sfd).count()
+    assert len(dd._SEMANTIC_ANN_CACHE) == 1
+
+    # rewrite embeddings in place: half the corpus
+    import duckdb
+
+    con = duckdb.connect()
+    sub = con.execute(
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet' "
+        "WHERE vec_id < 250"
+    ).arrow()
+    (d / "embeddings.parquet").unlink()
+    con.register("sub", sub)
+    con.execute(f"COPY sub TO '{d / 'embeddings.parquet'}' (FORMAT PARQUET)")
+    con.close()
+
+    second = sorted(
+        map(
+            tuple,
+            REGISTRY["dedup_semantic_clusters"].fn(spark, sfd).collect(),
+        )
+    )
+    assert len(builds) == 2  # fingerprint change forced a rebuild
+    assert second != first  # answered from the new corpus
