@@ -3453,14 +3453,11 @@ def compare_iblt_diff(spark, sf_dir) -> DataFrame:
     (floored at the fixed budget), and only a diff past the 2^21-cell
     cap raises with an explicit pointer to the merkle fallback rather
     than decoding wrong — so the planted diff keeps decoding as the
-    corpus (and with it the absolute diff count) scales."""
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    base = table(spark, "orders", sf_dir).select(
-        "o_orderkey",
-        cents.alias("cents"),
-        "o_orderpriority",
-        "o_orderstatus",
-    )
+    corpus (and with it the absolute diff count) scales. r15: a diff
+    within the fixed budget decodes in ONE optimistic pass (see
+    iblt_reconcile), and the fixture derives from the session-cached
+    rendered base the incremental/persist keys already share."""
+    base = _iblt_orders_base(spark, sf_dir)
     src = base.filter(F.col("o_orderkey") % 3000 != 0)
     tgt = (
         base.filter(F.col("o_orderkey") % 2000 != 0)
@@ -3676,6 +3673,28 @@ def iblt_reconcile(
     src_items = _iblt_items(src, key_col, value_cols)
     tgt_items = _iblt_items(tgt, key_col, value_cols)
     if cells == "auto":
+        # OPTIMISTIC single pass (r15, guide §1.2/§2.1): decode at the
+        # fixed budget first — one job (scan -> fp -> cells -> partial
+        # agg -> merge -> bounded collect), no checkpoints, no
+        # estimator grid. When it decodes (every diff within the fixed
+        # capacity — today's common case) the result is IDENTICAL to
+        # the two-pass mode, which would have sized need == _IBLT_CELLS
+        # and built this exact sketch; a successful decode always
+        # recovers exactly the symmetric difference. Only a decode
+        # STALL (diff past the fixed budget) pays the adaptive path
+        # below — one failed bounded collect, then the old flow.
+        try:
+            return _iblt_decode(
+                spark,
+                _iblt_merge(
+                    _iblt_cell_agg(_iblt_sketch_items(src_items, 1, None)),
+                    _iblt_cell_agg(_iblt_sketch_items(tgt_items, -1, None)),
+                ),
+                key_col,
+                None,
+            )
+        except ValueError:
+            pass  # stalled: size from the estimator bound instead
         # two passes read the items (estimator grid, then the sketch):
         # checkpoint the narrow (key, fp) rows so the dominant per-row
         # md5 fingerprinting of the WIDE sources is paid exactly once

@@ -969,11 +969,16 @@ def test_iblt_auto_sizing_recovers_past_fixed_budget(spark, monkeypatch):
 def test_iblt_auto_cap_points_at_merkle(spark, monkeypatch):
     """Past the adaptive cap the tables are too different for cheap
     set reconciliation — fail loudly naming the merkle fallback, never
-    build an unboundedly large sketch."""
+    build an unboundedly large sketch. The fixed budget shrinks too so
+    the r15 optimistic fixed-budget decode stalls and the SIZING path
+    (where the cap guard lives) is actually reached — with the real
+    8192-cell budget this diff would simply decode, which is the
+    optimistic path working as intended."""
     import pytest
 
     from scribedb_spark import analytics
 
+    monkeypatch.setattr(analytics, "_IBLT_CELLS", 48)
     monkeypatch.setattr(analytics, "_IBLT_AUTO_CAP", 64)
     src = spark.range(0, 200).selectExpr("id as k", "id * 7 as v")
     tgt = spark.range(200, 400).selectExpr("id as k", "id * 7 as v")
