@@ -808,6 +808,14 @@ def _ivf_int_oracle(
     """.format(lloyd=_int_lloyd_ctes(1, k, iters, _IVF_SAMPLE))
 
 
+#: session cache for the served IVF top-5 frame and the exact-cosine
+#: baseline — both pure functions of the embeddings file that every
+#: invocation re-ranked from scratch (r15 optimization: the
+#: _mips_state/_mips_exact_topk discipline applied to the trained-IVF
+#: family). deps= fingerprints evict on an embeddings rewrite.
+_IVF_SERVE_CACHE: dict = {}
+
+
 @register("ann_ivf_topk", oracle=_ivf_int_oracle())
 def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     """ANN top-5 per query via a TRAINED IVF coarse quantizer (the
@@ -830,7 +838,29 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     nearest cells by the same integer metric (ties -> smaller cell),
     candidates re-rank by exact float cosine (shared fold, ROUND 6 +
     id tie-breaks), top-5. Recall floor vs numpy brute force pinned
-    in tests/test_similarity.py."""
+    in tests/test_similarity.py.
+
+    r15: the served top-5 frame (|queries| x 5 rows, a pure function
+    of the embeddings file) is a session-cached localCheckpoint —
+    the interpreted-fold rerank over the probed cells runs once per
+    (session, embeddings fingerprint) instead of per invocation (the
+    _mips_state discipline; plan tests pin the BUILD body via
+    pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _IVF_SERVE_CACHE,
+        spark,
+        ("ivf_topk", sf_dir, _IVF_SAMPLE, N_CELLS, _IVF_ITERS),
+        lambda: _ivf_topk_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/embeddings.parquet"],
+    )
+
+
+def _ivf_topk_compute(spark, sf_dir) -> DataFrame:
+    """ann_ivf_topk's full BUILD plan (probe + exact-cosine rerank +
+    top-5 window, no serve cache) — the plan-shape tests' capture
+    target and the cache builder's body."""
     scored = _ivf_scored(spark, sf_dir)
     from pyspark.sql import Window
 
@@ -1179,17 +1209,32 @@ def ann_recall_report(spark, sf_dir) -> DataFrame:
     cosine), which is exactly how production recall audits run — on a
     BOUNDED query sample against the served index; the ann side reads
     the cached index. Queries broadcast (10 rows); one TakeOrdered-
-    style window per query; the report is |queries| rows."""
+    style window per query; the report is |queries| rows.
+
+    r15: both halves serve from session caches (the served top-5 via
+    ann_ivf_topk's cache, the exact baseline via _ivf_exact_top5) —
+    the |queries| x corpus interpreted-fold cosine pass runs once per
+    (session, embeddings fingerprint)."""
     ann = ann_ivf_topk(spark, sf_dir).select("q_id", "c_id")
     return _recall_report_for(spark, sf_dir, ann)
 
 
-def _recall_report_for(spark, sf_dir, ann: DataFrame) -> DataFrame:
-    """Per-query (q_id, k, n_hits, recall_ppm) of ``ann`` — a served
-    (q_id, c_id) top-5 — against the exact brute-force top-5. The
-    measurement half of ann_recall_report, shared with the retrain
-    gate (which measures the WAREHOUSE-served index, degraded or
-    not, before deciding)."""
+def _ivf_recall_compute(spark, sf_dir) -> DataFrame:
+    """ann_recall_report's full BUILD plan (served topk + exact
+    baseline both computed from scratch, no caches) — the plan-shape
+    tests' capture target."""
+    return _recall_report_for(
+        spark,
+        sf_dir,
+        _ivf_topk_compute(spark, sf_dir).select("q_id", "c_id"),
+        exact=_ivf_exact_top5_compute(spark, sf_dir),
+    )
+
+
+def _ivf_exact_top5_compute(spark, sf_dir) -> DataFrame:
+    """The exact-baseline BUILD plan: brute-force (q_id, c_id) top-5
+    by the shared fold cosine (ROUND 6 + id tie-breaks) — bounded, 10
+    broadcast queries x corpus, one window."""
     from pyspark.sql import Window
 
     e = table(spark, "embeddings", sf_dir)
@@ -1207,11 +1252,41 @@ def _recall_report_for(spark, sf_dir, ann: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "c_id")
-    exact = (
+    return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("q_id", "c_id")
     )
+
+
+def _ivf_exact_top5(spark, sf_dir) -> DataFrame:
+    """Session-cached exact cosine top-5 (q_id, c_id) per fixture
+    query — the baseline side of every IVF recall audit (the recall
+    report and the retrain gate's measure passes share one build).
+    deps= ties the entry to the embeddings file."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _IVF_SERVE_CACHE,
+        spark,
+        ("ivf_exact", sf_dir),
+        lambda: _ivf_exact_top5_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/embeddings.parquet"],
+    )
+
+
+def _recall_report_for(
+    spark, sf_dir, ann: DataFrame, exact: DataFrame | None = None
+) -> DataFrame:
+    """Per-query (q_id, k, n_hits, recall_ppm) of ``ann`` — a served
+    (q_id, c_id) top-5 — against the exact brute-force top-5. The
+    measurement half of ann_recall_report, shared with the retrain
+    gate (which measures the WAREHOUSE-served index, degraded or
+    not, before deciding). ``exact`` defaults to the session-cached
+    baseline (a pure function of the embeddings file; the plan tests
+    pass the uncached body explicitly)."""
+    if exact is None:
+        exact = _ivf_exact_top5(spark, sf_dir)
     hits = (
         exact.join(ann, ["q_id", "c_id"])
         .groupBy("q_id")

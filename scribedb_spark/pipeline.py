@@ -1524,9 +1524,14 @@ def plan_compute_fns() -> dict:
         _semantic_clusters_compute,
         _simhash_member_compute,
         _simhash_receipts_compute,
+        _substring_rewrite_all_compute,
+        _substring_rewrite_compute,
+        _substring_spans_compute,
     )
 
     from scribedb_spark.operators.similarity import (
+        _ivf_recall_compute,
+        _ivf_topk_compute,
         _mips_recall_compute,
         _mips_topk_compute,
     )
@@ -1534,6 +1539,8 @@ def plan_compute_fns() -> dict:
     fns = dict(gate_compute_fns())
     fns.update(
         {
+            "ann_ivf_topk": _ivf_topk_compute,
+            "ann_recall_report": _ivf_recall_compute,
             "ann_mips_topk": _mips_topk_compute,
             "ann_mips_recall_report": _mips_recall_compute,
             "dedup_containment": _containment_batch_compute,
@@ -1545,6 +1552,9 @@ def plan_compute_fns() -> dict:
             "dedup_ngram_receipts": _ngram_receipts_compute,
             "dedup_simhash": _simhash_member_compute,
             "dedup_simhash_receipts": _simhash_receipts_compute,
+            "dedup_substring_spans": _substring_spans_compute,
+            "dedup_substring_rewrite": _substring_rewrite_compute,
+            "dedup_substring_rewrite_all": _substring_rewrite_all_compute,
             "dedup_embedding_cosine": _embedding_cosine_compute,
             "dedup_semantic_clusters": _semantic_clusters_compute,
             "dedup_semantic_ann": _semantic_ann_compute,

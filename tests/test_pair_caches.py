@@ -195,3 +195,122 @@ def test_semantic_caches_build_once_and_invalidate(
     )
     assert len(builds) == 2  # fingerprint change forced a rebuild
     assert second != first  # answered from the new corpus
+
+
+def test_ivf_serve_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15: the served IVF top-5 and the exact-cosine baseline serve
+    from the session cache (ann_ivf_topk / ann_recall_report share
+    one rerank + one brute-force pass per session); an embeddings
+    rewrite evicts both (deps= stat fingerprint)."""
+    import shutil
+
+    from scribedb_spark.operators import similarity as sim
+
+    d = tmp_path_factory.mktemp("ivfcache")
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet", d / "embeddings.parquet"
+    )
+    sfd = str(d)
+
+    sim._IVF_SERVE_CACHE.clear()
+    topk_builds, exact_builds = [], []
+    orig_topk = sim._ivf_topk_compute
+    orig_exact = sim._ivf_exact_top5_compute
+    monkeypatch.setattr(
+        sim,
+        "_ivf_topk_compute",
+        lambda *a, **k: topk_builds.append(1) or orig_topk(*a, **k),
+    )
+    monkeypatch.setattr(
+        sim,
+        "_ivf_exact_top5_compute",
+        lambda *a, **k: exact_builds.append(1) or orig_exact(*a, **k),
+    )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    first = sorted(
+        map(tuple, REGISTRY["ann_ivf_topk"].fn(spark, sfd).collect())
+    )
+    REGISTRY["ann_recall_report"].fn(spark, sfd).count()
+    REGISTRY["ann_recall_report"].fn(spark, sfd).count()
+    assert len(topk_builds) == 1  # topk + recall shared one rerank
+    assert len(exact_builds) == 1  # both recall reads, one baseline
+
+    # rewrite embeddings in place: half the corpus
+    import duckdb
+
+    con = duckdb.connect()
+    sub = con.execute(
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet' "
+        "WHERE vec_id < 250"
+    ).arrow()
+    (d / "embeddings.parquet").unlink()
+    con.register("sub", sub)
+    con.execute(f"COPY sub TO '{d / 'embeddings.parquet'}' (FORMAT PARQUET)")
+    con.close()
+
+    second = sorted(
+        map(tuple, REGISTRY["ann_ivf_topk"].fn(spark, sfd).collect())
+    )
+    REGISTRY["ann_recall_report"].fn(spark, sfd).count()
+    assert len(topk_builds) == 2  # fingerprint change forced a rebuild
+    assert len(exact_builds) == 2
+    assert second != first  # answered from the new corpus
+
+
+def test_substring_span_cache_builds_once_and_invalidates(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15: the rep-grain maximal-span table serves from the session
+    cache (spans / rewrite / rewrite_all share one anchored-match +
+    pick chain per session); a corpus rewrite evicts it (deps= stat
+    fingerprint)."""
+    import shutil
+
+    from scribedb_spark.operators import dedup as dd
+
+    d = tmp_path_factory.mktemp("substrcache")
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+    sfd = str(d)
+
+    dd._SUBSTR_SPANS_CACHE.clear()
+    builds = []
+    orig = dd._rep_substring_spans_compute
+    monkeypatch.setattr(
+        dd,
+        "_rep_substring_spans_compute",
+        lambda *a, **k: builds.append(1) or orig(*a, **k),
+    )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    first = REGISTRY["dedup_substring_spans"].fn(spark, sfd).count()
+    REGISTRY["dedup_substring_rewrite"].fn(spark, sfd).count()
+    REGISTRY["dedup_substring_rewrite_all"].fn(spark, sfd).count()
+    assert len(builds) == 1  # all three keys shared one span build
+    assert len(dd._SUBSTR_SPANS_CACHE) == 1
+
+    # rewrite the corpus in place: every doc now shares one long run
+    # with doc 0 (a 24-token duplicated head), so the span table must
+    # be re-derived from the NEW file
+    n = 30
+    shared = " ".join("run%d" % j for j in range(24))
+    rows = [
+        (i, "s0", shared + " tail%d uniq%d" % (i, i), len(shared) + 12)
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    second = REGISTRY["dedup_substring_spans"].fn(spark, sfd).count()
+    assert len(builds) == 2  # fingerprint change forced a rebuild
+    assert second != first  # answered from the new corpus
+    assert second > 0
