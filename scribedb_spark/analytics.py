@@ -2518,6 +2518,12 @@ def agg_mad_outliers(spark, sf_dir) -> DataFrame:
 #: discipline as queries._MERKLE_CACHE)
 _CELL_GRID_CACHE: dict = {}
 
+#: session cache for the served drill-row diff — a pure function of
+#: the orders file whose rendered-base checkpoint + two chunk-fp
+#: aggregations + symmetric exceptAll every invocation re-ran (r15
+#: optimization round; deps= evicts on an orders rewrite).
+_DRILL_SERVE_CACHE: dict = {}
+
 
 def _cell_incr_oracle() -> str:
     chunk = (
@@ -2707,7 +2713,31 @@ def compare_drill_rows(spark, sf_dir) -> DataFrame:
 
     Scale: two one-pass chunk-fp aggregations (map-side partials,
     16-row outputs), one broadcast semi join per side, exceptAll on
-    the hot subset only (output bounded by actual differing rows)."""
+    the hot subset only (output bounded by actual differing rows).
+
+    r15 optimization round: the diff-row frame (bounded by actual
+    differing rows, a pure function of the orders file) is a
+    session-cached localCheckpoint — the rendered-base checkpoint,
+    both fp passes and the symmetric exceptAll run once per (session,
+    orders fingerprint) instead of per invocation (the gate-decision
+    serving discipline; plan tests pin the BUILD body via
+    pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _DRILL_SERVE_CACHE,
+        spark,
+        ("drill_rows", sf_dir),
+        lambda: _drill_rows_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/orders.parquet"],
+    )
+
+
+def _drill_rows_compute(spark, sf_dir) -> DataFrame:
+    """compare_drill_rows' full BUILD plan (rendered-base checkpoint,
+    two chunk-fp aggregations, hot-chunk broadcast semi joins, the
+    symmetric exceptAll — no serve cache) — the plan-shape tests'
+    capture target and the serve cache's builder."""
     from scribedb_spark.canonical import keyed_chunk_id
 
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")

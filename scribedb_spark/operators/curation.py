@@ -2087,6 +2087,12 @@ _EVAL_OVERLAP_ORACLE = f"""
 
 _BASE_POST_CACHE: dict = {}
 
+#: session cache for the served retrieval-drift frames (the one-row
+#: overlap table and the 3-row panel) — pure functions of the
+#: documents file whose scoring passes every invocation re-ran (r15
+#: optimization round; deps= evicts on a corpus rewrite).
+_EVAL_SERVE_CACHE: dict = {}
+
 
 def _base_corpus_postings(spark, sf_dir: str) -> tuple:
     """(postings, n_docs, total_tokens) of the BASE corpus (the
@@ -2191,7 +2197,28 @@ def search_eval_overlap(spark, sf_dir) -> DataFrame:
     cached score table that text_bm25_topk serves from); each top-k
     is a TakeOrdered, the drift join is 20x20 rows. The standing
     monitor costs one extra BM25 scan per snapshot — nothing is
-    quadratic, nothing exceeds k rows after the score stage."""
+    quadratic, nothing exceeds k rows after the score stage.
+
+    r15 optimization round: the one-row drift table (a pure function
+    of the documents file) is a session-cached localCheckpoint — the
+    two scoring passes run once per (session, corpus fingerprint)
+    instead of per invocation (the gate-decision serving discipline;
+    plan tests pin the BUILD body via pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _EVAL_SERVE_CACHE,
+        spark,
+        ("eval_overlap", sf_dir),
+        lambda: _eval_overlap_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+def _eval_overlap_compute(spark, sf_dir) -> DataFrame:
+    """search_eval_overlap's full BUILD plan (both scoring passes +
+    the drift row, no serve cache) — the plan-shape tests' capture
+    target and the serve cache's builder."""
     top_full = _bm25_top_ranks(bm25_scores(spark, sf_dir)).localCheckpoint()
     post, n, t = _base_corpus_postings(spark, sf_dir)
     top_base = _bm25_top_ranks(
@@ -2315,7 +2342,28 @@ def search_eval_panel(spark, sf_dir) -> DataFrame:
     extra bounded scoring pass; everything after the score stage is
     k-bounded. At production P the probes share one exploded term
     scan (the df/avgdl stages are probe-independent); this panel
-    keeps the proven per-probe shape."""
+    keeps the proven per-probe shape.
+
+    r15 optimization round: the 3-row panel (a pure function of the
+    documents file) is a session-cached localCheckpoint — the per-
+    probe scoring passes run once per (session, corpus fingerprint)
+    instead of per invocation (the gate-decision serving discipline;
+    plan tests pin the BUILD body via pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _EVAL_SERVE_CACHE,
+        spark,
+        ("eval_panel", sf_dir, tuple(_EVAL_PANEL_DOCS)),
+        lambda: _eval_panel_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+def _eval_panel_compute(spark, sf_dir) -> DataFrame:
+    """search_eval_panel's full BUILD plan (one drift row per probe,
+    no serve cache) — the plan-shape tests' capture target and the
+    serve cache's builder."""
     frames = [
         _eval_drift_row(spark, sf_dir, q) for q in _EVAL_PANEL_DOCS
     ]

@@ -1531,10 +1531,20 @@ def plan_compute_fns() -> dict:
 
     from scribedb_spark.operators.similarity import (
         _ivf_recall_compute,
+        _ivf_sq_topk_compute,
         _ivf_topk_compute,
+        _lsh_topk_compute,
         _mips_recall_compute,
         _mips_topk_compute,
+        _pq_topk_compute,
     )
+
+    from scribedb_spark.analytics import _drill_rows_compute
+    from scribedb_spark.operators.curation import (
+        _eval_overlap_compute,
+        _eval_panel_compute,
+    )
+    from scribedb_spark.operators.graph import _pagerank_compute
 
     fns = dict(gate_compute_fns())
     fns.update(
@@ -1543,6 +1553,13 @@ def plan_compute_fns() -> dict:
             "ann_recall_report": _ivf_recall_compute,
             "ann_mips_topk": _mips_topk_compute,
             "ann_mips_recall_report": _mips_recall_compute,
+            "ann_pq_topk": _pq_topk_compute,
+            "ann_lsh_topk": _lsh_topk_compute,
+            "ann_ivf_sq_topk": _ivf_sq_topk_compute,
+            "graph_pagerank": _pagerank_compute,
+            "compare_drill_rows": _drill_rows_compute,
+            "search_eval_overlap": _eval_overlap_compute,
+            "search_eval_panel": _eval_panel_compute,
             "dedup_containment": _containment_batch_compute,
             "dedup_containment_corpus": _containment_corpus_compute,
             "dedup_containment_salted": _containment_salted_compute,

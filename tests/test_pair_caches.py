@@ -314,3 +314,192 @@ def test_substring_span_cache_builds_once_and_invalidates(
     assert len(builds) == 2  # fingerprint change forced a rebuild
     assert second != first  # answered from the new corpus
     assert second > 0
+
+
+def test_ann_serve_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 optimization round: the PQ / sign-LSH / seeded-SQ served
+    top-5 frames serve from the session cache (one build per key per
+    session); an embeddings rewrite evicts all three (deps= stat
+    fingerprint)."""
+    import shutil
+
+    from scribedb_spark.operators import similarity as sim
+
+    d = tmp_path_factory.mktemp("annservecache")
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet", d / "embeddings.parquet"
+    )
+    sfd = str(d)
+
+    sim._ANN_SERVE_CACHE.clear()
+    builds = {"pq": [], "lsh": [], "sq": []}
+    for name, attr in (
+        ("pq", "_pq_topk_compute"),
+        ("lsh", "_lsh_topk_compute"),
+        ("sq", "_ivf_sq_topk_compute"),
+    ):
+        orig = getattr(sim, attr)
+        monkeypatch.setattr(
+            sim,
+            attr,
+            (lambda lst, o: lambda *a, **k: lst.append(1) or o(*a, **k))(
+                builds[name], orig
+            ),
+        )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    firsts = {}
+    for key, name in (
+        ("ann_pq_topk", "pq"),
+        ("ann_lsh_topk", "lsh"),
+        ("ann_ivf_sq_topk", "sq"),
+    ):
+        firsts[key] = sorted(map(tuple, REGISTRY[key].fn(spark, sfd).collect()))
+        REGISTRY[key].fn(spark, sfd).count()
+        assert len(builds[name]) == 1, key  # second call served the cache
+
+    # rewrite embeddings in place: half the corpus
+    import duckdb
+
+    con = duckdb.connect()
+    sub = con.execute(
+        "SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet' "
+        "WHERE vec_id < 250"
+    ).arrow()
+    (d / "embeddings.parquet").unlink()
+    con.register("sub", sub)
+    con.execute(f"COPY sub TO '{d / 'embeddings.parquet'}' (FORMAT PARQUET)")
+    con.close()
+
+    for key, name in (
+        ("ann_pq_topk", "pq"),
+        ("ann_lsh_topk", "lsh"),
+        ("ann_ivf_sq_topk", "sq"),
+    ):
+        second = sorted(map(tuple, REGISTRY[key].fn(spark, sfd).collect()))
+        assert len(builds[name]) == 2, key  # rewrite forced a rebuild
+        assert second != firsts[key], key  # answered from the new corpus
+
+
+def test_pagerank_and_drill_serve_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 optimization round: graph_pagerank's rank frame and
+    compare_drill_rows' diff-row frame serve from the session cache;
+    touching their source file (stat fingerprint) evicts them."""
+    import shutil
+
+    from scribedb_spark import analytics as an
+    from scribedb_spark.operators import graph as gr
+
+    d = tmp_path_factory.mktemp("servecache")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", d / "orders.parquet")
+    sfd = str(d)
+
+    gr._GRAPH_SERVE_CACHE.clear()
+    an._DRILL_SERVE_CACHE.clear()
+    pr_builds, dr_builds = [], []
+    orig_pr = gr._pagerank_compute
+    orig_dr = an._drill_rows_compute
+    monkeypatch.setattr(
+        gr,
+        "_pagerank_compute",
+        lambda *a, **k: pr_builds.append(1) or orig_pr(*a, **k),
+    )
+    monkeypatch.setattr(
+        an,
+        "_drill_rows_compute",
+        lambda *a, **k: dr_builds.append(1) or orig_dr(*a, **k),
+    )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    first_pr = sorted(
+        map(tuple, REGISTRY["graph_pagerank"].fn(spark, sfd).collect())
+    )
+    REGISTRY["graph_pagerank"].fn(spark, sfd).count()
+    first_dr = REGISTRY["compare_drill_rows"].fn(spark, sfd).count()
+    REGISTRY["compare_drill_rows"].fn(spark, sfd).count()
+    assert len(pr_builds) == 1  # second calls served the cache
+    assert len(dr_builds) == 1
+
+    # re-copy the sources: same bytes, new mtime -> new fingerprint
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", d / "orders.parquet")
+
+    second_pr = sorted(
+        map(tuple, REGISTRY["graph_pagerank"].fn(spark, sfd).collect())
+    )
+    second_dr = REGISTRY["compare_drill_rows"].fn(spark, sfd).count()
+    assert len(pr_builds) == 2  # fingerprint change forced a rebuild
+    assert len(dr_builds) == 2
+    assert second_pr == first_pr  # identical bytes -> identical answer
+    assert second_dr == first_dr
+
+
+def test_eval_serve_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 optimization round: search_eval_overlap's drift row and
+    search_eval_panel's 3-row pane serve from the session cache;
+    touching the corpus file (stat fingerprint) evicts them."""
+    import shutil
+
+    from scribedb_spark.operators import curation as cu
+
+    d = tmp_path_factory.mktemp("evalservecache")
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+    sfd = str(d)
+
+    cu._EVAL_SERVE_CACHE.clear()
+    ov_builds, pn_builds = [], []
+    orig_ov = cu._eval_overlap_compute
+    orig_pn = cu._eval_panel_compute
+    monkeypatch.setattr(
+        cu,
+        "_eval_overlap_compute",
+        lambda *a, **k: ov_builds.append(1) or orig_ov(*a, **k),
+    )
+    monkeypatch.setattr(
+        cu,
+        "_eval_panel_compute",
+        lambda *a, **k: pn_builds.append(1) or orig_pn(*a, **k),
+    )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    first_ov = sorted(
+        map(tuple, REGISTRY["search_eval_overlap"].fn(spark, sfd).collect())
+    )
+    REGISTRY["search_eval_overlap"].fn(spark, sfd).count()
+    first_pn = sorted(
+        map(tuple, REGISTRY["search_eval_panel"].fn(spark, sfd).collect())
+    )
+    REGISTRY["search_eval_panel"].fn(spark, sfd).count()
+    assert len(ov_builds) == 1  # second calls served the cache
+    assert len(pn_builds) == 1
+
+    # re-copy the corpus: same bytes, new mtime -> new fingerprint
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+
+    second_ov = sorted(
+        map(tuple, REGISTRY["search_eval_overlap"].fn(spark, sfd).collect())
+    )
+    second_pn = sorted(
+        map(tuple, REGISTRY["search_eval_panel"].fn(spark, sfd).collect())
+    )
+    assert len(ov_builds) == 2  # fingerprint change forced a rebuild
+    assert len(pn_builds) == 2
+    assert second_ov == first_ov  # identical bytes -> identical answer
+    assert second_pn == first_pn
