@@ -771,7 +771,35 @@ def sample_mix_curriculum(spark, sf_dir) -> DataFrame:
     (unchecked, the serve plan re-scanned the corpus 16 times for
     ~80 rows of schedule); a 1-row totals broadcast, a {4}-row phase
     grid, one sources-sized window. Output is |sources| x {4} rows of
-    metadata."""
+    metadata.
+
+    r15 optimization round: the schedule (|sources| x {4} rows, a
+    pure function of the documents file) is a session-cached
+    localCheckpoint — the domain-mix cascade and its checkpoint run
+    once per (session, corpus fingerprint) instead of per invocation
+    (the gate-decision serving discipline; plan tests pin the BUILD
+    body via pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _CURRICULUM_SERVE_CACHE,
+        spark,
+        ("mix_curriculum", sf_dir, _CURRICULUM_PHASES),
+        lambda: _mix_curriculum_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+#: session cache for the served curriculum schedule — a pure function
+#: of the documents file whose domain-mix cascade every invocation
+#: re-ran (r15 optimization round; deps= evicts on a corpus rewrite).
+_CURRICULUM_SERVE_CACHE: dict = {}
+
+
+def _mix_curriculum_compute(spark, sf_dir) -> DataFrame:
+    """sample_mix_curriculum's full BUILD plan (domain-mix checkpoint
+    + annealing schedule, no serve cache) — the plan-shape tests'
+    capture target and the serve cache's builder."""
     mix = rollup_domain_mix(spark, sf_dir).localCheckpoint()
     tot = mix.agg(
         F.count(F.lit(1)).cast("long").alias("n_src"),
@@ -1512,10 +1540,12 @@ def plan_compute_fns() -> dict:
     dumps must capture THESE bodies — the registered fns return
     checkpoint scans on a warm cache."""
     from scribedb_spark.operators.dedup import (
+        _band_tune_compute,
         _containment_batch_compute,
         _containment_corpus_compute,
         _containment_salted_compute,
         _embedding_cosine_compute,
+        _recall_report_compute,
         _lev_member_compute,
         _lev_receipts_compute,
         _ngram_jaccard_compute,
@@ -1560,6 +1590,9 @@ def plan_compute_fns() -> dict:
             "compare_drill_rows": _drill_rows_compute,
             "search_eval_overlap": _eval_overlap_compute,
             "search_eval_panel": _eval_panel_compute,
+            "sample_mix_curriculum": _mix_curriculum_compute,
+            "dedup_recall_report": _recall_report_compute,
+            "dedup_minhash_band_tune": _band_tune_compute,
             "dedup_containment": _containment_batch_compute,
             "dedup_containment_corpus": _containment_corpus_compute,
             "dedup_containment_salted": _containment_salted_compute,

@@ -503,3 +503,69 @@ def test_eval_serve_caches_build_once_and_invalidate(
     assert len(pn_builds) == 2
     assert second_ov == first_ov  # identical bytes -> identical answer
     assert second_pn == first_pn
+
+
+def test_audit_and_curriculum_serve_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 optimization round: the sampled exact-Jaccard audit frame
+    (shared by dedup_recall_report / dedup_minhash_band_tune / the
+    retune gate) and sample_mix_curriculum's schedule serve from the
+    session cache; touching the corpus file (stat fingerprint) evicts
+    them."""
+    import shutil
+
+    from scribedb_spark import pipeline as pl
+    from scribedb_spark.operators import dedup as dd
+
+    d = tmp_path_factory.mktemp("auditservecache")
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+    sfd = str(d)
+
+    dd._AUDIT_SERVE_CACHE.clear()
+    pl._CURRICULUM_SERVE_CACHE.clear()
+    jac_builds, cur_builds = [], []
+    orig_jac = dd._sampled_rep_jaccards_compute
+    orig_cur = pl._mix_curriculum_compute
+    monkeypatch.setattr(
+        dd,
+        "_sampled_rep_jaccards_compute",
+        lambda *a, **k: jac_builds.append(1) or orig_jac(*a, **k),
+    )
+    monkeypatch.setattr(
+        pl,
+        "_mix_curriculum_compute",
+        lambda *a, **k: cur_builds.append(1) or orig_cur(*a, **k),
+    )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    first_rc = sorted(
+        map(tuple, REGISTRY["dedup_recall_report"].fn(spark, sfd).collect())
+    )
+    REGISTRY["dedup_minhash_band_tune"].fn(spark, sfd).count()
+    assert len(jac_builds) == 1  # both audits shared one sampled join
+    first_cu = sorted(
+        map(tuple, REGISTRY["sample_mix_curriculum"].fn(spark, sfd).collect())
+    )
+    REGISTRY["sample_mix_curriculum"].fn(spark, sfd).count()
+    assert len(cur_builds) == 1  # second call served the cache
+
+    # re-copy the corpus: same bytes, new mtime -> new fingerprint
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+
+    second_rc = sorted(
+        map(tuple, REGISTRY["dedup_recall_report"].fn(spark, sfd).collect())
+    )
+    second_cu = sorted(
+        map(tuple, REGISTRY["sample_mix_curriculum"].fn(spark, sfd).collect())
+    )
+    assert len(jac_builds) == 2  # fingerprint change forced a rebuild
+    assert len(cur_builds) == 2
+    assert second_rc == first_rc  # identical bytes -> identical answer
+    assert second_cu == first_cu
