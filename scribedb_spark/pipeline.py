@@ -1569,7 +1569,11 @@ def plan_compute_fns() -> dict:
         _pq_topk_compute,
     )
 
-    from scribedb_spark.analytics import _drill_rows_compute
+    from scribedb_spark.analytics import (
+        _cell_drill_compute,
+        _col_fingerprint_compute,
+        _drill_rows_compute,
+    )
     from scribedb_spark.operators.curation import (
         _eval_overlap_compute,
         _eval_panel_compute,
@@ -1588,6 +1592,8 @@ def plan_compute_fns() -> dict:
             "ann_ivf_sq_topk": _ivf_sq_topk_compute,
             "graph_pagerank": _pagerank_compute,
             "compare_drill_rows": _drill_rows_compute,
+            "compare_cell_drill": _cell_drill_compute,
+            "compare_col_fingerprint": _col_fingerprint_compute,
             "search_eval_overlap": _eval_overlap_compute,
             "search_eval_panel": _eval_panel_compute,
             "sample_mix_curriculum": _mix_curriculum_compute,

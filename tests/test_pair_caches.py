@@ -51,11 +51,13 @@ def test_pair_family_caches_build_once_and_serve(spark):
     Q.REGISTRY["dedup_levenshtein_receipts"].fn(spark, SF_DIR).count()
     assert len(dedup._LEV_DIST_CACHE) == 1
 
-    # each containment variant caches its own scored table (its tag
-    # keeps the batch / corpus / salted candidate plans distinct)
+    # corpus and salted hold the IDENTICAL scored table (same oracle;
+    # the salt only relocates candidate-join rows), so they share one
+    # tag and one build (r15 optimization round); the batch variant's
+    # incoming-restricted table stays tag-distinct
     Q.REGISTRY["dedup_containment_corpus"].fn(spark, SF_DIR).count()
     Q.REGISTRY["dedup_containment_salted"].fn(spark, SF_DIR).count()
-    assert len(dedup._CONTAIN_SCORED_CACHE) == 2
+    assert len(dedup._CONTAIN_SCORED_CACHE) == 1
 
     # warm serve is row-identical to the first (building) call
     second = sorted(
@@ -569,3 +571,67 @@ def test_audit_and_curriculum_serve_caches_build_once_and_invalidate(
     assert len(cur_builds) == 2
     assert second_rc == first_rc  # identical bytes -> identical answer
     assert second_cu == first_cu
+
+
+def test_compare_drill_serve_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 optimization round: compare_cell_drill's grid report and
+    compare_col_fingerprint's column report serve from the session
+    cache; touching the orders file (stat fingerprint) evicts them."""
+    import shutil
+
+    from scribedb_spark import analytics as an
+
+    d = tmp_path_factory.mktemp("drillservecache")
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", d / "orders.parquet")
+    sfd = str(d)
+
+    an._DRILL_SERVE_CACHE.clear()
+    cd_builds, cf_builds = [], []
+    orig_cd = an._cell_drill_compute
+    orig_cf = an._col_fingerprint_compute
+    monkeypatch.setattr(
+        an,
+        "_cell_drill_compute",
+        lambda *a, **k: cd_builds.append(1) or orig_cd(*a, **k),
+    )
+    monkeypatch.setattr(
+        an,
+        "_col_fingerprint_compute",
+        lambda *a, **k: cf_builds.append(1) or orig_cf(*a, **k),
+    )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    first_cd = sorted(
+        map(tuple, REGISTRY["compare_cell_drill"].fn(spark, sfd).collect())
+    )
+    REGISTRY["compare_cell_drill"].fn(spark, sfd).count()
+    first_cf = sorted(
+        map(
+            tuple,
+            REGISTRY["compare_col_fingerprint"].fn(spark, sfd).collect(),
+        )
+    )
+    REGISTRY["compare_col_fingerprint"].fn(spark, sfd).count()
+    assert len(cd_builds) == 1  # second calls served the cache
+    assert len(cf_builds) == 1
+
+    # re-copy the source: same bytes, new mtime -> new fingerprint
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", d / "orders.parquet")
+
+    second_cd = sorted(
+        map(tuple, REGISTRY["compare_cell_drill"].fn(spark, sfd).collect())
+    )
+    second_cf = sorted(
+        map(
+            tuple,
+            REGISTRY["compare_col_fingerprint"].fn(spark, sfd).collect(),
+        )
+    )
+    assert len(cd_builds) == 2  # fingerprint change forced a rebuild
+    assert len(cf_builds) == 2
+    assert second_cd == first_cd  # identical bytes -> identical answer
+    assert second_cf == first_cf
