@@ -351,7 +351,29 @@ def graph_triangle_count(spark, sf_dir) -> DataFrame:
     pair list never materializes. The unchanged member-grain DuckDB
     oracle hash-proves the decomposition on every driver run; only
     groups with a positive count expand (matching the member plan's
-    triangle-participating output)."""
+    triangle-participating output).
+
+    r15 optimization round: the per-doc count frame (a pure function
+    of the documents file) is a session-cached localCheckpoint — the
+    quotient joins and expansion run once per (session, corpus
+    fingerprint) instead of per invocation (the graph_pagerank
+    discipline; plan tests pin the BUILD body via
+    pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _GRAPH_SERVE_CACHE,
+        spark,
+        ("triangles", sf_dir),
+        lambda: _triangle_count_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+def _triangle_count_compute(spark, sf_dir) -> DataFrame:
+    """graph_triangle_count's full BUILD plan (quotient triangle join
+    + product transfers + expansion, no serve cache) — the plan-shape
+    tests' capture target and the serve cache's builder."""
     redges, gcount, selfr, rmap = _rep_graph(spark, sf_dir)
     tri = _oriented_triangle_join(redges)
     ga = gcount.select(F.col("rep_id").alias("a"), F.col("c").alias("ca"))
@@ -723,7 +745,29 @@ def graph_kcore(spark, sf_dir) -> DataFrame:
     ties collapsed into one weighted row. The member pair list never
     materializes; a megadup clique is one self-row (v, v, c-1). The
     unchanged member-grain oracle (per-neighbor row_number form)
-    hash-proves the weighted identity per driver run."""
+    hash-proves the weighted identity per driver run.
+
+    r15 optimization round: the per-doc coreness frame (a pure
+    function of the documents file) is a session-cached
+    localCheckpoint — the 3 weighted H-index rounds run once per
+    (session, corpus fingerprint) instead of per invocation (the
+    graph_pagerank discipline; plan tests pin the BUILD body via
+    pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _GRAPH_SERVE_CACHE,
+        spark,
+        ("kcore", sf_dir),
+        lambda: _kcore_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+def _kcore_compute(spark, sf_dir) -> DataFrame:
+    """graph_kcore's full BUILD plan (3 unrolled weighted H-index
+    rounds over the quotient + expansion, no serve cache) — the
+    plan-shape tests' capture target and the serve cache's builder."""
     redges, gcount, selfr, rmap = _rep_graph(spark, sf_dir)
     und = redges.select(
         F.col("doc_id1").alias("v"), F.col("doc_id2").alias("u")
@@ -887,7 +931,30 @@ def graph_label_propagation(spark, sf_dir) -> DataFrame:
     rounds over REP edges, lone cliques labeled by their rep, one
     expansion join — the member pair list never materializes, and
     community sizes are group-count sums. The unchanged member-grain
-    recursive oracle hash-proves the quotient argument per run."""
+    recursive oracle hash-proves the quotient argument per run.
+
+    r15 optimization round: the per-doc community frame (a pure
+    function of the documents file) is a session-cached
+    localCheckpoint — the min-label rounds and expansion run once per
+    (session, corpus fingerprint) instead of per invocation (the
+    graph_pagerank discipline; plan tests pin the BUILD body via
+    pipeline.plan_compute_fns)."""
+    from scribedb_spark.cache import session_cache
+
+    return session_cache(
+        _GRAPH_SERVE_CACHE,
+        spark,
+        ("lpa", sf_dir, _LPA_ROUNDS),
+        lambda: _label_propagation_compute(spark, sf_dir).localCheckpoint(),
+        deps=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+def _label_propagation_compute(spark, sf_dir) -> DataFrame:
+    """graph_label_propagation's full BUILD plan (3 synchronous
+    min-label rounds over rep edges + expansion, no serve cache) —
+    the plan-shape tests' capture target and the serve cache's
+    builder."""
     redges, gcount, selfr, rmap = _rep_graph(spark, sf_dir)
     rl = _min_label_core(redges, _LPA_ROUNDS)
     lone = selfr.join(

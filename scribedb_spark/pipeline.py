@@ -1578,7 +1578,12 @@ def plan_compute_fns() -> dict:
         _eval_overlap_compute,
         _eval_panel_compute,
     )
-    from scribedb_spark.operators.graph import _pagerank_compute
+    from scribedb_spark.operators.graph import (
+        _kcore_compute,
+        _label_propagation_compute,
+        _pagerank_compute,
+        _triangle_count_compute,
+    )
 
     fns = dict(gate_compute_fns())
     fns.update(
@@ -1591,6 +1596,9 @@ def plan_compute_fns() -> dict:
             "ann_lsh_topk": _lsh_topk_compute,
             "ann_ivf_sq_topk": _ivf_sq_topk_compute,
             "graph_pagerank": _pagerank_compute,
+            "graph_kcore": _kcore_compute,
+            "graph_label_propagation": _label_propagation_compute,
+            "graph_triangle_count": _triangle_count_compute,
             "compare_drill_rows": _drill_rows_compute,
             "compare_cell_drill": _cell_drill_compute,
             "compare_col_fingerprint": _col_fingerprint_compute,

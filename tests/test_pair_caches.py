@@ -635,3 +635,65 @@ def test_compare_drill_serve_caches_build_once_and_invalidate(
     assert len(cf_builds) == 2
     assert second_cd == first_cd  # identical bytes -> identical answer
     assert second_cf == first_cf
+
+
+def test_graph_serve_caches_build_once_and_invalidate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 optimization round: the quotient-graph keys' per-doc
+    frames (kcore / LPA / triangles) serve from the session cache;
+    touching the corpus file (stat fingerprint) evicts them."""
+    import shutil
+
+    from scribedb_spark.operators import graph as gr
+
+    d = tmp_path_factory.mktemp("graphservecache")
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+    sfd = str(d)
+
+    gr._GRAPH_SERVE_CACHE.clear()
+    builds = {"kcore": [], "lpa": [], "tri": []}
+    for name, attr in (
+        ("kcore", "_kcore_compute"),
+        ("lpa", "_label_propagation_compute"),
+        ("tri", "_triangle_count_compute"),
+    ):
+        orig = getattr(gr, attr)
+        monkeypatch.setattr(
+            gr,
+            attr,
+            (lambda lst, o: lambda *a, **k: lst.append(1) or o(*a, **k))(
+                builds[name], orig
+            ),
+        )
+
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    firsts = {}
+    for key, name in (
+        ("graph_kcore", "kcore"),
+        ("graph_label_propagation", "lpa"),
+        ("graph_triangle_count", "tri"),
+    ):
+        firsts[key] = sorted(
+            map(tuple, REGISTRY[key].fn(spark, sfd).collect())
+        )
+        REGISTRY[key].fn(spark, sfd).count()
+        assert len(builds[name]) == 1, key  # second call served the cache
+
+    # re-copy the corpus: same bytes, new mtime -> new fingerprint
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", d / "documents.parquet"
+    )
+
+    for key, name in (
+        ("graph_kcore", "kcore"),
+        ("graph_label_propagation", "lpa"),
+        ("graph_triangle_count", "tri"),
+    ):
+        second = sorted(map(tuple, REGISTRY[key].fn(spark, sfd).collect()))
+        assert len(builds[name]) == 2, key  # rewrite forced a rebuild
+        assert second == firsts[key], key  # identical bytes, same answer
