@@ -467,13 +467,15 @@ def stream_source_overlap_maintain(
     from scribedb_spark.operators.dedup import band_signatures
 
     class _Holder:
-        sig = None  # (doc_id, band, s, source) — lazy union of parts
-        cnt = None  # (source_a, source_b, n_pairs)
-        ds = None   # (source, n_docs)
-        _sig_parts: list = []  # per-batch checkpointed frames
+        def __init__(self) -> None:
+            # instance state in __init__ (r14 ADVICE: a class-level
+            # mutable default list would be shared across maintainers)
+            self.sig = None  # (doc_id, band, s, source) — lazy union
+            self.cnt = None  # (source_a, source_b, n_pairs)
+            self.ds = None   # (source, n_docs)
+            self._sig_parts: list = []  # per-batch checkpointed frames
 
     holder = _Holder()
-    holder._sig_parts = []
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.localCheckpoint()  # pin: the source view is transient
