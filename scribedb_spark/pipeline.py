@@ -1563,6 +1563,7 @@ def plan_compute_fns() -> dict:
         _ivf_recall_compute,
         _ivf_sq_topk_compute,
         _ivf_topk_compute,
+        _knn_ann_compute,
         _lsh_topk_compute,
         _mips_recall_compute,
         _mips_topk_compute,
@@ -1595,6 +1596,7 @@ def plan_compute_fns() -> dict:
             "ann_pq_topk": _pq_topk_compute,
             "ann_lsh_topk": _lsh_topk_compute,
             "ann_ivf_sq_topk": _ivf_sq_topk_compute,
+            "vec_knn_graph_ann": _knn_ann_compute,
             "graph_pagerank": _pagerank_compute,
             "graph_kcore": _kcore_compute,
             "graph_label_propagation": _label_propagation_compute,

@@ -336,11 +336,12 @@ def test_ann_serve_caches_build_once_and_invalidate(
     sfd = str(d)
 
     sim._ANN_SERVE_CACHE.clear()
-    builds = {"pq": [], "lsh": [], "sq": []}
+    builds = {"pq": [], "lsh": [], "sq": [], "knn": []}
     for name, attr in (
         ("pq", "_pq_topk_compute"),
         ("lsh", "_lsh_topk_compute"),
         ("sq", "_ivf_sq_topk_compute"),
+        ("knn", "_knn_ann_compute"),
     ):
         orig = getattr(sim, attr)
         monkeypatch.setattr(
@@ -359,6 +360,7 @@ def test_ann_serve_caches_build_once_and_invalidate(
         ("ann_pq_topk", "pq"),
         ("ann_lsh_topk", "lsh"),
         ("ann_ivf_sq_topk", "sq"),
+        ("vec_knn_graph_ann", "knn"),
     ):
         firsts[key] = sorted(map(tuple, REGISTRY[key].fn(spark, sfd).collect()))
         REGISTRY[key].fn(spark, sfd).count()
@@ -381,6 +383,7 @@ def test_ann_serve_caches_build_once_and_invalidate(
         ("ann_pq_topk", "pq"),
         ("ann_lsh_topk", "lsh"),
         ("ann_ivf_sq_topk", "sq"),
+        ("vec_knn_graph_ann", "knn"),
     ):
         second = sorted(map(tuple, REGISTRY[key].fn(spark, sfd).collect()))
         assert len(builds[name]) == 2, key  # rewrite forced a rebuild
