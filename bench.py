@@ -10,8 +10,12 @@ The driver records only the last ~2000 chars of stdout, so the final
 line MUST stay well under that bound regardless of registry growth
 (rounds 5-6 lost their bench records because the per-key dict grew
 past the window).  Per-key timings therefore go to the
-``BENCH_DETAIL.json`` sidecar (and stderr) instead of the headline
-line; ``headline_line()`` is unit-tested to stay < 1900 chars.
+``BENCH_DETAIL.json`` sidecar (plus a cpus-suffixed copy; never to
+stdout/stderr — the driver tail merges both streams) instead of the
+headline line; ``headline_line()`` is unit-tested to stay < 1900
+chars.  Per-key times record cold (first run) and warm (min of the
+rest) separately so session-cache builds are attributed instead of
+discarded by best-of-k; the line carries ``cold_total``.
 
 Headline set: the flagship aggregation, a join-heavy query, the
 compare core (the reference's own capability — this is the number to
@@ -260,6 +264,8 @@ def headline_line(
     n_keys: int,
     stable_total: float | None = None,
     n_stable: int | None = None,
+    cold_total: float | None = None,
+    cpus: int | None = None,
 ) -> str:
     """The compact final-stdout-line contract (< 1900 chars, always).
 
@@ -274,7 +280,11 @@ def headline_line(
     ambient-noise meter (identical untouched plans), so dividing by
     it normalizes driver-stamped rounds onto one scale — r13's
     206.1 s at canary 10.18 and r14's 133.5 s at 8.40 become 20.2 vs
-    15.9 without a manual correction (r14 VERDICT item 6)."""
+    15.9 without a manual correction (r14 VERDICT item 6).
+    ``cold_total`` (r15 VERDICT item 2) is the sum of FIRST-run
+    times: with ~45 session-cache-served keys, best-of-k records the
+    memo read and the build cost lands in no key — cold_total is the
+    number that still contains every build."""
     rec = {
         "metric": "headline_total",
         "value": total,
@@ -288,6 +298,10 @@ def headline_line(
         rec["n_stable"] = n_stable
         if stable_total > 0:
             rec["headline_per_canary"] = round(total / stable_total, 3)
+    if cold_total is not None:
+        rec["cold_total"] = cold_total
+    if cpus is not None:
+        rec["cpus"] = cpus
     return json.dumps(rec)
 
 
@@ -307,27 +321,36 @@ def main() -> None:
         df.count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     stable_set = set(STABLE_KEYS)
     for key in BENCH_KEYS:
         fn = Q.REGISTRY[key].fn
-        best = None
         # the pinned cross-round comparator gets one extra best-of run:
         # these 16 keys are cheap and their minimum is the number rounds
         # are compared on, so it must converge tighter than the rest
         k_runs = runs + 1 if key in stable_set else runs
+        samples: list[float] = []
         for _ in range(k_runs):
             t0 = time.perf_counter()
             # count() forces full execution without driver-side collect
             # of payload data
             fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
         # best-of-k: single-JVM local mode has high scheduler/GC noise;
-        # the minimum is the stable estimate of the plan's cost
-        timings[key] = round(best, 3)
+        # the minimum is the stable estimate of the plan's cost.
+        # cold/warm split (r15 VERDICT item 2): session-cache-served
+        # keys pay their build in run 1 and serve a checkpoint scan
+        # after — min() alone would attribute the build to NO key.
+        timings[key] = round(min(samples), 3)
+        cold[key] = round(samples[0], 3)
+        if len(samples) > 1:
+            warm[key] = round(min(samples[1:]), 3)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     stable_total = round(sum(timings[k] for k in STABLE_KEYS), 3)
     sf_raw = SF_DIR.rstrip("/").split("sf")[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
@@ -336,16 +359,30 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "queries_warm": warm,
+        "cold_total": cold_total,
+        "cpus": cpus,
         "sf": sf,
         "stable_total": stable_total,
         "stable_keys": STABLE_KEYS,
     }
-    # full per-key record: sidecar file (committed, judge-readable) +
-    # stderr (survives even if the sidecar write fails)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
+    # full per-key record: sidecar files only (committed,
+    # judge-readable).  NOT echoed to stdout or stderr: the driver's
+    # ~2000-char tail window captures both streams merged, and the
+    # per-key dict landing there truncated the parseable record two
+    # rounds running (r15 VERDICT item 8) — the tail must reliably
+    # hold the compact one-liner.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # cpus-suffixed copy: the driver's low-core scaling pass used to
+    # clobber the 32-core record in the canonical file (r15 VERDICT
+    # item 3 of "what's wrong") — each core count keeps its own file
+    with open(
+        os.path.join(repo, f"BENCH_DETAIL_c{cpus}.json"), "w"
+    ) as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
     # optional per-round stamped sidecar (BENCH_DETAIL.json is
@@ -356,13 +393,18 @@ def main() -> None:
         with open(stamped, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
-    print(json.dumps(detail), file=sys.stderr, flush=True)
     # stop the JVM BEFORE the final stdout line so no late Spark log
     # line can land after (and corrupt) the compact-line contract
     spark.stop()
     print(
         headline_line(
-            total, sf, len(timings), stable_total, len(STABLE_KEYS)
+            total,
+            sf,
+            len(timings),
+            stable_total,
+            len(STABLE_KEYS),
+            cold_total,
+            cpus,
         ),
         flush=True,
     )

@@ -3453,14 +3453,25 @@ def _iblt_hash_py(key: int, fp: int, i, n_cells: int | None = None) -> int:
     return i * sub + int(h[:8], 16) % sub
 
 
+class IbltDecodeStall(ValueError):
+    """Decode stalled: the diff exceeded the sketch's cell budget.
+
+    A ValueError subclass so pre-r16 callers that catch ValueError on
+    the fixed-budget path keep working; the optimistic-decode retry
+    sites catch THIS type only, so any future ValueError raised inside
+    _iblt_merge/_iblt_decode (e.g. validation) surfaces instead of
+    being silently swallowed into an expensive adaptive re-sketch
+    (ADVICE r15)."""
+
+
 def _iblt_peel(
     cells: dict, n_cells: int | None = None
 ) -> list[tuple[int, int, int]]:
     """Standard IBLT peeling: repeatedly find a pure cell
     (count == +-1 and checksum verifies), extract its item, subtract
     it from its cells, until the table is empty. Returns
-    (key, fp, sign) triples; raises if decode stalls (diff exceeded
-    the cell budget)."""
+    (key, fp, sign) triples; raises IbltDecodeStall if decode stalls
+    (diff exceeded the cell budget)."""
     recovered = []
     progress = True
     while progress:
@@ -3480,7 +3491,7 @@ def _iblt_peel(
                         cells[c2] = st
                 progress = True
     if cells:
-        raise ValueError(
+        raise IbltDecodeStall(
             f"IBLT decode stalled with {len(cells)} impure cells — the "
             f"diff exceeds the {n_cells or _IBLT_CELLS}-cell budget "
             "(size cells >= 1.5x expected diff); raise _IBLT_CELLS, use "
@@ -3557,7 +3568,7 @@ def compare_iblt_diff(spark, sf_dir) -> DataFrame:
             "o_orderkey",
             None,
         )
-    except ValueError:
+    except IbltDecodeStall:
         pass  # diff outgrew the fixed budget: adaptive re-sketch
     src = base.filter(F.col("o_orderkey") % 3000 != 0)
     return _iblt_adaptive(
@@ -3777,7 +3788,7 @@ def iblt_reconcile(
                 key_col,
                 None,
             )
-        except ValueError:
+        except IbltDecodeStall:
             pass  # stalled: size from the estimator bound instead
         return _iblt_adaptive(spark, src_items, tgt_items, key_col)
     agg = _iblt_merge(
@@ -3865,10 +3876,14 @@ def _iblt_orders_state(spark, sf_dir: str):
             _iblt_sketch(base, 1, "o_orderkey", _IBLT_COLS)
         ).localCheckpoint()
 
+    # keyed on the live cell budget like _iblt_tgt_cells: the two
+    # tables are MERGED cell-wise, so a session that shrinks
+    # _IBLT_CELLS after warming this cache must never mix cell tables
+    # from different index spaces (ADVICE r15)
     cells = session_cache(
         _IBLT_BASE_CACHE,
         spark,
-        ("iblt_base_cells", sf_dir),
+        ("iblt_base_cells", sf_dir, _IBLT_CELLS),
         build_cells,
         deps=[f"{sf_dir}/orders.parquet"],
     )

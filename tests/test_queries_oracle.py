@@ -230,7 +230,9 @@ def test_bench_headline_line_fits_driver_tail_window():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     # worst plausible values: huge total, long sf string, 5-digit key count
-    line = bench.headline_line(99999.999, "0.001", 99999, 99999.999, 99999)
+    line = bench.headline_line(
+        99999.999, "0.001", 99999, 99999.999, 99999, 99999.999, 32
+    )
     assert len(line) < 1900, len(line)
     import json
 
@@ -239,6 +241,10 @@ def test_bench_headline_line_fits_driver_tail_window():
     assert parsed["unit"] == "sec"
     assert parsed["n_keys"] == 99999
     assert parsed["stable_total"] == 99999.999
+    # r16: cold/warm split — cold_total (first-run sum, where session
+    # -cache builds land) and cpus are carried in the compact line
+    assert parsed["cold_total"] == 99999.999
+    assert parsed["cpus"] == 32
     # canary normalization (r14 VERDICT item 6): driver-stamped rounds
     # compare on value / stable_total without a manual correction
     assert parsed["headline_per_canary"] == 1.0
